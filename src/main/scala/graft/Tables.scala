@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the driver testdata star schema
+  * (see /root/repo/TESTDATA.md). Reads are plain `spark.read.parquet`
+  * so Catalyst's scan planning (column pruning + predicate pushdown
+  * into the parquet reader) applies untouched — at 100 TB each table
+  * becomes a partitioned directory and nothing here changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+      // default. Read it as a long and convert with integer division
+      // (nanos exceed 2^53, so double math would corrupt timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view named after itself, enabling the
+    * `spark.sql` surface over the same data the DataFrame queries use.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
