@@ -369,7 +369,7 @@ object Relational {
       """WITH per_cust AS (
         |  SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY o_custkey
         |)
-        |SELECT c_mktsegment, SUM(COALESCE(n_ord, 0)) AS orders_total, COUNT(*) AS n_cust
+        |SELECT c_mktsegment, CAST(SUM(COALESCE(n_ord, 0)) AS BIGINT) AS orders_total, COUNT(*) AS n_cust
         |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_window_rank" ->
@@ -412,7 +412,7 @@ object Relational {
         |  TRY_CAST(CAST(o_custkey AS VARCHAR) AS INT) AS good_int
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "q_json_extract" ->
-      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_unnest_words" ->
