@@ -1,0 +1,202 @@
+package graft.fm
+
+import org.apache.spark.sql.SparkSession
+
+/** DuckDB-dialect compatibility for the SQL passthrough surface the
+  * reference declares (SURVEY.md §2 B10–B12):
+  *
+  *  - `FROM t, UNNEST(expr) AS a(c)` → `FROM t LATERAL VIEW explode(expr)
+  *    a AS c` (Spark SQL has no FROM-position UNNEST; reference idiom at
+  *    README.md:304-310, `tests/test_query.py:127-130`);
+  *  - `from_json(x, '["VARCHAR"]')` DuckDB schema hints → Spark DDL type
+  *    strings (`docs/adr/0006:26-36`);
+  *  - `list_contains` → `array_contains` (`tests/test_query.py:98`),
+  *    `string_split` → `split`, registered as function aliases.
+  */
+object Dialect {
+
+  /** Register DuckDB-named function aliases on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "list_contains", exprs => ArrayContains(exprs(0), exprs(1)), "built-in")
+    // Note: Spark's split() takes a Java regex; DuckDB's separator is a
+    // literal. Identical for the plain separators the reference exercises.
+    reg.createOrReplaceTempFunction(
+      "string_split", exprs => StringSplit(exprs(0), exprs(1), Literal(-1)), "built-in")
+  }
+
+  def rewrite(sql: String): String = rewriteFromJsonHints(rewriteUnnest(sql))
+
+  /** DuckDB JSON-literal schema hints inside `from_json` second args. */
+  private[fm] def rewriteFromJsonHints(sql: String): String = {
+    val p = java.util.regex.Pattern.compile("'(\\[[^']*\\]|\\{[^']*\\})'")
+    val m = p.matcher(sql)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(sql.substring(last, m.start()))
+      hintToDdl(m.group(1)) match {
+        case Some(ddl) => sb.append("'").append(ddl).append("'")
+        case None      => sb.append(m.group(0))
+      }
+      last = m.end()
+    }
+    sb.append(sql.substring(last))
+    sb.toString
+  }
+
+  /** `["VARCHAR"]` → `array<string>`, `[""]` → `array<string>`,
+    * `{"a": "INT"}` → `struct<a:bigint>`; None when not a recognizable
+    * hint (leaves ordinary string literals untouched).
+    */
+  private[fm] def hintToDdl(hint: String): Option[String] = {
+    def typeName(t: String): Option[String] = t.trim.stripPrefix("\"").stripSuffix("\"").toUpperCase match {
+      case "VARCHAR" | "TEXT" | "STRING" | "" => Some("string")
+      case "INT" | "INTEGER" | "BIGINT"       => Some("bigint")
+      case "DOUBLE" | "FLOAT" | "REAL"        => Some("double")
+      case "BOOLEAN" | "BOOL"                 => Some("boolean")
+      case "DATE"                             => Some("date")
+      case _                                  => None
+    }
+    val t = hint.trim
+    if (t.startsWith("[") && t.endsWith("]")) {
+      val inner = t.substring(1, t.length - 1).trim
+      if (inner.startsWith("[") && inner.endsWith("]"))
+        hintToDdl(inner).map(i => s"array<$i>")
+      else typeName(inner).map(i => s"array<$i>")
+    } else if (t.startsWith("{") && t.endsWith("}")) {
+      val inner = t.substring(1, t.length - 1).trim
+      if (inner.isEmpty) None
+      else {
+        val fields = inner.split(",").toSeq.map { f =>
+          f.split(":") match {
+            case Array(k, v) =>
+              typeName(v).map(tn => s"${k.trim.stripPrefix("\"").stripSuffix("\"")}:$tn")
+            case _ => None
+          }
+        }
+        if (fields.forall(_.isDefined)) Some(s"struct<${fields.flatten.mkString(",")}>")
+        else None
+      }
+    } else None
+  }
+
+  /** FROM-position lateral UNNEST → LATERAL VIEW explode. Handles
+    * `, UNNEST(expr) AS alias(col)`, `, UNNEST(expr) AS col`, and bare
+    * `, UNNEST(expr)` (column named `unnest`, DuckDB's default). Only
+    * rewrites when the preceding non-space char is a comma in FROM
+    * context (so `SELECT a, UNNEST(x)` projections are left alone).
+    */
+  private[fm] def rewriteUnnest(sql: String): String = {
+    val upper = sql.toUpperCase
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val u = out.toUpperCase
+      var i = u.indexOf("UNNEST")
+      while (i >= 0 && !changed) {
+        // preceding non-whitespace must be ','
+        var j = i - 1
+        while (j >= 0 && Character.isWhitespace(out.charAt(j))) j -= 1
+        val inFrom = j >= 0 && out.charAt(j) == ',' && fromContext(u, j)
+        if (inFrom) {
+          // parse UNNEST ( <balanced> )
+          var k = i + "UNNEST".length
+          while (k < out.length && Character.isWhitespace(out.charAt(k))) k += 1
+          if (k < out.length && out.charAt(k) == '(') {
+            val close = matchParen(out, k)
+            if (close > 0) {
+              val expr = out.substring(k + 1, close)
+              // optional: AS alias(col) | AS col
+              var p = close + 1
+              while (p < out.length && Character.isWhitespace(out.charAt(p))) p += 1
+              var alias = "_unnest"
+              var colName = "unnest"
+              var end = close + 1
+              if (p + 2 <= out.length && u.startsWith("AS", p)) {
+                var q = p + 2
+                while (q < out.length && Character.isWhitespace(out.charAt(q))) q += 1
+                val identEnd = identEndAt(out, q)
+                if (identEnd > q) {
+                  val ident = out.substring(q, identEnd)
+                  var r = identEnd
+                  while (r < out.length && Character.isWhitespace(out.charAt(r))) r += 1
+                  if (r < out.length && out.charAt(r) == '(') {
+                    val pc = matchParen(out, r)
+                    if (pc > 0) {
+                      alias = ident
+                      colName = out.substring(r + 1, pc).trim
+                      end = pc + 1
+                    }
+                  } else {
+                    alias = "_unnest"
+                    colName = ident
+                    end = identEnd
+                  }
+                }
+              }
+              val replacement = s" LATERAL VIEW explode($expr) $alias AS $colName"
+              out = out.substring(0, j) + replacement + out.substring(end)
+              changed = true
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("UNNEST", i + 1)
+      }
+    }
+    out
+  }
+
+  /** Heuristic: walking backwards from position `j`, the nearest governing
+    * clause keyword at the same paren depth is FROM (not SELECT/WHERE/…).
+    */
+  private def fromContext(upper: String, j: Int): Boolean = {
+    var depth = 0
+    var i = j
+    while (i >= 0) {
+      val c = upper.charAt(i)
+      if (c == ')') depth += 1
+      else if (c == '(') { if (depth == 0) return false; depth -= 1 }
+      else if (depth == 0 && isKeywordAt(upper, i, "FROM")) return true
+      else if (depth == 0 && (isKeywordAt(upper, i, "SELECT") || isKeywordAt(upper, i, "WHERE")))
+        return false
+      i -= 1
+    }
+    false
+  }
+
+  private def isKeywordAt(upper: String, endIdx: Int, kw: String): Boolean = {
+    val start = endIdx - kw.length + 1
+    start >= 0 &&
+    upper.regionMatches(start, kw, 0, kw.length) &&
+    (start == 0 || !Character.isLetterOrDigit(upper.charAt(start - 1))) &&
+    (endIdx == upper.length - 1 || !Character.isLetterOrDigit(upper.charAt(endIdx + 1)))
+  }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private def identEndAt(s: String, start: Int): Int = {
+    var i = start
+    while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
+    i
+  }
+}

@@ -1,0 +1,122 @@
+package graft.fm
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Pluggable semantic extension surface (implemented in `graft.semantic`):
+  * reference `semantic/context.py` gates on indexer readiness
+  * (`context.py:20-23`), and when ready the `files` table gains an
+  * `embedding` column via a path join (`semantic/query.py:11-65`).
+  */
+trait SemanticProvider {
+  def isReady: Boolean
+  def dim: Int
+  /** Left-join the embedding column onto `files` by `path`. */
+  def withEmbedding(files: DataFrame): DataFrame
+  /** Register `embed(text)` and the cosine functions on the session. */
+  def registerFunctions(spark: SparkSession): Unit
+}
+
+final case class QueryResult(
+    results: DataFrame,
+    columns: Seq[String],
+    warnings: Seq[ParseWarning]) {
+
+  /** Reference tool response shape (`server.py:160-169`, `query.py:74-83`):
+    * `{results, row_count, columns}` (+ warnings). Collects — use for
+    * API-sized results, not bulk extracts.
+    */
+  def response(): Map[String, Any] = {
+    val rows = results.collect().map(r => columns.map(c => c -> r.getAs[Any](c)).toMap).toSeq
+    val base = Map(
+      "results" -> rows,
+      "row_count" -> rows.length,
+      "columns" -> columns)
+    if (warnings.nonEmpty) base + ("warnings" -> warnings) else base
+  }
+}
+
+/** The product's main read API (reference `server.py:121-169`):
+  * `query(glob, sql)` = glob scan → cached distributed parse → union-of-keys
+  * all-strings `files` view (+ semantic embedding join when ready) →
+  * dialect-translated Spark SQL.
+  *
+  * The parsed DataFrame is persisted and keyed by a corpus fingerprint of
+  * (path, mtime) pairs — the Spark-shaped equivalent of the reference's
+  * mtime parse cache (`files.py:19-49`): any file change alters the
+  * fingerprint and triggers a re-parse; an unchanged corpus reuses the
+  * in-memory table across queries.
+  */
+final class QueryEngine(
+    val spark: SparkSession,
+    val settings: Settings,
+    val semantic: Option[SemanticProvider] = None) {
+
+  Dialect.register(spark)
+  semantic.foreach(_.registerFunctions(spark))
+
+  private case class Cached(
+      fingerprint: String,
+      parsed: Dataset[ParsedFile],
+      files: DataFrame,
+      warnings: Seq[ParseWarning],
+      semanticApplied: Boolean)
+
+  private val cache = TrieMap.empty[String, Cached]
+
+  private def semanticReady: Boolean = semantic.exists(_.isReady)
+
+  /** The `files` DataFrame for a glob, fingerprint-cached. */
+  def filesTable(glob: String): (DataFrame, Seq[ParseWarning]) = {
+    val entry = cachedParse(glob)
+    (entry.files, entry.warnings)
+  }
+
+  private def cachedParse(glob: String): Cached = synchronized {
+    val pm = FileScan.collectWithMtime(settings.baseDir, glob)
+    val fp = Corpus.fingerprint(pm)
+    val wantSemantic = semanticReady
+    cache.get(glob) match {
+      case Some(c) if c.fingerprint == fp && c.semanticApplied == wantSemantic => c
+      case stale =>
+        stale.foreach { c => c.files.unpersist(); c.parsed.unpersist() }
+        val parsed = Corpus.parse(spark, settings.baseDir.toString, pm.map(_._1)).persist()
+        val (base, warnings) = Corpus.filesDF(spark, parsed)
+        val files =
+          (if (wantSemantic) semantic.get.withEmbedding(base) else base).persist()
+        val entry = Cached(fp, parsed, files, warnings, wantSemantic)
+        cache.put(glob, entry)
+        entry
+    }
+  }
+
+  /** `query` tool: run DuckDB-dialect SQL against the `files` view. */
+  def query(glob: String, sql: String): QueryResult = {
+    val (files, warnings) = filesTable(glob)
+    files.createOrReplaceTempView("files")
+    val out = spark.sql(Dialect.rewrite(sql))
+    QueryResult(out, out.columns.toSeq, warnings)
+  }
+
+  /** `query_inspect` tool: inferred schema rows + file count.
+    * Appends the `embedding FLOAT[dim]` row when semantic is ready
+    * (reference `semantic/query_schema.py:7-18`).
+    */
+  def inspect(glob: String): (Long, DataFrame, Seq[ParseWarning]) = {
+    import org.apache.spark.sql.functions.lit
+    val entry = cachedParse(glob)
+    val fileCount = entry.parsed.filter(_.ok).count()
+    val base = SchemaInfer.inspectFlat(spark, entry.parsed)
+    val withSem = semantic.filter(_.isReady) match {
+      case Some(p) =>
+        val row = spark.createDataFrame(
+          java.util.List.of(
+            org.apache.spark.sql.Row("embedding", s"FLOAT[${p.dim}]", false, "[]")),
+          base.schema)
+        base.union(row)
+      case None => base
+    }
+    (fileCount, withSem, entry.warnings)
+  }
+}

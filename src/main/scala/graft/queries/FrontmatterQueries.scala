@@ -1,0 +1,169 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fixtures.FixtureCorpus
+import graft.fm.{QueryEngine, Settings}
+
+/** Frontmatter-engine queries (SURVEY.md §2 Tier A, A1–A7 + B10–B12):
+  * every entry runs the FULL product path — glob scan → distributed
+  * frontmatter parse → Python-parity serialization → union-of-keys
+  * `files` view → DuckDB-dialect SQL through [[QueryEngine.query]] — over
+  * a corpus deterministically derived from `documents.parquet`, so the
+  * DuckDB oracle can reconstruct the same table from `documents` (the
+  * shared [[FixtureCorpus.filesCte]] prefix).
+  */
+object FrontmatterQueries {
+
+  private val engines = TrieMap.empty[String, QueryEngine]
+
+  private def engine(s: SparkSession, d: String): QueryEngine =
+    engines.getOrElseUpdate(d, {
+      val base = FixtureCorpus.ensure(s, d)
+      new QueryEngine(s, Settings(base.toString, enableSemantic = false, "", None))
+    })
+
+  private def run(sql: String): (SparkSession, String) => DataFrame =
+    (s, d) => engine(s, d).query("**/*.md", sql).results
+
+  private val cte = FixtureCorpus.filesCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // README.md:101 flagship shape: string-compared date filter + ORDER DESC
+    "q_fm_flagship" -> run(
+      """SELECT path, created FROM files
+        |WHERE created >= '2025-06-01' ORDER BY created DESC, path""".stripMargin),
+
+    // B8 over the files table
+    "q_fm_count" -> run("SELECT COUNT(*) AS n, COUNT(score) AS n_scored FROM files"),
+
+    // B4: missing keys and absent frontmatter are NULL (tests/test_query.py:146-160)
+    "q_fm_null" -> run(
+      "SELECT path FROM files WHERE score IS NULL ORDER BY path"),
+
+    // serializer-visible projection: ints, bools, floats as Python strings
+    "q_fm_mixed_types" -> run(
+      """SELECT path, id, published, score, n_chars, tags FROM files
+        |ORDER BY path""".stripMargin),
+
+    // B9: GROUP BY over a frontmatter property
+    "q_fm_group_lang" -> run(
+      """SELECT lang, COUNT(*) AS n FROM files
+        |WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // B10+B11: README.md:304-310 verbatim idiom — FROM-position UNNEST over
+    // a JSON-encoded array column, with the DuckDB schema-hint literal
+    "q_fm_unnest_tags" -> run(
+      """SELECT tag, COUNT(*) AS n
+        |FROM files, UNNEST(from_json(tags, '["VARCHAR"]')) AS t(tag)
+        |GROUP BY tag ORDER BY n DESC, tag""".stripMargin),
+
+    // B12: list_contains alias (tests/test_query.py:98)
+    "q_fm_list_contains" -> run(
+      """SELECT path FROM files
+        |WHERE list_contains(from_json(tags, '["VARCHAR"]'), 'spark')
+        |ORDER BY path""".stripMargin),
+
+    // B13: TRY_CAST typed ops over the all-strings schema (README.md:295-300)
+    "q_fm_try_cast" -> run(
+      """SELECT path, TRY_CAST(score AS DOUBLE) AS score_num
+        |FROM files WHERE TRY_CAST(n_chars AS INT) > 300
+        |ORDER BY path""".stripMargin),
+
+    // B3+B5: LIKE patterns over derived string columns
+    "q_fm_like" -> run(
+      """SELECT path, category FROM files
+        |WHERE category LIKE 'cat%' AND created LIKE '2025-0%'
+        |ORDER BY path""".stripMargin),
+
+    // B6+B7: top-k on string ordering (lexicographic in both engines)
+    "q_fm_topk" -> run(
+      "SELECT path, n_chars FROM files ORDER BY n_chars DESC, path LIMIT 20"),
+
+    // A7: query_inspect schema inference as a distributed aggregation
+    "q_fm_inspect" -> ((s, d) => {
+      val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
+      schemaDf.orderBy("property")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fm_flagship" ->
+      s"""$cte
+         |SELECT path, created FROM files
+         |WHERE created >= '2025-06-01' ORDER BY created DESC, path""".stripMargin,
+    "q_fm_count" ->
+      s"""$cte
+         |SELECT COUNT(*) AS n, COUNT(score) AS n_scored FROM files""".stripMargin,
+    "q_fm_null" ->
+      s"""$cte
+         |SELECT path FROM files WHERE score IS NULL ORDER BY path""".stripMargin,
+    "q_fm_mixed_types" ->
+      s"""$cte
+         |SELECT path, id, published, score, n_chars, tags FROM files
+         |ORDER BY path""".stripMargin,
+    "q_fm_group_lang" ->
+      s"""$cte
+         |SELECT lang, COUNT(*) AS n FROM files
+         |WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fm_unnest_tags" ->
+      s"""$cte
+         |SELECT tag, COUNT(*) AS n
+         |FROM files, UNNEST(from_json(tags, '["VARCHAR"]')) AS t(tag)
+         |GROUP BY tag ORDER BY n DESC, tag""".stripMargin,
+    "q_fm_list_contains" ->
+      s"""$cte
+         |SELECT path FROM files
+         |WHERE list_contains(from_json(tags, '["VARCHAR"]'), 'spark')
+         |ORDER BY path""".stripMargin,
+    "q_fm_try_cast" ->
+      s"""$cte
+         |SELECT path, TRY_CAST(score AS DOUBLE) AS score_num
+         |FROM files WHERE TRY_CAST(n_chars AS INT) > 300
+         |ORDER BY path""".stripMargin,
+    "q_fm_like" ->
+      s"""$cte
+         |SELECT path, category FROM files
+         |WHERE category LIKE 'cat%' AND created LIKE '2025-0%'
+         |ORDER BY path""".stripMargin,
+    "q_fm_topk" ->
+      s"""$cte
+         |SELECT path, n_chars FROM files ORDER BY n_chars DESC, path LIMIT 20""".stripMargin,
+    "q_fm_inspect" -> FrontmatterOracle.inspectSql
+  )
+}
+
+/** Generated DuckDB oracle for `query_inspect` (reference
+  * `query_schema.py:19-69` semantics): per property
+  * `{type, nullable, examples}` where examples are the first 5 distinct
+  * serialized values in path order, rendered as a JSON string.
+  */
+object FrontmatterOracle {
+
+  /** One SELECT per known fixture property, reconstructing the inference
+    * result from `documents` (first-seen order = path order because the
+    * engine's file scan sorts paths).
+    */
+  val inspectSql: String = {
+    val props = Seq(
+      ("category", "string"), ("created", "string"), ("id", "string"),
+      ("lang", "string"), ("n_chars", "string"), ("path", "string"),
+      ("published", "string"), ("score", "string"), ("source", "string"),
+      ("tags", "array"))
+    val perProp = props.map { case (p, typ) =>
+      val nullableExpr =
+        if (p == "path") "false"
+        else s"(SELECT COUNT($p) FROM files) < (SELECT COUNT(*) FROM files)"
+      s"""SELECT '$p' AS property, '$typ' AS type, $nullableExpr AS nullable,
+         |  (SELECT '[' || string_agg('"' || replace(replace(v, '\\', '\\\\'), '"', '\\"') || '"', ', ' ORDER BY fp) || ']'
+         |   FROM (SELECT $p AS v, MIN(path) AS fp FROM files WHERE $p IS NOT NULL GROUP BY $p
+         |         ORDER BY fp LIMIT 5) t) AS examples""".stripMargin
+    }
+    s"""${FixtureCorpus.filesCte}
+       |SELECT * FROM (
+       |${perProp.mkString("\nUNION ALL\n")}
+       |) ORDER BY property""".stripMargin
+  }
+}

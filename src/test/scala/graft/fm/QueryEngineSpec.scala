@@ -1,0 +1,158 @@
+package graft.fm
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mirrors the reference's query-execution unit cases
+  * (tests/test_query.py:31-218) end-to-end through the engine over a
+  * temp-dir corpus, plus cache/warning behavior from tests/test_files.py.
+  */
+class QueryEngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus(files: (String, String)*): Path = {
+    val dir = Files.createTempDirectory("graft_fm_spec")
+    files.foreach { case (rel, content) =>
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  private def eng(dir: Path) =
+    new QueryEngine(spark, Settings(dir.toString, enableSemantic = false, "", None))
+
+  private val threeDocs = Seq(
+    "a.md" -> "---\ntitle: Alpha\ndate: 2025-11-27\ntags:\n- x\n- y\n---\nbody a",
+    "b.md" -> "---\ntitle: Beta\ndate: 2025-11-26\nextra: 42\n---\nbody b",
+    "sub/c.md" -> "---\ntitle: Gamma\ndate: 2025-11-25\n---\nbody c")
+
+  test("select/where/order over string dates (test_query.py:64-84)") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md",
+      "SELECT path, date FROM files WHERE date >= '2025-11-26' ORDER BY date DESC")
+    val rows = r.results.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a.md", "b.md"))
+    assert(rows.head.getString(1) == "2025-11-27")
+  }
+
+  test("missing keys are NULL; union-of-keys schema (test_query.py:146-160)") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md", "SELECT path FROM files WHERE extra IS NULL ORDER BY path")
+    assert(r.results.collect().map(_.getString(0)).toSeq == Seq("a.md", "sub/c.md"))
+    assert(e.query("**/*.md", "SELECT * FROM files").columns.sorted ==
+      Seq("date", "extra", "path", "tags", "title"))
+  }
+
+  test("empty corpus degenerates to path-only table (test_query.py:36-38)") {
+    val e = eng(corpus())
+    val r = e.query("**/*.md", "SELECT * FROM files")
+    assert(r.columns == Seq("path"))
+    assert(r.results.count() == 0)
+  }
+
+  test("arrays are JSON strings; UNNEST+from_json expansion works") {
+    val e = eng(corpus(threeDocs: _*))
+    val raw = e.query("**/*.md", "SELECT tags FROM files WHERE path = 'a.md'")
+    assert(raw.results.collect()(0).getString(0) == "[\"x\", \"y\"]")
+    val expanded = e.query("**/*.md",
+      """SELECT tag FROM files, UNNEST(from_json(tags, '["VARCHAR"]')) AS t(tag) ORDER BY tag""")
+    assert(expanded.results.collect().map(_.getString(0)).toSeq == Seq("x", "y"))
+  }
+
+  test("list_contains alias (test_query.py:98)") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md",
+      """SELECT path FROM files WHERE list_contains(from_json(tags, '["VARCHAR"]'), 'x')""")
+    assert(r.results.collect().map(_.getString(0)).toSeq == Seq("a.md"))
+  }
+
+  test("mixed types serialize to Python string forms (test_query.py:196-218)") {
+    val e = eng(corpus(
+      "a.md" -> "---\nvalue: string\n---\n", "b.md" -> "---\nvalue: 42\n---\n",
+      "c.md" -> "---\nvalue: 3.14\n---\n", "d.md" -> "---\nvalue: true\n---\n",
+      "e.md" -> "---\nvalue:\n- a\n- b\n---\n"))
+    val vals = e.query("**/*.md", "SELECT path, value FROM files ORDER BY path")
+      .results.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vals == Map("a.md" -> "string", "b.md" -> "42", "c.md" -> "3.14",
+      "d.md" -> "True", "e.md" -> "[\"a\", \"b\"]"))
+  }
+
+  test("parse failures become warnings, not errors (files.py:70-107)") {
+    val e = eng(corpus(
+      "good.md" -> "---\nok: 1\n---\n",
+      "bad.md" -> "---\n{ not: valid: yaml: [\n---\n"))
+    val r = e.query("**/*.md", "SELECT path FROM files ORDER BY path")
+    assert(r.results.collect().map(_.getString(0)).toSeq == Seq("good.md"))
+    assert(r.warnings.exists(_.path == "bad.md"))
+  }
+
+  test("response shape {results, row_count, columns} (server.py:160-169)") {
+    val e = eng(corpus(threeDocs: _*))
+    val resp = e.query("**/*.md", "SELECT path FROM files ORDER BY path").response()
+    assert(resp("row_count") == 3)
+    assert(resp("columns") == Seq("path"))
+  }
+
+  test("fingerprint cache: same corpus reuses the DataFrame; edit invalidates") {
+    val dir = corpus(threeDocs: _*)
+    val e = eng(dir)
+    val df1 = e.filesTable("**/*.md")._1
+    val df2 = e.filesTable("**/*.md")._1
+    assert(df1 eq df2)
+    // touch a file with a different mtime → new fingerprint
+    val f = dir.resolve("a.md")
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val df3 = e.filesTable("**/*.md")._1
+    assert(!(df1 eq df3))
+  }
+
+  test("glob narrows the corpus (server.py:32-36)") {
+    val e = eng(corpus(threeDocs: _*))
+    assert(e.query("sub/*.md", "SELECT path FROM files").results.collect()
+      .map(_.getString(0)).toSeq == Seq("sub/c.md"))
+    assert(e.query("*.md", "SELECT COUNT(*) AS n FROM files").results.collect()(0).getLong(0) == 2)
+  }
+
+  test("query_inspect: type/nullable/examples semantics (test_query_schema.py)") {
+    val e = eng(corpus(threeDocs: _*))
+    val (count, schemaDf, _) = e.inspect("**/*.md")
+    assert(count == 3)
+    val byProp = schemaDf.collect().map(r =>
+      r.getString(0) -> (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(byProp("path") == ("string", false, "[\"a.md\", \"b.md\", \"sub/c.md\"]"))
+    assert(byProp("tags")._1 == "array")
+    assert(byProp("extra") == ("string", true, "[\"42\"]"))
+    assert(byProp("title")._2 == false)
+  }
+
+  test("examples cap at 5 first-seen distinct values") {
+    val files = (1 to 8).map(i => f"f$i%02d.md" -> s"---\nk: v$i\n---\n")
+    val e = eng(corpus(files: _*))
+    val (_, schemaDf, _) = e.inspect("**/*.md")
+    val ex = schemaDf.collect().find(_.getString(0) == "k").get.getString(3)
+    assert(ex == "[\"v1\", \"v2\", \"v3\", \"v4\", \"v5\"]")
+  }
+
+  test("FileRecordCache mtime semantics (files.py:19-49)") {
+    val dir = corpus("a.md" -> "---\nx: 1\n---\n")
+    val cache = new FileRecordCache
+    val p = dir.resolve("a.md")
+    val (recs1, _) = Corpus.parseFilesLocal(Seq(p), dir, cache)
+    assert(recs1.head("x") == Integer.valueOf(1))
+    assert(cache.get(p, dir).isDefined)
+    cache.invalidate(Seq(p), dir)
+    assert(cache.get(p, dir).isEmpty)
+  }
+
+  test("path sandbox rejects escapes (server.py:60-84)") {
+    val dir = corpus("a.md" -> "x")
+    intercept[IllegalArgumentException](FileScan.resolve(dir, "../escape.md"))
+    intercept[java.io.FileNotFoundException](FileScan.resolve(dir, "missing.md"))
+  }
+}
