@@ -86,8 +86,49 @@ object FrontmatterQueries {
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
       schemaDf.orderBy("property")
+    }),
+
+    // A12–A19 end-to-end: copy the src0 subtree, run a deterministic
+    // mutation pipeline (array add → sort → unique → update/unset →
+    // array remove), then query the mutated corpus. The oracle replays
+    // the same decision tables in SQL over `documents`.
+    "q_fm_mutations" -> ((s, d) => {
+      import graft.fm.Mutations
+      val base = FixtureCorpus.ensure(s, d)
+      val work = java.nio.file.Paths.get(
+        "/tmp/graft_fm_mut_" + d.replaceAll("[^A-Za-z0-9.]+", "_"))
+      deleteRecursively(work)
+      copyTree(base.resolve("src0"), work.resolve("src0"))
+      Mutations.batchArrayAdd(work, "**/*.md", "tags", "newtag")
+      Mutations.batchArraySort(work, "**/*.md", "tags")
+      Mutations.batchArrayUnique(work, "**/*.md", "tags")
+      Mutations.batchUpdate(work, "**/*.md",
+        setValues = Map("status" -> "reviewed"), unset = Seq("score"))
+      Mutations.batchArrayRemove(work, "**/*.md", "tags", "the")
+      val e = new QueryEngine(s, Settings(work.toString, enableSemantic = false, "", None))
+      e.query("**/*.md",
+        "SELECT path, tags, status, n_chars FROM files ORDER BY path").results
     })
   )
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val s = Files.walk(src)
+    try s.forEach { f =>
+      val t = dst.resolve(src.relativize(f))
+      if (Files.isDirectory(f)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(f, t) }
+    } finally s.close()
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_fm_flagship" ->
@@ -131,7 +172,22 @@ object FrontmatterQueries {
     "q_fm_topk" ->
       s"""$cte
          |SELECT path, n_chars FROM files ORDER BY n_chars DESC, path LIMIT 20""".stripMargin,
-    "q_fm_inspect" -> FrontmatterOracle.inspectSql
+    "q_fm_inspect" -> FrontmatterOracle.inspectSql,
+    "q_fm_mutations" ->
+      """WITH files AS (
+        |  SELECT
+        |    source || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.md' AS path,
+        |    CASE WHEN doc_id % 100 = 7 THEN '["newtag"]'
+        |         ELSE '["' || array_to_string(
+        |                list_filter(
+        |                  list_sort(list_distinct(string_split(text, ' ')[1:3] || ['newtag'])),
+        |                  x -> x <> 'the'),
+        |                '", "') || '"]' END AS tags,
+        |    'reviewed' AS status,
+        |    CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(n_chars AS VARCHAR) END AS n_chars
+        |  FROM documents WHERE source = 'src0'
+        |)
+        |SELECT path, tags, status, n_chars FROM files ORDER BY path""".stripMargin
   )
 }
 
