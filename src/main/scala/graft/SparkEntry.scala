@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.FrontmatterQueries.queries
+      graft.queries.FrontmatterQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
-      graft.queries.FrontmatterQueries.oracleSql
+      graft.queries.FrontmatterQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql
 }

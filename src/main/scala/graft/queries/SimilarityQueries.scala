@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType}
+
+import graft.Tables
+import graft.ops.TopKAgg
+import graft.semantic.{CosineFunctions, Embed, SemanticContext}
+import graft.fixtures.FixtureCorpus
+import graft.fm.{QueryEngine, Settings}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 B22–B24 +
+  * the ANN/near-dup operators the 100 TB brief adds).
+  *
+  * Scale design: the brute-force top-k is a linear scan with a BROADCAST
+  * query set and a bounded per-group top-k aggregator (partial+final, no
+  * low-cardinality window sort); the near-dup pass joins inside blocks,
+  * never all-pairs; the LSH variant buckets by random-hyperplane
+  * signature so candidate generation stays linear in corpus size.
+  */
+object SimilarityQueries {
+
+  /** Double-precision element-wise cosine for the DuckDB oracle — matches
+    * [[graft.semantic.CosineOps]] exactly; final values are cast to REAL
+    * on both sides because float32 absorbs any last-ulp double noise.
+    */
+  private def oracleCos(a: String, b: String, dim: Int = 64): String = {
+    def dot(x: String, y: String) =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Exact top-k per query via the bounded aggregator; ordering by
+    * (float sim DESC, vec_id) is reproduced identically by the oracle's
+    * ROW_NUMBER window.
+    */
+  private def topkPerQuery(spark: SparkSession, sims: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    implicit val ord: Ordering[(Float, Long)] =
+      Ordering.Tuple2(Ordering[Float].reverse, Ordering[Long])
+    val agg = new TopKAgg[(Float, Long)](k)
+    sims
+      .select(col("qid"), col("sim"), col("vec_id"))
+      .as[(Long, Float, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (qid, items) => items.map(t => (qid, t._2, t._1)) }
+      .toDF("qid", "vec_id", "sim")
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B22: brute-force cosine top-5 for 8 query vectors — the exact
+    // baseline: one pass over embeddings, queries broadcast, bounded
+    // per-group top-k aggregation.
+    "q_cosine_topk" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+      topkPerQuery(s, sims, 5)
+    }),
+
+    // B23-adjacent: embedding near-duplicate pairs inside label blocks —
+    // blocked exact verification (the LSH query below is the open-corpus
+    // candidate generator; at scale blocks come from LSH buckets).
+    "q_embed_neardup" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val e = Tables.load(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("ib"), col("label"), col("embedding").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          expr("array_cosine_similarity(va, vb)").as("sim_d"))
+        .filter(col("sim_d") >= 0.35)
+        .select(col("ia"), col("ib"), col("sim_d").cast(FloatType).as("sim"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // ANN scale path: 16-bit random-hyperplane LSH signatures bucket the
+    // corpus; candidates = same-bucket under any of 4 bands; exact
+    // re-rank of candidates only. Approximate by design → no SQL oracle
+    // (driver records a rows-only check); determinism comes from the
+    // seeded hyperplanes and total ordering.
+    "q_ann_lsh" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val dim = 64
+      val nBits = 16
+      val planes = Similarity.hyperplanes(nBits, dim, seed = 42)
+      val sigUdf = udf { (v: Seq[Float]) => Similarity.signature(v.toArray, planes) }
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("sig", sigUdf(col("embedding")))
+      val bands = (0 until 4).map { bandIdx =>
+        e.select(col("vec_id"), col("embedding"), col("sig"),
+          lit(bandIdx).as("band"),
+          shiftright(col("sig"), bandIdx * 4).bitwiseAND(lit(0xF)).as("bucket"))
+      }.reduce(_ union _)
+      val q = bands.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("band"), col("bucket"))
+      val cands = bands.join(q, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"))
+        .distinct()
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+      topkPerQuery(s, cands, 5)
+    }),
+
+    // A8-A11 + A20-A21 end-to-end (rows-only: embed() has no DuckDB
+    // analogue): corpus → differential indexer → embedding join →
+    // README.md:318-333 similarity query through the engine.
+    "q_fm_semantic" -> ((s, d) => {
+      val eng = SemanticEngines.get(s, d)
+      eng.query("**/*.md",
+        """SELECT path,
+          |       CAST(array_cosine_similarity(embedding, embed('spark table scan query')) AS FLOAT) AS score
+          |FROM files WHERE embedding IS NOT NULL
+          |ORDER BY score DESC, path LIMIT 10""".stripMargin).results
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cosine_topk" -> {
+      val cos = oracleCos("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.qid, e.vec_id, CAST($cos AS REAL) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |      FROM p)
+         |SELECT qid, vec_id, sim FROM r WHERE rn <= 5
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    },
+    "q_embed_neardup" -> {
+      val cos = oracleCos("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS ia, b.vec_id AS ib, CAST($cos AS REAL) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.35
+         |ORDER BY ia, ib""".stripMargin
+    }
+  )
+}
+
+/** Deterministic random-hyperplane LSH helpers. */
+object Similarity {
+  /** Seeded hyperplanes: nBits x dim gaussian-ish components. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-projection signature packed into an Int (bit j = plane j). */
+  def signature(v: Array[Float], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var j = 0
+    while (j < planes.length) {
+      var s = 0.0
+      val p = planes(j)
+      var i = 0
+      while (i < math.min(v.length, p.length)) { s += v(i) * p(i); i += 1 }
+      if (s >= 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Per-sfDir semantic engines: corpus + cache + synchronously-awaited
+  * indexer, reused across queries and bench iterations.
+  */
+object SemanticEngines {
+  private val engines = scala.collection.concurrent.TrieMap.empty[String, QueryEngine]
+
+  def get(s: SparkSession, d: String): QueryEngine =
+    engines.getOrElseUpdate(d, {
+      val base = FixtureCorpus.ensure(s, d)
+      val slug = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      val settings = Settings(
+        base.toString, enableSemantic = true, "graft-hash-encoder",
+        Some(s"/tmp/graft_sem_cache_$slug"))
+      val ctx = new SemanticContext(s, settings)
+      ctx.indexer.start()
+      ctx.indexer.await(300000)
+      new QueryEngine(s, settings, Some(ctx))
+    })
+}

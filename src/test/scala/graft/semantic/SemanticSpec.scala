@@ -1,0 +1,135 @@
+package graft.semantic
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.fm.{QueryEngine, Settings}
+
+/** Mirrors the reference's semantic-layer tests: cache CRUD + model-change
+  * invalidation (tests/semantic/test_cache.py), indexer state machine +
+  * differential update + deletion + empty-content skip
+  * (tests/semantic/test_indexer.py), and the query integration cases
+  * (tests/test_query.py:221-326).
+  */
+class SemanticSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus(files: (String, String)*): Path = {
+    val dir = Files.createTempDirectory("graft_sem_spec")
+    files.foreach { case (rel, content) =>
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  private def settingsFor(dir: Path) =
+    Settings(dir.toString, enableSemantic = true, "stub-model",
+      Some(Files.createTempDirectory("graft_sem_cache").toString))
+
+  test("embed() is deterministic, unit-norm, dimension-stable") {
+    val a = Embed.encode("the quick brown fox", 64)
+    val b = Embed.encode("the quick brown fox", 64)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 64)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(Embed.encode("", 64).toSeq != Seq.fill(64)(0.0f)) // zero-text fallback
+    assert(Embed.encode("completely different words", 64).toSeq != a.toSeq)
+  }
+
+  test("cosine expressions: eval matches a plain double loop; distance = 1 - sim") {
+    CosineFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(0.5f, 1.0f, -1.0f)),
+      (Array(1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      """SELECT array_cosine_similarity(a, b) AS s, array_cosine_distance(a, b) AS d,
+        |       list_cosine_similarity(a, b) AS s2 FROM vecs""".stripMargin).collect()
+    def cos(u: Seq[Float], v: Seq[Float]): Double = {
+      val dot = u.zip(v).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(u.map(x => x.toDouble * x).sum) * math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    val expected = cos(Seq(1f, 0f, 2f), Seq(0.5f, 1f, -1f))
+    assert(math.abs(rows(0).getDouble(0) - expected) < 1e-12)
+    assert(math.abs(rows(0).getDouble(1) - (1.0 - expected)) < 1e-12)
+    assert(rows(0).getDouble(0) == rows(0).getDouble(2))
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("cache: set/get/delete, stale + deleted diff (test_cache.py)") {
+    val cacheDir = Files.createTempDirectory("graft_cache_t")
+    val c = new EmbeddingCache(spark, cacheDir, "m1", 4)
+    c.set("a.md", 100L, Array(1f, 0f, 0f, 0f))
+    c.set("b.md", 200L, Array(0f, 1f, 0f, 0f))
+    assert(c.count == 2)
+    assert(c.get("a.md").get.toSeq == Seq(1f, 0f, 0f, 0f))
+    assert(c.getStalePaths(Map("a.md" -> 100L, "b.md" -> 999L, "c.md" -> 1L)) == Seq("b.md", "c.md"))
+    assert(c.getDeletedPaths(Map("a.md" -> 100L)) == Seq("b.md"))
+    c.delete("b.md")
+    assert(c.count == 1)
+    c.flush()
+    // Reload from snapshot with the same model → entries survive
+    val c2 = new EmbeddingCache(spark, cacheDir, "m1", 4)
+    assert(c2.count == 1)
+    // Model change → invalidation (cache.py:86-103)
+    val c3 = new EmbeddingCache(spark, cacheDir, "m2", 4)
+    assert(c3.count == 0)
+  }
+
+  test("indexer: idle -> indexing -> ready; differential + deletion (test_indexer.py)") {
+    val dir = corpus(
+      "a.md" -> "---\nt: 1\n---\nalpha body text",
+      "b.md" -> "---\nt: 2\n---\nbeta body text",
+      "empty.md" -> "---\nt: 3\n---\n")
+    val st = settingsFor(dir)
+    val ctx = new SemanticContext(spark, st, dim = 16)
+    assert(ctx.indexer.state == IndexerState.Idle)
+    assert(!ctx.isReady)
+    ctx.indexer.start()
+    assert(ctx.indexer.await(60000))
+    assert(ctx.indexer.state == IndexerState.Ready)
+    // empty content skipped (indexer.py:121-131 via _get_content)
+    assert(ctx.cache.count == 2)
+    val before = ctx.cache.get("a.md").get.toSeq
+
+    // touch a.md with new content + delete b.md → differential update
+    Files.write(dir.resolve("a.md"), "---\nt: 1\n---\ntotally new content".getBytes)
+    Files.setLastModifiedTime(dir.resolve("a.md"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 7000))
+    Files.delete(dir.resolve("b.md"))
+    ctx.indexer.start()
+    assert(ctx.indexer.await(60000))
+    assert(ctx.cache.count == 1)
+    assert(ctx.cache.get("a.md").get.toSeq != before)
+    assert(ctx.cache.get("b.md").isEmpty)
+  }
+
+  test("engine integration: embedding column, NULL for unindexed, cosine ranking (test_query.py:221-326)") {
+    val dir = corpus(
+      "x.md" -> "---\ntitle: X\n---\nspark table scan and hash join",
+      "y.md" -> "---\ntitle: Y\n---\ncompletely unrelated topic words",
+      "z.md" -> "---\ntitle: Z\n---\n") // empty body → never indexed → NULL
+    val st = settingsFor(dir)
+    val ctx = new SemanticContext(spark, st, dim = 32)
+    ctx.indexer.start(); ctx.indexer.await(60000)
+    val eng = new QueryEngine(spark, st, Some(ctx))
+    val r = eng.query("**/*.md",
+      """SELECT path, array_cosine_similarity(embedding, embed('spark table scan')) AS score
+        |FROM files WHERE embedding IS NOT NULL ORDER BY score DESC""".stripMargin)
+    val rows = r.results.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x.md", "y.md")) // x ranks first
+    val nulls = eng.query("**/*.md", "SELECT path FROM files WHERE embedding IS NULL")
+    assert(nulls.results.collect().map(_.getString(0)).toSeq == Seq("z.md"))
+    // inspect() gains the embedding row (semantic/query_schema.py:7-18)
+    val (_, schemaDf, _) = eng.inspect("**/*.md")
+    val emb = schemaDf.collect().find(_.getString(0) == "embedding")
+    assert(emb.exists(r2 => r2.getString(1) == "FLOAT[32]" && !r2.getBoolean(2)))
+  }
+}
