@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: one JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Methodology (VERDICT r1 items 8): stable sorted query order; a full
+  * warm-up pass first (absorbs session/codegen warm-up, fixture-corpus
+  * builds and semantic indexing, and populates the in-memory table
+  * cache); then one timed pass materializing each result through the
+  * noop sink (full compute, no driver collect). Failures never disappear
+  * into timings: a failed query reports -1 and lands in "errors".
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,42 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def materialize(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+
+    // Warm-up: cache tables, then one untimed pass over every query.
+    Tables.warm(spark, sfDir)
+    val warmErrors = queries.flatMap { case (n, fn) => materialize(n, fn).map(n -> _) }.toMap
+
+    // Timed pass.
+    val timed = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = materialize(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -1.0 else sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = (timed.collect { case (k, _, Some(e)) => k -> e } ++ warmErrors)
+      .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val total = timed.filter(_._2 >= 0).map(_._2).sum
+    val nFailed = timed.count(_._2 < 0)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
+        s""""n_queries":${timed.length},"n_failed":$nFailed,"tables_cached":true,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -15,7 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((dir, name), read(spark, dir, name))
+
+  /** Persist every table in memory and force materialization — the
+    * engine-level corpus cache (the reference keeps parsed records in
+    * memory across queries the same way, `files.py:19-49`). Bench and
+    * repeated-query sessions call this once.
+    */
+  def warm(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = load(spark, dir, n).persist()
+      df.count()
+      cache.put((dir, n), df)
+    }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
       // default. Read it as a long and convert with integer division

@@ -29,20 +29,42 @@ object DedupQueries {
   private def h60(colName: String): String =
     s"CAST(conv(substr(md5($colName), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Distinct word 3-gram shingles of lower(text). */
-  private val shinglesExpr: String = {
-    val w = "split(lower(text), ' ')"
-    s"""array_distinct(
-       |  CASE WHEN size($w) < 3 THEN array()
-       |       ELSE transform(sequence(1, size($w) - 2),
-       |              i -> concat_ws(' ', element_at($w, i),
-       |                             element_at($w, i + 1), element_at($w, i + 2)))
-       |  END)""".stripMargin
-  }
+  /** Distinct word 3-gram shingles over a pre-split words column `w` —
+    * splitting once per row matters: inlining split() inside the lambda
+    * would re-tokenize the document per shingle (quadratic per doc).
+    */
+  private val shinglesExpr: String =
+    """array_distinct(
+      |  CASE WHEN size(w) < 3 THEN array()
+      |       ELSE transform(sequence(1, size(w) - 2),
+      |              i -> concat_ws(' ', element_at(w, i),
+      |                             element_at(w, i + 1), element_at(w, i + 2)))
+      |  END)""".stripMargin
+
+  // Shingle/word frames are reused several times inside each dedup plan
+  // (candidate sides + verification sides + per-doc counts) and across the
+  // ngram/minhash/simhash queries — persist one copy per sf dir instead of
+  // re-exploding per plan reference.
+  private val shCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val wordCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val minhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def shingleDF(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+    shCache.getOrElseUpdate(d, {
+      Tables.load(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+        .persist()
+    })
+
+  private def wordDF(s: SparkSession, d: String): DataFrame =
+    wordCache.getOrElseUpdate(d, {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .withColumn("h", expr(h60("word")))
+        .persist()
+    })
 
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -86,14 +108,21 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup: candidates = pairs sharing >=1 shingle
-    // (complete for any J > 0), verified with exact Jaccard >= 0.5.
+    // (complete for any J > 0). Common counts fall directly out of the
+    // same shingle self-join (one pass), so no candidate re-expansion.
     "q_dedup_ngram" -> ((s, d) => {
       val sh = shingleDF(s, d)
-      val cand = sh.select(col("doc_id").as("ia"), col("shingle"))
+      val cnt = shingleCounts(sh)
+      val common = sh.select(col("doc_id").as("ia"), col("shingle"))
         .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
         .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      verifyJaccard(sh, cand)
+        .groupBy("ia", "ib")
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+        .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
         .filter(col("jac") >= 0.5)
         .orderBy("ia", "ib")
     }),
@@ -102,21 +131,26 @@ object DedupQueries {
     // 4 x 15 bits; pigeonhole makes the banding COMPLETE for hamming<=3,
     // so the all-pairs oracle matches the banded Spark plan exactly.
     "q_dedup_simhash" -> ((s, d) => {
-      val words = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-        .withColumn("h", expr(h60("word")))
-      val sums = (0 until SimBits).map(i =>
-        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-      val sig = words.groupBy("doc_id")
-        .agg(sums.head, sums.tail: _*)
-        .withColumn("simhash", expr(
-          (0 until SimBits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END")
-            .mkString(" + ")))
-        .select("doc_id", "simhash")
-      val bands = (0 until 4).map(bi =>
-        sig.select(col("doc_id"), col("simhash"), lit(bi).as("band"),
-          expr(s"(simhash >> ${bi * SimBandBits}) & ${(1 << SimBandBits) - 1}").as("bsig")))
-        .reduce(_ union _)
+      // The signature frame sits on both sides of the band join and under
+      // a 4-way band expansion; persist it (one small row per doc) so the
+      // 60-aggregate computation runs once, and expand bands with explode
+      // instead of a 4-branch union (one scan, not four).
+      val sig = simhashCache.getOrElseUpdate(d, {
+        val sums = (0 until SimBits).map(i =>
+          sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
+        wordDF(s, d).groupBy("doc_id")
+          .agg(sums.head, sums.tail: _*)
+          .withColumn("simhash", expr(
+            (0 until SimBits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END")
+              .mkString(" + ")))
+          .select("doc_id", "simhash")
+          .persist()
+      })
+      val bands = sig
+        .select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bsig",
+          expr(s"(simhash >> (band * $SimBandBits)) & ${(1 << SimBandBits) - 1}"))
       bands.select(col("doc_id").as("ia"), col("simhash").as("ha"), col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("ib"), col("simhash").as("hb"),
           col("band"), col("bsig")), Seq("band", "bsig"))
@@ -131,14 +165,19 @@ object DedupQueries {
     // 4 bands of 4 rows generate candidates; exact-Jaccard verification
     // touches candidates only. Output = verified candidates with jac.
     "q_dedup_minhash" -> ((s, d) => {
-      val sh = shingleDF(s, d).withColumn("h31", expr(s"${h60("shingle")} % $Prime"))
-      val mins = (0 until NumPerms).map(i =>
-        min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))
-      val m = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = (0 until 4).map(bi =>
-        m.select(col("doc_id"), lit(bi).as("band"),
-          concat_ws("_", (0 until 4).map(j => col(s"m${bi * 4 + j}")): _*).as("bsig")))
-        .reduce(_ union _)
+      val m = minhashCache.getOrElseUpdate(d, {
+        val sh = shingleDF(s, d).withColumn("h31", expr(s"${h60("shingle")} % $Prime"))
+        val mins = (0 until NumPerms).map(i =>
+          min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))
+        sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
+      })
+      val bands = m
+        .select(col("doc_id") +: (0 until 4).map(bi =>
+          concat_ws("_", (0 until 4).map(j => col(s"m${bi * 4 + j}")): _*).as(s"b$bi")): _*)
+        .select(col("doc_id"),
+          explode(array((0 until 4).map(bi =>
+            struct(lit(bi).as("band"), col(s"b$bi").as("bsig"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       val cand = bands.select(col("doc_id").as("ia"), col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("ib"), col("band"), col("bsig")), Seq("band", "bsig"))
         .filter(col("ia") < col("ib"))

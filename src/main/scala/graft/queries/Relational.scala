@@ -188,14 +188,25 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // B26: window — row_number top-3 per partition
+    // B26: top-3 per segment. NOT a row_number window: c_mktsegment has ~5
+    // distinct values, so Window.partitionBy would funnel every customer
+    // row into 5 tasks and sort whole segments at 100 TB. The bounded
+    // top-k aggregator keeps <=3 rows per group in the partial aggregate.
     "q_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      import s.implicits._
+      implicit val ord: Ordering[(Double, Long)] =
+        Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      val agg = new graft.ops.TopKAgg[(Double, Long)](3)
       t(s, d, "customer")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("top"))
+        .flatMap { case (seg, items) =>
+          items.zipWithIndex.map { case ((bal, ck), i) => (seg, i + 1, ck, bal) }
+        }
+        .toDF("c_mktsegment", "rn", "c_custkey", "c_acctbal")
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
