@@ -11,10 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q5 shape: 6-way join with broadcast dims + exact decimal revenue.
+    * The product's core path: markdown corpus → frontmatter parse →
+    * `files` view → the README's flagship date-filter SQL through
+    * `QueryEngine.query` (README.md:101).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_multi")(spark, "/root/testdata/sf0.001")
+    queries("q_fm_flagship")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

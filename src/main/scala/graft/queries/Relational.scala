@@ -270,14 +270,19 @@ object Relational {
         .orderBy(col("bucket"))
     }),
 
-    // B13: TRY_CAST null-on-failure parity
+    // B13: TRY_CAST null-on-failure parity. Casts are projected AFTER the
+    // top-k: each failing TRY_CAST costs a caught per-row exception, so
+    // computing 100 instead of |orders| matters (and the result is
+    // identical — the sort key is untouched).
     "q_try_cast" -> ((s, d) => {
       t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
         .select(col("o_orderkey"),
           expr("TRY_CAST(o_orderstatus AS INT)").as("bad_int"),
           expr("TRY_CAST(CAST(o_custkey AS STRING) AS INT)").as("good_int"))
         .orderBy(col("o_orderkey"))
-        .limit(100)
     }),
 
     // B11-adjacent: JSON field extraction + typed aggregation
