@@ -115,6 +115,40 @@ object SimilarityQueries {
       topkPerQuery(s, cands, 5)
     }),
 
+    // ANN scale path #2 — IVF: deterministic coarse quantizer (seed
+    // centroids = the 16 lowest vec_ids, no iterative training), every
+    // vector assigned to its nearest centroid in one pass over a
+    // broadcast centroid table; queries probe the 4 nearest cells and
+    // exact-re-rank only those candidates. At 100 TB the assignment is a
+    // write-once partition key (cluster-pruned scans); approximate by
+    // design → rows-only.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val nearest = udf { (v: Seq[Float], k: Int) =>
+        val arr = v.toArray
+        centroids
+          .map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
+          .sortBy { case (sim, cid) => (-sim, cid) }
+          .take(k).map(_._2)
+      }
+      val assigned = e.withColumn("cell", nearest(col("embedding"), lit(1))(0))
+      val q = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          explode(nearest(col("embedding"), lit(4))).as("cell"))
+      val cands = assigned.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+        .distinct()
+      CosineFunctions.register(s)
+      topkPerQuery(s, cands, 5)
+    }),
+
     // A8-A11 + A20-A21 end-to-end (rows-only: embed() has no DuckDB
     // analogue): corpus → differential indexer → embedding join →
     // README.md:318-333 similarity query through the engine.
@@ -154,6 +188,20 @@ object SimilarityQueries {
 
 /** Deterministic random-hyperplane LSH helpers. */
 object Similarity {
+  /** Sequential double-precision cosine (matches CosineOps). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Seeded hyperplanes: nBits x dim gaussian-ish components. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
