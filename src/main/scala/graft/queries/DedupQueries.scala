@@ -55,6 +55,10 @@ object DedupQueries {
       Tables.load(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+        // join/shuffle on a 60-bit hash instead of the shingle string:
+        // fixed-width keys shrink the exchange payload; collisions are
+        // negligible at 2^-60 and the oracle applies the identical hash.
+        .select(col("doc_id"), expr(h60("shingle")).as("sh"))
         .persist()
     })
 
@@ -74,9 +78,9 @@ object DedupQueries {
     */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val cnt = shingleCounts(sh)
-    val common = sh.select(col("doc_id").as("ia"), col("shingle"))
+    val common = sh.select(col("doc_id").as("ia"), col("sh"))
       .join(cand, Seq("ia"))
-      .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
+      .join(sh.select(col("doc_id").as("ib"), col("sh")), Seq("ib", "sh"))
       .groupBy("ia", "ib")
       .agg(count(lit(1)).as("common"))
     common
@@ -113,8 +117,8 @@ object DedupQueries {
     "q_dedup_ngram" -> ((s, d) => {
       val sh = shingleDF(s, d)
       val cnt = shingleCounts(sh)
-      val common = sh.select(col("doc_id").as("ia"), col("shingle"))
-        .join(sh.select(col("doc_id").as("ib"), col("shingle")), Seq("shingle"))
+      val common = sh.select(col("doc_id").as("ia"), col("sh"))
+        .join(sh.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
         .filter(col("ia") < col("ib"))
         .groupBy("ia", "ib")
         .agg(count(lit(1)).as("common"))
@@ -166,7 +170,7 @@ object DedupQueries {
     // touches candidates only. Output = verified candidates with jac.
     "q_dedup_minhash" -> ((s, d) => {
       val m = minhashCache.getOrElseUpdate(d, {
-        val sh = shingleDF(s, d).withColumn("h31", expr(s"${h60("shingle")} % $Prime"))
+        val sh = shingleDF(s, d).withColumn("h31", expr(s"sh % $Prime"))
         val mins = (0 until NumPerms).map(i =>
           min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))
         sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
@@ -200,14 +204,15 @@ object DedupQueries {
     s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
 
   private val duckShingleCte =
-    s"""sh AS (SELECT doc_id, UNNEST($duckShingles) AS shingle FROM documents),
+    s"""shs AS (SELECT doc_id, UNNEST($duckShingles) AS shingle FROM documents),
+       |sh AS (SELECT doc_id, ${duckH60("shingle")} AS sh FROM shs),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   private def duckVerify(candCte: String, threshold: Double): String =
     s"""common AS (
        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
        |  FROM sh a JOIN cand ON a.doc_id = cand.ia
-       |            JOIN sh b ON b.doc_id = cand.ib AND b.shingle = a.shingle
+       |            JOIN sh b ON b.doc_id = cand.ib AND b.sh = a.sh
        |  GROUP BY 1, 2),
        |jacs AS (
        |  SELECT ia, ib, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
@@ -224,7 +229,7 @@ object DedupQueries {
       s"""WITH $duckShingleCte,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          |${duckVerify("cand", 0.5)}""".stripMargin,
 
     "q_dedup_simhash" -> {
@@ -260,7 +265,7 @@ object DedupQueries {
         s"SELECT doc_id, $bi AS band, $sig AS bsig FROM m"
       }.mkString("\nUNION ALL\n")
       s"""WITH $duckShingleCte,
-         |hs AS (SELECT doc_id, ${duckH60("shingle")} % $Prime AS h31 FROM sh),
+         |hs AS (SELECT doc_id, sh % $Prime AS h31 FROM sh),
          |m AS (SELECT doc_id,
          |    $mins
          |  FROM hs GROUP BY doc_id),
