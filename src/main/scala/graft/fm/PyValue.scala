@@ -179,6 +179,25 @@ object PyValue {
     if (digits.isEmpty) digits = "0"
     val sign = if (neg) "-" else ""
     if (d == 0.0) return sign + "0.0"
+    // Java's pre-Ryu toString is not always shortest (e.g. 4.9E-324 where
+    // Python prints 5e-324): find the shortest rounding that round-trips.
+    if (digits.length > 1) {
+      val abs = math.abs(d)
+      val full = new java.math.BigDecimal("0." + digits).movePointRight(e + 1)
+      var L = 1
+      var done = false
+      while (!done && L < digits.length) {
+        val r = full.round(new java.math.MathContext(L, java.math.RoundingMode.HALF_EVEN))
+        if (r.doubleValue() == abs) {
+          val unscaled = r.unscaledValue.toString
+          e = (unscaled.length - 1) - r.scale
+          digits = unscaled.reverse.dropWhile(_ == '0').reverse
+          if (digits.isEmpty) digits = "0"
+          done = true
+        }
+        L += 1
+      }
+    }
     if (e >= -4 && e < 16) {
       if (e >= digits.length - 1) {
         // integer-valued: pad zeros, append ".0"
