@@ -221,6 +221,30 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // B26: window — lag/lead offsets (ordered frame, per-order partition)
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_quantity")).cast(DoubleType).as("qty"),
+          lag(dec(col("l_quantity")), 1).over(w).cast(DoubleType).as("prev_qty"),
+          lead(dec(col("l_quantity")), 1).over(w).cast(DoubleType).as("next_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // B26: CUBE grouping sets
+    "q_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy(col("priority"), col("status"))
+    }),
+
     // B26 set ops
     "q_union_setop" -> ((s, d) => {
       t(s, d, "customer").select(col("c_nationkey").as("nk"))
@@ -401,6 +425,20 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lag" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+        |  CAST(LAG(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE) AS prev_qty,
+        |  CAST(LEAD(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE) AS next_qty
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
     "q_union_setop" ->
       """SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier
         |ORDER BY nk""".stripMargin,

@@ -182,6 +182,51 @@ object SimilarityQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.35
          |ORDER BY ia, ib""".stripMargin
+    },
+
+    // The embed() e2e oracle: replays the deterministic feature-hashing
+    // encoder in SQL — 60-bit md5 token hashes into bucket/sign sums,
+    // the exact float normalization (CAST(s * (1/sqrt(sum s^2)) AS REAL)
+    // reproduces the JVM's (x * inv).toFloat rounding), and the cosine
+    // against the query vector whose nonzero components are inlined from
+    // the Scala encoder at oracle-build time. Final scores cast to REAL
+    // absorb double accumulation-order noise.
+    "q_fm_semantic" -> {
+      val dim = Embed.DefaultDim
+      val q = Embed.encode("spark table scan query", dim)
+      var qn = 0.0
+      q.foreach(x => qn += x.toDouble * x.toDouble)
+      val qnorm = math.sqrt(qn)
+      val vals = q.zipWithIndex.collect {
+        case (f, b) if f != 0.0f => s"($b, CAST('$f' AS REAL))"
+      }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |toks AS (
+         |  SELECT doc_id, UNNEST(ws) AS tok FROM w
+         |  UNION ALL
+         |  SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS tok FROM w),
+         |tb AS (SELECT doc_id, CAST((h >> 1) % $dim AS INT) AS bucket,
+         |         CASE WHEN (h & 1) = 0 THEN 1.0 ELSE -1.0 END AS sign
+         |       FROM (SELECT doc_id,
+         |               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+         |             FROM toks)),
+         |acc AS (SELECT doc_id, bucket, SUM(sign) AS s FROM tb GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, 1.0 / sqrt(SUM(s * s)) AS inv FROM acc GROUP BY 1),
+         |f AS (SELECT acc.doc_id, bucket, CAST(s * inv AS REAL) AS fv
+         |      FROM acc JOIN nrm USING (doc_id)),
+         |qv AS (SELECT * FROM (VALUES $vals) t(bucket, qf)),
+         |dp AS (SELECT f.doc_id, SUM(CAST(fv AS DOUBLE) * CAST(qf AS DOUBLE)) AS dot
+         |       FROM f JOIN qv USING (bucket) GROUP BY 1),
+         |nn AS (SELECT doc_id, SUM(CAST(fv AS DOUBLE) * CAST(fv AS DOUBLE)) AS n2
+         |       FROM f GROUP BY 1),
+         |sc AS (SELECT nn.doc_id,
+         |         CAST(COALESCE(dot, 0.0) / (sqrt(n2) * $qnorm) AS REAL) AS score
+         |       FROM nn LEFT JOIN dp USING (doc_id))
+         |SELECT source || '/doc_' || lpad(CAST(d.doc_id AS VARCHAR), 5, '0') || '.md' AS path,
+         |       score
+         |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |ORDER BY score DESC, path LIMIT 10""".stripMargin
     }
   )
 }
@@ -234,8 +279,10 @@ object SemanticEngines {
     engines.getOrElseUpdate(d, {
       val base = FixtureCorpus.ensure(s, d)
       val slug = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      // model name doubles as the encoder version: bumping it invalidates
+      // caches built by older encoder revisions (model-change semantics).
       val settings = Settings(
-        base.toString, enableSemantic = true, "graft-hash-encoder",
+        base.toString, enableSemantic = true, "graft-hash-encoder-v2",
         Some(s"/tmp/graft_sem_cache_$slug"))
       val ctx = new SemanticContext(s, settings)
       ctx.indexer.start()

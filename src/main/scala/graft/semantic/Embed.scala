@@ -17,19 +17,24 @@ object Embed {
   def tokenize(text: String): Array[String] =
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
-  private def hash64(s: String): Long = {
+  /** 60-bit non-negative token hash = first 15 hex chars of md5 — the
+    * same portable form the dedup operators use, so a SQL oracle can
+    * replicate the encoder exactly:
+    * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`.
+    */
+  private def hash60(s: String): Long = {
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h
+    h >>> 4
   }
 
   def encode(text: String, dim: Int = DefaultDim): Array[Float] = {
     val acc = new Array[Double](dim)
     val toks = tokenize(text)
     def add(t: String): Unit = {
-      val h = hash64(t)
+      val h = hash60(t)
       val b = ((h >>> 1) % dim).toInt
       acc(b) += (if ((h & 1L) == 0L) 1.0 else -1.0)
     }
