@@ -33,6 +33,42 @@ object PipelineQueries {
       EventStreams.sessionize(s, Tables.load(s, d, "events"))
         .toDF()
         .orderBy("user_id", "start_us")
+    }),
+
+    // As-of join: each purchase matched to the user's latest prior signup
+    // (union + ordered-window carry; DuckDB's native ASOF JOIN is the
+    // oracle).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.leftAsOf(purchases, signups,
+          key = "user_id", time = "ts", tie = "event_id",
+          carry = Map("event_id" -> "signup_id", "ts" -> "signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("signup_id"),
+          unix_micros(col("signup_ts")).as("signup_ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // KMV distinct-count sketch per event_type: deterministic with the
+    // portable 60-bit hash, so the estimate is exactly reproducible in
+    // SQL (the oracle recomputes the kth-order statistic).
+    "q_sketch_kmv" -> ((s, d) => {
+      import s.implicits._
+      val kmv = new graft.ops.KmvAgg(32)
+      Tables.load(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(kmv.toColumn.name("est_users"))
+        .toDF("event_type", "est_users")
+        .orderBy("event_type")
     })
   )
 
@@ -62,6 +98,27 @@ object PipelineQueries {
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
         |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  l.event_id AS signup_id, epoch_us(l.ts) AS signup_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+        |  ON e.user_id = l.user_id AND e.ts >= l.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM h)
+        |SELECT event_type,
+        |  CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+        |       ELSE 31.0 * 1152921504606846976.0 / CAST(h AS DOUBLE) END AS est_users
+        |FROM r WHERE rn = CASE WHEN n < 32 THEN n ELSE 32 END
+        |ORDER BY event_type""".stripMargin
   )
 }
