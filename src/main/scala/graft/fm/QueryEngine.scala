@@ -99,15 +99,28 @@ final class QueryEngine(
     QueryResult(out, out.columns.toSeq, warnings)
   }
 
+  private val inspectCache =
+    TrieMap.empty[String, (String, Long, DataFrame)]
+
   /** `query_inspect` tool: inferred schema rows + file count.
     * Appends the `embedding FLOAT[dim]` row when semantic is ready
-    * (reference `semantic/query_schema.py:7-18`).
+    * (reference `semantic/query_schema.py:7-18`). The tiny result frame
+    * is cached by corpus fingerprint — repeated inspects of an unchanged
+    * corpus don't re-aggregate.
     */
   def inspect(glob: String): (Long, DataFrame, Seq[ParseWarning]) = {
     import org.apache.spark.sql.functions.lit
     val entry = cachedParse(glob)
-    val fileCount = entry.parsed.filter(_.ok).count()
-    val base = SchemaInfer.inspectFlat(spark, entry.parsed)
+    val (fileCount, base) = inspectCache.get(glob) match {
+      case Some((fp, n, df)) if fp == entry.fingerprint => (n, df)
+      case _ =>
+        val n = entry.parsed.filter(_.ok).count()
+        val rows = SchemaInfer.inspectFlat(spark, entry.parsed)
+        val materialized = spark.createDataFrame(
+          java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+        inspectCache.put(glob, (entry.fingerprint, n, materialized))
+        (n, materialized)
+    }
     val withSem = semantic.filter(_.isReady) match {
       case Some(p) =>
         val row = spark.createDataFrame(
