@@ -54,6 +54,26 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // Range join (no equi-key): for each purchase, count error events in
+    // the preceding 10 minutes across ALL users — bucketed time-grid
+    // equi-join + exact filter (never a nested-loop/cartesian plan);
+    // DuckDB's inequality join is the oracle.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val pairs = graft.ops.RangeJoin.rangeJoin(
+        purchases, errors, "ts", "ts", -600000000L, 0L)
+      purchases
+        .join(pairs.groupBy("event_id").agg(count(lit(1)).as("n_errors")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .orderBy("event_id")
+    }),
+
     // KMV distinct-count sketch per event_type: deterministic with the
     // portable 60-bit hash, so the estimate is exactly reproducible in
     // SQL (the oracle recomputes the kth-order statistic).
@@ -106,6 +126,17 @@ object PipelineQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
         |  ON e.user_id = l.user_id AND e.ts >= l.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT p.event_id, COUNT(e.event_id) AS n_errors
+        |  FROM p LEFT JOIN e
+        |    ON e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, epoch_us(p.ts) AS ts_us, c.n_errors
+        |FROM p JOIN c ON p.event_id = c.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "q_sketch_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -25,6 +25,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getLong(4) == 200L)
   }
 
+  test("rangeJoin: inclusive lower, exclusive upper, cross-bucket matches") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val left = Seq((1L, t(1000000000L))).toDF("id", "ts")
+    val right = Seq(
+      (10L, t(1000000000L - 600000000L)), // exactly lower bound: included
+      (11L, t(1000000000L - 1L)),         // just inside upper: included
+      (12L, t(1000000000L)),              // upper bound: excluded
+      (13L, t(1000000000L - 600000001L))  // below lower: excluded
+    ).toDF("id", "ts")
+    val out = RangeJoin.rangeJoin(left, right, "ts", "ts", -600000000L, 0L)
+      .select("r_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(10L, 11L))
+  }
+
   test("KmvAgg: exact below k, deterministic estimate above k") {
     val agg = new KmvAgg(4)
     // fewer than k distinct -> exact count
