@@ -101,10 +101,14 @@ object Dialect {
       val u = out.toUpperCase
       var i = u.indexOf("UNNEST")
       while (i >= 0 && !changed) {
-        // preceding non-whitespace must be ','
+        // preceding non-whitespace must be ','; occurrences inside
+        // single-quoted string literals are data, not syntax (doubled ''
+        // escapes keep the parity count correct)
         var j = i - 1
         while (j >= 0 && Character.isWhitespace(out.charAt(j))) j -= 1
-        val inFrom = j >= 0 && out.charAt(j) == ',' && fromContext(u, j)
+        val insideLiteral = out.substring(0, i).count(_ == '\'') % 2 == 1
+        val inFrom = !insideLiteral &&
+          j >= 0 && out.charAt(j) == ',' && fromContext(u, j)
         if (inFrom) {
           // parse UNNEST ( <balanced> )
           var k = i + "UNNEST".length

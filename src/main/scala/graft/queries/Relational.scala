@@ -233,6 +233,26 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // B26: exact interpolated percentiles per group (sort-based exact
+    // aggregate, not an approximate sketch)
+    "q_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("med"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // string similarity scalar: levenshtein distance (codegen built-in)
+    "q_levenshtein" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"),
+          levenshtein(col("p_name"), lit("forest green navy")).as("dist"))
+        .orderBy(col("dist"), col("p_partkey"))
+        .limit(50)
+    }),
+
     // B26: CUBE grouping sets
     "q_cube" -> ((s, d) => {
       t(s, d, "orders")
@@ -434,6 +454,13 @@ object Relational {
         |    PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE) AS next_qty
         |FROM lineitem WHERE l_orderkey <= 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_levenshtein" ->
+      """SELECT p_partkey, p_name, levenshtein(p_name, 'forest green navy') AS dist
+        |FROM part ORDER BY dist, p_partkey LIMIT 50""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
         |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Approximate-ANN quality guard: the LSH and IVF variants are rows-only
+  * in the oracle gate (approximate by design), so this spec pins their
+  * recall against the exact brute-force top-5 — a regression here means
+  * the bucketing broke, even though determinism alone would still pass.
+  */
+class AnnQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topsOf(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+
+  private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (qid, ex) =>
+      approx.get(qid).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("LSH and IVF recall@5 against the exact scan") {
+    val exact = topsOf("q_cosine_topk")
+    assert(exact.nonEmpty)
+    val lsh = recall(topsOf("q_ann_lsh"), exact)
+    val ivf = recall(topsOf("q_ann_ivf"), exact)
+    withClue(s"lsh=$lsh ivf=$ivf:") {
+      assert(lsh >= 0.2) // 16-bit signatures over near-random vectors
+      assert(ivf >= 0.2) // 4-of-16 cell probes
+    }
+  }
+
+  test("UNNEST rewriter leaves string literals alone") {
+    val in = "SELECT * FROM t WHERE note = 'about x, UNNEST(y) AS z' ORDER BY 1"
+    assert(graft.fm.Dialect.rewrite(in) == in)
+  }
+}
