@@ -165,6 +165,27 @@ object DedupQueries {
         .orderBy("ia", "ib")
     }),
 
+    // Dedup clustering: connected components over the >=0.5-Jaccard pair
+    // graph — each near-dup cluster labeled by its minimum doc_id (the
+    // canonical keeper). Min-label propagation in Spark; the oracle
+    // reproduces it with a recursive transitive-closure CTE.
+    "q_dedup_clusters" -> ((s, d) => {
+      val sh = shingleDF(s, d)
+      val cnt = shingleCounts(sh)
+      val pairs = sh.select(col("doc_id").as("ia"), col("sh"))
+        .join(sh.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib")
+        .agg(count(lit(1)).as("common"))
+        .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+        .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+        .filter(col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")) >= 0.5)
+        .select("ia", "ib")
+      graft.ops.ConnectedComponents.labelPropagate(s, pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup: 16 portable permutations over shingle hashes,
     // 4 bands of 4 rows generate candidates; exact-Jaccard verification
     // touches candidates only. Output = verified candidates with jac.
@@ -255,6 +276,26 @@ object DedupQueries {
          |ORDER BY ia, ib""".stripMargin
     },
 
+    "q_dedup_clusters" ->
+      s"""WITH $duckShingleCte,
+         |common AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM common
+         |  JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+         |edges AS (SELECT ia AS a, ib AS b FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |) -- RECURSIVE closure; components are tiny so this terminates fast
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+        .replace("WITH shs AS", "WITH RECURSIVE shs AS"),
     "q_dedup_minhash" -> {
       val mins = (0 until NumPerms)
         .map(i => s"MIN((${permA(i)} * h31 + ${permB(i)}) % $Prime) AS m$i")
