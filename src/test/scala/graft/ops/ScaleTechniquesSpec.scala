@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-level evidence for the two scale techniques that don't show up
+  * in the oracle gate: bucketed co-located joins (no shuffle before the
+  * join) and salted aggregation (same result as the direct groupBy).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: bucket layout satisfies the join distribution, so no
+    // ShuffleExchange feeds the join
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n${plan.take(2000)}")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE ord_bucketed")
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("total"))
+      .orderBy("l_returnflag").collect()
+    val salted = Skew.saltedCountSum(
+        li, "l_returnflag", col("l_quantity").cast("decimal(18,2)"), 16)
+      .orderBy("l_returnflag").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq)
+  }
+}
