@@ -56,6 +56,19 @@ class FrontmatterSpec extends AnyFunSuite {
     assert(p.content == "body")
   }
 
+  test("CRLF line endings parse like LF (boundary allows trailing \\r)") {
+    val p = Frontmatter.parse("---\r\ntitle: X\r\ntags:\r\n- a\r\n---\r\nbody line\r\nmore")
+    assert(p.metadata.get("title") == "X")
+    assert(p.content.startsWith("body line"))
+  }
+
+  test("unicode metadata and body survive parse + serialize") {
+    val p = Frontmatter.parse("---\ntitle: 日本語タイトル\nemoji: ✨\n---\n本文です\n")
+    assert(p.metadata.get("title") == "日本語タイトル")
+    assert(PyValue.serialize(p.metadata.get("emoji")) == "✨")
+    assert(p.content == "本文です")
+  }
+
   test("dump/parse round trip preserves metadata and body") {
     val src = Frontmatter.parse("---\ntitle: T\nn: 3\ntags:\n- x\n- y\n---\n\nThe body\n")
     val dumped = Frontmatter.dumps(src)

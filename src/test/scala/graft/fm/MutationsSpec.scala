@@ -50,6 +50,40 @@ class MutationsSpec extends AnyFunSuite {
     intercept[java.io.FileNotFoundException](Mutations.update(dir, "nope.md", Map("a" -> 1)))
   }
 
+  test("update: null, empty-string, and array values (test_files.py set_* cases)") {
+    val dir = corpus("a.md" -> "---\nkeep: 1\n---\nbody")
+    val arr = new java.util.ArrayList[Any]()
+    arr.add("x"); arr.add("y")
+    val r = Mutations.update(dir, "a.md",
+      setValues = Map("nothing" -> null, "empty" -> "", "list" -> arr))
+    assert(r.frontmatter("nothing") == null)
+    assert(r.frontmatter("empty") == "")
+    val post = read(dir, "a.md")
+    assert(post.metadata.get("nothing") == null)
+    assert(post.metadata.get("empty") == "")
+    assert(post.metadata.get("list").isInstanceOf[java.util.List[_]])
+    assert(post.content == "body")
+    // null-valued key serializes to NULL in the files table
+    assert(PyValue.serialize(post.metadata.get("nothing")) == null)
+  }
+
+  test("update with no changes does not rewrite the file (files.py:141-145)") {
+    val dir = corpus("a.md" -> "---\nkeep: 1\n---\nbody")
+    val f = dir.resolve("a.md")
+    val mtime = Files.getLastModifiedTime(f)
+    val before = Files.readAllBytes(f).toSeq
+    val r = Mutations.update(dir, "a.md")
+    assert(r.frontmatter == Map("keep" -> 1))
+    assert(Files.getLastModifiedTime(f) == mtime)
+    assert(Files.readAllBytes(f).toSeq == before)
+  }
+
+  test("batch over a non-matching glob returns empty result, no warnings") {
+    val dir = corpus("a.md" -> "---\nx: 1\n---\n")
+    val r = Mutations.batchUpdate(dir, "nomatch/**/*.md", Map("y" -> 2))
+    assert(r == Mutations.BatchResult(0, Nil, Nil))
+  }
+
   test("batch_update applies to all matches, errors become warnings") {
     val dir = corpus(
       "a.md" -> "---\nx: 1\n---\n", "sub/b.md" -> "no frontmatter here")
