@@ -26,6 +26,12 @@ object Dialect {
     // literal. Identical for the plain separators the reference exercises.
     reg.createOrReplaceTempFunction(
       "string_split", exprs => StringSplit(exprs(0), exprs(1), Literal(-1)), "built-in")
+    // DuckDB's len() over the files table always sees strings (arrays are
+    // JSON-encoded per ADR-0006), so character length is the right map.
+    reg.createOrReplaceTempFunction(
+      "len", exprs => Length(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "regexp_matches", exprs => RLike(exprs(0), exprs(1)), "built-in")
   }
 
   def rewrite(sql: String): String = rewriteFromJsonHints(rewriteUnnest(sql))

@@ -150,6 +150,33 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(cache.get(p, dir).isEmpty)
   }
 
+  test("len() and regexp_matches() dialect aliases") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md",
+      "SELECT path FROM files WHERE len(title) = 5 AND regexp_matches(title, '^A') ORDER BY path")
+    assert(r.results.collect().map(_.getString(0)).toSeq == Seq("a.md"))
+  }
+
+  test("bad SQL propagates as an analysis error (query.py passthrough parity)") {
+    val e = eng(corpus(threeDocs: _*))
+    intercept[org.apache.spark.sql.AnalysisException](
+      e.query("**/*.md", "SELECT nope_column FROM files").results.collect())
+    intercept[Exception](
+      e.query("**/*.md", "SELEC syntax error").results.collect())
+  }
+
+  test("concurrent queries against one engine are consistent") {
+    val e = eng(corpus(threeDocs: _*))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 8).map { _ =>
+      Future(e.query("**/*.md", "SELECT COUNT(*) AS n FROM files")
+        .results.collect()(0).getLong(0))
+    }
+    assert(Await.result(Future.sequence(futures), 120.seconds).forall(_ == 3L))
+  }
+
   test("path sandbox rejects escapes (server.py:60-84)") {
     val dir = corpus("a.md" -> "x")
     intercept[IllegalArgumentException](FileScan.resolve(dir, "../escape.md"))
