@@ -60,6 +60,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus indexer embeds only newly-arrived files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_corpus")
+    def write(name: String, s: String) =
+      java.nio.file.Files.write(dir.resolve(name), s.getBytes("UTF-8"))
+    write("a.md", "---\nt: 1\n---\nalpha body")
+    write("b.md", "---\nt: 2\n---\nbeta body")
+
+    val q = CorpusStream.embeddingStream(spark, dir.toString, dim = 16)
+      .writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("corpus_out").count() == 2)
+      // a new file arrives -> exactly one new row next micro-batch
+      write("c.md", "---\nt: 3\n---\ngamma body")
+      q.processAllAvailable()
+      val rows = spark.table("corpus_out").collect()
+      assert(rows.length == 3)
+      val c = rows.find(_.getString(0).endsWith("c.md")).get
+      assert(c.getString(1) == "gamma body")
+      assert(c.getSeq[Float](2).length == 16)
+    } finally q.stop()
+  }
+
   test("file-source readStream over the testdata parquet plans the same transform") {
     // readStream proves source compatibility; one micro-batch only.
     val stream = spark.readStream
