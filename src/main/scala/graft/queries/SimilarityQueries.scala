@@ -120,8 +120,9 @@ object SimilarityQueries {
     // vector assigned to its nearest centroid in one pass over a
     // broadcast centroid table; queries probe the 4 nearest cells and
     // exact-re-rank only those candidates. At 100 TB the assignment is a
-    // write-once partition key (cluster-pruned scans); approximate by
-    // design → rows-only.
+    // write-once partition key (cluster-pruned scans). Unlike LSH, fully
+    // deterministic (double-precision argmax with cid tie-break), so the
+    // oracle replays the whole structure.
     "q_ann_ivf" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)
@@ -182,6 +183,37 @@ object SimilarityQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.35
          |ORDER BY ia, ib""".stripMargin
+    },
+
+    "q_ann_ivf" -> {
+      val cos = oracleCos("e.embedding", "c.cv")
+      val qcos = oracleCos("q.qv", "c.cv")
+      val rcos = oracleCos("e.embedding", "q.qv")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cid) AS rn
+         |    FROM embeddings e, c) x WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |probe AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT q.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $qcos DESC, c.cid) AS rn
+         |    FROM q, c) x WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM probe p JOIN assign a ON p.cell = a.cell),
+         |scored AS (
+         |  SELECT cand.qid, cand.vec_id, CAST($rcos AS REAL) AS sim
+         |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+         |            JOIN q ON cand.qid = q.qid
+         |  WHERE cand.vec_id <> cand.qid),
+         |r AS (SELECT qid, vec_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |      FROM scored)
+         |SELECT qid, vec_id, sim FROM r WHERE rn <= 5
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
     },
 
     // The embed() e2e oracle: replays the deterministic feature-hashing
