@@ -3,7 +3,9 @@ package graft.queries
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.fixtures.FixtureCorpus
 import graft.fm.{QueryEngine, Settings}
 
@@ -86,6 +88,25 @@ object FrontmatterQueries {
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
       schemaDf.orderBy("property")
+    }),
+
+    // B15 over the product surface: the parsed files view joins other
+    // warehouse tables — frontmatter `id` (a string, per the all-strings
+    // model) cast and equi-joined to documents.doc_id, with dims
+    // broadcast-able; the switch-over story is "your corpus metadata
+    // participates in ordinary SQL against the rest of the lake".
+    "q_fm_join_docs" -> ((s, d) => {
+      val e = engine(s, d)
+      val (files, _) = e.filesTable("**/*.md")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("d_lang"), col("n_chars").as("d_chars"))
+      files
+        .join(docs, expr("CAST(id AS BIGINT)") === col("doc_id"))
+        .filter(col("published") === "True")
+        .groupBy(col("d_lang").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d_chars")).as("chars_total"))
+        .orderBy("lang")
     }),
 
     // A12–A19 end-to-end: copy the src0 subtree, run a deterministic
@@ -173,6 +194,12 @@ object FrontmatterQueries {
       s"""$cte
          |SELECT path, n_chars FROM files ORDER BY n_chars DESC, path LIMIT 20""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
+    "q_fm_join_docs" ->
+      s"""$cte
+         |SELECT d.lang, COUNT(*) AS n, CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+         |FROM files f JOIN documents d ON CAST(f.id AS BIGINT) = d.doc_id
+         |WHERE f.published = 'True'
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_fm_mutations" ->
       """WITH files AS (
         |  SELECT

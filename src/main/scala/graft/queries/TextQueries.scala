@@ -75,6 +75,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic hash sampling (data curation): a stable ~10% sample
+    // selected by portable 60-bit hash of the key — the reproducible
+    // distributed alternative to rand()-based sampling. Reported per
+    // language so stratification is visible.
+    "q_sample_hash" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("h", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .filter(col("h") % 10 === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_id"))
+        .orderBy("lang")
+    }),
+
+    // Corpus-wide bigram frequencies (n-gram language-model building
+    // block): top 20 by count with deterministic tie-break.
+    "q_text_bigrams" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(explode(expr(
+          """CASE WHEN size(w) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(w) - 1),
+            |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+            |END""".stripMargin)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // Quality scoring: length band + type-token ratio + stopword ratio.
     "q_text_quality" -> ((s, d) => {
       Tables.load(s, d, "documents").selectExpr(
@@ -117,6 +146,17 @@ object TextQueries {
          |  CAST(h_$p1 AS DOUBLE) / n_tokens AS art_ratio
          |FROM h ORDER BY doc_id""".stripMargin
     },
+    "q_sample_hash" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |b AS (SELECT UNNEST(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
