@@ -115,6 +115,18 @@ object SimilarityQueries {
       topkPerQuery(s, cands, 5)
     }),
 
+    // Vector aggregation: per-label mean embedding (centroid computation,
+    // the training step behind IVF/clustering). posexplode → per-(label,
+    // dimension) sums — a plain hash aggregate, no vector UDAF needed;
+    // float cast absorbs double sum-order noise on both sides.
+    "q_embed_centroids" -> ((s, d) => {
+      Tables.load(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((sum(col("v").cast("double")) / count(lit(1))).cast(FloatType).as("mean_v"))
+        .orderBy("label", "pos")
+    }),
+
     // ANN scale path #2 — IVF: deterministic coarse quantizer (seed
     // centroids = the 16 lowest vec_ids, no iterative training), every
     // vector assigned to its nearest centroid in one pass over a
@@ -185,6 +197,11 @@ object SimilarityQueries {
          |ORDER BY ia, ib""".stripMargin
     },
 
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label, UNNEST(range(0, 64)) AS pos, embedding FROM embeddings)
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  CAST(SUM(CAST(embedding[pos + 1] AS DOUBLE)) / COUNT(*) AS REAL) AS mean_v
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_ann_ivf" -> {
       val cos = oracleCos("e.embedding", "c.cv")
       val qcos = oracleCos("q.qv", "c.cv")
