@@ -16,9 +16,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions sized to the bench SF (~600k-row fact tables →
+    // tens of thousands of rows per partition), not to the core count:
+    // with AQE off, every shuffle stage otherwise schedules `cpus` tasks
+    // for kilobyte partitions and task overhead dominates the long tail.
+    // Scans still parallelize across all cores via input splits. At 100 TB
+    // this knob scales with data volume (the brief's sizing rule).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Sub-second interactive queries at bench scale don't benefit from
