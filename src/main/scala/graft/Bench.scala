@@ -16,16 +16,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle partitions sized to the bench SF (~600k-row fact tables →
-    // tens of thousands of rows per partition), not to the core count:
-    // with AQE off, every shuffle stage otherwise schedules `cpus` tasks
-    // for kilobyte partitions and task overhead dominates the long tail.
-    // Scans still parallelize across all cores via input splits. At 100 TB
-    // this knob scales with data volume (the brief's sizing rule).
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Sub-second interactive queries at bench scale don't benefit from
@@ -36,6 +29,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Shuffle partitions sized to the data, not the core count: with AQE
+    // off, a shuffle stage otherwise schedules `cpus` tasks for kilobyte
+    // partitions and task overhead dominates the sub-second long tail.
+    // ~75k fact rows per partition, clamped to [4, 2*cpus]; scans still
+    // parallelize across all cores via input splits. Override with
+    // SPARK_GRAFT_SHUFFLE.
+    val factRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(
+      math.max(4, math.min(cpus.toInt * 2, (factRows / 75000L).toInt + 1)))
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -61,7 +65,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = (timed.collect { case (k, _, Some(e)) => k -> e } ++ warmErrors)
+    val errs = (warmErrors ++ timed.collect { case (k, _, Some(e)) => k -> e }.toMap)
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = timed.filter(_._2 >= 0).map(_._2).sum
     val nFailed = timed.count(_._2 < 0)
