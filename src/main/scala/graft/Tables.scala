@@ -16,10 +16,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  /** Cached frames are bound to their SparkSession; keying by session
+    * identity keeps a second session in the same JVM (or a restarted one)
+    * from receiving frames of a stopped context.
+    */
+  def sessionKey(spark: SparkSession): Int = System.identityHashCode(spark)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((dir, name), read(spark, dir, name))
+    cache.getOrElseUpdate((sessionKey(spark), dir, name), read(spark, dir, name))
 
   /** Persist every table in memory and force materialization — the
     * engine-level corpus cache (the reference keeps parsed records in
@@ -30,7 +36,7 @@ object Tables {
     names.foreach { n =>
       val df = load(spark, dir, n).persist()
       df.count()
-      cache.put((dir, n), df)
+      cache.put((sessionKey(spark), dir, n), df)
     }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -90,9 +90,12 @@ object Corpus {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Driver-side parse with the reference's per-file mtime cache — exact
-    * `parse_files` semantics (`files.py:70-107`) for small corpora and the
-    * mutation tools' read path.
+  /** Driver-side parse with the reference's per-file mtime cache — the
+    * exact `parse_files` semantics (`files.py:70-107`) as an API-parity
+    * path for embedders that want the reference's driver-local shape.
+    * The query engine uses the distributed [[parse]] + fingerprint cache
+    * instead, and the mutation tools read files directly (as the
+    * reference's own update path does).
     */
   def parseFilesLocal(
       paths: Seq[java.nio.file.Path],

@@ -36,22 +36,77 @@ object Dialect {
 
   def rewrite(sql: String): String = rewriteFromJsonHints(rewriteUnnest(sql))
 
-  /** DuckDB JSON-literal schema hints inside `from_json` second args. */
+  /** DuckDB JSON-literal schema hints — rewritten ONLY when they are the
+    * second argument of a `from_json(...)` call. A bare `'[]'` elsewhere
+    * in the query is DATA (the JSON encoding of an empty array, which the
+    * files table stores per ADR-0006) and must pass through untouched.
+    */
   private[fm] def rewriteFromJsonHints(sql: String): String = {
-    val p = java.util.regex.Pattern.compile("'(\\[[^']*\\]|\\{[^']*\\})'")
-    val m = p.matcher(sql)
-    val sb = new StringBuilder
+    val u = sql.toUpperCase
+    val out = new StringBuilder
+    var i = 0
     var last = 0
-    while (m.find()) {
-      sb.append(sql.substring(last, m.start()))
-      hintToDdl(m.group(1)) match {
-        case Some(ddl) => sb.append("'").append(ddl).append("'")
-        case None      => sb.append(m.group(0))
+    while (i >= 0 && i < sql.length) {
+      i = u.indexOf("FROM_JSON", i)
+      if (i >= 0) {
+        val insideLiteral = sql.substring(0, i).count(_ == '\'') % 2 == 1
+        var k = i + "FROM_JSON".length
+        while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+        if (!insideLiteral && k < sql.length && sql.charAt(k) == '(') {
+          val close = matchParen(sql, k)
+          if (close > 0) {
+            val inner = sql.substring(k + 1, close)
+            val args = splitTopLevelArgs(inner)
+            val rewrittenArgs =
+              if (args.length >= 2) {
+                val a2raw = args(1)
+                val a2 = a2raw.trim
+                val hinted =
+                  if (a2.length >= 2 && a2.head == '\'' && a2.last == '\'')
+                    hintToDdl(a2.substring(1, a2.length - 1)).map(d => s"'$d'")
+                  else None
+                hinted match {
+                  case Some(h) =>
+                    val lead = a2raw.takeWhile(_.isWhitespace)
+                    val trail = a2raw.reverse.takeWhile(_.isWhitespace).reverse
+                    args.updated(1, lead + h + trail)
+                  case None => args
+                }
+              } else args
+            out.append(sql.substring(last, k + 1))
+            // recurse for nested from_json in the first argument
+            out.append(rewrittenArgs.map(rewriteFromJsonHints).mkString(","))
+            out.append(')')
+            last = close + 1
+            i = close + 1
+          } else i = k
+        } else i = k
       }
-      last = m.end()
     }
-    sb.append(sql.substring(last))
-    sb.toString
+    out.append(sql.substring(last))
+    out.toString
+  }
+
+  /** Split a paren-free-at-top-level argument list, respecting nested
+    * parens and single-quoted literals.
+    */
+  private def splitTopLevelArgs(s: String): Vector[String] = {
+    val args = Vector.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { args += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    args += s.substring(start)
+    args.result()
   }
 
   /** `["VARCHAR"]` → `array<string>`, `[""]` → `array<string>`,
@@ -97,7 +152,6 @@ object Dialect {
     * context (so `SELECT a, UNNEST(x)` projections are left alone).
     */
   private[fm] def rewriteUnnest(sql: String): String = {
-    val upper = sql.toUpperCase
     var out = sql
     var guard = 0
     var changed = true

@@ -55,12 +55,24 @@ object Frontmatter {
           isDateOnly = true,
           ld.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
       case other =>
-        // Full timestamp: normalize "T" to space, best-effort seconds form.
-        val t = other.replace("T", " ").replace("t", " ")
-        val instant =
-          try java.time.Instant.parse(other.replace(" ", "T") + (if (other.endsWith("Z")) "" else "Z"))
-          catch { case _: Exception => java.time.Instant.EPOCH }
-        FmTemporal(t.stripSuffix("Z"), isDateOnly = false, instant.toEpochMilli)
+        // Full timestamp. Parse offset-bearing and naive forms correctly
+        // so FmTemporal comparisons (mutations' sort/remove) order by real
+        // instants; the text form stays Python-style (space separator).
+        val iso = other.replace(" ", "T").replace("t", "T")
+        val epoch: Long =
+          try java.time.OffsetDateTime.parse(iso).toInstant.toEpochMilli
+          catch {
+            case _: Exception =>
+              try java.time.LocalDateTime.parse(iso)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch {
+                case _: Exception =>
+                  try java.time.Instant.parse(iso).toEpochMilli
+                  catch { case _: Exception => 0L }
+              }
+          }
+        val t = other.replace("T", " ").replace("t", " ").stripSuffix("Z")
+        FmTemporal(t, isDateOnly = false, epoch)
     }
   }
 

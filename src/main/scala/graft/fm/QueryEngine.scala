@@ -79,6 +79,17 @@ final class QueryEngine(
     val wantSemantic = semanticReady
     cache.get(glob) match {
       case Some(c) if c.fingerprint == fp && c.semanticApplied == wantSemantic => c
+      case Some(c) if c.fingerprint == fp =>
+        // Corpus unchanged, only semantic readiness flipped: reuse the
+        // persisted parsed Dataset and rebuild just the files frame with
+        // (or without) the embedding join — no re-read, no re-parse.
+        c.files.unpersist()
+        val (base, warnings) = Corpus.filesDF(spark, c.parsed)
+        val files =
+          (if (wantSemantic) semantic.get.withEmbedding(base) else base).persist()
+        val entry = Cached(fp, c.parsed, files, warnings, wantSemantic)
+        cache.put(glob, entry)
+        entry
       case stale =>
         stale.foreach { c => c.files.unpersist(); c.parsed.unpersist() }
         val parsed = Corpus.parse(spark, settings.baseDir.toString, pm.map(_._1)).persist()
@@ -91,11 +102,18 @@ final class QueryEngine(
     }
   }
 
-  /** `query` tool: run DuckDB-dialect SQL against the `files` view. */
+  /** `query` tool: run DuckDB-dialect SQL against the `files` view.
+    * The view registration and SQL ANALYSIS run under the engine lock —
+    * `spark.sql` resolves the session-global `files` name during analysis,
+    * so once the DataFrame is returned, a concurrent query replacing the
+    * view cannot redirect this plan; execution happens lock-free.
+    */
   def query(glob: String, sql: String): QueryResult = {
     val (files, warnings) = filesTable(glob)
-    files.createOrReplaceTempView("files")
-    val out = spark.sql(Dialect.rewrite(sql))
+    val out = synchronized {
+      files.createOrReplaceTempView("files")
+      spark.sql(Dialect.rewrite(sql))
+    }
     QueryResult(out, out.columns.toSeq, warnings)
   }
 

@@ -69,7 +69,7 @@ object SchemaInfer {
   def inspectFlat(spark: SparkSession, parsed: Dataset[ParsedFile], maxSamples: Int = 5): DataFrame = {
     val jsonQuote = udf { (xs: Seq[String]) =>
       if (xs == null) "[]"
-      else xs.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ", ", "]")
+      else xs.map(PyValue.jsonDumps(_)).mkString("[", ", ", "]")
     }
     inspect(spark, parsed, maxSamples)
       .withColumn("examples", jsonQuote(col("examples")))

@@ -45,13 +45,13 @@ object DedupQueries {
   // (candidate sides + verification sides + per-doc counts) and across the
   // ngram/minhash/simhash queries — persist one copy per sf dir instead of
   // re-exploding per plan reference.
-  private val shCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val wordCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val minhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val wordCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val simhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val minhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def shingleDF(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate(d, {
+    shCache.getOrElseUpdate((Tables.sessionKey(s), d), {
       Tables.load(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
@@ -63,7 +63,7 @@ object DedupQueries {
     })
 
   private def wordDF(s: SparkSession, d: String): DataFrame =
-    wordCache.getOrElseUpdate(d, {
+    wordCache.getOrElseUpdate((Tables.sessionKey(s), d), {
       Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
         .withColumn("h", expr(h60("word")))
@@ -139,7 +139,7 @@ object DedupQueries {
       // a 4-way band expansion; persist it (one small row per doc) so the
       // 60-aggregate computation runs once, and expand bands with explode
       // instead of a 4-branch union (one scan, not four).
-      val sig = simhashCache.getOrElseUpdate(d, {
+      val sig = simhashCache.getOrElseUpdate((Tables.sessionKey(s), d), {
         val sums = (0 until SimBits).map(i =>
           sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
         wordDF(s, d).groupBy("doc_id")
@@ -190,7 +190,7 @@ object DedupQueries {
     // 4 bands of 4 rows generate candidates; exact-Jaccard verification
     // touches candidates only. Output = verified candidates with jac.
     "q_dedup_minhash" -> ((s, d) => {
-      val m = minhashCache.getOrElseUpdate(d, {
+      val m = minhashCache.getOrElseUpdate((Tables.sessionKey(s), d), {
         val sh = shingleDF(s, d).withColumn("h31", expr(s"sh % $Prime"))
         val mins = (0 until NumPerms).map(i =>
           min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))

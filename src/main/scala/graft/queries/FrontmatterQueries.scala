@@ -19,10 +19,10 @@ import graft.fm.{QueryEngine, Settings}
   */
 object FrontmatterQueries {
 
-  private val engines = TrieMap.empty[String, QueryEngine]
+  private val engines = TrieMap.empty[(Int, String), QueryEngine]
 
   private def engine(s: SparkSession, d: String): QueryEngine =
-    engines.getOrElseUpdate(d, {
+    engines.getOrElseUpdate((Tables.sessionKey(s), d), {
       val base = FixtureCorpus.ensure(s, d)
       new QueryEngine(s, Settings(base.toString, enableSemantic = false, "", None))
     })

@@ -322,10 +322,10 @@ object Similarity {
   * indexer, reused across queries and bench iterations.
   */
 object SemanticEngines {
-  private val engines = scala.collection.concurrent.TrieMap.empty[String, QueryEngine]
+  private val engines = scala.collection.concurrent.TrieMap.empty[(Int, String), QueryEngine]
 
   def get(s: SparkSession, d: String): QueryEngine =
-    engines.getOrElseUpdate(d, {
+    engines.getOrElseUpdate((graft.Tables.sessionKey(s), d), {
       val base = FixtureCorpus.ensure(s, d)
       val slug = d.replaceAll("[^A-Za-z0-9.]+", "_")
       // model name doubles as the encoder version: bumping it invalidates

@@ -50,12 +50,7 @@ final class EmbeddingCache(spark: SparkSession, cacheDir: Path, val model: Strin
   private def writeMeta(): Unit =
     Files.write(metaFile, s"""{"model": "$model", "dim": $dim}""".getBytes("UTF-8"))
 
-  private def deleteSnapshot(): Unit =
-    if (Files.exists(dataDir)) {
-      val s = Files.walk(dataDir)
-      try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-      finally s.close()
-    }
+  private def deleteSnapshot(): Unit = deleteTree(dataDir)
 
   /** Paths whose cached mtime differs or that are missing
     * (`cache.py:160-175`).
@@ -78,7 +73,12 @@ final class EmbeddingCache(spark: SparkSession, cacheDir: Path, val model: Strin
 
   def get(path: String): Option[Array[Float]] = entries.get(path).map(_._2)
 
-  /** Write the snapshot parquet (atomic-enough single-writer swap). */
+  /** Write the snapshot parquet. The swap is rename-based (old dir moved
+    * aside, new dir moved in, old deleted last) so the unavailable window
+    * is two renames, not a full delete+copy — in-flight queries planned
+    * against the previous snapshot either finish on the old files or
+    * retry onto the new ones, never onto a half-deleted directory.
+    */
   def flush(): Unit = {
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
@@ -89,9 +89,19 @@ final class EmbeddingCache(spark: SparkSession, cacheDir: Path, val model: Strin
       spark.sparkContext.parallelize(rows, 1), schema)
     val tmp = cacheDir.resolve("embeddings.parquet.tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
-    deleteSnapshot()
+    val old = cacheDir.resolve("embeddings.parquet.old")
+    deleteTree(old)
+    if (Files.exists(dataDir)) Files.move(dataDir, old)
     Files.move(tmp, dataDir)
+    deleteTree(old)
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   /** Snapshot as (path, embedding) for the files-table left join
     * (reference's UPDATE…FROM at `semantic/query.py:60-65` ≙ a join).

@@ -33,13 +33,26 @@ object EventStreams extends Serializable {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Gap-based sessionization via the typed state API. In streaming this
-    * holds per-user open sessions with a processing-time horizon; batch
-    * invokes each group once (state starts empty), yielding the same
-    * sessions as the SQL gaps-and-islands formulation — which is exactly
-    * what the DuckDB oracle replays.
+  /** Gap-based sessionization via the typed state API.
+    *
+    * Batch (`emitOpenSessions = true`, the oracle-checked mode): each
+    * group is invoked once with empty state and every session — including
+    * the trailing one — is emitted, matching the SQL gaps-and-islands
+    * formulation exactly.
+    *
+    * Streaming (`emitOpenSessions = false`): only sessions CLOSED by a
+    * gap are emitted; the open trailing session stays in state so events
+    * arriving in later micro-batches extend it instead of fragmenting
+    * it. A session closes when a later event of the same user exceeds
+    * the gap (idle-user flushing would use a state timeout; left out
+    * because continuous empty timeout-check batches are wasteful for
+    * this workload shape).
     */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      emitOpenSessions: Boolean = true): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000L
     val typed = events.select(
@@ -58,8 +71,12 @@ object EventStreams extends Serializable {
         if (e.ts_us - cur.head.ts_us > gapUs) { sessions += toSession(userId, cur.reverse); cur = List(e) }
         else cur = e :: cur
       }
-      sessions += toSession(userId, cur.reverse)
-      state.remove()
+      if (emitOpenSessions) {
+        sessions += toSession(userId, cur.reverse)
+        state.remove()
+      } else {
+        state.update(cur.reverse)
+      }
       sessions.result().iterator
     }
 

@@ -33,6 +33,26 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteFromJsonHints("SELECT '[x' FROM t") == "SELECT '[x' FROM t")
   }
 
+  test("hint rewrite is from_json-scoped: bracketed DATA literals survive") {
+    // '[]' is the JSON encoding of an empty array in the files table —
+    // it must never be rewritten outside a from_json second argument
+    val in = "SELECT path FROM files WHERE tags <> '[]'"
+    assert(Dialect.rewrite(in) == in)
+    val in2 = """SELECT * FROM files WHERE tags = '["VARCHAR"]'"""
+    assert(Dialect.rewrite(in2) == in2)
+    // ... while the same literal inside from_json IS the schema hint
+    val mixed =
+      """SELECT * FROM files WHERE from_json(tags, '[""]') IS NOT NULL AND note <> '[]'"""
+    val out = Dialect.rewrite(mixed)
+    assert(out.contains("from_json(tags, 'array<string>')"))
+    assert(out.contains("note <> '[]'"))
+    // nested from_json in the first argument still rewrites
+    val nested = """SELECT from_json(concat(from_json(a, '[""]')[0], b), '["VARCHAR"]') FROM t"""
+    val outN = Dialect.rewrite(nested)
+    assert(outN.contains("from_json(a, 'array<string>')"))
+    assert(outN.contains("'array<string>') FROM t"))
+  }
+
   test("multiple UNNESTs rewrite iteratively") {
     val in = "SELECT * FROM t, UNNEST(a) AS x(u), UNNEST(b) AS y(v)"
     val out = Dialect.rewriteUnnest(in)

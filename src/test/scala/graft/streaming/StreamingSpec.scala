@@ -40,24 +40,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionize runs as a streaming stateful query") {
+  test("sessionize streaming mode: open sessions span micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, Double)]
     val events = input.toDF().toDF("event_id", "ts", "user_id", "value")
 
-    val q = EventStreams.sessionize(spark, events, gapMinutes = 5)
+    val q = EventStreams.sessionize(spark, events, gapMinutes = 5, emitOpenSessions = false)
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
     try {
-      input.addData((1L, ts(0), 7L, 1.0), (2L, ts(2), 7L, 2.0), (3L, ts(20), 7L, 4.0))
+      // batch 1: two events inside one session -> still open, nothing emitted
+      input.addData((1L, ts(0), 7L, 1.0), (2L, ts(2), 7L, 2.0))
       q.processAllAvailable()
-      val rows = spark.table("sess_out").orderBy("start_us").collect()
-      // batch-per-group semantics: both sessions of user 7 emitted
-      assert(rows.length == 2)
+      assert(spark.table("sess_out").count() == 0)
+      // batch 2: an event beyond the gap closes [0,2] and opens [20,...]
+      input.addData((3L, ts(20), 7L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.length == 1)
       assert(rows(0).getLong(3) == 2 && rows(0).getDouble(4) == 3.0)
-      assert(rows(1).getLong(3) == 1 && rows(1).getDouble(4) == 4.0)
     } finally q.stop()
+  }
+
+  test("sessionize batch mode emits every session incl. the trailing one") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      (1L, ts(0), 7L, 1.0), (2L, ts(2), 7L, 2.0), (3L, ts(20), 7L, 4.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val rows = EventStreams.sessionize(spark, events, gapMinutes = 5)
+      .orderBy("start_us").collect()
+    assert(rows.length == 2)
+    assert(rows(0).n_events == 2 && rows(0).total_value == 3.0)
+    assert(rows(1).n_events == 1 && rows(1).total_value == 4.0)
   }
 
   test("streaming corpus indexer embeds only newly-arrived files") {
