@@ -76,17 +76,31 @@ object Frontmatter {
     }
   }
 
-  /** python-frontmatter `parse`: returns (metadata, content). */
+  private val jsonBoundary: Regex = "(?m)^(?:\\{|\\})$".r
+  private val tomlBoundary: Regex = "(?m)^\\+{3,}[ \t\f\r]*$".r
+
+  /** python-frontmatter `parse`: returns (metadata, content). Handler
+    * detection mirrors the library's default handler set: `---` fences →
+    * YAML, a `{` line → JSON ({ and } alone on lines), `+++` fences →
+    * TOML (active in the reference's runtime via stdlib tomllib).
+    */
   def parse(text: String): Post = {
     val t = text.strip()
     val empty = new ju.LinkedHashMap[String, Any]()
-    if (!t.startsWith("---")) return Post(empty, t)
-    val ms = boundary.findAllMatchIn(t).take(2).toList
+    if (t.startsWith("---")) parseFenced(t, boundary, yamlLoad)
+    else if (t.startsWith("{")) parseFenced(t, jsonBoundary, jsonLoad)
+    else if (t.startsWith("+++")) parseFenced(t, tomlBoundary, tomlLoad)
+    else Post(empty, t)
+  }
+
+  private def parseFenced(
+      t: String, fence: Regex, load: String => Any): Post = {
+    val empty = new ju.LinkedHashMap[String, Any]()
+    val ms = fence.findAllMatchIn(t).take(2).toList
     if (ms.length < 2 || ms.head.start != 0) return Post(empty, t)
     val fmBlock = t.substring(ms.head.end, ms(1).start)
     val content = t.substring(ms(1).end).strip()
-    val loaded = newYaml().load[AnyRef](fmBlock)
-    loaded match {
+    load(fmBlock) match {
       case m: ju.Map[_, _] =>
         val lm = new ju.LinkedHashMap[String, Any]()
         m.forEach((k, v) => lm.put(String.valueOf(k), v))
@@ -94,6 +108,17 @@ object Frontmatter {
       case _ => Post(empty, content)
     }
   }
+
+  private def yamlLoad(block: String): Any = newYaml().load[AnyRef](block)
+
+  /** JSON frontmatter: the `{`/`}` fence lines ARE the braces, so the
+    * inner block is re-wrapped before loading (python-frontmatter's
+    * `json.loads("{" + fm + "}")`); parsed with the same safe loader
+    * since JSON is a subset of YAML flow syntax → identical value types.
+    */
+  private def jsonLoad(block: String): Any = newYaml().load[AnyRef]("{" + block + "}")
+
+  private def tomlLoad(block: String): Any = Toml.parse(block)
 
   /** python-frontmatter dump: `---\n<yaml>\n---\n\n<content>\n` with block
     * style, sorted keys, unicode allowed (PyYAML safe_dump defaults).

@@ -69,6 +69,42 @@ class FrontmatterSpec extends AnyFunSuite {
     assert(p.content == "本文です")
   }
 
+  test("JSON frontmatter ({ and } fence lines) parses like python-frontmatter") {
+    val p = Frontmatter.parse("{\n\"title\": \"T\",\n\"n\": 3,\n\"tags\": [\"a\", \"b\"]\n}\nThe body")
+    assert(p.metadata.get("title") == "T")
+    assert(p.metadata.get("n") == Integer.valueOf(3))
+    assert(PyValue.serialize(p.metadata.get("tags")) == "[\"a\", \"b\"]")
+    assert(p.content == "The body")
+  }
+
+  test("TOML frontmatter (+++ fences) parses scalars, arrays, dates, tables") {
+    val p = Frontmatter.parse(
+      """+++
+        |title = "Toml Doc"   # a comment
+        |count = 1_000
+        |ratio = 2.5
+        |draft = false
+        |date = 2025-11-27
+        |tags = ["x", "y"]
+        |[meta]
+        |owner = 'ops'
+        |+++
+        |toml body""".stripMargin)
+    assert(p.metadata.get("title") == "Toml Doc")
+    assert(p.metadata.get("count") == Integer.valueOf(1000))
+    assert(p.metadata.get("ratio") == java.lang.Double.valueOf(2.5))
+    assert(p.metadata.get("draft") == java.lang.Boolean.FALSE)
+    assert(PyValue.serialize(p.metadata.get("date")) == "2025-11-27")
+    assert(PyValue.serialize(p.metadata.get("tags")) == "[\"x\", \"y\"]")
+    val meta = p.metadata.get("meta").asInstanceOf[java.util.Map[_, _]]
+    assert(meta.get("owner") == "ops")
+    assert(p.content == "toml body")
+  }
+
+  test("malformed TOML falls back to warning-channel behavior (throws)") {
+    intercept[Exception](Toml.parse("not = = valid toml ["))
+  }
+
   test("dump/parse round trip preserves metadata and body") {
     val src = Frontmatter.parse("---\ntitle: T\nn: 3\ntags:\n- x\n- y\n---\n\nThe body\n")
     val dumped = Frontmatter.dumps(src)

@@ -150,6 +150,17 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(cache.get(p, dir).isEmpty)
   }
 
+  test("mixed YAML/JSON/TOML frontmatter corpus queries uniformly") {
+    val e = eng(corpus(
+      "y.md" -> "---\nkind: yaml\nn: 1\n---\nbody",
+      "j.md" -> "{\n\"kind\": \"json\",\n\"n\": 2\n}\nbody",
+      "t.md" -> "+++\nkind = \"toml\"\nn = 3\n+++\nbody"))
+    val rows = e.query("**/*.md", "SELECT path, kind, n FROM files ORDER BY n")
+      .results.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("y.md", "yaml", "1"), ("j.md", "json", "2"), ("t.md", "toml", "3")))
+  }
+
   test("len() and regexp_matches() dialect aliases") {
     val e = eng(corpus(threeDocs: _*))
     val r = e.query("**/*.md",
