@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.registerSessionFunctions(spark)
 
     // Shuffle partitions sized to the data, not the core count: with AQE
     // off, a shuffle stage otherwise schedules `cpus` tasks for kilobyte

@@ -15,11 +15,14 @@ import graft.Tables
   * double division), so even the LSH candidate generation is
   * hash-checked exactly.
   *
-  * Scale notes: pair generation joins on shingle/band keys whose
-  * frequency is bounded in real corpora by stop-shingle cutoffs; at
-  * 100 TB add a `HAVING COUNT(*) < maxDocFreq` filter on hot shingles
-  * (documented, not needed at test SF), and band signatures shard evenly
-  * by construction. Jaccard verification touches candidate pairs only.
+  * Scale notes: shingle-based candidate generation applies a hot-shingle
+  * document-frequency cutoff (`df < maxDocFreq`) BEFORE the self-join — a
+  * stop-shingle shared by 10^5 docs would otherwise materialize 10^10
+  * pairs on one key, the classic skewed-key blowup. Verification still
+  * counts ALL common shingles (the cutoff prunes candidate generation
+  * only, never the Jaccard numerator), so a surviving pair's score is
+  * exact. Band signatures shard evenly by construction. Jaccard
+  * verification touches candidate pairs only.
   */
 object DedupQueries {
 
@@ -73,6 +76,36 @@ object DedupQueries {
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
+  // Hot-shingle cutoff: default = the corpus doc count (a shingle present
+  // in EVERY document carries no pairing signal and only produces the
+  // worst-case skew key). Deliberately derived from the data, not a
+  // constant, so the same code is correct at any SF; override with
+  // SPARK_GRAFT_MAX_SHINGLE_DF for tighter stop-shingle policies.
+  private val docCountCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def maxShingleDocFreq(s: SparkSession, d: String): Long =
+    sys.env.get("SPARK_GRAFT_MAX_SHINGLE_DF").map(_.toLong).getOrElse(
+      docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
+        Tables.load(s, d, "documents").count()))
+
+  /** Candidate near-dup pairs from the shingle posting lists, with the
+    * hot-shingle guard: shingles whose document frequency reaches
+    * `maxDocFreq` are excluded from pair generation (they would emit
+    * df^2/2 pairs on a single join key). Complete for every pair sharing
+    * at least one sub-threshold shingle; callers verify with exact
+    * Jaccard over the UNFILTERED shingle sets.
+    */
+  def ngramCandidates(sh: DataFrame, maxDocFreq: Long): DataFrame = {
+    val cold = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") < maxDocFreq)
+      .select("sh")
+    val pruned = sh.join(cold, Seq("sh"), "left_semi")
+    pruned.select(col("doc_id").as("ia"), col("sh"))
+      .join(pruned.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib")
+      .distinct()
+  }
+
   /** Exact Jaccard for the given candidate (ia, ib) pairs: count common
     * shingles by joining the shingle lists restricted to candidates.
     */
@@ -112,21 +145,12 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup: candidates = pairs sharing >=1 shingle
-    // (complete for any J > 0). Common counts fall directly out of the
-    // same shingle self-join (one pass), so no candidate re-expansion.
+    // below the hot-shingle df cutoff; exact Jaccard over the full
+    // shingle sets verifies candidates only.
     "q_dedup_ngram" -> ((s, d) => {
       val sh = shingleDF(s, d)
-      val cnt = shingleCounts(sh)
-      val common = sh.select(col("doc_id").as("ia"), col("sh"))
-        .join(sh.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
-        .filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib")
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
-        .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
-        .select(col("ia"), col("ib"),
-          (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
+      val cand = ngramCandidates(sh, maxShingleDocFreq(s, d))
+      verifyJaccard(sh, cand)
         .filter(col("jac") >= 0.5)
         .orderBy("ia", "ib")
     }),
@@ -171,15 +195,9 @@ object DedupQueries {
     // reproduces it with a recursive transitive-closure CTE.
     "q_dedup_clusters" -> ((s, d) => {
       val sh = shingleDF(s, d)
-      val cnt = shingleCounts(sh)
-      val pairs = sh.select(col("doc_id").as("ia"), col("sh"))
-        .join(sh.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
-        .filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib")
-        .agg(count(lit(1)).as("common"))
-        .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
-        .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
-        .filter(col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")) >= 0.5)
+      val cand = ngramCandidates(sh, maxShingleDocFreq(s, d))
+      val pairs = verifyJaccard(sh, cand)
+        .filter(col("jac") >= 0.5)
         .select("ia", "ib")
       graft.ops.ConnectedComponents.labelPropagate(s, pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -229,6 +247,16 @@ object DedupQueries {
        |sh AS (SELECT doc_id, ${duckH60("shingle")} AS sh FROM shs),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  // Replays the hot-shingle guard with the same default policy as
+  // maxShingleDocFreq: cutoff = corpus doc count, derived in SQL.
+  private val duckCandCte =
+    s"""dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+       |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)
+       |        WHERE dfc.df < (SELECT COUNT(*) FROM documents)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+
   private def duckVerify(candCte: String, threshold: Double): String =
     s"""common AS (
        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
@@ -248,9 +276,7 @@ object DedupQueries {
 
     "q_dedup_ngram" ->
       s"""WITH $duckShingleCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |$duckCandCte,
          |${duckVerify("cand", 0.5)}""".stripMargin,
 
     "q_dedup_simhash" -> {
@@ -278,9 +304,11 @@ object DedupQueries {
 
     "q_dedup_clusters" ->
       s"""WITH $duckShingleCte,
+         |$duckCandCte,
          |common AS (
          |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN cand ON a.doc_id = cand.ia
+         |            JOIN sh b ON b.doc_id = cand.ib AND b.sh = a.sh
          |  GROUP BY 1, 2),
          |pairs AS (
          |  SELECT ia, ib FROM common

@@ -136,6 +136,10 @@ object SimilarityQueries {
     // deterministic (double-precision argmax with cid tie-break), so the
     // oracle replays the whole structure.
     "q_ann_ivf" -> ((s, d) => {
+      // Registered BEFORE any Dataset using array_cosine_similarity is
+      // constructed: Dataset analysis is eager, so a later registration
+      // would leave the expr unresolved on a fresh session.
+      CosineFunctions.register(s)
       val e = Tables.load(s, d, "embeddings")
       val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)
         .select(col("vec_id"), col("embedding"))
@@ -158,7 +162,6 @@ object SimilarityQueries {
         .select(col("qid"), col("vec_id"),
           expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
         .distinct()
-      CosineFunctions.register(s)
       topkPerQuery(s, cands, 5)
     }),
 

@@ -34,6 +34,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ord_bucketed")
   }
 
+  test("hot-shingle df cutoff excludes a planted stop-shingle from candidates") {
+    import spark.implicits._
+    // shingle 100 is "hot": present in all 5 docs (df = 5); shingle 200
+    // is a genuine near-dup signal shared by docs 1 and 2 only.
+    val sh = ((1L to 5L).map(d => (d, 100L)) ++ Seq((1L, 200L), (2L, 200L)))
+      .toDF("doc_id", "sh")
+    val guarded = graft.queries.DedupQueries.ngramCandidates(sh, maxDocFreq = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(guarded == Set((1L, 2L)),
+      s"hot shingle must not generate pairs, got $guarded")
+    // Raising the cutoff past the hot shingle's df restores all C(5,2) pairs.
+    val unguarded = graft.queries.DedupQueries.ngramCandidates(sh, maxDocFreq = 6)
+      .collect().length
+    assert(unguarded == 10)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -36,6 +36,17 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("every similarity query is self-contained on a fresh session") {
+    // A fresh session has an empty temp-function registry; each query
+    // must register what it uses BEFORE eager Dataset analysis touches
+    // it (VERDICT r2: q_ann_ivf failed exactly this way).
+    for (name <- Seq("q_cosine_topk", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf")) {
+      val fresh = spark.newSession()
+      val n = SimilarityQueries.queries(name)(fresh, sf).count()
+      withClue(s"$name on a fresh session:") { assert(n > 0) }
+    }
+  }
+
   test("UNNEST rewriter leaves string literals alone") {
     val in = "SELECT * FROM t WHERE note = 'about x, UNNEST(y) AS z' ORDER BY 1"
     assert(graft.fm.Dialect.rewrite(in) == in)
