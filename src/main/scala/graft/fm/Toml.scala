@@ -19,7 +19,13 @@ object Toml {
       if (line.nonEmpty) {
         if (line.startsWith("[") && line.endsWith("]")) {
           val name = line.substring(1, line.length - 1).trim
-          if (name.isEmpty || name.startsWith("["))
+          // Dotted headers ([a.b]) nest in tomllib; this subset doesn't —
+          // throw (→ parse-warning channel) rather than silently flatten.
+          // A quoted key may legitimately contain dots.
+          val dotted = !(name.length >= 2 &&
+            ((name.head == '"' && name.last == '"') ||
+             (name.head == '\'' && name.last == '\''))) && name.contains('.')
+          if (name.isEmpty || name.startsWith("[") || dotted)
             throw new IllegalArgumentException(s"unsupported TOML table: $line")
           val tbl = new ju.LinkedHashMap[String, Any]()
           root.put(unquoteKey(name), tbl)

@@ -112,4 +112,54 @@ class FrontmatterSpec extends AnyFunSuite {
     assert(back.metadata.asScala.toMap == src.metadata.asScala.toMap)
     assert(back.content == src.content)
   }
+
+  test("dump preserves JSON handler: brace fences, round-trips (files.py:142-145)") {
+    val src = Frontmatter.parse(
+      "{\n\"title\": \"T\",\n\"n\": 3,\n\"ok\": true,\n\"tags\": [\"a\", \"b\"],\n\"meta\": {\"k\": 1}\n}\nThe body")
+    assert(src.handler == Post.Json)
+    val dumped = Frontmatter.dumps(src)
+    assert(dumped.startsWith("{\n"), dumped)
+    assert(!dumped.startsWith("---"), dumped)
+    val back = Frontmatter.parse(dumped)
+    assert(back.handler == Post.Json)
+    // JSONHandler dumps with sort_keys=True, so compare order-insensitively
+    assert(back.metadata.asScala.toMap == src.metadata.asScala.toMap)
+    assert(back.content == src.content)
+  }
+
+  test("dump preserves TOML handler: +++ fences, round-trips (files.py:142-145)") {
+    val src = Frontmatter.parse(
+      """+++
+        |title = "T \"quoted\""
+        |count = 1000
+        |ratio = 2.5
+        |draft = false
+        |date = 2025-11-27
+        |tags = ["x", "y", 3]
+        |[meta]
+        |owner = 'ops'
+        |+++
+        |toml body""".stripMargin)
+    assert(src.handler == Post.Toml)
+    val dumped = Frontmatter.dumps(src)
+    assert(dumped.startsWith("+++\n"), dumped)
+    val back = Frontmatter.parse(dumped)
+    assert(back.handler == Post.Toml)
+    assert(PyValue.serialize(back.metadata) == PyValue.serialize(src.metadata))
+    assert(back.content == src.content)
+  }
+
+  test("TOML dump rejects values outside the parse subset (null) → warning channel") {
+    val meta = new java.util.LinkedHashMap[String, Any]()
+    meta.put("bad", null)
+    intercept[IllegalArgumentException](
+      Frontmatter.dumps(Post(meta, "b", Post.Toml)))
+  }
+
+  test("dotted TOML table headers throw (nesting unsupported, not flattened)") {
+    intercept[IllegalArgumentException](Toml.parse("[a.b]\nk = 1"))
+    // but a quoted key containing a dot is a legal single-level table
+    val m = Toml.parse("[\"a.b\"]\nk = 1")
+    assert(m.get("a.b").asInstanceOf[java.util.Map[_, _]].get("k") == Integer.valueOf(1))
+  }
 }

@@ -93,6 +93,28 @@ class MutationsSpec extends AnyFunSuite {
     assert(read(dir, "sub/b.md").metadata.get("touched") == java.lang.Boolean.TRUE)
   }
 
+  test("batch_update preserves frontmatter format: TOML stays +++, JSON stays braces") {
+    val dir = corpus(
+      "t.md" -> "+++\ntitle = \"T\"\ntags = [\"x\"]\n+++\n\ntoml body\n",
+      "j.md" -> "{\n\"title\": \"J\",\n\"n\": 3\n}\n\njson body\n",
+      "y.md" -> "---\ntitle: Y\n---\n\nyaml body\n")
+    val r = Mutations.batchUpdate(dir, "*.md", Map("touched" -> true))
+    assert(r.updatedCount == 3)
+    val tomlText = new String(Files.readAllBytes(dir.resolve("t.md")), "UTF-8")
+    assert(tomlText.startsWith("+++\n"), tomlText)
+    assert(tomlText.contains("touched = true"))
+    val jsonText = new String(Files.readAllBytes(dir.resolve("j.md")), "UTF-8")
+    assert(jsonText.startsWith("{\n"), jsonText)
+    assert(jsonText.contains("\"touched\": true"))
+    val yamlText = new String(Files.readAllBytes(dir.resolve("y.md")), "UTF-8")
+    assert(yamlText.startsWith("---\n"), yamlText)
+    // values and bodies survive the format-preserving rewrite
+    assert(read(dir, "t.md").metadata.get("title") == "T")
+    assert(read(dir, "t.md").content == "toml body")
+    assert(read(dir, "j.md").metadata.get("n") == Integer.valueOf(3))
+    assert(read(dir, "j.md").content == "json body")
+  }
+
   test("batch_array_add: create/skip-dup/append/warn matrix (server.py:311-377)") {
     val dir = corpus(
       "create.md" -> "---\ntitle: t\n---\n",
