@@ -36,37 +36,70 @@ object Dialect {
 
   def rewrite(sql: String): String = rewriteFromJsonHints(rewriteUnnest(sql))
 
+  /** Length-preserving comment mask: every character inside a `--` line
+    * comment or a bracketed comment is replaced by a space, so
+    * index-based syntax scanning (quote parity, paren matching, keyword
+    * search) never sees quotes or parens that live in comments, while
+    * splice positions stay aligned with the original text. Comment
+    * openers inside single-quoted literals are data and left alone.
+    */
+  private[fm] def maskComments(sql: String): String = {
+    val a = sql.toCharArray
+    var i = 0
+    var inStr = false
+    while (i < a.length) {
+      val c = a(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '-' && i + 1 < a.length && a(i + 1) == '-') {
+        while (i < a.length && a(i) != '\n') { a(i) = ' '; i += 1 }
+      } else if (c == '/' && i + 1 < a.length && a(i + 1) == '*') {
+        a(i) = ' '; a(i + 1) = ' '; i += 2
+        while (i < a.length && !(a(i) == '*' && i + 1 < a.length && a(i + 1) == '/')) {
+          a(i) = ' '; i += 1
+        }
+        if (i + 1 < a.length) { a(i) = ' '; a(i + 1) = ' '; i += 2 }
+        else if (i < a.length) { a(i) = ' '; i += 1 }
+      } else i += 1
+    }
+    new String(a)
+  }
+
   /** DuckDB JSON-literal schema hints — rewritten ONLY when they are the
     * second argument of a `from_json(...)` call. A bare `'[]'` elsewhere
     * in the query is DATA (the JSON encoding of an empty array, which the
     * files table stores per ADR-0006) and must pass through untouched.
     */
   private[fm] def rewriteFromJsonHints(sql: String): String = {
-    val u = sql.toUpperCase
+    val m = maskComments(sql)
+    val u = m.toUpperCase
     val out = new StringBuilder
     var i = 0
     var last = 0
     while (i >= 0 && i < sql.length) {
       i = u.indexOf("FROM_JSON", i)
       if (i >= 0) {
-        val insideLiteral = sql.substring(0, i).count(_ == '\'') % 2 == 1
+        val insideLiteral = m.substring(0, i).count(_ == '\'') % 2 == 1
         var k = i + "FROM_JSON".length
-        while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
-        if (!insideLiteral && k < sql.length && sql.charAt(k) == '(') {
-          val close = matchParen(sql, k)
+        while (k < m.length && Character.isWhitespace(m.charAt(k))) k += 1
+        if (!insideLiteral && k < m.length && m.charAt(k) == '(') {
+          val close = matchParen(m, k)
           if (close > 0) {
-            val inner = sql.substring(k + 1, close)
-            val args = splitTopLevelArgs(inner)
+            // Scan argument structure on the masked text (quotes/parens in
+            // comments are spaces there); extract arg text from the original.
+            val bounds = splitTopLevelArgs(m.substring(k + 1, close))
+            val args = bounds.map { case (s0, e0) => sql.substring(k + 1 + s0, k + 1 + e0) }
+            val argsMasked = bounds.map { case (s0, e0) => m.substring(k + 1 + s0, k + 1 + e0) }
             val rewrittenArgs =
               if (args.length >= 2) {
-                val a2raw = args(1)
-                val a2 = a2raw.trim
+                val a2 = argsMasked(1).trim
                 val hinted =
                   if (a2.length >= 2 && a2.head == '\'' && a2.last == '\'')
                     hintToDdl(a2.substring(1, a2.length - 1)).map(d => s"'$d'")
                   else None
                 hinted match {
                   case Some(h) =>
+                    val a2raw = argsMasked(1)
                     val lead = a2raw.takeWhile(_.isWhitespace)
                     val trail = a2raw.reverse.takeWhile(_.isWhitespace).reverse
                     args.updated(1, lead + h + trail)
@@ -87,11 +120,13 @@ object Dialect {
     out.toString
   }
 
-  /** Split a paren-free-at-top-level argument list, respecting nested
-    * parens and single-quoted literals.
+  /** Split a paren-free-at-top-level argument list into (start, end)
+    * index pairs, respecting nested parens and single-quoted literals.
+    * Callers pass the MASKED text so comment contents never confuse the
+    * scan, then slice the original at the returned boundaries.
     */
-  private def splitTopLevelArgs(s: String): Vector[String] = {
-    val args = Vector.newBuilder[String]
+  private def splitTopLevelArgs(s: String): Vector[(Int, Int)] = {
+    val args = Vector.newBuilder[(Int, Int)]
     var depth = 0
     var inStr = false
     var start = 0
@@ -102,10 +137,10 @@ object Dialect {
       else if (c == '\'') inStr = true
       else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
-      else if (c == ',' && depth == 0) { args += s.substring(start, i); start = i + 1 }
+      else if (c == ',' && depth == 0) { args += ((start, i)); start = i + 1 }
       i += 1
     }
-    args += s.substring(start)
+    args += ((start, s.length))
     args.result()
   }
 
@@ -158,41 +193,46 @@ object Dialect {
     while (changed && guard < 16) {
       changed = false
       guard += 1
-      val u = out.toUpperCase
+      // All syntax decisions scan the masked text (comments → spaces, so a
+      // quote or comma living in a comment is never syntax and a comment
+      // between ',' and UNNEST reads as whitespace); replacement text is
+      // sliced from the original.
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
       var i = u.indexOf("UNNEST")
       while (i >= 0 && !changed) {
         // preceding non-whitespace must be ','; occurrences inside
         // single-quoted string literals are data, not syntax (doubled ''
         // escapes keep the parity count correct)
         var j = i - 1
-        while (j >= 0 && Character.isWhitespace(out.charAt(j))) j -= 1
-        val insideLiteral = out.substring(0, i).count(_ == '\'') % 2 == 1
+        while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+        val insideLiteral = msk.substring(0, i).count(_ == '\'') % 2 == 1
         val inFrom = !insideLiteral &&
-          j >= 0 && out.charAt(j) == ',' && fromContext(u, j)
+          j >= 0 && msk.charAt(j) == ',' && fromContext(u, j)
         if (inFrom) {
           // parse UNNEST ( <balanced> )
           var k = i + "UNNEST".length
-          while (k < out.length && Character.isWhitespace(out.charAt(k))) k += 1
-          if (k < out.length && out.charAt(k) == '(') {
-            val close = matchParen(out, k)
+          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
+          if (k < msk.length && msk.charAt(k) == '(') {
+            val close = matchParen(msk, k)
             if (close > 0) {
               val expr = out.substring(k + 1, close)
               // optional: AS alias(col) | AS col
               var p = close + 1
-              while (p < out.length && Character.isWhitespace(out.charAt(p))) p += 1
+              while (p < msk.length && Character.isWhitespace(msk.charAt(p))) p += 1
               var alias = "_unnest"
               var colName = "unnest"
               var end = close + 1
-              if (p + 2 <= out.length && u.startsWith("AS", p)) {
+              if (p + 2 <= msk.length && u.startsWith("AS", p)) {
                 var q = p + 2
-                while (q < out.length && Character.isWhitespace(out.charAt(q))) q += 1
-                val identEnd = identEndAt(out, q)
+                while (q < msk.length && Character.isWhitespace(msk.charAt(q))) q += 1
+                val identEnd = identEndAt(msk, q)
                 if (identEnd > q) {
                   val ident = out.substring(q, identEnd)
                   var r = identEnd
-                  while (r < out.length && Character.isWhitespace(out.charAt(r))) r += 1
-                  if (r < out.length && out.charAt(r) == '(') {
-                    val pc = matchParen(out, r)
+                  while (r < msk.length && Character.isWhitespace(msk.charAt(r))) r += 1
+                  if (r < msk.length && msk.charAt(r) == '(') {
+                    val pc = matchParen(msk, r)
                     if (pc > 0) {
                       alias = ident
                       colName = out.substring(r + 1, pc).trim

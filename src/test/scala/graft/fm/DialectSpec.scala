@@ -59,4 +59,36 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("LATERAL VIEW explode(a) x AS u"))
     assert(out.contains("LATERAL VIEW explode(b) y AS v"))
   }
+
+  test("comment masking: quotes in comments never flip literal parity") {
+    // an odd quote count inside a line comment used to make the scanner
+    // believe everything after it was a string literal
+    val in =
+      "SELECT * -- don't touch\nFROM t, UNNEST(tags) AS x(tag)"
+    val out = Dialect.rewrite(in)
+    assert(out.contains("LATERAL VIEW explode(tags) x AS tag"), out)
+    val in2 =
+      "SELECT /* it's fine */ from_json(tags, '[\"VARCHAR\"]') FROM t"
+    assert(Dialect.rewrite(in2).contains("from_json(tags, 'array<string>')"))
+  }
+
+  test("comment masking: commented-out syntax is not rewritten") {
+    val in = "SELECT a FROM t -- , UNNEST(tags) AS x(tag)"
+    assert(Dialect.rewrite(in) == in)
+    val in2 = "SELECT a /* from_json(b, '[\"\"]') */ FROM t"
+    assert(Dialect.rewrite(in2) == in2)
+  }
+
+  test("comment masking: comment between comma and UNNEST reads as whitespace") {
+    val in = "SELECT * FROM t, /* lateral */ UNNEST(tags) AS x(tag)"
+    assert(Dialect.rewrite(in).contains("LATERAL VIEW explode(tags) x AS tag"))
+  }
+
+  test("comment openers inside string literals are data") {
+    val in = "SELECT '--not a comment' AS c, '/*neither*/' AS d FROM t, UNNEST(tags) AS x(tag)"
+    val out = Dialect.rewrite(in)
+    assert(out.contains("'--not a comment'"))
+    assert(out.contains("'/*neither*/'"))
+    assert(out.contains("LATERAL VIEW explode(tags) x AS tag"))
+  }
 }
