@@ -32,6 +32,56 @@ object SimilarityQueries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** Brute-force exact cosine top-k for the 8 query vectors: one pass
+    * over embeddings, queries broadcast, bounded per-group top-k.
+    */
+  private def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+    topkPerQuery(s, sims, k)
+  }
+
+  /** LSH top-k: 16-bit random-hyperplane signatures bucket the corpus
+    * (4 bands x 4 bits); candidates = same-bucket under any band; exact
+    * re-rank of candidates only. Deterministic end-to-end (seeded
+    * hyperplanes, double-precision projections, float-sim/vec_id total
+    * order), which is what lets the DuckDB oracle replay the whole
+    * structure with the plane matrix inlined.
+    */
+  private def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed)
+    val sigUdf = udf { (v: Seq[Float]) => Similarity.signature(v.toArray, planes) }
+    val e = Tables.load(s, d, "embeddings")
+      .withColumn("sig", sigUdf(col("embedding")))
+    val bands = (0 until LshBands).map { bandIdx =>
+      e.select(col("vec_id"), col("embedding"), col("sig"),
+        lit(bandIdx).as("band"),
+        shiftright(col("sig"), bandIdx * LshBandBits).bitwiseAND(lit(LshBucketMask)).as("bucket"))
+    }.reduce(_ union _)
+    val q = bands.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("band"), col("bucket"))
+    val cands = bands.join(q, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"))
+      .distinct()
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+    topkPerQuery(s, cands, k)
+  }
+
+  private val LshBits = 16
+  private val LshDim = 64
+  private val LshSeed = 42L
+  private val LshBands = 4
+  private val LshBandBits = 4
+  private val LshBucketMask = 0xF
+
   /** Exact top-k per query via the bounded aggregator; ordering by
     * (float sim DESC, vec_id) is reproduced identically by the oracle's
     * ROW_NUMBER window.
@@ -58,14 +108,7 @@ object SimilarityQueries {
     // per-group top-k aggregation.
     "q_cosine_topk" -> ((s, d) => {
       CosineFunctions.register(s)
-      val e = Tables.load(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val sims = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
-      topkPerQuery(s, sims, 5)
+      exactTopK(s, d, 5)
     }),
 
     // B23-adjacent: embedding near-duplicate pairs inside label blocks —
@@ -85,34 +128,33 @@ object SimilarityQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
-    // ANN scale path: 16-bit random-hyperplane LSH signatures bucket the
-    // corpus; candidates = same-bucket under any of 4 bands; exact
-    // re-rank of candidates only. Approximate by design → no SQL oracle
-    // (driver records a rows-only check); determinism comes from the
-    // seeded hyperplanes and total ordering.
+    // ANN scale path: banded random-hyperplane LSH. Approximate relative
+    // to the exact scan, but fully DETERMINISTIC (seeded hyperplanes,
+    // sequential double-precision projections, total ordering), so the
+    // oracle replays the entire structure with the plane matrix inlined —
+    // hash-green, not rows-only.
     "q_ann_lsh" -> ((s, d) => {
       CosineFunctions.register(s)
-      val dim = 64
-      val nBits = 16
-      val planes = Similarity.hyperplanes(nBits, dim, seed = 42)
-      val sigUdf = udf { (v: Seq[Float]) => Similarity.signature(v.toArray, planes) }
-      val e = Tables.load(s, d, "embeddings")
-        .withColumn("sig", sigUdf(col("embedding")))
-      val bands = (0 until 4).map { bandIdx =>
-        e.select(col("vec_id"), col("embedding"), col("sig"),
-          lit(bandIdx).as("band"),
-          shiftright(col("sig"), bandIdx * 4).bitwiseAND(lit(0xF)).as("bucket"))
-      }.reduce(_ union _)
-      val q = bands.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("band"), col("bucket"))
-      val cands = bands.join(q, Seq("band", "bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"))
-        .distinct()
-        .select(col("qid"), col("vec_id"),
-          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
-      topkPerQuery(s, cands, 5)
+      lshTopK(s, d, 5)
+    }),
+
+    // Driver-visible ANN quality artifact (VERDICT r2 item 4): per-query
+    // recall@5 of the LSH path against the exact scan. Every column is
+    // replayed by the oracle (which recomputes BOTH top-5 sets), so the
+    // CORRECTNESS gate itself now pins the quality numbers.
+    "q_ann_lsh_recall" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val k = 5
+      val exact = exactTopK(s, d, k).select("qid", "vec_id")
+      val approx = lshTopK(s, d, k).select("qid", "vec_id")
+      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("qid"), lit(k).as("k"), col("hits"),
+          (col("hits").cast("double") / col("n_exact").cast("double")).as("recall"))
+        .orderBy("qid")
     }),
 
     // Vector aggregation: per-label mean embedding (centroid computation,
@@ -178,7 +220,71 @@ object SimilarityQueries {
     })
   )
 
+  /** DuckDB replay of the LSH pipeline. The seeded plane matrix is inlined
+    * as list literals at oracle-build time (Double.toString round-trips
+    * through DuckDB's correctly-rounding parser), and each projection is
+    * the same sequential float→double dot product as
+    * [[Similarity.signature]], so the sign bits — and therefore buckets,
+    * candidates, and the re-ranked top-k — are bit-identical. Emits CTEs
+    * ending in `lsh_top(qid, vec_id, sim)` (top-k applied) plus
+    * `qv(qid, qv)` for reuse.
+    */
+  private def lshOracleCtes(k: Int): String = {
+    val planes = Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed)
+    val bitTerms = planes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_aggregate(list_transform(range(1, ${LshDim + 1}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * list_extract($lst, i)), 'sum') >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val cos = oracleCos("e.embedding", "q.qv")
+    s"""sigs AS (SELECT vec_id, ($bitTerms) AS sig FROM embeddings),
+       |lbands AS (
+       |  SELECT vec_id, b, (sig >> (CAST(b AS INT) * $LshBandBits)) & $LshBucketMask AS bucket
+       |  FROM sigs CROSS JOIN (SELECT UNNEST(range(0, $LshBands)) AS b) bs),
+       |lq AS (SELECT vec_id AS qid, b, bucket FROM lbands WHERE vec_id < 8),
+       |lcand AS (
+       |  SELECT DISTINCT q.qid, v.vec_id
+       |  FROM lbands v JOIN lq q ON v.b = q.b AND v.bucket = q.bucket
+       |  WHERE v.vec_id <> q.qid),
+       |qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |lscored AS (
+       |  SELECT c.qid, c.vec_id, CAST($cos AS REAL) AS sim
+       |  FROM lcand c JOIN embeddings e ON c.vec_id = e.vec_id
+       |               JOIN qv q ON c.qid = q.qid),
+       |lsh_top AS (
+       |  SELECT qid, vec_id, sim FROM (
+       |    SELECT qid, vec_id, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM lscored) x WHERE rn <= $k)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH ${lshOracleCtes(5)}
+         |SELECT qid, vec_id, sim FROM lsh_top
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin,
+
+    "q_ann_lsh_recall" -> {
+      val cos = oracleCos("e.embedding", "q.qv")
+      s"""WITH ${lshOracleCtes(5)},
+         |p AS (
+         |  SELECT q.qid, e.vec_id, CAST($cos AS REAL) AS sim
+         |  FROM embeddings e, qv q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |         FROM p) x WHERE rn <= 5),
+         |per AS (
+         |  SELECT ex.qid, COUNT(*) AS n_exact, COUNT(l.vec_id) AS hits
+         |  FROM ex LEFT JOIN lsh_top l
+         |    ON ex.qid = l.qid AND ex.vec_id = l.vec_id
+         |  GROUP BY ex.qid)
+         |SELECT qid, 5 AS k, hits,
+         |       CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM per ORDER BY qid""".stripMargin
+    },
+
     "q_cosine_topk" -> {
       val cos = oracleCos("e.embedding", "q.qv")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

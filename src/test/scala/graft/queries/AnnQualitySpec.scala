@@ -40,7 +40,8 @@ class AnnQualitySpec extends AnyFunSuite {
     // A fresh session has an empty temp-function registry; each query
     // must register what it uses BEFORE eager Dataset analysis touches
     // it (VERDICT r2: q_ann_ivf failed exactly this way).
-    for (name <- Seq("q_cosine_topk", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf")) {
+    for (name <- Seq("q_cosine_topk", "q_embed_neardup", "q_ann_lsh",
+                     "q_ann_lsh_recall", "q_ann_ivf")) {
       val fresh = spark.newSession()
       val n = SimilarityQueries.queries(name)(fresh, sf).count()
       withClue(s"$name on a fresh session:") { assert(n > 0) }
