@@ -32,15 +32,39 @@ object Embed {
 
   def encode(text: String, dim: Int = DefaultDim): Array[Float] = {
     val acc = new Array[Double](dim)
-    val toks = tokenize(text)
     def add(t: String): Unit = {
       val h = hash60(t)
       val b = ((h >>> 1) % dim).toInt
       acc(b) += (if ((h & 1L) == 0L) 1.0 else -1.0)
     }
+    val toks = tokenize(text)
     toks.foreach(add)
     var i = 0
     while (i < toks.length - 1) { add(toks(i) + " " + toks(i + 1)); i += 1 }
+    normalize(acc)
+  }
+
+  /** Character-trigram feature hashing (the [[TrigramEncoder]] family):
+    * same bucket/sign scheme over 3-char windows of whitespace-collapsed
+    * lowercase text. Deliberately a different feature space from
+    * [[encode]], so switching families produces different vectors at the
+    * same dim — the property the model-change invalidation test pins.
+    */
+  def encodeTrigram(text: String, dim: Int = DefaultDim): Array[Float] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i + 3 <= t.length) {
+      val h = hash60(t.substring(i, i + 3))
+      val b = ((h >>> 1) % dim).toInt
+      acc(b) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+      i += 1
+    }
+    normalize(acc)
+  }
+
+  /** L2-normalize with the zero-vector fallback shared by both families. */
+  private def normalize(acc: Array[Double]): Array[Float] = {
     var norm = 0.0
     acc.foreach(x => norm += x * x)
     if (norm == 0.0) { acc(0) = 1.0; norm = 1.0 }
@@ -53,4 +77,10 @@ object Embed {
     */
   def register(spark: SparkSession, dim: Int = DefaultDim): Unit =
     spark.udf.register("embed", (s: String) => if (s == null) null else encode(s, dim))
+
+  /** Register `embed` bound to a resolved encoder, so the SQL surface
+    * follows the configured model (SemanticContext.registerFunctions).
+    */
+  def register(spark: SparkSession, enc: TextEncoder): Unit =
+    spark.udf.register("embed", (s: String) => if (s == null) null else enc.encode(s))
 }

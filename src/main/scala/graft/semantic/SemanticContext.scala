@@ -14,14 +14,22 @@ import graft.fm.{FileScan, SemanticProvider, Settings}
 final class SemanticContext(
     spark: SparkSession,
     settings: Settings,
-    val dim: Int = Embed.DefaultDim,
+    dimOverride: Int = 0,
     glob: String = "**/*.md") extends SemanticProvider {
+
+  /** Encoder resolved from the configured model name ([[Encoders]]); an
+    * explicit dimOverride (tests) beats the model's own dim.
+    */
+  val encoder: TextEncoder = Encoders.forModel(
+    settings.embeddingModel, if (dimOverride > 0) Some(dimOverride) else None)
+
+  val dim: Int = encoder.dim
 
   val cache = new EmbeddingCache(spark, settings.cacheDir, settings.embeddingModel, dim)
 
   val indexer = new EmbeddingIndexer(
     cache,
-    text => Embed.encode(text, dim),
+    text => encoder.encode(text),
     () => FileScan.collect(settings.baseDir, glob).map(settings.baseDir.resolve),
     settings.baseDir)
 
@@ -32,6 +40,6 @@ final class SemanticContext(
 
   override def registerFunctions(spark: SparkSession): Unit = {
     CosineFunctions.register(spark)
-    Embed.register(spark, dim)
+    Embed.register(spark, encoder)
   }
 }

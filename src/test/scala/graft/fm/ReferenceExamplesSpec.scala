@@ -59,7 +59,7 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     val dir = vault()
     val st = Settings(dir.toString, enableSemantic = true, "m",
       Some(Files.createTempDirectory("graft_ref_cache").toString))
-    val ctx = new SemanticContext(spark, st, dim = 32)
+    val ctx = new SemanticContext(spark, st, dimOverride = 32)
     ctx.indexer.start(); ctx.indexer.await(60000)
     val e = new QueryEngine(spark, st, Some(ctx))
     val r = e.query("**/*.md",

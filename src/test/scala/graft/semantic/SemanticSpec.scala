@@ -89,7 +89,7 @@ class SemanticSpec extends AnyFunSuite {
       "b.md" -> "---\nt: 2\n---\nbeta body text",
       "empty.md" -> "---\nt: 3\n---\n")
     val st = settingsFor(dir)
-    val ctx = new SemanticContext(spark, st, dim = 16)
+    val ctx = new SemanticContext(spark, st, dimOverride = 16)
     assert(ctx.indexer.state == IndexerState.Idle)
     assert(!ctx.isReady)
     ctx.indexer.start()
@@ -111,13 +111,43 @@ class SemanticSpec extends AnyFunSuite {
     assert(ctx.cache.get("b.md").isEmpty)
   }
 
+  test("model switch truncates the cache and re-indexes through the encoder seam (cache.py:86-103)") {
+    val dir = corpus("a.md" -> "---\nt: 1\n---\nalpha body text for the seam")
+    val cacheDir = Files.createTempDirectory("graft_sem_seam").toString
+    def settingsWith(model: String) =
+      Settings(dir.toString, enableSemantic = true, model, Some(cacheDir))
+
+    val ctxA = new SemanticContext(spark, settingsWith("stub-model"))
+    ctxA.indexer.start(); assert(ctxA.indexer.await(60000))
+    assert(ctxA.cache.count == 1)
+    val va = ctxA.cache.get("a.md").get.toSeq
+
+    // Same cache dir, different model name → cache truncated at load,
+    // indexer rebuilds with the NEW encoder family (trigram)
+    val ctxB = new SemanticContext(spark, settingsWith("graft-trigram-encoder-v1"))
+    assert(ctxB.cache.count == 0)
+    ctxB.indexer.start(); assert(ctxB.indexer.await(60000))
+    assert(ctxB.cache.count == 1)
+    val vb = ctxB.cache.get("a.md").get.toSeq
+    assert(va.length == 64 && vb.length == 64)
+    assert(vb != va) // genuinely a different encoder, not just a new name
+    assert(vb == Embed.encodeTrigram("alpha body text for the seam", 64).toSeq)
+
+    // @dim<N> suffix re-dimensions through the same seam (dim is part of
+    // the cache metadata, so this also invalidates)
+    val ctxC = new SemanticContext(spark, settingsWith("stub-model@dim32"))
+    assert(ctxC.cache.count == 0)
+    ctxC.indexer.start(); assert(ctxC.indexer.await(60000))
+    assert(ctxC.cache.get("a.md").get.length == 32)
+  }
+
   test("engine integration: embedding column, NULL for unindexed, cosine ranking (test_query.py:221-326)") {
     val dir = corpus(
       "x.md" -> "---\ntitle: X\n---\nspark table scan and hash join",
       "y.md" -> "---\ntitle: Y\n---\ncompletely unrelated topic words",
       "z.md" -> "---\ntitle: Z\n---\n") // empty body → never indexed → NULL
     val st = settingsFor(dir)
-    val ctx = new SemanticContext(spark, st, dim = 32)
+    val ctx = new SemanticContext(spark, st, dimOverride = 32)
     ctx.indexer.start(); ctx.indexer.await(60000)
     val eng = new QueryEngine(spark, st, Some(ctx))
     val r = eng.query("**/*.md",
