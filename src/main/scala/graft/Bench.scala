@@ -42,7 +42,11 @@ object Bench {
       math.max(4, math.min(cpus.toInt * 2, (factRows / 75000L).toInt + 1)))
     spark.conf.set("spark.sql.shuffle.partitions", shuffle)
 
+    // Dev-only filter for iterating on individual queries; the driver
+    // never sets it, so per-round benches always run the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def materialize(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -65,13 +69,17 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Millisecond precision keeps the whole line under the ~2 kB tail
+    // window the driver retains — full nanosecond doubles pushed the line
+    // past it, truncating the JSON head (rounds 1-3 recorded parsed:false).
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = (warmErrors ++ timed.collect { case (k, _, Some(e)) => k -> e }.toMap)
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = timed.filter(_._2 >= 0).map(_._2).sum
     val nFailed = timed.count(_._2 < 0)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},""" +
         s""""n_queries":${timed.length},"n_failed":$nFailed,"tables_cached":true,"errors":$errs}""")
     spark.stop()
   }

@@ -95,8 +95,14 @@ object DedupQueries {
     * Jaccard over the UNFILTERED shingle sets.
     */
   def ngramCandidates(sh: DataFrame, maxDocFreq: Long): DataFrame = {
+    // df >= 2: a shingle seen in a single document generates no pairs, so
+    // dropping it provably preserves the candidate set — and since the
+    // overwhelming majority of shingles are unique, it collapses the
+    // semi-join's build side from "all distinct shingles" to just the
+    // shared ones (small enough to broadcast at any scale where near-dup
+    // rates are sane).
     val cold = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") < maxDocFreq)
+      .filter(col("df") >= 2 && col("df") < maxDocFreq)
       .select("sh")
     val pruned = sh.join(cold, Seq("sh"), "left_semi")
     pruned.select(col("doc_id").as("ia"), col("sh"))
@@ -106,8 +112,52 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Near-dup pairs with exact Jaccard, skew-guarded in ONE pass over the
+    * shingle posting lists. Common-shingle counts for candidate pairs fall
+    * directly out of the pruned self-join (`groupBy(ia, ib)` on the join
+    * output) — no candidate materialization, no re-expansion of pairs
+    * against full posting lists. Hot shingles (df >= maxDocFreq) are
+    * excluded from pair GENERATION (the skew guard: a df-10^5 stop-shingle
+    * would emit 10^10 pairs on one key) but still counted in each
+    * surviving pair's Jaccard numerator via a per-candidate correction
+    * join, which is bounded by |candidates| x (hot shingles per doc) —
+    * and the distinct-hot set is tiny by construction. So scores are
+    * exact over the FULL shingle sets while no join key ever fans out
+    * past maxDocFreq. When no shingle reaches the cutoff the hot side is
+    * an empty frame and the correction costs one cached-scan filter.
+    */
+  def jaccardPairs(sh: DataFrame, maxDocFreq: Long): DataFrame = {
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df >= 2: single-document shingles can't pair; dropping them shrinks
+    // the semi-join build side to just the shared shingles.
+    val coldKeys = dfc.filter(col("df") >= 2 && col("df") < maxDocFreq).select("sh")
+    val hotKeys = dfc.filter(col("df") >= maxDocFreq).select("sh")
+    val shCold = sh.join(coldKeys, Seq("sh"), "left_semi")
+    val shHot = sh.join(hotKeys, Seq("sh"), "left_semi")
+    val commonCold = shCold.select(col("doc_id").as("ia"), col("sh"))
+      .join(shCold.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(count(lit(1)).as("common_cold"))
+    val commonHot = commonCold.select("ia", "ib")
+      .join(shHot.select(col("doc_id").as("ia"), col("sh")), Seq("ia"))
+      .join(shHot.select(col("doc_id").as("ib"), col("sh")), Seq("ib", "sh"))
+      .groupBy("ia", "ib")
+      .agg(count(lit(1)).as("common_hot"))
+    val cnt = shingleCounts(sh)
+    commonCold
+      .join(commonHot, Seq("ia", "ib"), "left")
+      .withColumn("common", col("common_cold") + coalesce(col("common_hot"), lit(0L)))
+      .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
+  }
+
   /** Exact Jaccard for the given candidate (ia, ib) pairs: count common
     * shingles by joining the shingle lists restricted to candidates.
+    * Used where candidates come from a structure other than the shingle
+    * lists themselves (e.g. MinHash bands).
     */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val cnt = shingleCounts(sh)
@@ -145,12 +195,10 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup: candidates = pairs sharing >=1 shingle
-    // below the hot-shingle df cutoff; exact Jaccard over the full
-    // shingle sets verifies candidates only.
+    // below the hot-shingle df cutoff; common counts fall out of the same
+    // pruned self-join (one pass), hot commons added per-candidate.
     "q_dedup_ngram" -> ((s, d) => {
-      val sh = shingleDF(s, d)
-      val cand = ngramCandidates(sh, maxShingleDocFreq(s, d))
-      verifyJaccard(sh, cand)
+      jaccardPairs(shingleDF(s, d), maxShingleDocFreq(s, d))
         .filter(col("jac") >= 0.5)
         .orderBy("ia", "ib")
     }),
@@ -194,9 +242,7 @@ object DedupQueries {
     // canonical keeper). Min-label propagation in Spark; the oracle
     // reproduces it with a recursive transitive-closure CTE.
     "q_dedup_clusters" -> ((s, d) => {
-      val sh = shingleDF(s, d)
-      val cand = ngramCandidates(sh, maxShingleDocFreq(s, d))
-      val pairs = verifyJaccard(sh, cand)
+      val pairs = jaccardPairs(shingleDF(s, d), maxShingleDocFreq(s, d))
         .filter(col("jac") >= 0.5)
         .select("ia", "ib")
       graft.ops.ConnectedComponents.labelPropagate(s, pairs)
