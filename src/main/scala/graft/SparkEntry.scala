@@ -20,6 +20,7 @@ object SparkEntry {
     graft.semantic.CosineFunctions.register(spark)
     graft.semantic.Embed.register(spark)
     graft.fm.Dialect.register(spark)
+    graft.ops.GraftAggregates.register(spark)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -3,7 +3,6 @@ package graft.fm
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TopKAgg
 
 /** `query_inspect` schema inference (reference `query_schema.py:19-69`):
   * per property `{type, nullable, examples}` where type is "array" iff any
@@ -38,17 +37,14 @@ object SchemaInfer {
         max(when(col("value").isNotNull && col("is_array"), 1).otherwise(0)).as("arr"))
 
     // First occurrence path per distinct (key, value); then first-5 by path.
-    val topk = new TopKAgg[(String, String)](maxSamples)
+    graft.ops.GraftAggregates.register(spark)
     val examples = kv
       .filter(col("value").isNotNull)
       .groupBy("key", "value")
       .agg(min("path").as("fp"))
-      .as[(String, String, String)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._3, r._2)) // (firstPath, value)
-      .agg(topk.toColumn.name("ex"))
-      .toDF("key", "ex")
-      .select(col("key"), col("ex._2").as("examples"))
+      .groupBy("key")
+      .agg(expr(s"graft_top_k(struct(fp, value), $maxSamples)").as("ex"))
+      .select(col("key"), col("ex.value").as("examples"))
 
     val out = stats
       .join(examples, Seq("key"), "left")

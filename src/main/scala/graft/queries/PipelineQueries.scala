@@ -78,16 +78,12 @@ object PipelineQueries {
     // portable 60-bit hash, so the estimate is exactly reproducible in
     // SQL (the oracle recomputes the kth-order statistic).
     "q_sketch_kmv" -> ((s, d) => {
-      import s.implicits._
-      val kmv = new graft.ops.KmvAgg(32)
+      graft.ops.GraftAggregates.register(s)
       Tables.load(s, d, "events")
         .select(col("event_type"),
           expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(kmv.toColumn.name("est_users"))
-        .toDF("event_type", "est_users")
+        .groupBy("event_type")
+        .agg(expr("graft_kmv(h, 32)").as("est_users"))
         .orderBy("event_type")
     })
   )

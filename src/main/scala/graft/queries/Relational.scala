@@ -193,20 +193,13 @@ object Relational {
     // row into 5 tasks and sort whole segments at 100 TB. The bounded
     // top-k aggregator keeps <=3 rows per group in the partial aggregate.
     "q_window_rank" -> ((s, d) => {
-      import s.implicits._
-      implicit val ord: Ordering[(Double, Long)] =
-        Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
-      val agg = new graft.ops.TopKAgg[(Double, Long)](3)
+      graft.ops.GraftAggregates.register(s)
       t(s, d, "customer")
-        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-        .as[(String, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._2, r._3))
-        .agg(agg.toColumn.name("top"))
-        .flatMap { case (seg, items) =>
-          items.zipWithIndex.map { case ((bal, ck), i) => (seg, i + 1, ck, bal) }
-        }
-        .toDF("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .agg(expr("graft_top_k(struct(-c_acctbal AS s, c_custkey AS c, c_acctbal AS bal), 3)").as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).as("rn"),
+          col("col.c").as("c_custkey"), col("col.bal").as("c_acctbal"))
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{FloatType, IntegerType}
 
 import graft.Tables
-import graft.ops.TopKAgg
 import graft.semantic.{CosineFunctions, Embed, SemanticContext}
 import graft.fixtures.FixtureCorpus
 import graft.fm.{QueryEngine, Settings}
@@ -82,23 +81,19 @@ object SimilarityQueries {
   private val LshBandBits = 4
   private val LshBucketMask = 0xF
 
-  /** Exact top-k per query via the bounded aggregator; ordering by
-    * (float sim DESC, vec_id) is reproduced identically by the oracle's
+  /** Exact top-k per query via the declarative bounded aggregate —
+    * codegen'd partial+final aggregation, O(k) per-group state; ordering
+    * by (float sim DESC, vec_id) is encoded as the struct sort key
+    * (negated sim leads) and reproduced identically by the oracle's
     * ROW_NUMBER window.
     */
   private def topkPerQuery(spark: SparkSession, sims: DataFrame, k: Int): DataFrame = {
-    import spark.implicits._
-    implicit val ord: Ordering[(Float, Long)] =
-      Ordering.Tuple2(Ordering[Float].reverse, Ordering[Long])
-    val agg = new TopKAgg[(Float, Long)](k)
+    graft.ops.GraftAggregates.register(spark)
     sims
-      .select(col("qid"), col("sim"), col("vec_id"))
-      .as[(Long, Float, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(agg.toColumn.name("top"))
-      .flatMap { case (qid, items) => items.map(t => (qid, t._2, t._1)) }
-      .toDF("qid", "vec_id", "sim")
+      .groupBy("qid")
+      .agg(expr(s"graft_top_k(struct(-sim AS s, vec_id AS v, sim AS sim), $k)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.v").as("vec_id"), col("t.sim").as("sim"))
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 

@@ -40,29 +40,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 11L))
   }
 
-  test("KmvAgg: exact below k, deterministic estimate above k") {
-    val agg = new KmvAgg(4)
-    // fewer than k distinct -> exact count
-    val small = Seq(5L, 7L, 5L, 9L).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.finish(small) == 3.0)
+  test("graft_kmv: exact below k, deterministic estimate above k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftAggregates.register(spark)
+    // fewer than k distinct -> exact count (duplicates don't inflate)
+    val small = Seq(5L, 7L, 5L, 9L).toDF("h")
+      .agg(expr("graft_kmv(h, 4)")).head.getDouble(0)
+    assert(small == 3.0)
     // k-th smallest drives the estimate: (k-1) * 2^60 / h_k
-    val hs = Seq(1L << 50, 1L << 52, 1L << 54, 1L << 56, 1L << 58)
-    val buf = hs.foldLeft(agg.zero)(agg.reduce)
-    assert(buf == hs.take(4).sorted)
-    assert(agg.finish(buf) == 3.0 * KmvAgg.HashSpace / (1L << 56).toDouble)
-    // merge respects distinctness and the cap
-    val merged = agg.merge(buf, Seq(1L << 50, 1L << 49))
-    assert(merged == Seq(1L << 49, 1L << 50, 1L << 52, 1L << 54))
+    val est = Seq(1L << 50, 1L << 52, 1L << 54, 1L << 56, 1L << 58).toDF("h")
+      .agg(expr("graft_kmv(h, 4)")).head.getDouble(0)
+    assert(est == 3.0 * KmvSketch.HashSpace / (1L << 56).toDouble)
+    // partial/final merge path: many partitions, 37 distinct hashes spaced
+    // 2^50 apart; 4th smallest = 3 * 2^50 -> estimate 3 * 2^60 / (3*2^50) = 1024
+    val got = spark.range(0, 1000, 1, 8)
+      .selectExpr("(id % 37) * 1125899906842624 AS h")
+      .agg(expr("graft_kmv(h, 4)")).head.getDouble(0)
+    assert(got == 1024.0)
   }
 
-  test("TopKAgg keeps k smallest with ordering and merge") {
-    implicit val ord: Ordering[(Double, Long)] =
-      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
-    implicit val enc = org.apache.spark.sql.catalyst.encoders
-      .ExpressionEncoder[Seq[(Double, Long)]]()
-    val agg = new TopKAgg[(Double, Long)](2)
-    val b = Seq((0.9, 1L), (0.5, 2L), (0.95, 3L)).foldLeft(agg.zero)(agg.reduce)
-    assert(b == Seq((0.95, 3L), (0.9, 1L)))
-    assert(agg.merge(b, Seq((0.99, 7L))) == Seq((0.99, 7L), (0.95, 3L)))
+  test("graft_top_k keeps k smallest with struct ordering across partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftAggregates.register(spark)
+    // (score DESC, id ASC) encoded by the negated leading field
+    val rows = Seq((0.9, 1L), (0.5, 2L), (0.95, 3L), (0.99, 7L))
+      .toDF("x", "id").repartition(4)
+    val top = rows
+      .agg(expr("graft_top_k(struct(-x AS s, id AS id, x AS x), 2)").as("t"))
+      .selectExpr("transform(t, e -> struct(e.x, e.id)) AS t")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.99, 7L), (0.95, 3L)))
+    // plans as a codegen-friendly declarative aggregate, not ObjectHashAggregate
+    val plan = rows.groupBy("id")
+      .agg(expr("graft_top_k(struct(-x AS s, id AS id), 2)"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("AppendColumns"), plan.take(1500))
   }
 }
