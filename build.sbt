@@ -15,6 +15,9 @@ run / fork := true
 // line from the process tail, and sbt's default logger would prefix every
 // line with "[info] ".
 run / outputStrategy := Some(StdoutOutput)
+// Forward stdin to the forked JVM — the MCP stdio server reads requests
+// from it (no effect on Verify/Bench, which never read stdin).
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,128 @@
+package graft.fm
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Wire-format tests for the MCP stdio layer: JSON-RPC framing,
+  * initialize handshake, tool listing (with conditional semantic
+  * registration), and tool calls driven end-to-end through `handle` —
+  * the reference's transport surface (`server.py:29,663-675`).
+  */
+class McpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkServer(semantic: Boolean = false): (McpServer, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("graft_mcp_spec")
+    Files.write(dir.resolve("a.md"), "---\ntitle: A\ntags:\n- x\n---\nbody".getBytes)
+    Files.write(dir.resolve("b.md"), "---\ntitle: B\n---\nmore".getBytes)
+    val tools = new FmTools(spark, Settings(dir.toString, semantic, "m",
+      Some(Files.createTempDirectory("graft_mcp_cache").toString)))
+    (new McpServer(tools), dir)
+  }
+
+  private def rpc(server: McpServer, line: String): Map[String, Any] =
+    Json.parse(server.handle(line).get).asInstanceOf[Map[String, Any]]
+
+  test("initialize returns protocol version, capabilities, serverInfo") {
+    val (server, _) = mkServer()
+    val r = rpc(server,
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05","capabilities":{}}}""")
+    assert(r("id") == 1)
+    val result = r("result").asInstanceOf[Map[String, Any]]
+    assert(result("protocolVersion") == "2024-11-05")
+    assert(result("capabilities").asInstanceOf[Map[String, Any]].contains("tools"))
+    assert(result("serverInfo").asInstanceOf[Map[String, Any]]("name") == "frontmatter-spark")
+  }
+
+  test("notifications get no response") {
+    val (server, _) = mkServer()
+    assert(server.handle("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+  }
+
+  test("tools/list registers semantic tools conditionally (A24)") {
+    val (off, _) = mkServer(semantic = false)
+    val names = rpc(off, """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")("result")
+      .asInstanceOf[Map[String, Any]]("tools").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("name"))
+    assert(names.contains("query") && names.contains("batch_array_sort"))
+    assert(!names.exists(_.toString.startsWith("index_")))
+
+    val (on, _) = mkServer(semantic = true)
+    val onNames = rpc(on, """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")("result")
+      .asInstanceOf[Map[String, Any]]("tools").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("name"))
+    assert(Seq("index_status", "index_wait", "index_refresh").forall(onNames.contains))
+    // and calling a hidden tool on the disabled server is a params error
+    val err = rpc(off,
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"index_status","arguments":{}}}""")
+    assert(err("error").asInstanceOf[Map[String, Any]]("code") == McpServer.InvalidParams)
+  }
+
+  test("tools/call query returns the reference response shape as content") {
+    val (server, _) = mkServer()
+    val r = rpc(server,
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"query","arguments":{"glob":"**/*.md","sql":"SELECT path, title FROM files ORDER BY path"}}}""")
+    val result = r("result").asInstanceOf[Map[String, Any]]
+    assert(result("isError") == false)
+    val text = result("content").asInstanceOf[Seq[Map[String, Any]]].head("text").toString
+    val payload = Json.parse(text).asInstanceOf[Map[String, Any]]
+    assert(payload("row_count") == 2)
+    assert(payload("columns") == Seq("path", "title"))
+    val structured = result("structuredContent").asInstanceOf[Map[String, Any]]
+    assert(structured("row_count") == 2)
+  }
+
+  test("tools/call update mutates the file and a follow-up query sees it") {
+    val (server, dir) = mkServer()
+    val up = rpc(server,
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"update","arguments":{"path":"b.md","set":{"title":"B2","draft":true},"unset":[]}}}""")
+    assert(up("result").asInstanceOf[Map[String, Any]]("isError") == false)
+    assert(new String(Files.readAllBytes(dir.resolve("b.md"))).contains("title: B2"))
+    val q = rpc(server,
+      """{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"query","arguments":{"glob":"**/*.md","sql":"SELECT title FROM files WHERE draft = true"}}}""")
+    val text = q("result").asInstanceOf[Map[String, Any]]("content")
+      .asInstanceOf[Seq[Map[String, Any]]].head("text").toString
+    assert(Json.parse(text).asInstanceOf[Map[String, Any]]("row_count") == 1)
+  }
+
+  test("tool failures surface as isError content, not protocol errors") {
+    val (server, _) = mkServer()
+    val r = rpc(server,
+      """{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"query","arguments":{"glob":"**/*.md","sql":"SELECT nope FROM files"}}}""")
+    val result = r("result").asInstanceOf[Map[String, Any]]
+    assert(result("isError") == true)
+  }
+
+  test("protocol errors: parse error, unknown method, unknown tool, missing arg") {
+    val (server, _) = mkServer()
+    def code(m: Map[String, Any]) = m("error").asInstanceOf[Map[String, Any]]("code")
+    assert(code(rpc(server, """{"jsonrpc": [}""")) == McpServer.ParseError)
+    assert(code(rpc(server, """{"jsonrpc":"2.0","id":8,"method":"resources/list"}""")) ==
+      McpServer.MethodNotFound)
+    assert(code(rpc(server,
+      """{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{"name":"zap","arguments":{}}}""")) ==
+      McpServer.InvalidParams)
+    assert(code(rpc(server,
+      """{"jsonrpc":"2.0","id":10,"method":"tools/call","params":{"name":"query","arguments":{"glob":"*.md"}}}""")) ==
+      McpServer.InvalidParams)
+  }
+
+  test("semantic flow over the wire: wait then query embeddings") {
+    val (server, _) = mkServer(semantic = true)
+    val refresh = rpc(server,
+      """{"jsonrpc":"2.0","id":11,"method":"tools/call","params":{"name":"index_refresh","arguments":{}}}""")
+    assert(refresh("result").asInstanceOf[Map[String, Any]]("isError") == false)
+    val wait = rpc(server,
+      """{"jsonrpc":"2.0","id":12,"method":"tools/call","params":{"name":"index_wait","arguments":{"timeout":60}}}""")
+    val wres = wait("result").asInstanceOf[Map[String, Any]]("structuredContent")
+      .asInstanceOf[Map[String, Any]]
+    assert(wres("success") == true)
+    val status = rpc(server,
+      """{"jsonrpc":"2.0","id":13,"method":"tools/call","params":{"name":"index_status","arguments":{}}}""")
+    assert(status("result").asInstanceOf[Map[String, Any]]("structuredContent")
+      .asInstanceOf[Map[String, Any]]("state") == "ready")
+  }
+}
