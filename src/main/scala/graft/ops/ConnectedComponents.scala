@@ -20,34 +20,46 @@ object ConnectedComponents {
     *         label = min node id reachable from it.
     */
   def labelPropagate(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Eager localCheckpoint, not persist: iterative plans otherwise nest
+    // the (potentially huge) edge-producing lineage one level deeper per
+    // round, and driver-side analysis/optimization of the growing tree
+    // quickly dominates the actual sub-second execution. Checkpointing
+    // truncates the logical plan so every iteration analyzes a two-table
+    // join, regardless of how expensive the edge pipeline was. On a
+    // cluster, swap for reliable `checkpoint()` (HDFS-backed) if executor
+    // loss during the iteration must be survivable.
     val sym = edges.toDF("a", "b")
       .union(edges.toDF("b", "a").select(col("a"), col("b")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = sym.select(col("a").as("node"))
       .union(sym.select(col("b").as("node")))
       .distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate label for each node: min of its own and its neighbors'
+      // candidate label for each node: min of its own, its neighbors',
+      // and its label's label (pointer jumping — label chains halve each
+      // round, so iterations ~ log(diameter) instead of diameter)
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .select(col("a").as("node"), col("label"))
-      val next = labels.select("node", "label").union(viaNeighbors)
+      val viaLabel = labels
+        .join(labels.select(col("node").as("label"), col("label").as("label2")), Seq("label"))
+        .select(col("node"), col("label2").as("label"))
+      val next = labels.select("node", "label").union(viaNeighbors).union(viaLabel)
         .groupBy("node").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] iter=$iter changed=$changed")
     }
-    sym.unpersist()
     labels
   }
 }

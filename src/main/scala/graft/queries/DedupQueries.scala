@@ -52,6 +52,7 @@ object DedupQueries {
   private val wordCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private val simhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private val minhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val jacCache = scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame]
 
   private def shingleDF(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate((Tables.sessionKey(s), d), {
@@ -154,6 +155,16 @@ object DedupQueries {
         (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
   }
 
+  // The scored pair frame is shared verbatim by q_dedup_ngram and
+  // q_dedup_clusters (clusters = connected components OVER the ngram pair
+  // graph), and the clustering iterates over it — persist one copy per
+  // (session, dir, cutoff) like the shingle frames above.
+  private def jaccardPairsCached(s: SparkSession, d: String): DataFrame = {
+    val cutoff = maxShingleDocFreq(s, d)
+    jacCache.getOrElseUpdate((Tables.sessionKey(s), d, cutoff),
+      jaccardPairs(shingleDF(s, d), cutoff).persist())
+  }
+
   /** Exact Jaccard for the given candidate (ia, ib) pairs: count common
     * shingles by joining the shingle lists restricted to candidates.
     * Used where candidates come from a structure other than the shingle
@@ -198,7 +209,7 @@ object DedupQueries {
     // below the hot-shingle df cutoff; common counts fall out of the same
     // pruned self-join (one pass), hot commons added per-candidate.
     "q_dedup_ngram" -> ((s, d) => {
-      jaccardPairs(shingleDF(s, d), maxShingleDocFreq(s, d))
+      jaccardPairsCached(s, d)
         .filter(col("jac") >= 0.5)
         .orderBy("ia", "ib")
     }),
@@ -242,7 +253,7 @@ object DedupQueries {
     // canonical keeper). Min-label propagation in Spark; the oracle
     // reproduces it with a recursive transitive-closure CTE.
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairs(shingleDF(s, d), maxShingleDocFreq(s, d))
+      val pairs = jaccardPairsCached(s, d)
         .filter(col("jac") >= 0.5)
         .select("ia", "ib")
       graft.ops.ConnectedComponents.labelPropagate(s, pairs)
