@@ -202,6 +202,43 @@ object SimilarityQueries {
       topkPerQuery(s, cands, 5)
     }),
 
+    // Embedding compression for the 100 TB store: symmetric per-vector
+    // int8 quantization (scale = max|x|/127, round-half-up) — 4x smaller
+    // vectors for the ANN candidate tier. Entirely deterministic integer
+    // + double arithmetic, so the oracle replays quantized values, their
+    // checksum, and the reconstruction error exactly. All codegen column
+    // expressions; `scale`/`qv` are materialized as columns first because
+    // Catalyst lambdas don't CSE subexpressions.
+    "q_embed_quantize" -> ((s, d) => {
+      quantized(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(qv, 0L, (a, v) -> a + CAST(v AS BIGINT))").as("qsum"),
+          expr("CAST(aggregate(zip_with(qv, embedding, (q, x) -> abs(q * scale - CAST(x AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v) / 64 AS FLOAT)").as("mae"))
+        .orderBy("vec_id")
+    }),
+
+    // ANN over the quantized tier: cosine on int8 vectors needs NO
+    // dequantization — the per-vector scales cancel, so similarity is
+    // exact integer dot/norms plus one double division (bit-reproducible
+    // in SQL, unlike float accumulation). The scan reads 1/4 the bytes of
+    // the float tier; at 100 TB this is the memory-resident candidate
+    // pass, with exact float re-rank reserved for the survivors.
+    "q_ann_quantized" -> ((s, d) => {
+      graft.ops.GraftAggregates.register(s)
+      val e = quantized(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), col("qv"),
+          expr("aggregate(zip_with(qv, qv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, v) -> a + v)").as("nrm"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qv").as("qv2"), col("nrm").as("nrm2"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dq",
+          expr("aggregate(zip_with(qv, qv2, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, v) -> a + v)"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(dq / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nrm2 AS DOUBLE))) AS FLOAT)").as("sim"))
+      topkPerQuery(s, sims, 5)
+    }),
+
     // A8-A11 + A20-A21 end-to-end (rows-only: embed() has no DuckDB
     // analogue): corpus → differential indexer → embedding join →
     // README.md:318-333 similarity query through the engine.
@@ -214,6 +251,18 @@ object SimilarityQueries {
           |ORDER BY score DESC, path LIMIT 10""".stripMargin).results
     })
   )
+
+  /** Symmetric int8 quantization columns: `scale` (double, max|x|/127)
+    * and `qv` (array<int>, round-half-up of x/scale; all-zero vectors
+    * quantize to zeros). Deterministic: max/abs are order-independent,
+    * each element's divide-floor chain is exact IEEE double arithmetic.
+    */
+  private def quantized(e: DataFrame): DataFrame = e
+    .withColumn("scale",
+      expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127"))
+    .withColumn("qv",
+      expr("CASE WHEN scale = 0 THEN transform(embedding, x -> 0) " +
+        "ELSE transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT)) END"))
 
   /** DuckDB replay of the LSH pipeline. The seeded plane matrix is inlined
     * as list literals at oracle-build time (Double.toString round-trips
@@ -254,7 +303,45 @@ object SimilarityQueries {
        |    FROM lscored) x WHERE rn <= $k)""".stripMargin
   }
 
+  /** Shared CTEs replaying [[quantized]] in DuckDB: `qn(vec_id, scale,
+    * qv, embedding)` — identical max/abs scale and divide-floor chain.
+    */
+  private val quantOracleCtes: String =
+    """qs AS (SELECT vec_id, embedding,
+      |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127 AS scale
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, scale, embedding,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+      |    END AS qv
+      |  FROM qs)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      s"""WITH $quantOracleCtes
+         |SELECT vec_id, scale,
+         |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+         |  CAST(list_aggregate(list_transform(range(1, 65),
+         |    i -> abs(qv[i] * scale - CAST(embedding[i] AS DOUBLE))), 'sum') / 64 AS REAL) AS mae
+         |FROM qn ORDER BY vec_id""".stripMargin,
+
+    "q_ann_quantized" ->
+      s"""WITH $quantOracleCtes,
+         |n AS (SELECT vec_id, qv,
+         |    CAST(list_aggregate(list_transform(range(1, 65),
+         |      i -> CAST(qv[i] AS BIGINT) * qv[i]), 'sum') AS BIGINT) AS nrm
+         |  FROM qn),
+         |p AS (SELECT q.vec_id AS qid, e.vec_id,
+         |    CAST(CAST(list_aggregate(list_transform(range(1, 65),
+         |        i -> CAST(e.qv[i] AS BIGINT) * q.qv[i]), 'sum') AS BIGINT)
+         |      / (sqrt(CAST(e.nrm AS DOUBLE)) * sqrt(CAST(q.nrm AS DOUBLE))) AS REAL) AS sim
+         |  FROM n e, n q WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)
+         |SELECT qid, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM p) x WHERE rn <= 5
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin,
+
     "q_ann_lsh" ->
       s"""WITH ${lshOracleCtes(5)}
          |SELECT qid, vec_id, sim FROM lsh_top

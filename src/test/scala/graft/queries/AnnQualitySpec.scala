@@ -36,12 +36,23 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("int8-quantized cosine closely tracks the exact float ranking") {
+    // The quantized tier is lossy but tight: max|x|/127 scaling bounds
+    // per-element error at scale/2, and cosine cancels the scales, so
+    // top-5 recall vs the exact scan should be near-perfect — a drop
+    // means the quantization or integer dot product broke.
+    val exact = topsOf("q_cosine_topk")
+    val quant = recall(topsOf("q_ann_quantized"), exact)
+    withClue(s"quantized recall=$quant:") { assert(quant >= 0.9) }
+  }
+
   test("every similarity query is self-contained on a fresh session") {
     // A fresh session has an empty temp-function registry; each query
     // must register what it uses BEFORE eager Dataset analysis touches
     // it (VERDICT r2: q_ann_ivf failed exactly this way).
     for (name <- Seq("q_cosine_topk", "q_embed_neardup", "q_ann_lsh",
-                     "q_ann_lsh_recall", "q_ann_ivf")) {
+                     "q_ann_lsh_recall", "q_ann_ivf", "q_ann_quantized",
+                     "q_embed_quantize")) {
       val fresh = spark.newSession()
       val n = SimilarityQueries.queries(name)(fresh, sf).count()
       withClue(s"$name on a fresh session:") { assert(n > 0) }
