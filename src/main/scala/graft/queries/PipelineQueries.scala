@@ -74,6 +74,23 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // Sequence packing: assign documents (in doc_id order) to fixed
+    // 2048-token training windows — a document belongs to the window its
+    // first token lands in, i.e. bin = floor(prefix_sum_before / budget).
+    // The prefix sum is the distributed two-pass form (range partition +
+    // per-partition windows + broadcast offsets, graft.ops.PrefixSum),
+    // NOT a single-partition global window; the oracle replays it with a
+    // plain windowed running sum.
+    "q_pack_sequences" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+      graft.ops.PrefixSum.runningBefore(toks, "doc_id", "ntok",
+          partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id"), col("ntok"),
+          expr("CAST(floor(cum_before / 2048.0) AS BIGINT)").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // KMV distinct-count sketch per event_type: deterministic with the
     // portable 60-bit hash, so the estimate is exactly reproducible in
     // SQL (the oracle recomputes the kth-order statistic).
@@ -89,6 +106,15 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents)
+        |SELECT doc_id, CAST(ntok AS INT) AS ntok,
+        |  CAST(floor(COALESCE(SUM(ntok) OVER (
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

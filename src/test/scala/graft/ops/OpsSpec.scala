@@ -40,6 +40,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 11L))
   }
 
+  test("PrefixSum.runningBefore: exact over many partitions, data never single-partitioned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 1000
+    val df = spark.range(0, n, 1, 16)
+      .select(col("id"), ((col("id") * 37 + 11) % 97).as("v"))
+    val out = graft.ops.PrefixSum.runningBefore(df.toDF(), "id", "v", partitions = 8)
+      .orderBy("id").select("id", "cum_before").as[(Long, Long)].collect()
+    var acc = 0L
+    (0 until n).foreach { i =>
+      assert(out(i) == (i.toLong, acc), s"at id=$i")
+      acc += (i.toLong * 37 + 11) % 97
+    }
+    // the only single-partition exchange allowed is the per-partition
+    // offsets frame (8 rows), never the data path
+    val plan = graft.ops.PrefixSum.runningBefore(df.toDF(), "id", "v", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 1, plan.take(2000))
+  }
+
   test("graft_kmv: exact below k, deterministic estimate above k") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
