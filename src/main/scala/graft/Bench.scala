@@ -72,7 +72,10 @@ object Bench {
     // Millisecond precision keeps the whole line under the ~2 kB tail
     // window the driver retains — full nanosecond doubles pushed the line
     // past it, truncating the JSON head (rounds 1-3 recorded parsed:false).
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, which
+    // would emit comma decimal separators (invalid JSON) on e.g. de_DE.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timed.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = (warmErrors ++ timed.collect { case (k, _, Some(e)) => k -> e }.toMap)
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")

@@ -212,10 +212,8 @@ final class McpServer(tools: FmTools) {
     }
 
   private def callTool(id: Any, name: String, a: Map[String, Any]): String = {
-    def str(k: String): String = a.get(k) match {
-      case Some(v) => String.valueOf(v)
-      case None => throw new IllegalArgumentException(s"missing required argument: $k")
-    }
+    def req(k: String): Any = a.getOrElse(k, throw new McpServer.MissingArg(k))
+    def str(k: String): String = String.valueOf(req(k))
     def mapArg(k: String): Map[String, Any] = a.get(k) match {
       case Some(m: Map[String, Any] @unchecked) => m
       case _ => Map.empty
@@ -235,12 +233,12 @@ final class McpServer(tools: FmTools) {
         case "update" => tools.update(str("path"), mapArg("set"), seqArg("unset"))
         case "batch_update" => tools.batchUpdate(str("glob"), mapArg("set"), seqArg("unset"))
         case "batch_array_add" =>
-          tools.batchArrayAdd(str("glob"), str("property"), a("value"),
+          tools.batchArrayAdd(str("glob"), str("property"), req("value"),
             boolArg("allow_duplicates", dflt = false))
         case "batch_array_remove" =>
-          tools.batchArrayRemove(str("glob"), str("property"), a("value"))
+          tools.batchArrayRemove(str("glob"), str("property"), req("value"))
         case "batch_array_replace" =>
-          tools.batchArrayReplace(str("glob"), str("property"), a("old_value"), a("new_value"))
+          tools.batchArrayReplace(str("glob"), str("property"), req("old_value"), req("new_value"))
         case "batch_array_sort" =>
           tools.batchArraySort(str("glob"), str("property"), boolArg("reverse", dflt = false))
         case "batch_array_unique" =>
@@ -259,13 +257,14 @@ final class McpServer(tools: FmTools) {
         "structuredContent" -> result,
         "isError" -> false))
     } catch {
-      case e: NoSuchElementException =>
-        errorLine(id, InvalidParams, s"missing required argument: ${e.getMessage}")
-      case e: IllegalArgumentException =>
-        errorLine(id, InvalidParams, String.valueOf(e.getMessage))
+      // Only the dedicated missing-argument marker is a protocol error;
+      // everything a tool itself throws (path sandbox violations, TOML
+      // null rejection, SQL failures, ...) is a tool-level failure that
+      // MCP reports as a successful RPC whose result is flagged isError,
+      // so agents can read the message.
+      case e: McpServer.MissingArg =>
+        errorLine(id, InvalidParams, s"missing required argument: ${e.key}")
       case e: Exception =>
-        // Tool-level failure: MCP reports it as a successful RPC whose
-        // result is flagged isError, so agents can read the message.
         resultLine(id, Map(
           "content" -> Seq(Map("type" -> "text",
             "text" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")),
@@ -303,6 +302,9 @@ object McpServer {
   val InvalidRequest = -32600
   val MethodNotFound = -32601
   val InvalidParams = -32602
+
+  private[fm] final class MissingArg(val key: String)
+    extends Exception(s"missing required argument: $key")
 
   private[fm] case class ToolDef(
       name: String,

@@ -29,8 +29,7 @@ abstract class BoundedArrayAggregate extends DeclarativeAggregate {
   def kExpr: Expression
 
   protected lazy val k: Int = kExpr.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
+    case n: java.lang.Number => n.intValue() // any integral width admitted by the type check
     case other => throw new IllegalArgumentException(s"k must be integral, got $other")
   }
 

@@ -19,24 +19,30 @@ object ConnectedComponents {
     * @return (node, label) for every node appearing in `edges`, where
     *         label = min node id reachable from it.
     */
+  /** Eagerly materialize `df` as an RDD-backed frame with its lineage cut
+    * off, returning the RDD handle so the caller can free the blocks
+    * deterministically once the frame is superseded. Truncation, not just
+    * caching, is the point: iterative plans otherwise nest the
+    * (potentially huge) edge-producing lineage one level deeper per
+    * round, and driver-side analysis of the growing tree quickly
+    * dominates the actual sub-second execution. On a cluster, swap the
+    * local checkpoint for a reliable one (HDFS-backed) if executor loss
+    * mid-iteration must be survivable.
+    */
+  private def truncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count() // eager
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def labelPropagate(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // Eager localCheckpoint, not persist: iterative plans otherwise nest
-    // the (potentially huge) edge-producing lineage one level deeper per
-    // round, and driver-side analysis/optimization of the growing tree
-    // quickly dominates the actual sub-second execution. Checkpointing
-    // truncates the logical plan so every iteration analyzes a two-table
-    // join, regardless of how expensive the edge pipeline was. On a
-    // cluster, swap for reliable `checkpoint()` (HDFS-backed) if executor
-    // loss during the iteration must be survivable.
-    val sym = edges.toDF("a", "b")
+    val (sym, symRdd) = truncate(edges.toDF("a", "b")
       .union(edges.toDF("b", "a").select(col("a"), col("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node"))
+      .distinct())
+    var (labels, labelsRdd) = truncate(sym.select(col("a").as("node"))
       .union(sym.select(col("b").as("node")))
       .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+      .withColumn("label", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -49,17 +55,20 @@ object ConnectedComponents {
       val viaLabel = labels
         .join(labels.select(col("node").as("label"), col("label").as("label2")), Seq("label"))
         .select(col("node"), col("label2").as("label"))
-      val next = labels.select("node", "label").union(viaNeighbors).union(viaLabel)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+      val (next, nextRdd) = truncate(
+        labels.select("node", "label").union(viaNeighbors).union(viaLabel)
+          .groupBy("node").agg(min("label").as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old"))
         .limit(1).count()
+      labelsRdd.unpersist(blocking = false) // superseded generation's blocks
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] iter=$iter changed=$changed")
     }
+    symRdd.unpersist(blocking = false)
     labels
   }
 }

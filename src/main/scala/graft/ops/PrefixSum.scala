@@ -28,10 +28,16 @@ object PrefixSum {
       orderCol: String,
       valueCol: String,
       partitions: Int): DataFrame = {
+    // Materialize the ranged frame ONCE (eager local checkpoint): both
+    // passes below must observe the same partition assignment, and range
+    // boundaries come from runtime sampling — two independent executions
+    // of the exchange could legally pick different boundaries, silently
+    // corrupting the offsets. (No pre-sort here: the per-partition window
+    // performs its own sort, and the offsets aggregate doesn't care.)
     val ranged = df
       .repartitionByRange(partitions, F.col(orderCol))
-      .sortWithinPartitions(orderCol)
       .withColumn("_pid", F.spark_partition_id())
+      .localCheckpoint()
     val localWin = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsetWin = Window.orderBy("_pid")

@@ -225,7 +225,15 @@ object SimilarityQueries {
     // pass, with exact float re-rank reserved for the survivors.
     "q_ann_quantized" -> ((s, d) => {
       graft.ops.GraftAggregates.register(s)
-      val e = quantized(Tables.load(s, d, "embeddings"))
+      // All-zero vectors quantize to nrm 0; cosine is undefined for them
+      // and the division would raise under ANSI — drop them from both
+      // sides. The guard tests the RAW embedding (any nonzero element ⟺
+      // nrm > 0, the oracle's form of the predicate) BEFORE the quantize
+      // projection: a filter on the computed nrm column would inline the
+      // whole quantization lambda chain into the filter condition after
+      // projection collapse and execute it twice per row.
+      val e = quantized(Tables.load(s, d, "embeddings")
+          .filter(expr("exists(embedding, x -> x != CAST(0.0 AS FLOAT))")))
         .select(col("vec_id"), col("qv"),
           expr("aggregate(zip_with(qv, qv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, v) -> a + v)").as("nrm"))
       val q = e.filter(col("vec_id") < 8)
@@ -335,7 +343,9 @@ object SimilarityQueries {
          |    CAST(CAST(list_aggregate(list_transform(range(1, 65),
          |        i -> CAST(e.qv[i] AS BIGINT) * q.qv[i]), 'sum') AS BIGINT)
          |      / (sqrt(CAST(e.nrm AS DOUBLE)) * sqrt(CAST(q.nrm AS DOUBLE))) AS REAL) AS sim
-         |  FROM n e, n q WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)
+         |  FROM n e, n q
+         |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |    AND e.nrm > 0 AND q.nrm > 0)
          |SELECT qid, vec_id, sim FROM (
          |  SELECT qid, vec_id, sim,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
