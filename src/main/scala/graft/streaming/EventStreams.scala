@@ -85,6 +85,29 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
   }
 
+  /** Streaming exact dedup for continuous ingest: first-seen wins on the
+    * content fingerprint, with state maintained across micro-batches by
+    * `dropDuplicates`. The batch analogue with a DETERMINISTIC keeper
+    * (min doc id per fingerprint) is `q_dedup_exact`; on a stream,
+    * "first" is arrival order — exactly the semantics a training-data
+    * ingest pipeline wants. Pass a watermark column + delay to bound the
+    * fingerprint state for unbounded streams (state is then dropped for
+    * fingerprints older than the watermark — late duplicates beyond the
+    * delay would be re-admitted, the standard streaming dedup trade).
+    */
+  def dedupFirstSeen(
+      docs: DataFrame,
+      textCol: String = "text",
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val fp = docs.withColumn("fp", md5(lower(col(textCol))))
+    val out = watermark match {
+      case Some((c, delay)) =>
+        fp.withWatermark(c, delay).dropDuplicatesWithinWatermark("fp")
+      case None => fp.dropDuplicates("fp")
+    }
+    out.drop("fp")
+  }
+
   private def toSession(userId: Long, events: List[Event]): Session = {
     val total = events.map(_.value).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
     Session(userId, events.head.ts_us, events.last.ts_us, events.length.toLong, total.doubleValue())

@@ -63,6 +63,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupFirstSeen drops duplicate content across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    val q = EventStreams.dedupFirstSeen(docs, watermark = Some(("ts", "1 hour")))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma"))
+      q.processAllAvailable()
+      // batch 2 re-sends doc 1's content under a new id plus one new doc —
+      // the cross-batch duplicate must be suppressed by state
+      input.addData((3L, ts(2), "ALPHA beta"), (4L, ts(3), "delta"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize batch mode emits every session incl. the trailing one") {
     val spark2 = spark
     import spark2.implicits._
