@@ -91,6 +91,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end training-data prep — the operators composed as a real
+    // job: quality-score filter → exact dedup (canonical keeper = min
+    // doc_id per fingerprint) → sequence packing of the survivors into
+    // 2048-token windows via the distributed prefix sum. Every stage is
+    // the same deterministic arithmetic as its standalone query, so the
+    // whole pipeline is oracle-exact.
+    "q_pipeline_prep" -> ((s, d) => {
+      val quality =
+        """0.5 * (CAST(size(array_distinct(split(lower(text), ' '))) AS DOUBLE) / size(split(text, ' ')))
+          | + 0.25 * (CASE WHEN size(split(text, ' ')) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.0 END)
+          | + 0.25 * (CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the', 'a'), x))) AS DOUBLE) / size(split(text, ' ')))""".stripMargin.replace("\n", " ")
+      val kept = Tables.load(s, d, "documents")
+        .selectExpr("doc_id", "text", s"($quality) AS quality")
+        .filter(col("quality") >= 0.5)
+        .withColumn("fp", md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))))
+      val keepers = kept.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val toks = kept.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+      graft.ops.PrefixSum.runningBefore(toks, "doc_id", "ntok",
+          partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id"), col("ntok"),
+          expr("CAST(floor(cum_before / 2048.0) AS BIGINT)").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // KMV distinct-count sketch per event_type: deterministic with the
     // portable 60-bit hash, so the estimate is exactly reproducible in
     // SQL (the oracle recomputes the kth-order statistic).
@@ -106,6 +131,26 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pipeline_prep" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    0.5 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+        |     + 0.25 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.0 END)
+        |     + 0.25 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(string_split(text, ' ')))
+        |     AS quality
+        |  FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp
+        |  FROM s WHERE quality >= 0.5),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |t AS (SELECT k.doc_id, len(string_split(f.text, ' ')) AS ntok
+        |      FROM keep k JOIN f ON k.doc_id = f.doc_id)
+        |SELECT doc_id, CAST(ntok AS INT) AS ntok,
+        |  CAST(floor(COALESCE(SUM(ntok) OVER (
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents)
