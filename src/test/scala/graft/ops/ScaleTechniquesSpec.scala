@@ -50,6 +50,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(unguarded == 10)
   }
 
+  test("jaccardPairs: hot shingles are excluded from pairing but still counted in scores") {
+    import spark.implicits._
+    // shingle 100 is hot (all 5 docs); shingle 200 is cold (docs 1, 2).
+    val sh = ((1L to 5L).map(d => (d, 100L)) ++ Seq((1L, 200L), (2L, 200L)))
+      .toDF("doc_id", "sh")
+    val pairs = graft.queries.DedupQueries.jaccardPairs(sh, maxDocFreq = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // only (1,2) shares a cold shingle — pairs sharing ONLY the hot one
+    // (e.g. 3,4) must not be generated...
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // ...but the surviving pair's Jaccard counts the hot common too:
+    // common = {100, 200}, |A| = |B| = 2 -> jac = 2/(2+2-2) = 1.0
+    // (without the hot correction it would read 1/3)
+    assert(pairs.head._3 == 1.0)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
