@@ -16,7 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.registerSessionFunctions(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=q_a,q_b
+    // restricts both the dump and the emitted oracle map. Unset in the
+    // driver, so the real gate always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -36,6 +42,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

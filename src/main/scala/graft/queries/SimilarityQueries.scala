@@ -45,6 +45,38 @@ object SimilarityQueries {
     topkPerQuery(s, sims, k)
   }
 
+  /** Persisted LSH signature frame `(vec_id, embedding, sig)` — one copy
+    * per (session, sf dir). The signature is the native codegen expression
+    * [[graft.ops.LshSignature]] (no UDF serialization, stays inside
+    * whole-stage codegen), so the frame is computed in a single scan and
+    * every LSH consumer (top-k, recall, near-dup) shares it.
+    */
+  private val lshSigCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def lshSigs(s: SparkSession, d: String): DataFrame =
+    lshSigCache.getOrElseUpdate((Tables.sessionKey(s), d), {
+      graft.ops.LshFunctions.register(s,
+        Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed))
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("graft_lsh_sig(embedding)").as("sig"))
+        .persist()
+    })
+
+  /** Band expansion of the signature frame via explode (one scan of the
+    * persisted frame, not a per-band union): `(vec_id, band, bucket)`.
+    * Bucket population is bounded by construction (2^bandBits buckets per
+    * band over a hash-uniform signature), which is what makes every join
+    * on (band, bucket) scale-safe.
+    */
+  private def lshBands(sig: DataFrame): DataFrame = sig
+    .select(col("vec_id"),
+      explode(array((0 until LshBands).map(lit): _*)).as("band"), col("sig"))
+    .withColumn("bucket",
+      expr(s"shiftright(sig, band * $LshBandBits) & $LshBucketMask"))
+    .select("vec_id", "band", "bucket")
+
   /** LSH top-k: 16-bit random-hyperplane signatures bucket the corpus
     * (4 bands x 4 bits); candidates = same-bucket under any band; exact
     * re-rank of candidates only. Deterministic end-to-end (seeded
@@ -53,22 +85,21 @@ object SimilarityQueries {
     * structure with the plane matrix inlined.
     */
   private def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
-    val planes = Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed)
-    val sigUdf = udf { (v: Seq[Float]) => Similarity.signature(v.toArray, planes) }
-    val e = Tables.load(s, d, "embeddings")
-      .withColumn("sig", sigUdf(col("embedding")))
-    val bands = (0 until LshBands).map { bandIdx =>
-      e.select(col("vec_id"), col("embedding"), col("sig"),
-        lit(bandIdx).as("band"),
-        shiftright(col("sig"), bandIdx * LshBandBits).bitwiseAND(lit(LshBucketMask)).as("bucket"))
-    }.reduce(_ union _)
+    val sig = lshSigs(s, d)
+    val bands = lshBands(sig)
     val q = bands.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("band"), col("bucket"))
-    val cands = bands.join(q, Seq("band", "bucket"))
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    // Slim candidate ids first (distinct on two longs, not on vectors),
+    // then re-attach vectors from the persisted frame for the exact
+    // re-rank — the candidates→verify split q_dedup_minhash uses.
+    val candIds = bands.join(q, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"))
-      .distinct()
+      .select("qid", "vec_id").distinct()
+    val qe = sig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = candIds
+      .join(sig.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(broadcast(qe), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
     topkPerQuery(s, cands, k)
@@ -106,16 +137,24 @@ object SimilarityQueries {
       exactTopK(s, d, 5)
     }),
 
-    // B23-adjacent: embedding near-duplicate pairs inside label blocks —
-    // blocked exact verification (the LSH query below is the open-corpus
-    // candidate generator; at scale blocks come from LSH buckets).
+    // B23-adjacent: embedding near-duplicate pairs — LSH-band candidate
+    // generation + exact cosine verification of candidates only, the same
+    // candidates→verify split as q_dedup_minhash. No unbounded join key
+    // anywhere: pair fan-out is capped by bucket population (hash-uniform
+    // 4-bit buckets per band), unlike the label-blocked all-pairs join
+    // this replaces, whose hottest block was quadratic.
     "q_embed_neardup" -> ((s, d) => {
       CosineFunctions.register(s)
-      val e = Tables.load(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("ib"), col("label"), col("embedding").as("vb"))
-      a.join(b, Seq("label"))
+      val sig = lshSigs(s, d)
+      val bands = lshBands(sig)
+      val cand = bands.select(col("vec_id").as("ia"), col("band"), col("bucket"))
+        .join(bands.select(col("vec_id").as("ib"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
         .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      cand
+        .join(sig.select(col("vec_id").as("ia"), col("embedding").as("va")), Seq("ia"))
+        .join(sig.select(col("vec_id").as("ib"), col("embedding").as("vb")), Seq("ib"))
         .select(col("ia"), col("ib"),
           expr("array_cosine_similarity(va, vb)").as("sim_d"))
         .filter(col("sim_d") >= 0.35)
@@ -281,7 +320,11 @@ object SimilarityQueries {
     * ending in `lsh_top(qid, vec_id, sim)` (top-k applied) plus
     * `qv(qid, qv)` for reuse.
     */
-  private def lshOracleCtes(k: Int): String = {
+  /** Sig + band CTEs shared by every LSH oracle: `sigs(vec_id, sig)` and
+    * `lbands(vec_id, b, bucket)` replaying [[graft.ops.LshOps.signature]]
+    * with the plane matrix inlined.
+    */
+  private def lshSigOracleCtes: String = {
     val planes = Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed)
     val bitTerms = planes.zipWithIndex.map { case (p, j) =>
       val lst = p.mkString("[", ", ", "]")
@@ -289,11 +332,15 @@ object SimilarityQueries {
         s"i -> CAST(embedding[i] AS DOUBLE) * list_extract($lst, i)), 'sum') >= 0 " +
         s"THEN ${1 << j} ELSE 0 END)"
     }.mkString("\n      + ")
-    val cos = oracleCos("e.embedding", "q.qv")
     s"""sigs AS (SELECT vec_id, ($bitTerms) AS sig FROM embeddings),
        |lbands AS (
        |  SELECT vec_id, b, (sig >> (CAST(b AS INT) * $LshBandBits)) & $LshBucketMask AS bucket
-       |  FROM sigs CROSS JOIN (SELECT UNNEST(range(0, $LshBands)) AS b) bs),
+       |  FROM sigs CROSS JOIN (SELECT UNNEST(range(0, $LshBands)) AS b) bs)""".stripMargin
+  }
+
+  private def lshOracleCtes(k: Int): String = {
+    val cos = oracleCos("e.embedding", "q.qv")
+    s"""$lshSigOracleCtes,
        |lq AS (SELECT vec_id AS qid, b, bucket FROM lbands WHERE vec_id < 8),
        |lcand AS (
        |  SELECT DISTINCT q.qid, v.vec_id
@@ -391,9 +438,15 @@ object SimilarityQueries {
     },
     "q_embed_neardup" -> {
       val cos = oracleCos("a.embedding", "b.embedding")
-      s"""SELECT a.vec_id AS ia, b.vec_id AS ib, CAST($cos AS REAL) AS sim
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH $lshSigOracleCtes,
+         |ncand AS (
+         |  SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+         |  FROM lbands x JOIN lbands y
+         |    ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT c.ia, c.ib, CAST($cos AS REAL) AS sim
+         |FROM ncand c
+         |  JOIN embeddings a ON c.ia = a.vec_id
+         |  JOIN embeddings b ON c.ib = b.vec_id
          |WHERE $cos >= 0.35
          |ORDER BY ia, ib""".stripMargin
     },
@@ -503,20 +556,15 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-projection signature packed into an Int (bit j = plane j). */
-  def signature(v: Array[Float], planes: Array[Array[Double]]): Int = {
-    var sig = 0
-    var j = 0
-    while (j < planes.length) {
-      var s = 0.0
-      val p = planes(j)
-      var i = 0
-      while (i < math.min(v.length, p.length)) { s += v(i) * p(i); i += 1 }
-      if (s >= 0) sig |= (1 << j)
-      j += 1
-    }
-    sig
-  }
+  /** Sign-projection signature packed into an Int (bit j = plane j) —
+    * delegates to the [[graft.ops.LshOps]] kernel the Catalyst expression
+    * runs, so specs and oracle-build helpers stay bit-identical with the
+    * executor path by construction.
+    */
+  def signature(v: Array[Float], planes: Array[Array[Double]]): Int =
+    graft.ops.LshOps.signature(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(v),
+      planes)
 }
 
 /** Per-sfDir semantic engines: corpus + cache + synchronously-awaited
