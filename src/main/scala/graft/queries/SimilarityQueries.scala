@@ -112,6 +112,104 @@ object SimilarityQueries {
   private val LshBandBits = 4
   private val LshBucketMask = 0xF
 
+  private val IvfCells = 16
+  private[queries] val IvfIters = 2
+  private val IvfProbes = 4
+
+  private val ivfCentCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Array[(Long, Array[Float])]]
+
+  /** Deterministic Lloyd training of the IVF coarse quantizer. Init =
+    * the `IvfCells` lowest vec_ids; each iteration assigns every vector
+    * to its nearest centroid (sequential double cosine, argmax with cid
+    * tie-break) and recomputes per-cell means as a distributed hash
+    * aggregate, rounding each mean to float32 — the same
+    * sum-order-absorbing cast q_embed_centroids uses, which is what lets
+    * the DuckDB oracle replay the training loop bit-exactly. Empty cells
+    * keep their previous centroid. The driver only ever holds the
+    * centroid matrix itself (IvfCells x dim — the broadcast-kmeans
+    * pattern); assignment and means stay distributed.
+    */
+  private def ivfCentroids(s: SparkSession, d: String, iters: Int): Array[(Long, Array[Float])] =
+    ivfCentCache.getOrElseUpdate((Tables.sessionKey(s), d, iters), {
+      val e = Tables.load(s, d, "embeddings")
+      var cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      for (_ <- 1 to iters) {
+        val cs = cents
+        val cellOf = udf { (v: Seq[Float]) =>
+          val arr = v.toArray
+          cs.map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
+            .minBy { case (sim, cid) => (-sim, cid) }._2
+        }
+        val means = e.withColumn("cell", cellOf(col("embedding")))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).cast(FloatType).as("mv"))
+          .collect()
+        val byCell = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          val a = new Array[Float](LshDim)
+          rows.foreach(r => a(r.getInt(1)) = r.getFloat(2))
+          (cid, a)
+        }
+        cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+      }
+      cents
+    })
+
+  /** Quantizer quality diagnostics for the spec: (max cell population,
+    * mean assigned cosine). Balance is what training buys at 100 TB — a
+    * hot cell is a hot partition — and the mean assigned cosine is the
+    * (monotone under Lloyd) clustering objective.
+    */
+  private[queries] def ivfDiagnostics(s: SparkSession, d: String, iters: Int): (Long, Double) = {
+    val e = Tables.load(s, d, "embeddings")
+    val cs = ivfCentroids(s, d, iters)
+    val best = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      cs.map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
+        .minBy { case (sim, cid) => (-sim, cid) }
+    }
+    val a = e.select(best(col("embedding")).as("b"))
+      .select(col("b._2").as("cell"), col("b._1").as("sim"))
+    val sizes = a.groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
+    val obj = a.agg(avg("sim")).collect()(0).getDouble(0)
+    (sizes, obj)
+  }
+
+  /** IVF probe + exact re-rank against centroids trained for `iters`
+    * Lloyd iterations (iters = 0 reproduces the untrained seed
+    * quantizer, kept reachable for the recall-improvement spec).
+    */
+  private[queries] def ivfTopK(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    // Registered BEFORE any Dataset using array_cosine_similarity is
+    // constructed: Dataset analysis is eager, so a later registration
+    // would leave the expr unresolved on a fresh session.
+    CosineFunctions.register(s)
+    val e = Tables.load(s, d, "embeddings")
+    val centroids = ivfCentroids(s, d, iters)
+    val nearest = udf { (v: Seq[Float], n: Int) =>
+      val arr = v.toArray
+      centroids
+        .map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
+        .sortBy { case (sim, cid) => (-sim, cid) }
+        .take(n).map(_._2)
+    }
+    val assigned = e.withColumn("cell", nearest(col("embedding"), lit(1))(0))
+    val q = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        explode(nearest(col("embedding"), lit(IvfProbes))).as("cell"))
+    val cands = assigned.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+      .distinct()
+    topkPerQuery(s, cands, k)
+  }
+
   /** Exact top-k per query via the declarative bounded aggregate —
     * codegen'd partial+final aggregation, O(k) per-group state; ordering
     * by (float sim DESC, vec_id) is encoded as the struct sort key
@@ -203,43 +301,18 @@ object SimilarityQueries {
         .orderBy("label", "pos")
     }),
 
-    // ANN scale path #2 — IVF: deterministic coarse quantizer (seed
-    // centroids = the 16 lowest vec_ids, no iterative training), every
-    // vector assigned to its nearest centroid in one pass over a
-    // broadcast centroid table; queries probe the 4 nearest cells and
-    // exact-re-rank only those candidates. At 100 TB the assignment is a
-    // write-once partition key (cluster-pruned scans). Unlike LSH, fully
-    // deterministic (double-precision argmax with cid tie-break), so the
-    // oracle replays the whole structure.
-    "q_ann_ivf" -> ((s, d) => {
-      // Registered BEFORE any Dataset using array_cosine_similarity is
-      // constructed: Dataset analysis is eager, so a later registration
-      // would leave the expr unresolved on a fresh session.
-      CosineFunctions.register(s)
-      val e = Tables.load(s, d, "embeddings")
-      val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      val nearest = udf { (v: Seq[Float], k: Int) =>
-        val arr = v.toArray
-        centroids
-          .map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
-          .sortBy { case (sim, cid) => (-sim, cid) }
-          .take(k).map(_._2)
-      }
-      val assigned = e.withColumn("cell", nearest(col("embedding"), lit(1))(0))
-      val q = assigned.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          explode(nearest(col("embedding"), lit(4))).as("cell"))
-      val cands = assigned.join(q, Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
-        .distinct()
-      topkPerQuery(s, cands, 5)
-    }),
+    // ANN scale path #2 — IVF with a TRAINED coarse quantizer:
+    // deterministic Lloyd iterations (seed centroids = the 16 lowest
+    // vec_ids, fixed iteration count, double-precision argmax with cid
+    // tie-break, per-iteration means rounded to float32 so sum-order
+    // noise is absorbed on both sides). Every vector is assigned to its
+    // nearest trained centroid in one pass over a broadcast centroid
+    // table; queries probe the 4 nearest cells and exact-re-rank only
+    // those candidates. At 100 TB the assignment is a write-once
+    // partition key (cluster-pruned scans) and training cost is
+    // iterations x one scan. Fully deterministic, so the oracle replays
+    // the whole structure INCLUDING the training loop.
+    "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, 5, IvfIters)),
 
     // Embedding compression for the 100 TB store: symmetric per-vector
     // int8 quantization (scale = max|x|/127, round-half-up) — 4x smaller
@@ -358,6 +431,38 @@ object SimilarityQueries {
        |    FROM lscored) x WHERE rn <= $k)""".stripMargin
   }
 
+  /** DuckDB replay of [[ivfCentroids]]: unrolled Lloyd iterations as
+    * CTEs — `c0` is the seed quantizer (lowest vec_ids), each round
+    * re-assigns by double-cosine argmax (cid tie-break, identical to the
+    * Spark side's minBy) and rebuilds centroids as per-(cell, pos) means
+    * cast to REAL, reassembled into vectors with an ordered list
+    * aggregate. Empty cells COALESCE to the previous round's centroid.
+    * Ends with `c{iters}(cid, cv)`.
+    */
+  private def ivfOracleCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfCells)"
+    for (t <- 1 to iters) {
+      val cos = oracleCos("e.embedding", "c.cv")
+      sb ++= s""",
+         |a$t AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cid) AS rn
+         |    FROM embeddings e, c${t - 1} c) x WHERE rn = 1),
+         |m$t AS (
+         |  SELECT a.cell AS cid, p.pos,
+         |    CAST(SUM(CAST(e.embedding[p.pos + 1] AS DOUBLE)) / COUNT(*) AS REAL) AS mv
+         |  FROM a$t a JOIN embeddings e USING (vec_id)
+         |       CROSS JOIN (SELECT UNNEST(range(0, $LshDim)) AS pos) p
+         |  GROUP BY a.cell, p.pos),
+         |cl$t AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m$t GROUP BY cid),
+         |c$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+         |        FROM c${t - 1} p LEFT JOIN cl$t n USING (cid))""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Shared CTEs replaying [[quantized]] in DuckDB: `qn(vec_id, scale,
     * qv, embedding)` — identical max/abs scale and divide-floor chain.
     */
@@ -460,7 +565,8 @@ object SimilarityQueries {
       val cos = oracleCos("e.embedding", "c.cv")
       val qcos = oracleCos("q.qv", "c.cv")
       val rcos = oracleCos("e.embedding", "q.qv")
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      s"""WITH ${ivfOracleCtes(IvfIters)},
+         |c AS (SELECT cid, cv FROM c$IvfIters),
          |assign AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT e.vec_id, c.cid,
