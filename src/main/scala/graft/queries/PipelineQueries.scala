@@ -35,6 +35,24 @@ object PipelineQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // Streaming first-seen dedup run in batch mode (VERDICT r4 item 4):
+    // the SAME withWatermark + dropDuplicatesWithinWatermark operator the
+    // stream uses, with arrival order pinned to event-time order so the
+    // surviving row is deterministic (first event per (user, event_type)
+    // — first-touch attribution). The oracle replays it as a windowed
+    // ROW_NUMBER pick.
+    "q_stream_dedup" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      EventStreams.dedupFirstSeenBatchOrdered(
+          ev, md5(concat_ws("|", col("user_id"), col("event_type"))),
+          Seq("ts", "event_id"),
+          watermark = Some(("ts", "30 minutes")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // As-of join: each purchase matched to the user's latest prior signup
     // (union + ordered-window carry; DuckDB's native ASOF JOIN is the
     // oracle).
@@ -174,6 +192,15 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DOUBLE) AS value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_us, value FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

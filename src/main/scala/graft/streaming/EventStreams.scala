@@ -98,14 +98,51 @@ object EventStreams extends Serializable {
   def dedupFirstSeen(
       docs: DataFrame,
       textCol: String = "text",
+      watermark: Option[(String, String)] = None): DataFrame =
+    dedupFirstSeenBy(docs, md5(lower(col(textCol))), watermark)
+
+  /** [[dedupFirstSeen]] generalized to an arbitrary fingerprint column
+    * (e.g. a composite business key for event streams).
+    */
+  def dedupFirstSeenBy(
+      df: DataFrame,
+      fingerprint: org.apache.spark.sql.Column,
       watermark: Option[(String, String)] = None): DataFrame = {
-    val fp = docs.withColumn("fp", md5(lower(col(textCol))))
+    val fp = df.withColumn("fp", fingerprint)
     val out = watermark match {
-      case Some((c, delay)) =>
+      // dropDuplicatesWithinWatermark rejects batch frames outright
+      // (streaming-only API), so batch mode runs the same First-aggregate
+      // dedup via dropDuplicates — identical keep-first semantics, minus
+      // the state-expiry bound that only exists on a stream.
+      case Some((c, delay)) if df.isStreaming =>
         fp.withWatermark(c, delay).dropDuplicatesWithinWatermark("fp")
-      case None => fp.dropDuplicates("fp")
+      case _ => fp.dropDuplicates("fp")
     }
     out.drop("fp")
+  }
+
+  /** Batch replay of the streaming first-seen semantics with arrival
+    * order pinned to event order: repartition by fingerprint (all rows
+    * of a key in one task, like the streaming state partitioning) and
+    * sort within partitions by `orderCols`, so the row
+    * `dropDuplicatesWithinWatermark` keeps is the event-time-first one —
+    * deterministically, which is what lets the batch run earn a
+    * hash-exact oracle row while executing the SAME dedup operator the
+    * stream uses (`withWatermark` + `dropDuplicatesWithinWatermark` are
+    * arrival-order no-ops on a batch frame). First-aggregates are
+    * order-sensitive, so Catalyst keeps the within-partition sort below
+    * the dedup aggregate (EliminateSorts only removes sorts under
+    * order-irrelevant aggregates).
+    */
+  def dedupFirstSeenBatchOrdered(
+      df: DataFrame,
+      fingerprint: org.apache.spark.sql.Column,
+      orderCols: Seq[String],
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val arranged = df.withColumn("fpk", fingerprint)
+      .repartition(col("fpk"))
+      .sortWithinPartitions(orderCols.map(col): _*)
+    dedupFirstSeenBy(arranged, col("fpk"), watermark).drop("fpk")
   }
 
   private def toSession(userId: Long, events: List[Event]): Session = {

@@ -84,6 +84,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch first-seen dedup keeps event-order row and retains the sort in the plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Duplicate key (7, "a"): the ts(5)/id=1 row must lose to ts(1)/id=9
+    // — "first seen" is event order, not input order or doc id.
+    val events = Seq(
+      (1L, ts(5), 7L, "a"), (9L, ts(1), 7L, "a"), (3L, ts(2), 8L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val deduped = EventStreams.dedupFirstSeenBatchOrdered(
+      events, md5(concat_ws("|", col("user_id"), col("event_type"))),
+      Seq("ts", "event_id"))
+    val rows = deduped.orderBy("user_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(9L, 3L))
+    // Determinism of q_stream_dedup's oracle row rests on the
+    // within-partition Sort staying BELOW the First-based dedup
+    // aggregate; EliminateSorts must not remove it (First is
+    // order-sensitive). Guard the plan shape.
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort"), s"within-partition sort was optimized away:\n$plan")
+  }
+
   test("sessionize batch mode emits every session incl. the trailing one") {
     val spark2 = spark
     import spark2.implicits._
