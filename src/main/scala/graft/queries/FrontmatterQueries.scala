@@ -129,6 +129,27 @@ object FrontmatterQueries {
       val e = new QueryEngine(s, Settings(work.toString, enableSemantic = false, "", None))
       e.query("**/*.md",
         "SELECT path, tags, status, n_chars FROM files ORDER BY path").results
+    }),
+
+    // A14's SCALE path under the same oracle discipline as the driver
+    // loop: the update runs through batchUpdateDistributed (path list
+    // shipped to executors, per-partition file rewrites, no cross-file
+    // state), then the mutated corpus is queried back. Semantics are
+    // identical to batchUpdate — set creates frontmatter where absent,
+    // unset pops — so the oracle replays the same decision table.
+    "q_fm_mutations_dist" -> ((s, d) => {
+      import graft.fm.Mutations
+      val base = FixtureCorpus.ensure(s, d)
+      val work = java.nio.file.Paths.get(
+        "/tmp/graft_fm_mutd_" + d.replaceAll("[^A-Za-z0-9.]+", "_"))
+      deleteRecursively(work)
+      copyTree(base.resolve("src0"), work.resolve("src0"))
+      val res = Mutations.batchUpdateDistributed(s, work, "**/*.md",
+        setValues = Map("status" -> "dist-reviewed"), unset = Seq("score"))
+      require(res.warnings.isEmpty, s"distributed update warned: ${res.warnings}")
+      val e = new QueryEngine(s, Settings(work.toString, enableSemantic = false, "", None))
+      e.query("**/*.md",
+        "SELECT path, status, n_chars FROM files ORDER BY path").results
     })
   )
 
@@ -214,7 +235,17 @@ object FrontmatterQueries {
         |    CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(n_chars AS VARCHAR) END AS n_chars
         |  FROM documents WHERE source = 'src0'
         |)
-        |SELECT path, tags, status, n_chars FROM files ORDER BY path""".stripMargin
+        |SELECT path, tags, status, n_chars FROM files ORDER BY path""".stripMargin,
+
+    "q_fm_mutations_dist" ->
+      """WITH files AS (
+        |  SELECT
+        |    source || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.md' AS path,
+        |    'dist-reviewed' AS status,
+        |    CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(n_chars AS VARCHAR) END AS n_chars
+        |  FROM documents WHERE source = 'src0'
+        |)
+        |SELECT path, status, n_chars FROM files ORDER BY path""".stripMargin
   )
 }
 
