@@ -141,6 +141,43 @@ class SemanticSpec extends AnyFunSuite {
     assert(ctxC.cache.get("a.md").get.length == 32)
   }
 
+  test("second encoder family at a model-derived dim drops in end-to-end (ADR-0009)") {
+    // The reference derives dim from the model (docs/adr/0009:27-36).
+    // Prove the seam honors that with NO dimOverride anywhere: a corpus
+    // indexed under the default word-hash/64 model is re-pointed at the
+    // trigram family at dim 48 purely via the model name; the cache must
+    // truncate, the FLOAT[dim] schema row must follow, and embed() in
+    // user SQL must produce 48-dim query vectors that rank correctly.
+    val dir = corpus(
+      "x.md" -> "---\ntitle: X\n---\nspark table scan and hash join",
+      "y.md" -> "---\ntitle: Y\n---\ncompletely unrelated topic words")
+    val cacheDir = Files.createTempDirectory("graft_sem_adr9").toString
+    def settingsWith(model: String) =
+      Settings(dir.toString, enableSemantic = true, model, Some(cacheDir))
+
+    val ctxA = new SemanticContext(spark, settingsWith("stub-model"))
+    ctxA.indexer.start(); assert(ctxA.indexer.await(60000))
+    assert(ctxA.dim == 64 && ctxA.cache.get("x.md").get.length == 64)
+
+    val model2 = "graft-trigram-encoder-v1@dim48"
+    val ctxB = new SemanticContext(spark, settingsWith(model2))
+    assert(ctxB.dim == 48)      // dim came from the model name
+    assert(ctxB.cache.count == 0) // model change truncated the shared cache
+    ctxB.indexer.start(); assert(ctxB.indexer.await(60000))
+    assert(ctxB.cache.get("x.md").get.toSeq ==
+      Embed.encodeTrigram("spark table scan and hash join", 48).toSeq)
+
+    val eng = new QueryEngine(spark, settingsWith(model2), Some(ctxB))
+    val rows = eng.query("**/*.md",
+      """SELECT path, array_cosine_similarity(embedding, embed('spark table scan')) AS score
+        |FROM files WHERE embedding IS NOT NULL ORDER BY score DESC""".stripMargin)
+      .results.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x.md", "y.md"))
+    val (_, schemaDf, _) = eng.inspect("**/*.md")
+    val emb = schemaDf.collect().find(_.getString(0) == "embedding")
+    assert(emb.exists(r => r.getString(1) == "FLOAT[48]"))
+  }
+
   test("engine integration: embedding column, NULL for unindexed, cosine ranking (test_query.py:221-326)") {
     val dir = corpus(
       "x.md" -> "---\ntitle: X\n---\nspark table scan and hash join",
