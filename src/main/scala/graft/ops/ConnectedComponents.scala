@@ -1,41 +1,71 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Min-label propagation connected components over an undirected edge
   * list — the clustering step a dedup pipeline runs after candidate-pair
   * scoring (each near-dup cluster keeps one canonical document).
   *
   * Each iteration is a shuffle-bounded join (labels ⋈ edges → min per
-  * node); iterations needed = graph diameter, which for near-dup
-  * clusters is tiny. Deterministic: labels are min doc ids, so the
-  * result is independent of partitioning — which is also what lets a
-  * recursive-CTE oracle reproduce it exactly.
+  * node); pointer jumping halves label chains per round, so iterations
+  * grow ~log(diameter), not diameter. Deterministic: labels are min doc
+  * ids, so the result is independent of partitioning — which is also
+  * what lets a recursive-CTE oracle reproduce it exactly.
+  *
+  * Checkpoint mode is config-selectable: by default iterations truncate
+  * lineage with `localCheckpoint` (fastest; blocks live on executors and
+  * die with them). Setting `spark.graft.cc.checkpointDir` to an
+  * HDFS/object-store path switches every truncation to a RELIABLE
+  * checkpoint — executor loss mid-iteration is then survivable, the
+  * trade a 1000-executor cluster makes (VERDICT r4 item 7). Superseded
+  * in-memory generations are freed either way; reliable checkpoint
+  * files are reclaimed by the context cleaner
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`) or the
+  * job's own dir hygiene.
   */
 object ConnectedComponents {
+
+  /** Eagerly materialize `df` with its lineage cut off, returning the
+    * RDD handle so the caller can free the blocks deterministically once
+    * the frame is superseded. Truncation, not just caching, is the
+    * point: iterative plans otherwise nest the (potentially huge)
+    * edge-producing lineage one level deeper per round, and driver-side
+    * analysis of the growing tree quickly dominates the actual
+    * sub-second execution.
+    */
+  private def truncate(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val spark = df.sparkSession
+    val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir").getOrElse("")
+    val rdd = df.rdd
+    if (ckDir.nonEmpty) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(ckDir)
+      // Persist before a reliable checkpoint: the checkpoint job re-reads
+      // the RDD, and without a cache that recomputes the whole lineage.
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else {
+      rdd.localCheckpoint()
+    }
+    rdd.count() // eager
+    (spark.createDataFrame(rdd, df.schema), rdd)
+  }
 
   /** @param edges two long columns (a, b), undirected.
     * @return (node, label) for every node appearing in `edges`, where
     *         label = min node id reachable from it.
     */
-  /** Eagerly materialize `df` as an RDD-backed frame with its lineage cut
-    * off, returning the RDD handle so the caller can free the blocks
-    * deterministically once the frame is superseded. Truncation, not just
-    * caching, is the point: iterative plans otherwise nest the
-    * (potentially huge) edge-producing lineage one level deeper per
-    * round, and driver-side analysis of the growing tree quickly
-    * dominates the actual sub-second execution. On a cluster, swap the
-    * local checkpoint for a reliable one (HDFS-backed) if executor loss
-    * mid-iteration must be survivable.
-    */
-  private def truncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val rdd = df.rdd.localCheckpoint()
-    rdd.count() // eager
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
+  def labelPropagate(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame =
+    labelPropagateWithStats(spark, edges, maxIter)._1
 
-  def labelPropagate(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** [[labelPropagate]] plus the iteration count it converged in (the
+    * spec pins ~log(diameter) growth on a chain graph).
+    */
+  def labelPropagateWithStats(
+      spark: SparkSession, edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val (sym, symRdd) = truncate(edges.toDF("a", "b")
       .union(edges.toDF("b", "a").select(col("a"), col("b")))
       .distinct())
@@ -69,6 +99,6 @@ object ConnectedComponents {
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] iter=$iter changed=$changed")
     }
     symRdd.unpersist(blocking = false)
-    labels
+    (labels, iter)
   }
 }

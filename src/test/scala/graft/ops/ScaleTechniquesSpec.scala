@@ -66,6 +66,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pairs.head._3 == 1.0)
   }
 
+  test("connected components on a 1e5-edge chain: log-diameter iterations, reliable-checkpoint switch") {
+    import spark.implicits._
+    val n = 100000
+    // Chain 0-1-2-...-n: the worst case for plain label propagation
+    // (diameter = n); pointer jumping must close it in ~log2(n) rounds.
+    val edges = spark.range(n).select($"id".as("a"), ($"id" + 1).as("b"))
+
+    val (labels, iters) =
+      ConnectedComponents.labelPropagateWithStats(spark, edges, maxIter = 25)
+    val distinctLabels = labels.select("label").distinct().collect()
+    assert(distinctLabels.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(labels.count() == n + 1)
+    // log2(1e5) ~ 17; a linear-diameter regression would hit maxIter
+    withClue(s"iterations=$iters:") { assert(iters <= 20) }
+
+    // Reliable-checkpoint mode: same answer, checkpoint files actually
+    // written to the configured dir (the executor-loss-survivable path
+    // a real cluster selects).
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck")
+    spark.conf.set("spark.graft.cc.checkpointDir", ckDir.toString)
+    try {
+      val (labels2, _) = ConnectedComponents.labelPropagateWithStats(
+        spark, edges.limit(1000), maxIter = 25)
+      assert(labels2.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+      val wrote = java.nio.file.Files.walk(ckDir).filter(f =>
+        java.nio.file.Files.isRegularFile(f)).count()
+      assert(wrote > 0, "no reliable checkpoint files were written")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
