@@ -173,17 +173,42 @@ final class McpServer(tools: FmTools) {
           case Some(p: Map[String, Any] @unchecked) => p
           case _ => Map.empty[String, Any]
         }
-        if (!m.contains("id")) { dispatchNotification(method); None }
+        if (!m.contains("id")) { dispatchNotification(method, params); None }
+        else if (consumeCancellation(id)) None // cancelled: no response (MCP cancellation)
         else Some(dispatch(id, method, params))
       case Right(_) =>
         Some(errorLine(null, InvalidRequest, "request must be an object"))
     }
   }
 
-  private def dispatchNotification(method: String): Unit = method match {
-    case "notifications/initialized" => // client handshake complete; nothing to do
-    case _ => // unknown notifications are ignored per spec
+  /** Request ids the client has cancelled (`notifications/cancelled`).
+    * This transport is synchronous — a request is fully handled before
+    * the next line is read — so a cancellation can only refer to a
+    * not-yet-received request (out-of-order client) or an already-
+    * answered one. Per the MCP cancellation spec the server SHOULD NOT
+    * respond to a cancelled request, so ids are remembered (bounded) and
+    * the matching request, if it arrives later, is dropped without a
+    * response; cancellations for completed requests are ignored. Either
+    * way the serve loop keeps reading — no hang.
+    */
+  private val cancelled = new java.util.LinkedHashMap[String, java.lang.Boolean]() {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+      size() > 128
   }
+
+  private def consumeCancellation(id: Any): Boolean = cancelled.synchronized {
+    cancelled.remove(String.valueOf(id)) != null
+  }
+
+  private def dispatchNotification(method: String, params: Map[String, Any]): Unit =
+    method match {
+      case "notifications/initialized" => // client handshake complete; nothing to do
+      case "notifications/cancelled" =>
+        params.get("requestId").foreach { rid =>
+          cancelled.synchronized { cancelled.put(String.valueOf(rid), java.lang.Boolean.TRUE) }
+        }
+      case _ => // unknown notifications are ignored per spec
+    }
 
   private def dispatch(id: Any, method: String, params: Map[String, Any]): String =
     method match {
@@ -195,6 +220,10 @@ final class McpServer(tools: FmTools) {
           "capabilities" -> Map("tools" -> Map.empty[String, Any]),
           "serverInfo" -> Map("name" -> "frontmatter-spark", "version" -> "0.1.0")))
       case "ping" =>
+        resultLine(id, Map.empty[String, Any])
+      case "logging/setLevel" =>
+        // accepted for strict clients; this server logs to stderr only,
+        // so the level is a no-op acknowledged with an empty result
         resultLine(id, Map.empty[String, Any])
       case "tools/list" =>
         resultLine(id, Map("tools" -> toolDefs.map(_.describe)))

@@ -110,6 +110,35 @@ class McpSpec extends AnyFunSuite {
       McpServer.InvalidParams)
   }
 
+  test("cancellation: cancelled request gets no response, server keeps serving") {
+    val (server, _) = mkServer()
+    // client cancels id 21 before the request line arrives (the only
+    // ordering possible on a synchronous stdio transport)
+    assert(server.handle(
+      """{"jsonrpc":"2.0","method":"notifications/cancelled","params":{"requestId":21,"reason":"user"}}""").isEmpty)
+    // the cancelled request is dropped without a response...
+    assert(server.handle(
+      """{"jsonrpc":"2.0","id":21,"method":"tools/list"}""").isEmpty)
+    // ...and the loop is not hung: the next request answers normally
+    val pong = rpc(server, """{"jsonrpc":"2.0","id":22,"method":"ping"}""")
+    assert(pong("id") == 22 && pong.contains("result"))
+    // a cancellation for an already-completed id is ignored, and the id
+    // is consumed: re-sending 21 now gets a normal response
+    assert(server.handle(
+      """{"jsonrpc":"2.0","method":"notifications/cancelled","params":{"requestId":22}}""").isEmpty)
+    val again = rpc(server, """{"jsonrpc":"2.0","id":21,"method":"ping"}""")
+    assert(again("id") == 21 && again.contains("result"))
+  }
+
+  test("strict-client long tail: logging/setLevel acknowledged, unknown notification ignored") {
+    val (server, _) = mkServer()
+    val r = rpc(server,
+      """{"jsonrpc":"2.0","id":30,"method":"logging/setLevel","params":{"level":"debug"}}""")
+    assert(r("id") == 30 && r.contains("result"))
+    assert(server.handle(
+      """{"jsonrpc":"2.0","method":"notifications/progress","params":{"progressToken":"t","progress":1}}""").isEmpty)
+  }
+
   test("semantic flow over the wire: wait then query embeddings") {
     val (server, _) = mkServer(semantic = true)
     val refresh = rpc(server,
