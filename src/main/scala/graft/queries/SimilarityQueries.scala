@@ -139,13 +139,11 @@ object SimilarityQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       for (_ <- 1 to iters) {
-        val cs = cents
-        val cellOf = udf { (v: Seq[Float]) =>
-          val arr = v.toArray
-          cs.map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
-            .minBy { case (sim, cid) => (-sim, cid) }._2
-        }
-        val means = e.withColumn("cell", cellOf(col("embedding")))
+        // Assignment runs through the codegen expression (re-registered
+        // with this iteration's centroids; frames are built AND collected
+        // inside the iteration, so the rebind is safe).
+        graft.ops.IvfFunctions.register(s, cents)
+        val means = e.withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cell", "pos")
           .agg((sum(col("v").cast("double")) / count(lit(1))).cast(FloatType).as("mv"))
@@ -191,17 +189,13 @@ object SimilarityQueries {
     CosineFunctions.register(s)
     val e = Tables.load(s, d, "embeddings")
     val centroids = ivfCentroids(s, d, iters)
-    val nearest = udf { (v: Seq[Float], n: Int) =>
-      val arr = v.toArray
-      centroids
-        .map { case (cid, c) => (Similarity.cosine(arr, c), cid) }
-        .sortBy { case (sim, cid) => (-sim, cid) }
-        .take(n).map(_._2)
-    }
-    val assigned = e.withColumn("cell", nearest(col("embedding"), lit(1))(0))
+    // Assignment + probing via the codegen graft_ivf_cells expression
+    // (centroids as a plan constant) — no per-row UDF on the hot path.
+    graft.ops.IvfFunctions.register(s, centroids)
+    val assigned = e.withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
     val q = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        explode(nearest(col("embedding"), lit(IvfProbes))).as("cell"))
+        explode(expr(s"graft_ivf_cells(embedding, $IvfProbes)")).as("cell"))
     val cands = assigned.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
