@@ -24,6 +24,21 @@ object Tables {
     */
   def sessionKey(spark: SparkSession): Int = System.identityHashCode(spark)
 
+  /** Single-evaluation memoization for the driver-side frame caches.
+    * `TrieMap.getOrElseUpdate` may evaluate a racing thunk twice and
+    * keep only one result — harmless for pure values, but these thunks
+    * `persist()` a DataFrame, so the loser's blocks would leak
+    * (ADVICE r5). Computation is coarse-locked on the cache; the
+    * lock-free read fast path keeps steady-state cost at one TrieMap
+    * lookup, and first-use contention per (session, dir) is nil.
+    */
+  def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V], key: K)(
+      compute: => V): V =
+    cache.get(key) match {
+      case Some(v) => v
+      case None => cache.synchronized(cache.getOrElseUpdate(key, compute))
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((sessionKey(spark), dir, name), read(spark, dir, name))
 

@@ -21,6 +21,14 @@ object Verify {
     // driver, so the real gate always runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A leaked filter in the gate environment must be loudly detectable:
+    // warn on stderr AND stamp oracle_sql.json with "_filtered" so the
+    // downstream checker can tell a partial run from a full one.
+    only.foreach { s =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is set — PARTIAL run over " +
+          s"${s.size} of ${SparkEntry.queries.size} queries: ${s.mkString(",")}")
+    }
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -41,9 +49,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val marker = if (only.isDefined) Seq(s"${q("_filtered")}: true") else Nil
+    val json = (marker ++ SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -105,6 +105,12 @@ object IvfFunctions {
             throw new IllegalArgumentException(
               s"graft_ivf_cells: k must be an integer literal, got $other")
         }
+        // Range-check at plan time: k beyond the centroid count would
+        // index used(-1) at runtime (ADVICE r5). Fail the query here,
+        // where the message still names the function and the bound.
+        if (k < 1 || k > cents.length)
+          throw new IllegalArgumentException(
+            s"graft_ivf_cells: k must be in [1, ${cents.length}], got $k")
         IvfNearestCells(e.head, cents, cids, k)
       },
       "built-in")

@@ -55,7 +55,7 @@ object DedupQueries {
   private val jacCache = scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame]
 
   private def shingleDF(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate((Tables.sessionKey(s), d), {
+    Tables.memo(shCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
         .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
@@ -67,7 +67,7 @@ object DedupQueries {
     })
 
   private def wordDF(s: SparkSession, d: String): DataFrame =
-    wordCache.getOrElseUpdate((Tables.sessionKey(s), d), {
+    Tables.memo(wordCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
         .withColumn("h", expr(h60("word")))
@@ -161,7 +161,7 @@ object DedupQueries {
   // (session, dir, cutoff) like the shingle frames above.
   private def jaccardPairsCached(s: SparkSession, d: String): DataFrame = {
     val cutoff = maxShingleDocFreq(s, d)
-    jacCache.getOrElseUpdate((Tables.sessionKey(s), d, cutoff),
+    Tables.memo(jacCache, (Tables.sessionKey(s), d, cutoff))(
       jaccardPairs(shingleDF(s, d), cutoff).persist())
   }
 
@@ -222,7 +222,7 @@ object DedupQueries {
       // a 4-way band expansion; persist it (one small row per doc) so the
       // 60-aggregate computation runs once, and expand bands with explode
       // instead of a 4-branch union (one scan, not four).
-      val sig = simhashCache.getOrElseUpdate((Tables.sessionKey(s), d), {
+      val sig = Tables.memo(simhashCache, (Tables.sessionKey(s), d))({
         val sums = (0 until SimBits).map(i =>
           sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
         wordDF(s, d).groupBy("doc_id")
@@ -265,7 +265,7 @@ object DedupQueries {
     // 4 bands of 4 rows generate candidates; exact-Jaccard verification
     // touches candidates only. Output = verified candidates with jac.
     "q_dedup_minhash" -> ((s, d) => {
-      val m = minhashCache.getOrElseUpdate((Tables.sessionKey(s), d), {
+      val m = Tables.memo(minhashCache, (Tables.sessionKey(s), d))({
         val sh = shingleDF(s, d).withColumn("h31", expr(s"sh % $Prime"))
         val mins = (0 until NumPerms).map(i =>
           min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))

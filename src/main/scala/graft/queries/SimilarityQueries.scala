@@ -55,7 +55,7 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def lshSigs(s: SparkSession, d: String): DataFrame =
-    lshSigCache.getOrElseUpdate((Tables.sessionKey(s), d), {
+    Tables.memo(lshSigCache, (Tables.sessionKey(s), d))({
       graft.ops.LshFunctions.register(s,
         Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed))
       Tables.load(s, d, "embeddings")
@@ -131,7 +131,7 @@ object SimilarityQueries {
     * pattern); assignment and means stay distributed.
     */
   private def ivfCentroids(s: SparkSession, d: String, iters: Int): Array[(Long, Array[Float])] =
-    ivfCentCache.getOrElseUpdate((Tables.sessionKey(s), d, iters), {
+    Tables.memo(ivfCentCache, (Tables.sessionKey(s), d, iters))({
       val e = Tables.load(s, d, "embeddings")
       var cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id"), col("embedding"))
@@ -674,7 +674,7 @@ object SemanticEngines {
   private val engines = scala.collection.concurrent.TrieMap.empty[(Int, String), QueryEngine]
 
   def get(s: SparkSession, d: String): QueryEngine =
-    engines.getOrElseUpdate((graft.Tables.sessionKey(s), d), {
+    graft.Tables.memo(engines, (graft.Tables.sessionKey(s), d))({
       val base = FixtureCorpus.ensure(s, d)
       val slug = d.replaceAll("[^A-Za-z0-9.]+", "_")
       // model name doubles as the encoder version: bumping it invalidates

@@ -99,4 +99,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("ObjectHashAggregate"), plan.take(1500))
     assert(!plan.contains("AppendColumns"), plan.take(1500))
   }
+
+  test("graft_ivf_cells rejects out-of-range k at plan time") {
+    import spark.implicits._
+    IvfFunctions.register(spark, Array(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f))))
+    val df = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    df.createOrReplaceTempView("ivf_k_probe")
+    // valid bound still works
+    assert(spark.sql(
+      "SELECT graft_ivf_cells(embedding, 2) FROM ivf_k_probe").count() == 1)
+    for (bad <- Seq(0, 99)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_ivf_cells(embedding, $bad) FROM ivf_k_probe").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("k must be in [1, 2]")), e.toString)
+    }
+  }
+
+  test("Tables.memo evaluates a racing thunk exactly once") {
+    val cache = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        gate.await()
+        graft.Tables.memo(cache, 42) { evals.incrementAndGet(); 7 }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(evals.get() == 1)
+    assert(cache(42) == 7)
+  }
 }
