@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
+      graft.queries.CurationQueries.queries ++
       graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql
 }

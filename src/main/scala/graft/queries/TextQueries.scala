@@ -35,6 +35,20 @@ object TextQueries {
     s"len(list_filter(string_split(lower(text), ' '), x -> list_contains($arr, x)))"
   }
 
+  /** Portable 60-bit hash (same as DedupQueries): low 15 hex chars of
+    * md5. Spark conv(…,16,10) == DuckDB CAST('0x'||… AS BIGINT).
+    */
+  private def h60(c: String): String =
+    s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Winnowing (Schleimer et al., MOSS): k-gram size and window width.
+    * Every substring match of length >= WinK + WinW - 1 is guaranteed to
+    * share a fingerprint — the local-document fingerprint scheme, vs the
+    * whole-document md5 in q_text_stats.
+    */
+  private[queries] val WinK = 8
+  private[queries] val WinW = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats + md5 fingerprint (the rolling-hash analogue for
     // whole-document identity).
@@ -104,6 +118,67 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Rolling-hash document fingerprinting by winnowing: hash every
+    // char k-gram, then keep the minimum hash of each w-wide window of
+    // consecutive gram positions (min-of-window == the rolling
+    // selection; distinct mins == the document's fingerprint set).
+    // Guarantees any shared substring of length >= k+w-1 yields a
+    // shared fingerprint. Plan shape: one scan -> narrow explode
+    // (doc_id, pos, h) -> per-doc window (single shuffle on doc_id) ->
+    // hash aggregate; at 100 TB each document's grams stay inside its
+    // partition after the one exchange, nothing is quadratic.
+    "q_text_winnow" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (k, w) = (WinK, WinW)
+      // Length guard BEFORE sequence(): Spark's sequence(1, n) with
+      // n <= 0 generates a DESCENDING range, not an empty one.
+      val grams = Tables.load(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= k + w - 1)
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(1, length(t) - ${k - 1})")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr(s"length(t) - ${k - 1}").as("ng"),
+          expr(h60(s"substring(t, pos, $k)")).as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+      grams.withColumn("fp", min("h").over(win))
+        .filter(col("pos") <= col("ng") - (w - 1)) // full windows only
+        .select("doc_id", "fp").distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals: fraction of tokens taken by the
+    // most frequent word and by the most frequent bigram (x2 tokens).
+    // High values mean degenerate/templated text a curation pipeline
+    // drops. Two hash aggregates + a broadcast-size join back per doc;
+    // integer counts with one double division each, so the oracle
+    // matches bit-for-bit.
+    "q_quality_repetition" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val tok = docs.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      val topw = docs.select(col("doc_id"), explode(col("w")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max("n").as("top_word_n"))
+      val topb = docs.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(w) - 1),
+            |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+            |END""".stripMargin)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max("n").as("top_bigram_n"))
+      tok.join(topw, Seq("doc_id"), "left").join(topb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(coalesce(top_word_n, 0) AS DOUBLE) / n_tokens").as("top_word_frac"),
+          expr("CAST(2 * coalesce(top_bigram_n, 0) AS DOUBLE) / n_tokens").as("top_bigram_frac"))
+        .withColumn("flagged",
+          col("top_word_frac") > 0.125 || col("top_bigram_frac") > 0.15)
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: length band + type-token ratio + stopword ratio.
     "q_text_quality" -> ((s, d) => {
       Tables.load(s, d, "documents").selectExpr(
@@ -157,6 +232,44 @@ object TextQueries {
         |        i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_text_winnow" -> {
+      val (k, w) = (WinK, WinW)
+      // DuckDB range(a, b) is stop-EXCLUSIVE (never descends), so
+      // range(1, len - (k-2)) == Spark sequence(1, len - (k-1)).
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+         |           WHERE length(lower(text)) >= ${k + w - 1}),
+         |g AS (SELECT doc_id, t, UNNEST(range(1, length(t) - ${k - 2})) AS pos FROM d),
+         |h AS (SELECT doc_id, pos, length(t) - ${k - 1} AS ng,
+         |        CAST('0x' || substr(md5(substr(t, pos, $k)), 1, 15) AS BIGINT) AS h
+         |      FROM g),
+         |w AS (SELECT doc_id, pos, ng,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+         |      FROM h),
+         |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - ${w - 1})
+         |SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, len(w) AS n_tokens FROM d),
+        |topw AS (SELECT doc_id, MAX(n) AS top_word_n FROM (
+        |  SELECT doc_id, g, COUNT(*) AS n
+        |  FROM (SELECT doc_id, UNNEST(w) AS g FROM d) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |topb AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM (
+        |  SELECT doc_id, g, COUNT(*) AS n
+        |  FROM (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |          i -> w[i] || ' ' || w[i + 1])) AS g FROM d) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |j AS (SELECT tok.doc_id AS doc_id, n_tokens,
+        |        CAST(COALESCE(top_word_n, 0) AS DOUBLE) / n_tokens AS top_word_frac,
+        |        CAST(2 * COALESCE(top_bigram_n, 0) AS DOUBLE) / n_tokens AS top_bigram_frac
+        |      FROM tok LEFT JOIN topw ON tok.doc_id = topw.doc_id
+        |               LEFT JOIN topb ON tok.doc_id = topb.doc_id)
+        |SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
+        |       (top_word_frac > 0.125 OR top_bigram_frac > 0.15) AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Behavior checks for the curation/fingerprint operators beyond the
+  * DuckDB hash gate: the winnow query is validated against an
+  * independent driver-side reimplementation, decontamination hits are
+  * re-verified on raw text, and BM25 ordering is pinned to the tf
+  * structure it claims to rank by.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Independent winnowing: same definition (k-gram md5-60bit hashes,
+    * min per w-window, distinct), written as a plain Scala loop so a
+    * bug in the SQL window/explode plumbing can't cancel itself out.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Set[Long] = {
+    val t = text.toLowerCase
+    if (t.length < k + w - 1) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 to t.length - k).map { i =>
+      val hex = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    hs.sliding(w).map(_.min).toSet
+  }
+
+  test("q_text_winnow matches an independent reimplementation per document") {
+    val rows = SparkEntry.queries("q_text_winnow")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(25).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val exp = winnowRef(r.getString(1), TextQueries.WinK, TextQueries.WinW)
+      val (nFp, fpXor) = rows(r.getLong(0))
+      assert(nFp == exp.size, s"doc ${r.getLong(0)} fingerprint count")
+      assert(fpXor == exp.foldLeft(0L)(_ ^ _), s"doc ${r.getLong(0)} xor")
+    }
+  }
+
+  test("winnowing detects a shared substring of guarantee length") {
+    // The winnowing guarantee: any common substring of length
+    // >= k + w - 1 produces at least one common fingerprint.
+    val (k, w) = (TextQueries.WinK, TextQueries.WinW)
+    val shared = "zq" * ((k + w - 1) / 2 + 1) // long enough, off-vocabulary
+    val a = winnowRef(s"left padding text $shared more words here", k, w)
+    val b = winnowRef(s"completely different prefix $shared other suffix", k, w)
+    assert((a & b).nonEmpty)
+  }
+
+  test("q_decontaminate hits share a real word n-gram with their benchmark doc") {
+    val hits = SparkEntry.queries("q_decontaminate")(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(id: Long): Set[String] =
+      texts(id).toLowerCase.split(" ").sliding(CurationQueries.ContamN)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = texts.keys.filter(_ % CurationQueries.BenchMod == 0)
+      .flatMap(grams).toSet
+    hits.foreach { r =>
+      val (docId, nShared, benchId) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(docId % CurationQueries.BenchMod != 0)
+      assert(benchId % CurationQueries.BenchMod == 0)
+      assert(nShared >= 1)
+      // Every hit must be re-verifiable on raw text, not just hashes:
+      // the doc really shares >= nShared n-grams with the benchmark set.
+      val common = grams(docId) & benchGrams
+      assert(common.size >= nShared, s"doc $docId claims $nShared, raw ${common.size}")
+    }
+  }
+
+  test("q_stratified_sample applies per-language rates deterministically") {
+    val rows = SparkEntry.queries("q_stratified_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, (total, kept)) => assert(kept <= total) }
+    // en keeps 2/20, zh keeps 10/20: with ~equal strata the kept
+    // fraction must be visibly ordered, not merely nonzero.
+    val enFrac = rows("en")._2.toDouble / rows("en")._1
+    val zhFrac = rows("zh")._2.toDouble / rows("zh")._1
+    assert(enFrac < zhFrac, s"en=$enFrac zh=$zhFrac")
+  }
+
+  test("q_bm25 ranks by the scoring structure it claims") {
+    val out = SparkEntry.queries("q_bm25")(spark, sf).collect()
+    assert(out.length == 15)
+    val scores = out.map(_.getFloat(1))
+    assert(scores.forall(_ > 0f))
+    assert(scores.sameElements(scores.sortBy(-_.toDouble)))
+    // The top document must actually contain a query term.
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val topWords = texts(out.head.getLong(0)).toLowerCase.split(" ").toSet
+    assert(CurationQueries.Bm25Terms.exists(topWords.contains))
+  }
+
+  test("q_quality_repetition fractions are consistent and flag agrees") {
+    val rows = SparkEntry.queries("q_quality_repetition")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (wf, bf, fl) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(wf > 0.0 && wf <= 1.0)
+      assert(bf >= 0.0 && bf <= 1.0)
+      assert(fl == (wf > 0.125 || bf > 0.15))
+    }
+  }
+}
