@@ -15,6 +15,12 @@ import graft.streaming.EventStreams
   */
 object PipelineQueries {
 
+  /** Chunking parameters: max tokens per training chunk and the overlap
+    * carried between consecutive chunks (stride = max - overlap).
+    */
+  private[queries] val ChunkMax = 32
+  private[queries] val ChunkOverlap = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary media column + batched per-partition decode (stubbed kernel).
     "q_multimodal_decode" -> ((s, d) => {
@@ -109,6 +115,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window chunking: split each document into max-32-token
+    // chunks with 8 tokens of overlap (stride 24) — the pre-tokenization
+    // step that turns long documents into training sequences. Chunk
+    // count and bounds are closed-form per document, so the whole
+    // operator is one narrow explode with NO shuffle (ordering aside);
+    // chunk provenance (doc_id, chunk_id, start_tok) and an md5 of the
+    // chunk text make every chunk re-joinable to its source.
+    "q_chunk_text" -> ((s, d) => {
+      val (max, stride) = (ChunkMax, ChunkMax - ChunkOverlap)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .withColumn("nc", expr(
+          s"CASE WHEN n <= $max THEN 1 ELSE 1 + CAST(ceil(CAST(n - $max AS DOUBLE) / $stride) AS INT) END"))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"chunk_id * $stride + 1").as("start_tok"),
+          expr(s"least($max, n - chunk_id * $stride)").as("n_tok"),
+          expr(s"md5(concat_ws(' ', slice(w, chunk_id * $stride + 1, " +
+            s"least($max, n - chunk_id * $stride))))").as("fp"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // End-to-end training-data prep — the operators composed as a real
     // job: quality-score filter → exact dedup (canonical keeper = min
     // doc_id per fingerprint) → sequence packing of the survivors into
@@ -149,6 +179,21 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_text" -> {
+      val (max, stride) = (ChunkMax, ChunkMax - ChunkOverlap)
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+         |             len(string_split(lower(text), ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, w, n,
+         |        CASE WHEN n <= $max THEN 1
+         |             ELSE 1 + CAST(ceil(CAST(n - $max AS DOUBLE) / $stride) AS INT) END AS nc
+         |      FROM d),
+         |e AS (SELECT doc_id, w, n, UNNEST(range(0, nc)) AS chunk_id FROM c)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * $stride + 1 AS start_tok,
+         |  least($max, n - chunk_id * $stride) AS n_tok,
+         |  md5(array_to_string(w[(chunk_id * $stride + 1):(chunk_id * $stride + least($max, n - chunk_id * $stride))], ' ')) AS fp
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "q_pipeline_prep" ->
       """WITH s AS (
         |  SELECT doc_id, text,

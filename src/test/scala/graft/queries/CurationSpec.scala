@@ -103,6 +103,37 @@ class CurationSpec extends AnyFunSuite {
     assert(CurationQueries.Bm25Terms.exists(topWords.contains))
   }
 
+  test("q_chunk_text covers every token with the declared overlap") {
+    val (max, ov) = (PipelineQueries.ChunkMax, PipelineQueries.ChunkOverlap)
+    val stride = max - ov
+    val chunks = SparkEntry.queries("q_chunk_text")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ")).toMap
+    assert(chunks.nonEmpty && chunks.keySet == texts.keySet)
+    texts.foreach { case (id, words) =>
+      val cs = chunks(id).sortBy(_._2)
+      // contiguous ids, declared geometry, full coverage to the last token
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      cs.foreach { case (_, cid, start, ntok, fp) =>
+        assert(start == cid * stride + 1)
+        assert(ntok == math.min(max, words.length - cid * stride))
+        val expected = words.slice(start - 1, start - 1 + ntok).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp == hex, s"doc $id chunk $cid")
+      }
+      assert(cs.last._3 - 1 + cs.last._4 == words.length, s"doc $id coverage")
+      // consecutive chunks overlap by exactly `ov` (when both are full)
+      cs.sliding(2).foreach {
+        case Array(a, b) if a._4 == max => assert(b._3 == a._3 + stride)
+        case _ =>
+      }
+    }
+  }
+
   test("q_quality_repetition fractions are consistent and flag agrees") {
     val rows = SparkEntry.queries("q_quality_repetition")(spark, sf).collect()
     assert(rows.length > 0)
