@@ -112,6 +112,9 @@ object SimilarityQueries {
   private val LshBandBits = 4
   private val LshBucketMask = 0xF
 
+  private[queries] val ProjDim = 32
+  private val ProjSeed = 7702L
+
   private val IvfCells = 16
   private[queries] val IvfIters = 2
   private val IvfProbes = 4
@@ -323,6 +326,21 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Johnson–Lindenstrauss random projection to ProjDim dims — the
+    // other embedding-compression tier (quantization shrinks bytes per
+    // dim; projection shrinks dims). The plane matrix is a seeded
+    // plan-time constant inside a codegen expression, so the projection
+    // is a single embarrassingly-parallel scan; flattened output
+    // (vec_id, pos, val) keeps the oracle comparison scalar.
+    "q_embed_project" -> ((s, d) => {
+      graft.ops.ProjFunctions.register(s,
+        Similarity.hyperplanes(ProjDim, LshDim, seed = ProjSeed))
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(expr("graft_project(embedding)")).as(Seq("pos", "val")))
+        .orderBy("vec_id", "pos")
+    }),
+
     // ANN over the quantized tier: cosine on int8 vectors needs NO
     // dequantization — the per-vector scales cancel, so similarity is
     // exact integer dot/norms plus one double division (bit-reproducible
@@ -471,6 +489,20 @@ object SimilarityQueries {
       |  FROM qs)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_project" -> {
+      val planes = Similarity.hyperplanes(ProjDim, LshDim, seed = ProjSeed)
+      val vals = planes.map { p =>
+        val lst = p.mkString("[", ", ", "]")
+        s"CAST(list_aggregate(list_transform(range(1, ${LshDim + 1}), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * list_extract($lst, i)), 'sum') AS REAL)"
+      }
+      val posList = (0 until ProjDim).mkString("[", ", ", "]")
+      // Two parallel UNNESTs in one SELECT zip positionally in DuckDB.
+      s"""SELECT vec_id, UNNEST($posList) AS pos,
+         |  UNNEST([${vals.mkString(",\n  ")}]) AS val
+         |FROM embeddings ORDER BY vec_id, pos""".stripMargin
+    },
+
     "q_embed_quantize" ->
       s"""WITH $quantOracleCtes
          |SELECT vec_id, scale,

@@ -83,11 +83,39 @@ class AnnQualitySpec extends AnyFunSuite {
     // it (VERDICT r2: q_ann_ivf failed exactly this way).
     for (name <- Seq("q_cosine_topk", "q_embed_neardup", "q_ann_lsh",
                      "q_ann_lsh_recall", "q_ann_ivf", "q_ann_quantized",
-                     "q_embed_quantize")) {
+                     "q_embed_quantize", "q_embed_project")) {
       val fresh = spark.newSession()
       val n = SimilarityQueries.queries(name)(fresh, sf).count()
       withClue(s"$name on a fresh session:") { assert(n > 0) }
     }
+  }
+
+  test("random projection approximately preserves cosine (JL property)") {
+    // What the compressed tier is FOR: cosine in the 16-dim projected
+    // space must track cosine in the original 64-dim space. Pin the
+    // correlation over all (query, candidate) pairs of the 8 query
+    // vectors — distortion is expected at 16 dims, systematic breakage
+    // (wrong planes, wrong dot order) collapses the correlation.
+    val proj = SparkEntry.queries("q_embed_project")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getFloat(2).toDouble)
+      }
+    val orig = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qids = orig.keys.filter(_ < 8).toSeq.sorted
+    val pairs = for (q <- qids; v <- orig.keys.toSeq.sorted.take(200) if v != q)
+      yield (cos(orig(q), orig(v)), cos(proj(q).toArray, proj(v).toArray))
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val corr = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    withClue(s"corr=$corr:") { assert(corr > 0.6) }
   }
 
   test("UNNEST rewriter leaves string literals alone") {
