@@ -66,7 +66,7 @@ object DedupQueries {
         .persist()
     })
 
-  private def wordDF(s: SparkSession, d: String): DataFrame =
+  private[queries] def wordDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(wordCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))

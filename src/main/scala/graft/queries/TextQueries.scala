@@ -156,8 +156,10 @@ object TextQueries {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       val tok = docs.select(col("doc_id"), size(col("w")).as("n_tokens"))
-      val topw = docs.select(col("doc_id"), explode(col("w")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      // Top-word counts ride the word frame DedupQueries already
+      // persists for this sf dir (one explode, shared across queries).
+      val topw = DedupQueries.wordDF(s, d).select("doc_id", "word")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
         .groupBy("doc_id").agg(max("n").as("top_word_n"))
       val topb = docs.select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) < 2 THEN array()
