@@ -45,4 +45,43 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
       .toDF()
   }
+
+  final case class FrameFeatures(
+      doc_id: Long, frame_id: Long, off: Long, fr_bytes: Int, checksum: Int)
+
+  /** Frame sampling over an opaque media payload: the payload is a
+    * sequence of fixed `frameSize`-byte frames; every `stride`-th frame
+    * is sampled and summarized (a video keyframe-sampling stand-in — a
+    * real implementation would seek the container's frame index here).
+    * Per-frame output stays linear in payload size / stride and each
+    * frame touches only its own byte range, so the kernel never
+    * materializes more than one frame at a time.
+    */
+  def frameSampleBatch(
+      batch: Seq[(Long, Array[Byte])], frameSize: Int, stride: Int): Seq[FrameFeatures] =
+    batch.flatMap { case (id, bytes) =>
+      val nf = (bytes.length + frameSize - 1) / frameSize
+      (0 until nf by stride).map { i =>
+        val off = i * frameSize
+        val len = math.min(frameSize, bytes.length - off)
+        var s = 0
+        var j = 0
+        while (j < len) { s += bytes(off + j) & 0xff; j += 1 }
+        FrameFeatures(id, i.toLong, off.toLong, len, s)
+      }
+    }
+
+  /** documents → payload → batched per-partition frame sampling (same
+    * bounded-batch shape as [[decodeFeatures]]).
+    */
+  def sampleFrames(
+      spark: SparkSession, docs: DataFrame,
+      frameSize: Int = 32, stride: Int = 4, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize)
+        .flatMap(g => frameSampleBatch(g.toSeq, frameSize, stride)))
+      .toDF()
+  }
 }

@@ -28,6 +28,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling over the binary payload tier: every 4th 32-byte
+    // frame summarized by the batched kernel (video keyframe-sampling
+    // plumbing; real codec seeks would replace the stub summary only).
+    "q_multimodal_framesample" -> ((s, d) => {
+      graft.ops.Multimodal.sampleFrames(s, Tables.load(s, d, "documents"))
+        .orderBy("doc_id", "frame_id")
+    }),
+
     // Tumbling event-time window aggregate (watermarked on streams).
     "q_stream_window" -> ((s, d) => {
       EventStreams.windowedAgg(Tables.load(s, d, "events"))
@@ -232,6 +240,18 @@ object PipelineQueries {
         |  CASE CAST(octet_length(encode(text)) % 3 AS INT)
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_framesample" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, text, nb,
+        |        UNNEST(range(0, CAST(ceil(CAST(nb AS DOUBLE) / 32) AS INT))) AS frame_id
+        |      FROM d)
+        |SELECT doc_id, frame_id, frame_id * 32 AS off,
+        |  CAST(least(32, nb - frame_id * 32) AS INT) AS fr_bytes,
+        |  CAST(list_aggregate(list_transform(
+        |    range(frame_id * 32 + 1, frame_id * 32 + least(32, nb - frame_id * 32) + 1),
+        |    j -> unicode(substr(text, CAST(j AS INT), 1))), 'sum') AS INT) AS checksum
+        |FROM f WHERE frame_id % 4 = 0
+        |ORDER BY doc_id, frame_id""".stripMargin,
     "q_stream_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS window_start_us,
         |  event_type, COUNT(*) AS n,

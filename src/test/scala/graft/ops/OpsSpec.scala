@@ -119,6 +119,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frameSampleBatch: stride sampling, offsets, truncated last frame") {
+    val bytes = Array.tabulate(70)(_.toByte) // frames of 32: [0,32), [32,64), [64,70)
+    val out = Multimodal.frameSampleBatch(Seq((7L, bytes)), frameSize = 32, stride = 2)
+    // frames 0 and 2 sampled (stride 2), frame 1 skipped
+    assert(out.map(f => (f.frame_id, f.off, f.fr_bytes)) ==
+      Seq((0L, 0L, 32), (2L, 64L, 6)))
+    assert(out.head.checksum == (0 until 32).sum)
+    assert(out(1).checksum == (64 until 70).sum)
+    assert(Multimodal.frameSampleBatch(Seq((1L, Array.empty[Byte])), 32, 2).isEmpty)
+  }
+
   test("Tables.memo evaluates a racing thunk exactly once") {
     val cache = scala.collection.concurrent.TrieMap.empty[Int, Int]
     val evals = new java.util.concurrent.atomic.AtomicInteger(0)
