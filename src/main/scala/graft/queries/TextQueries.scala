@@ -49,6 +49,25 @@ object TextQueries {
   private[queries] val WinK = 8
   private[queries] val WinW = 4
 
+  /** Persisted `(doc_id, bigram)` frame — shared by the corpus-wide
+    * bigram counts and the per-doc repetition signals, one copy per
+    * (session, sf dir) like the dedup shingle/word frames.
+    */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private def bigramDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.memo(bigramCache, (Tables.sessionKey(s), d))({
+      Tables.load(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(w) - 1),
+            |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+            |END""".stripMargin)).as("bigram"))
+        .persist()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats + md5 fingerprint (the rolling-hash analogue for
     // whole-document identity).
@@ -106,13 +125,7 @@ object TextQueries {
     // Corpus-wide bigram frequencies (n-gram language-model building
     // block): top 20 by count with deterministic tie-break.
     "q_text_bigrams" -> ((s, d) => {
-      Tables.load(s, d, "documents")
-        .withColumn("w", split(lower(col("text")), " "))
-        .select(explode(expr(
-          """CASE WHEN size(w) < 2 THEN array()
-            |     ELSE transform(sequence(1, size(w) - 1),
-            |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
-            |END""".stripMargin)).as("bigram"))
+      bigramDF(s, d)
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
@@ -161,12 +174,8 @@ object TextQueries {
       val topw = DedupQueries.wordDF(s, d).select("doc_id", "word")
         .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
         .groupBy("doc_id").agg(max("n").as("top_word_n"))
-      val topb = docs.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(w) < 2 THEN array()
-            |     ELSE transform(sequence(1, size(w) - 1),
-            |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
-            |END""".stripMargin)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      val topb = bigramDF(s, d)
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
         .groupBy("doc_id").agg(max("n").as("top_bigram_n"))
       tok.join(topw, Seq("doc_id"), "left").join(topb, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
