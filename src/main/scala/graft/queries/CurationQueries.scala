@@ -66,6 +66,57 @@ object CurationQueries {
   private val Bm25B = "0.75"
   private[queries] val Bm25Terms = Seq("join", "window", "hash")
 
+  /** PII patterns, written without backslash escapes (`[.]` instead of
+    * `\.`) so the same literal parses identically as a Java regex
+    * (Spark) and an RE2 regex (DuckDB) with no string-escaping
+    * divergence. All three are in the common leftmost-first greedy
+    * subset of both engines.
+    */
+  private val ReEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+  private val RePhone = "555-[0-9]{4}"
+  private val ReIp = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+
+  /** The synthetic corpus carries no PII, so the redaction operator runs
+    * over text with deterministic PII-like tokens injected from the
+    * row's own columns — both engines build the identical string, then
+    * both run the identical redaction chain over it. `castStr` differs
+    * only in the dialects' string type keyword.
+    */
+  /** The email → phone → IPv4 redaction chain over a string SQL
+    * expression. Fixed order in both engines; `flags` is "" for Spark
+    * (regexp_replace replaces every match) and "g" for DuckDB (default
+    * is first-match-only).
+    */
+  private[queries] def redactChain(c: String, flags: String = ""): String = {
+    val f = if (flags.isEmpty) "" else s", '$flags'"
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       |  '$ReEmail', '<EMAIL>'$f),
+       |  '$RePhone', '<PHONE>'$f),
+       |  '$ReIp', '<IP>'$f)""".stripMargin
+  }
+
+  private def piiText(castStr: String): String =
+    "'user.' || doc_id || '@mail-' || lang || '.com call 555-' || " +
+      s"lpad(CAST(doc_id % 10000 AS $castStr), 4, '0') || " +
+      "' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) || ' ' || text"
+
+  /** Boilerplate set size: the K most document-frequent bigrams. A
+    * rank-based cutoff (vs a relative-df threshold) keeps the flagged
+    * set EXACTLY K rows at any corpus size — the broadcast side of the
+    * join-back is bounded by construction, which is what makes this
+    * shape safe at 100 TB.
+    */
+  private[queries] val BoilerK = 25
+
+  /** Unigram-LM surprisal grid: micro-nats. The only transcendental
+    * (`ln`) is collapsed to a FLOAT before scaling so a last-ulp libm
+    * difference between JVM `Math.log` and DuckDB's `std::log` cannot
+    * survive into the rounded integer; after that every sum is exact
+    * BIGINT arithmetic and therefore order-independent across partitions.
+    */
+  private def unatsExpr(floatT: String): String =
+    s"CAST(ROUND(CAST(CAST(-ln(CAST(n AS DOUBLE) / nt) AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: flag every training document sharing at
     // least one word ContamN-gram with the benchmark set. The benchmark
@@ -132,6 +183,85 @@ object CurationQueries {
           expr(s"CAST(${termScores.mkString(" + ")} AS FLOAT)").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(15)
+    }),
+
+    // PII redaction: email → phone → IPv4 regexp_replace chain (fixed
+    // order, both engines), plus per-kind match counts on the raw text.
+    // Pure codegen string expressions over one scan — no shuffle at all;
+    // at 100 TB this is the map-only pass a privacy scrub runs before
+    // anything else. The redacted text itself is reported as md5 + length
+    // to keep the verified row narrow.
+    "q_pii_redact" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("s", expr(piiText("STRING")))
+        .selectExpr(
+          "doc_id",
+          s"size(regexp_extract_all(s, '$ReEmail', 0)) AS n_email",
+          s"size(regexp_extract_all(s, '$RePhone', 0)) AS n_phone",
+          s"size(regexp_extract_all(s, '$ReIp', 0)) AS n_ip",
+          s"md5(${redactChain("s")}) AS redacted_fp",
+          s"length(${redactChain("s")}) AS n_redacted_chars")
+        .orderBy("doc_id")
+    }),
+
+    // C4-style boilerplate flagging: the BoilerK most document-frequent
+    // bigrams are "boilerplate"; each doc reports how much of it is made
+    // of them. Two hash aggregates over the shared persisted bigram
+    // frame, then a K-row broadcast join back over the same frame — the
+    // corpus itself never shuffles, and the flagged set is bounded at K
+    // regardless of corpus size.
+    "q_boilerplate" -> ((s, d) => {
+      val b = TextQueries.bigramDF(s, d)
+      val top = b.select("doc_id", "bigram").distinct()
+        .groupBy("bigram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(BoilerK)
+        .select(col("bigram"), lit(1).as("is_boiler"))
+      val perDoc = b.join(broadcast(top), Seq("bigram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(col("is_boiler")).as("n_boiler"))
+      perDoc.select(col("doc_id"), col("n_bigrams"), col("n_boiler"),
+          expr("CAST(n_boiler AS DOUBLE) / n_bigrams").as("boiler_frac"))
+        .withColumn("flagged", col("boiler_frac") > 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Unigram language-model surprisal (perplexity proxy): train the LM
+    // from the corpus itself (one hash aggregate), broadcast the scored
+    // vocabulary back over the word frame, and sum integer micro-nats
+    // per document. The vocabulary after frequency pruning is broadcast-
+    // sized even at 100 TB (it grows with the language, not the corpus);
+    // the per-doc sum is exact BIGINT so no float-order hazard exists,
+    // and the final perplexity is one exp() collapsed to FLOAT.
+    "q_lm_unigram" -> ((s, d) => {
+      val w = DedupQueries.wordDF(s, d).select("doc_id", "word")
+      val tot = w.agg(count(lit(1)).as("nt"))
+      val vocab = w.groupBy("word").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("word"), expr(unatsExpr("FLOAT")).as("unats"))
+      w.join(broadcast(vocab), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("unats").as("total_unats"))
+        .select(col("doc_id"), col("n_tokens"), col("total_unats"),
+          expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS FLOAT)")
+            .as("ppl"))
+        .orderBy("doc_id")
+    }),
+
+    // Output shard planning: the deterministic hash-shard assignment a
+    // training-data write uses (shard = portable hash % 64), audited as
+    // per-shard row/byte counts. One hash aggregate; the same expression
+    // feeds `.write.partitionBy("shard")` in the sink path (SinkSpec),
+    // where 64 balanced shards ARE the write parallelism at 100 TB.
+    "q_shard_plan" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("shard", expr(s"${h60("CAST(doc_id AS STRING)")} % 64"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_bytes"),
+          min("doc_id").as("first_id"))
+        .orderBy("shard")
     })
   )
 
@@ -189,6 +319,49 @@ object CurationQueries {
          |  CAST(${scores.mkString(" + ")} AS REAL) AS score
          |FROM tf CROSS JOIN stats
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
-    }
+    },
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, ${piiText("VARCHAR")} AS s FROM documents),
+         |r AS (SELECT doc_id, s, ${redactChain("s", "g")} AS red
+         |      FROM p)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(s, '$ReEmail')) AS n_email,
+         |  len(regexp_extract_all(s, '$RePhone')) AS n_phone,
+         |  len(regexp_extract_all(s, '$ReIp')) AS n_ip,
+         |  md5(red) AS redacted_fp,
+         |  length(red) AS n_redacted_chars
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1])) AS bigram FROM d),
+         |top AS (SELECT bigram, 1 AS is_boiler FROM (
+         |          SELECT bigram, COUNT(*) AS df
+         |          FROM (SELECT DISTINCT doc_id, bigram FROM b) GROUP BY bigram)
+         |        ORDER BY df DESC, bigram LIMIT $BoilerK),
+         |j AS (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(is_boiler) AS n_boiler
+         |      FROM b LEFT JOIN top USING (bigram) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, n_boiler,
+         |  CAST(n_boiler AS DOUBLE) / n_bigrams AS boiler_frac,
+         |  CAST(n_boiler AS DOUBLE) / n_bigrams > 0.5 AS flagged
+         |FROM j ORDER BY doc_id""".stripMargin,
+    "q_lm_unigram" ->
+      s"""WITH w AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+         |           FROM documents),
+         |tot AS (SELECT COUNT(*) AS nt FROM w),
+         |vocab AS (SELECT word, ${unatsExpr("REAL")} AS unats
+         |          FROM (SELECT word, COUNT(*) AS n FROM w GROUP BY word)
+         |          CROSS JOIN tot),
+         |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |        CAST(SUM(unats) AS BIGINT) AS total_unats
+         |      FROM w JOIN vocab USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, total_unats,
+         |  CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS REAL) AS ppl
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_shard_plan" ->
+      s"""SELECT ${duckH60("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+         |  MIN(doc_id) AS first_id
+         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -56,7 +56,7 @@ object TextQueries {
   private val bigramCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
 
-  private def bigramDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+  private[queries] def bigramDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(bigramCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))

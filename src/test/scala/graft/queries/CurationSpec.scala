@@ -134,6 +134,102 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("redaction chain scrubs realistic PII and leaves clean text alone") {
+    def redact(s: String): String =
+      spark.sql(s"SELECT ${CurationQueries.redactChain(s"'$s'")} AS r")
+        .head().getString(0)
+    assert(redact("reach jane.doe+x@example.org or 555-1234, host 192.168.0.1 ok")
+      == "reach <EMAIL> or <PHONE>, host <IP> ok")
+    // replace-ALL semantics, not first-match
+    assert(redact("a.b@c.io then d_e@f.co.uk done")
+      == "<EMAIL> then <EMAIL> done")
+    assert(redact("plain text with numbers 42 and a dot. end")
+      == "plain text with numbers 42 and a dot. end")
+  }
+
+  test("q_pii_redact finds exactly the injected tokens per document") {
+    val rows = SparkEntry.queries("q_pii_redact")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 1, "one injected email")
+      assert(r.getInt(2) == 1, "one injected phone")
+      assert(r.getInt(3) == 1, "one injected IP")
+    }
+  }
+
+  test("q_boilerplate matches an independent top-K doc-frequency count") {
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ")).toMap
+    def bigrams(ws: Array[String]): Seq[String] =
+      ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val df = texts.values.toSeq.flatMap(ws => bigrams(ws).distinct)
+      .groupBy(identity).map { case (g, os) => g -> os.size }
+    val top = df.toSeq.sortBy { case (g, n) => (-n, g) }
+      .take(CurationQueries.BoilerK).map(_._1).toSet
+    val rows = SparkEntry.queries("q_boilerplate")(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val (id, nB, nBoil) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val bs = bigrams(texts(id))
+      assert(nB == bs.size, s"doc $id bigram count")
+      assert(nBoil == bs.count(top.contains), s"doc $id boilerplate count")
+    }
+  }
+
+  test("q_lm_unigram matches an independent surprisal computation") {
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ")).toMap
+    val counts = texts.values.toSeq.flatten
+      .groupBy(identity).map { case (w, os) => w -> os.size.toLong }
+    val nt = counts.values.sum.toDouble
+    def unats(w: String): Long =
+      math.round(((-math.log(counts(w) / nt)).toFloat).toDouble * 1000000)
+    val rows = SparkEntry.queries("q_lm_unigram")(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val (id, n, total, ppl) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getFloat(3))
+      val ws = texts(id)
+      assert(n == ws.length, s"doc $id token count")
+      assert(total == ws.map(unats).sum, s"doc $id total surprisal")
+      assert(math.abs(ppl - math.exp(total.toDouble / n / 1e6)) < 1e-3f)
+      // a corpus drawn from one unigram distribution: ppl near vocab
+      // entropy, never below 1 or above vocab size
+      assert(ppl >= 1f && ppl <= counts.size.toFloat * 2)
+    }
+  }
+
+  test("shard assignment drives a partitioned sink write that prunes") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .withColumn("shard", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 64"))
+    docs.write.partitionBy("shard").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    // read-back per-shard counts equal the q_shard_plan audit
+    val plan = SparkEntry.queries("q_shard_plan")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition-column read-back infers INT; normalize for the compare
+    val counts = back.groupBy(col("shard").cast("long").as("shard"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == plan)
+    // partition pruning: a shard filter reaches the scan as a partition
+    // filter (inputFiles ignores filters, so inspect the physical scan)
+    val some = counts.keys.head
+    val q = back.filter(col("shard") === some)
+    assert(q.count() == plan(some))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("shard"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("q_quality_repetition fractions are consistent and flag agrees") {
     val rows = SparkEntry.queries("q_quality_repetition")(spark, sf).collect()
     assert(rows.length > 0)
