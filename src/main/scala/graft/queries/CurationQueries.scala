@@ -76,12 +76,6 @@ object CurationQueries {
   private val RePhone = "555-[0-9]{4}"
   private val ReIp = "[0-9]{1,3}([.][0-9]{1,3}){3}"
 
-  /** The synthetic corpus carries no PII, so the redaction operator runs
-    * over text with deterministic PII-like tokens injected from the
-    * row's own columns — both engines build the identical string, then
-    * both run the identical redaction chain over it. `castStr` differs
-    * only in the dialects' string type keyword.
-    */
   /** The email → phone → IPv4 redaction chain over a string SQL
     * expression. Fixed order in both engines; `flags` is "" for Spark
     * (regexp_replace replaces every match) and "g" for DuckDB (default
@@ -95,6 +89,12 @@ object CurationQueries {
        |  '$ReIp', '<IP>'$f)""".stripMargin
   }
 
+  /** The synthetic corpus carries no PII, so the redaction operator runs
+    * over text with deterministic PII-like tokens injected from the
+    * row's own columns — both engines build the identical string, then
+    * both run the identical redaction chain over it. `castStr` differs
+    * only in the dialects' string type keyword.
+    */
   private def piiText(castStr: String): String =
     "'user.' || doc_id || '@mail-' || lang || '.com call 555-' || " +
       s"lpad(CAST(doc_id % 10000 AS $castStr), 4, '0') || " +

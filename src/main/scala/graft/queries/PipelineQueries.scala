@@ -67,6 +67,18 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Stream-stream interval join run in batch mode: the SAME
+    // double-watermark + bounded-time-condition operator the stream uses
+    // (state-expirable by construction), attributing purchases to the
+    // user's views in the prior 30 minutes.
+    "q_stream_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "view_id")
+    }),
+
     // As-of join: each purchase matched to the user's latest prior signup
     // (union + ordered-window carry; DuckDB's native ASOF JOIN is the
     // oracle).
@@ -278,6 +290,15 @@ object PipelineQueries {
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
         |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |  p.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  l.event_id AS signup_id, epoch_us(l.ts) AS signup_ts_us

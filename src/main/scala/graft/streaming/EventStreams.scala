@@ -121,6 +121,39 @@ object EventStreams extends Serializable {
     out.drop("fp")
   }
 
+  /** Stream-stream interval join: attribute each purchase to every view
+    * by the same user within the preceding `windowMinutes`.
+    *
+    * This is THE canonical Structured Streaming join shape: watermarks on
+    * BOTH inputs plus a bounded event-time condition are exactly what
+    * lets the engine expire join state (a view older than the watermark
+    * minus the window can never match a future purchase, so its buffer
+    * row is dropped). Without either bound, stream-stream inner join
+    * state grows forever. On batch frames the identical plan degenerates
+    * to an equi-join on user_id with a range filter — one shuffle on the
+    * join key, no nested loop.
+    */
+  def attributionJoin(
+      views: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = views.select(
+        col("event_id").as("view_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"))
+      .withWatermark("v_ts", watermarkDelay)
+    val p = purchases.select(
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("user_id").as("user_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    v.join(p,
+        col("v_user") === col("user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   /** Batch replay of the streaming first-seen semantics with arrival
     * order pinned to event order: repartition by fingerprint (all rows
     * of a key in one task, like the streaming state partitioning) and

@@ -84,6 +84,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionJoin runs as a stream-stream join with bounded state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val views = vIn.toDF().toDF("event_id", "ts", "user_id")
+    val purchases = pIn.toDF().toDF("event_id", "ts", "user_id")
+
+    val joined = EventStreams.attributionJoin(views, purchases, windowMinutes = 30)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // view at 00:01 (user 7), purchase at 00:10 (in window) and a
+      // purchase by another user — only the first pair joins
+      vIn.addData((100L, ts(1), 7L))
+      pIn.addData((200L, ts(10), 7L), (201L, ts(10), 8L))
+      q.processAllAvailable()
+      // a purchase 45 min after the view is OUTSIDE the 30-min window
+      pIn.addData((202L, ts(46), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("purchase_id", "view_id", "user_id", "lag_us").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((200L, 100L)))
+      assert(rows.head.getLong(3) == 9L * 60 * 1000000)
+    } finally q.stop()
+  }
+
+  test("attributionJoin streaming result equals the batch plan on same data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val views = Seq((100L, ts(1), 7L), (101L, ts(3), 8L))
+      .toDF("event_id", "ts", "user_id")
+    val purchases = Seq((200L, ts(10), 7L), (201L, ts(50), 8L))
+      .toDF("event_id", "ts", "user_id")
+    val rows = EventStreams.attributionJoin(views, purchases)
+      .orderBy("purchase_id").collect()
+    // (200,100) inside 30 min; (201,101) is 47 min late -> excluded
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((200L, 100L)))
+  }
+
   test("batch first-seen dedup keeps event-order row and retains the sort in the plan") {
     val spark2 = spark
     import spark2.implicits._
