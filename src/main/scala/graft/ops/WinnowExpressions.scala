@@ -5,7 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass winnowing fingerprint kernel (Schleimer et al., MOSS):
@@ -74,6 +75,39 @@ object WinnowOps {
     }
     InternalRow(nFp, xor)
   }
+
+  /** The distinct window minima themselves, sorted ascending — the
+    * document's full fingerprint set, for operators that need to JOIN
+    * on fingerprints (cross-document duplicate-span detection) rather
+    * than summarize them. Set size is bounded by ~n/w fingerprints per
+    * document (each window contributes one), so the explode this feeds
+    * is narrow.
+    */
+  def fingerprintSet(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val ng = bytes.length - k + 1
+    if (ng < w) return new GenericArrayData(Array.empty[Long])
+    val d = md5.get()
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) { hs(i) = gramHash(d, bytes, i, k); i += 1 }
+    val deque = new Array[Int](ng)
+    var (head, tail) = (0, 0)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < ng) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(hs(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_winnow(text)` — winnowing fingerprint summary as a native
@@ -100,8 +134,38 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `graft_winnow_set(text)` — the document's distinct fingerprint set
+  * as `ARRAY<BIGINT>` (sorted ascending), for fingerprint-join
+  * operators. Same kernel, same plan-time k/w binding.
+  */
+case class WinnowFingerprintSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_set"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowOps.fingerprintSet(v.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.ops.WinnowOps.fingerprintSet($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WinnowFunctions {
   def register(spark: org.apache.spark.sql.SparkSession, k: Int, w: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", e => WinnowFingerprint(e.head, k, w), "built-in")
+
+  /** Registered under its own name so a query can bind DIFFERENT k/w
+    * than the summary function in the same session (cross-dup uses
+    * longer grams than per-doc fingerprinting).
+    */
+  def registerSet(spark: org.apache.spark.sql.SparkSession, k: Int, w: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_set", e => WinnowFingerprintSet(e.head, k, w), "built-in")
 }

@@ -108,6 +108,16 @@ object CurationQueries {
     */
   private[queries] val BoilerK = 25
 
+  /** Target mixture for domain reweighting: the five head sources get
+    * 10% each, the remaining mass spreads evenly over the tail. Every
+    * literal goes through an explicit DOUBLE cast — a bare `0.10`
+    * parses as DECIMAL in both dialects and decimal/double arithmetic
+    * mixes differently between engines.
+    */
+  private val MixTargetExpr =
+    "CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') " +
+      "THEN CAST(0.10 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / 30 END"
+
   /** Unigram-LM surprisal grid: micro-nats. The only transcendental
     * (`ln`) is collapsed to a FLOAT before scaling so a last-ulp libm
     * difference between JVM `Math.log` and DuckDB's `std::log` cannot
@@ -249,6 +259,30 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Domain mixture reweighting: given a target mixture over sources,
+    // derive the per-source keep rate that reaches the target with
+    // maximum data retention (the most under-sampled source keeps 100%,
+    // everything else downsamples proportionally). Two broadcast-sized
+    // aggregates (per-source counts, then the max ratio) joined back —
+    // the corpus is only ever scanned and hash-aggregated, and every
+    // arithmetic step is a single IEEE double op, so the oracle matches
+    // bit-for-bit with no float-sum-order hazard.
+    "q_source_mix" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = docs.agg(count(lit(1)).as("nt"))
+      val shared = cnt.crossJoin(broadcast(tot))
+        .withColumn("target", expr(MixTargetExpr))
+        .withColumn("share", expr("CAST(n AS DOUBLE) / nt"))
+        .withColumn("ratio", expr("target / share"))
+      val mx = shared.agg(max("ratio").as("mx"))
+      shared.crossJoin(broadcast(mx))
+        .select(col("source"), col("n"), col("share"), col("target"),
+          expr("ratio / mx").as("keep_rate"),
+          expr("CAST(floor(CAST(n AS DOUBLE) * (ratio / mx)) AS BIGINT)").as("n_keep"))
+        .orderBy("source")
+    }),
+
     // Output shard planning: the deterministic hash-shard assignment a
     // training-data write uses (shard = portable hash % 64), audited as
     // per-shard row/byte counts. One hash aggregate; the same expression
@@ -358,6 +392,19 @@ object CurationQueries {
          |SELECT doc_id, n_tokens, total_unats,
          |  CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS REAL) AS ppl
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |tot AS (SELECT COUNT(*) AS nt FROM documents),
+         |r AS (SELECT source, n,
+         |        CAST(n AS DOUBLE) / nt AS share,
+         |        $MixTargetExpr AS target
+         |      FROM cnt CROSS JOIN tot),
+         |r2 AS (SELECT *, target / share AS ratio FROM r),
+         |mx AS (SELECT MAX(ratio) AS mx FROM r2)
+         |SELECT source, n, share, target,
+         |  ratio / mx AS keep_rate,
+         |  CAST(floor(CAST(n AS DOUBLE) * (ratio / mx)) AS BIGINT) AS n_keep
+         |FROM r2 CROSS JOIN mx ORDER BY source""".stripMargin,
     "q_shard_plan" ->
       s"""SELECT ${duckH60("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,

@@ -49,6 +49,20 @@ object TextQueries {
   private[queries] val WinK = 8
   private[queries] val WinW = 4
 
+  /** Cross-document duplicate-span detection: longer grams than the
+    * per-doc fingerprint (any shared substring of CrossK + CrossW - 1 =
+    * 23 chars — about four words — is guaranteed to share a
+    * fingerprint), a doc-frequency cutoff dropping boilerplate
+    * fingerprints BEFORE pair generation (bounds every join key's
+    * fan-out, same discipline as the hot-shingle guard in
+    * DedupQueries), and a minimum shared-fingerprint count to call a
+    * pair a duplicate span.
+    */
+  private[queries] val CrossK = 16
+  private[queries] val CrossW = 8
+  private[queries] val CrossMaxDf = 20
+  private[queries] val CrossMinShared = 3
+
   /** Persisted `(doc_id, bigram)` frame — shared by the corpus-wide
     * bigram counts and the per-doc repetition signals, one copy per
     * (session, sf dir) like the dedup shingle/word frames.
@@ -65,6 +79,23 @@ object TextQueries {
             |     ELSE transform(sequence(1, size(w) - 1),
             |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
             |END""".stripMargin)).as("bigram"))
+        .persist()
+    })
+
+  /** Persisted `(doc_id, fp)` long-gram fingerprint frame for the
+    * cross-dup join — scanned three times (df cutoff + both self-join
+    * sides), one copy per (session, sf dir) like the bigram frame.
+    */
+  private val crossFpCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private def crossFpDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.memo(crossFpCache, (Tables.sessionKey(s), d))({
+      graft.ops.WinnowFunctions.registerSet(s, CrossK, CrossW)
+      Tables.load(s, d, "documents")
+        .filter(length(col("text")) >= CrossK + CrossW - 1)
+        .select(col("doc_id"),
+          explode(expr("graft_winnow_set(lower(text))")).as("fp"))
         .persist()
     })
 
@@ -157,6 +188,28 @@ object TextQueries {
         .select(col("doc_id"), col("fp.n_fp").as("n_fp"),
           col("fp.fp_xor").as("fp_xor"))
         .orderBy("doc_id")
+    }),
+
+    // Cross-document duplicate-span detection (the fingerprint-join
+    // analogue of suffix-array substring dedup): winnow each document
+    // with long grams, drop high-df boilerplate fingerprints, then pair
+    // documents sharing >= CrossMinShared fingerprints. The kernel keeps
+    // fingerprinting a local O(doc) scan; the df cutoff bounds every
+    // join key below CrossMaxDf rows before the self-join, so no
+    // unbounded fan-out exists anywhere in the plan — the same shape
+    // that makes q_dedup_ngram scale-safe.
+    "q_winnow_crossdup" -> ((s, d) => {
+      graft.ops.WinnowFunctions.registerSet(s, CrossK, CrossW)
+      val fps = crossFpDF(s, d)
+      val ok = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= CrossMaxDf).select("fp")
+      val ff = fps.join(ok, Seq("fp"))
+      val a = ff.select(col("fp"), col("doc_id").as("ia"))
+      val b = ff.select(col("fp"), col("doc_id").as("ib"))
+      a.join(b, Seq("fp")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= CrossMinShared)
+        .orderBy("ia", "ib")
     }),
 
     // Gopher-style repetition signals: fraction of tokens taken by the
@@ -256,6 +309,26 @@ object TextQueries {
          |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - ${w - 1})
          |SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_winnow_crossdup" -> {
+      val (k, w) = (CrossK, CrossW)
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+         |           WHERE length(lower(text)) >= ${k + w - 1}),
+         |g AS (SELECT doc_id, t, UNNEST(range(1, length(t) - ${k - 2})) AS pos FROM d),
+         |h AS (SELECT doc_id, pos, length(t) - ${k - 1} AS ng,
+         |        CAST('0x' || substr(md5(substr(t, pos, $k)), 1, 15) AS BIGINT) AS h
+         |      FROM g),
+         |w AS (SELECT doc_id, pos, ng,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+         |      FROM h),
+         |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - ${w - 1}),
+         |ok AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $CrossMaxDf),
+         |ff AS (SELECT doc_id, fp FROM f JOIN ok USING (fp))
+         |SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_shared
+         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY ia, ib HAVING COUNT(*) >= $CrossMinShared
+         |ORDER BY ia, ib""".stripMargin
     },
     "q_quality_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -134,6 +134,62 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_winnow_crossdup matches an independent fingerprint-pair count") {
+    val (k, w) = (TextQueries.CrossK, TextQueries.CrossW)
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sets = texts.collect {
+      case (id, t) if t.length >= k + w - 1 => id -> winnowRef(t, k, w)
+    }
+    val df = sets.toSeq.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (fp, os) => fp -> os.size }
+    val kept = df.collect {
+      case (fp, n) if n <= TextQueries.CrossMaxDf => fp
+    }.toSet
+    val expected = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      shared = (sa & sb).count(kept.contains)
+      if shared >= TextQueries.CrossMinShared
+    } yield (ia, ib) -> shared.toLong).toMap
+    val rows = SparkEntry.queries("q_winnow_crossdup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == expected)
+    assert(rows.nonEmpty)
+  }
+
+  test("graft_winnow_set agrees with the graft_winnow summary kernel") {
+    val (k, w) = (TextQueries.WinK, TextQueries.WinW)
+    graft.ops.WinnowFunctions.register(spark, k, w)
+    graft.ops.WinnowFunctions.registerSet(spark, k, w)
+    val rows = graft.Tables.load(spark, sf, "documents").limit(50)
+      .selectExpr("graft_winnow(lower(text)) AS s",
+        "graft_winnow_set(lower(text)) AS fps")
+      .collect()
+    rows.foreach { r =>
+      val (nFp, xor) = (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))
+      val fps = r.getSeq[Long](1)
+      assert(fps.length == nFp)
+      assert(fps.foldLeft(0L)(_ ^ _) == xor)
+      assert(fps == fps.sorted, "set must be sorted ascending")
+    }
+  }
+
+  test("q_source_mix keeps the scarcest source whole and downsamples the rest") {
+    val rows = SparkEntry.queries("q_source_mix")(spark, sf).collect()
+    assert(rows.length == 20)
+    val keeps = rows.map(_.getDouble(4))
+    assert(keeps.max == 1.0, "retention-maximal: some source keeps 100%")
+    assert(keeps.forall(kr => kr > 0.0 && kr <= 1.0))
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1), "n_keep <= n")
+      val resampled = r.getDouble(2) * r.getDouble(4) // share * keep_rate
+      // after reweighting, relative shares must be proportional to target
+      assert(math.abs(resampled / r.getDouble(3) -
+        rows.head.getDouble(2) * rows.head.getDouble(4) / rows.head.getDouble(3)) < 1e-12)
+    }
+  }
+
   test("redaction chain scrubs realistic PII and leaves clean text alone") {
     def redact(s: String): String =
       spark.sql(s"SELECT ${CurationQueries.redactChain(s"'$s'")} AS r")
