@@ -201,9 +201,13 @@ object TextQueries {
     "q_winnow_crossdup" -> ((s, d) => {
       graft.ops.WinnowFunctions.registerSet(s, CrossK, CrossW)
       val fps = crossFpDF(s, d)
+      // df >= 2: a fingerprint seen in one document can't pair, and
+      // singletons are the overwhelming majority — dropping them
+      // collapses the semi-join build side to just the shared
+      // fingerprints (same pruning as DedupQueries.ngramCandidates).
       val ok = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= CrossMaxDf).select("fp")
-      val ff = fps.join(ok, Seq("fp"))
+        .filter(col("df") >= 2 && col("df") <= CrossMaxDf).select("fp")
+      val ff = fps.join(ok, Seq("fp"), "left_semi")
       val a = ff.select(col("fp"), col("doc_id").as("ia"))
       val b = ff.select(col("fp"), col("doc_id").as("ib"))
       a.join(b, Seq("fp")).filter(col("ia") < col("ib"))
