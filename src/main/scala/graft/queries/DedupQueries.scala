@@ -193,6 +193,38 @@ object DedupQueries {
   private val SimBits = 60
   private val SimBandBits = 15 // 4 bands of 15 bits: hamming<=3 => >=1 band equal
 
+  /** Persisted (doc_id, simhash) signature frame. It sits on both sides
+    * of the band joins and under the 4-way band expansion; persisting it
+    * (one small row per doc) runs the 60-aggregate computation once.
+    */
+  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame =
+    Tables.memo(simhashCache, (Tables.sessionKey(s), d))({
+      val sums = (0 until SimBits).map(i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
+      wordDF(s, d).groupBy("doc_id")
+        .agg(sums.head, sums.tail: _*)
+        .withColumn("simhash", expr(
+          (0 until SimBits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END")
+            .mkString(" + ")))
+        .select("doc_id", "simhash")
+        .persist()
+    })
+
+  /** Band expansion via explode (one scan, not a 4-branch union):
+    * (doc_id, simhash, band, bsig) with 4 x 15-bit bands — pigeonhole-
+    * complete for hamming <= 3.
+    */
+  private def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .withColumn("bsig",
+        expr(s"(simhash >> (band * $SimBandBits)) & ${(1 << SimBandBits) - 1}"))
+
+  /** Every IncrMod-th doc id plays the "newly ingested batch" for the
+    * incremental dedup operator; the rest is the already-indexed corpus.
+    */
+  private[queries] val IncrMod = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on a normalized fingerprint (sorted word
     // multiset), emitting group size + canonical keeper per group.
@@ -218,26 +250,7 @@ object DedupQueries {
     // 4 x 15 bits; pigeonhole makes the banding COMPLETE for hamming<=3,
     // so the all-pairs oracle matches the banded Spark plan exactly.
     "q_dedup_simhash" -> ((s, d) => {
-      // The signature frame sits on both sides of the band join and under
-      // a 4-way band expansion; persist it (one small row per doc) so the
-      // 60-aggregate computation runs once, and expand bands with explode
-      // instead of a 4-branch union (one scan, not four).
-      val sig = Tables.memo(simhashCache, (Tables.sessionKey(s), d))({
-        val sums = (0 until SimBits).map(i =>
-          sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-        wordDF(s, d).groupBy("doc_id")
-          .agg(sums.head, sums.tail: _*)
-          .withColumn("simhash", expr(
-            (0 until SimBits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END")
-              .mkString(" + ")))
-          .select("doc_id", "simhash")
-          .persist()
-      })
-      val bands = sig
-        .select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(lit): _*)).as("band"))
-        .withColumn("bsig",
-          expr(s"(simhash >> (band * $SimBandBits)) & ${(1 << SimBandBits) - 1}"))
+      val bands = simhashBands(simhashDF(s, d))
       bands.select(col("doc_id").as("ia"), col("simhash").as("ha"), col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("ib"), col("simhash").as("hb"),
           col("band"), col("bsig")), Seq("band", "bsig"))
@@ -246,6 +259,37 @@ object DedupQueries {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("ia", "ib")
+    }),
+
+    // Incremental ingest dedup: the newly-arrived batch (every IncrMod-th
+    // doc) checked against the existing corpus index through the same
+    // banded SimHash structure — band-bucket equi-join generates
+    // candidates (bounded buckets, never a batch x corpus product), exact
+    // hamming verifies. This is the continuous-ingest shape: at 100 TB
+    // the corpus side is a pre-built signature index (written once,
+    // partitioned by band), and each arriving batch joins bucket-to-
+    // bucket against it instead of re-deduplicating the whole corpus.
+    "q_dedup_incremental" -> ((s, d) => {
+      val bands = simhashBands(simhashDF(s, d))
+      val m = bands.filter(col("doc_id") % IncrMod === 0)
+        .select(col("doc_id").as("ia"), col("simhash").as("ha"),
+          col("band"), col("bsig"))
+        .join(bands.filter(col("doc_id") % IncrMod =!= 0)
+          .select(col("doc_id").as("ib"), col("simhash").as("hb"),
+            col("band"), col("bsig")), Seq("band", "bsig"))
+        .select(col("ia"), col("ib"), expr("bit_count(ha ^ hb)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .groupBy("ia")
+        .agg(count(lit(1)).as("n_matches"), min("ib").as("keeper"))
+      simhashDF(s, d).filter(col("doc_id") % IncrMod === 0)
+        .select(col("doc_id").as("ia"))
+        .join(m, Seq("ia"), "left")
+        .select(col("ia").as("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("keeper"),
+          col("keeper").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
     }),
 
     // Dedup clustering: connected components over the >=0.5-Jaccard pair
@@ -357,6 +401,35 @@ object DedupQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY ia, ib""".stripMargin
+    },
+
+    "q_dedup_incremental" -> {
+      val sums = (0 until SimBits)
+        .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(",\n    ")
+      val build = (0 until SimBits)
+        .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      // Banding is complete for hamming<=3, so the oracle takes the
+      // direct batch x corpus form of the same predicate.
+      s"""WITH w AS (
+         |  SELECT doc_id, ${duckH60("UNNEST(string_split(lower(text), ' '))")} AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    $sums
+         |  FROM w GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $build AS simhash FROM s),
+         |m AS (
+         |  SELECT a.doc_id AS ia, COUNT(*) AS n_matches, MIN(b.doc_id) AS keeper
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id % $IncrMod = 0 AND b.doc_id % $IncrMod <> 0
+         |   AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  GROUP BY 1)
+         |SELECT sig.doc_id AS doc_id, COALESCE(n_matches, 0) AS n_matches,
+         |  keeper, keeper IS NOT NULL AS is_dup
+         |FROM sig LEFT JOIN m ON sig.doc_id = m.ia
+         |WHERE sig.doc_id % $IncrMod = 0
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_clusters" ->
