@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-parameterized curation operators, usable on ANY DataFrame —
+  * the library surface behind the fixed benchmark queries in
+  * [[graft.queries.CurationQueries]]. Every operator is a declarative
+  * plan with the scale shape documented on the query side: map-only
+  * scans where possible, broadcast-sized statistics joined back where
+  * not, and no unbounded join keys anywhere.
+  */
+object Curation {
+
+  /** PII patterns shared with the oracle replay: no backslash escapes
+    * (`[.]` not `\.`), so the identical literals run as Java regex and
+    * RE2. Substitute your jurisdiction's patterns at construction.
+    */
+  val DefaultPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+" -> "<EMAIL>",
+    "555-[0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}([.][0-9]{1,3}){3}" -> "<IP>")
+
+  /** Redact every pattern in order (order matters: earlier replacements
+    * can mask later patterns). One codegen projection, no shuffle.
+    */
+  def redactPii(c: Column,
+      patterns: Seq[(String, String)] = DefaultPatterns): Column =
+    patterns.foldLeft(c) { case (acc, (re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+
+  /** Per-pattern match counts on the raw text (for audit columns). */
+  def piiCounts(c: Column,
+      patterns: Seq[(String, String)] = DefaultPatterns): Seq[Column] =
+    patterns.map { case (re, _) => size(regexp_extract_all(c, lit(re), lit(0))) }
+
+  /** Flag the K most document-frequent bigrams of `textCol` as
+    * boilerplate and report per-document occupancy. The flagged set is
+    * EXACTLY K rows at any corpus size — the join-back broadcasts by
+    * construction. Returns (idCol, n_bigrams, n_boiler, boiler_frac,
+    * flagged).
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+      k: Int, flagAbove: Double = 0.5): DataFrame = {
+    val b = df.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
+      .select(col(idCol), explode(expr(
+        """CASE WHEN size(w) < 2 THEN array()
+          |     ELSE transform(sequence(1, size(w) - 1),
+          |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+          |END""".stripMargin)).as("bigram"))
+    val top = b.select(idCol, "bigram").distinct()
+      .groupBy("bigram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(k)
+      .select(col("bigram"), lit(1).as("is_boiler"))
+    b.join(broadcast(top), Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), count(col("is_boiler")).as("n_boiler"))
+      .select(col(idCol), col("n_bigrams"), col("n_boiler"),
+        expr("CAST(n_boiler AS DOUBLE) / n_bigrams").as("boiler_frac"))
+      .withColumn("flagged", col("boiler_frac") > flagAbove)
+  }
+
+  /** Corpus-trained unigram surprisal per document in integer
+    * micro-nats (order-independent exact sums; the one `ln` is
+    * FLOAT-collapsed before rounding so libm last-ulp differences
+    * cannot change the integer). Returns (idCol, n_tokens,
+    * total_unats, ppl).
+    */
+  def lmUnigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = df.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("word"))
+    val tot = w.agg(count(lit(1)).as("nt"))
+    val vocab = w.groupBy("word").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("word"), expr(
+        "CAST(ROUND(CAST(CAST(-ln(CAST(n AS DOUBLE) / nt) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)")
+        .as("unats"))
+    w.join(broadcast(vocab), Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("unats").as("total_unats"))
+      .select(col(idCol), col("n_tokens"), col("total_unats"),
+        expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS FLOAT)")
+          .as("ppl"))
+  }
+
+  /** Per-group keep rates reaching `targets` (groupValue -> target
+    * fraction) with maximum retention: the most under-represented group
+    * keeps 100%, everything else downsamples proportionally. Returns
+    * (groupCol, n, share, target, keep_rate, n_keep).
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String,
+      targets: Map[String, Double], defaultTarget: Double): DataFrame = {
+    val tgt = targets.foldLeft(
+      when(lit(false), lit(0.0))) { case (acc, (v, t)) =>
+      acc.when(col(groupCol) === v, lit(t))
+    }.otherwise(lit(defaultTarget))
+    val cnt = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val tot = df.agg(count(lit(1)).as("nt"))
+    val shared = cnt.crossJoin(broadcast(tot))
+      .withColumn("target", tgt)
+      .withColumn("share", expr("CAST(n AS DOUBLE) / nt"))
+      .withColumn("ratio", expr("target / share"))
+    val mx = shared.agg(max("ratio").as("mx"))
+    shared.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n"), col("share"), col("target"),
+        expr("ratio / mx").as("keep_rate"),
+        expr("CAST(floor(CAST(n AS DOUBLE) * (ratio / mx)) AS BIGINT)").as("n_keep"))
+  }
+
+  /** Deterministic portable-hash shard assignment (same value on any
+    * cluster, no rand()) over the named key column. Feed straight into
+    * `.write.partitionBy(...)`.
+    */
+  def shardAssign(idColName: String, nShards: Int): Column =
+    expr(s"CAST(conv(substr(md5(CAST($idColName AS STRING)), 1, 15), 16, 10) AS BIGINT)") % nShards
+}

@@ -202,15 +202,14 @@ object CurationQueries {
     // anything else. The redacted text itself is reported as md5 + length
     // to keep the verified row narrow.
     "q_pii_redact" -> ((s, d) => {
+      val counts = graft.ops.Curation.piiCounts(col("s"))
+      val red = graft.ops.Curation.redactPii(col("s"))
       Tables.load(s, d, "documents")
         .withColumn("s", expr(piiText("STRING")))
-        .selectExpr(
-          "doc_id",
-          s"size(regexp_extract_all(s, '$ReEmail', 0)) AS n_email",
-          s"size(regexp_extract_all(s, '$RePhone', 0)) AS n_phone",
-          s"size(regexp_extract_all(s, '$ReIp', 0)) AS n_ip",
-          s"md5(${redactChain("s")}) AS redacted_fp",
-          s"length(${redactChain("s")}) AS n_redacted_chars")
+        .select(col("doc_id"),
+          counts(0).as("n_email"), counts(1).as("n_phone"), counts(2).as("n_ip"),
+          md5(red).as("redacted_fp"),
+          length(red).as("n_redacted_chars"))
         .orderBy("doc_id")
     }),
 
@@ -268,18 +267,11 @@ object CurationQueries {
     // arithmetic step is a single IEEE double op, so the oracle matches
     // bit-for-bit with no float-sum-order hazard.
     "q_source_mix" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      val tot = docs.agg(count(lit(1)).as("nt"))
-      val shared = cnt.crossJoin(broadcast(tot))
-        .withColumn("target", expr(MixTargetExpr))
-        .withColumn("share", expr("CAST(n AS DOUBLE) / nt"))
-        .withColumn("ratio", expr("target / share"))
-      val mx = shared.agg(max("ratio").as("mx"))
-      shared.crossJoin(broadcast(mx))
-        .select(col("source"), col("n"), col("share"), col("target"),
-          expr("ratio / mx").as("keep_rate"),
-          expr("CAST(floor(CAST(n AS DOUBLE) * (ratio / mx)) AS BIGINT)").as("n_keep"))
+      graft.ops.Curation.mixtureWeights(
+          Tables.load(s, d, "documents"), "source",
+          targets = Seq("src0", "src1", "src2", "src3", "src4")
+            .map(_ -> 0.10).toMap,
+          defaultTarget = 1.0 / 30)
         .orderBy("source")
     }),
 
@@ -290,7 +282,7 @@ object CurationQueries {
     // where 64 balanced shards ARE the write parallelism at 100 TB.
     "q_shard_plan" -> ((s, d) => {
       Tables.load(s, d, "documents")
-        .withColumn("shard", expr(s"${h60("CAST(doc_id AS STRING)")} % 64"))
+        .withColumn("shard", graft.ops.Curation.shardAssign("doc_id", 64))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("n_bytes"),

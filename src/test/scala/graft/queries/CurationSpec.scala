@@ -286,6 +286,46 @@ class CurationSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("Curation API operators run on arbitrary frames and columns") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val frame = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "news"),
+      (2L, "gamma delta epsilon zeta eta theta", "web"),
+      (3L, "alpha beta gamma gamma gamma gamma", "web")
+    ).toDF("rec_id", "body", "origin")
+
+    // boilerplate on custom columns: top-1 bigram is "alpha beta"
+    val bp = graft.ops.Curation.boilerplate(frame, "rec_id", "body", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bp(1L) == 3L, "doc 1 has 'alpha beta' x3 among its bigrams")
+    assert(bp(2L) == 0L)
+
+    // unigram LM: the doc made of frequent words scores lower surprisal
+    val lm = graft.ops.Curation.lmUnigramScore(frame, "rec_id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lm(1L) < lm(2L), "common-word doc has lower total surprisal")
+
+    // mixture weights on a custom group column
+    val mix = graft.ops.Curation.mixtureWeights(
+        frame, "origin", Map("news" -> 0.5), defaultTarget = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(mix("news") == 1.0, "under-represented group keeps 100%")
+    assert(mix("web") < 1.0)
+
+    // shard assignment is stable and in range
+    val shards = frame.select(graft.ops.Curation.shardAssign("rec_id", 8))
+      .collect().map(_.getLong(0))
+    assert(shards.forall(sh => sh >= 0 && sh < 8))
+
+    // redaction on a custom column
+    val red = frame.select(graft.ops.Curation.redactPii(
+      concat(lit("mail x@y.io "), col("body"))).as("r"))
+      .head().getString(0)
+    assert(red.startsWith("mail <EMAIL> "))
+  }
+
   test("q_quality_repetition fractions are consistent and flag agrees") {
     val rows = SparkEntry.queries("q_quality_repetition")(spark, sf).collect()
     assert(rows.length > 0)
