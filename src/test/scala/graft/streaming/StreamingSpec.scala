@@ -183,6 +183,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation transforms compose with streaming dedup on a live stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    // redact (stateless projection) -> quality gate (stateless filter)
+    // -> first-seen content dedup (watermark-bounded state): the same
+    // curation operators the batch queries run, planned as one
+    // streaming pipeline.
+    val curated = EventStreams.dedupFirstSeen(
+      docs.withColumn("text", graft.ops.Curation.redactPii(col("text")))
+        .filter(size(split(col("text"), " ")) >= 3),
+      watermark = Some(("ts", "1 hour")))
+    assert(curated.isStreaming)
+
+    val q = curated.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "contact a@b.io for details"),
+        (2L, ts(1), "too short"),                      // fails quality gate
+        (3L, ts(2), "unique document three words"))
+      q.processAllAvailable()
+      // doc 4 redacts to the same content as doc 1 -> cross-batch dup
+      input.addData((4L, ts(3), "contact x@y.org for details"))
+      q.processAllAvailable()
+      val rows = spark.table("curated_out").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      val redacted = rows.find(_.getLong(0) == 1L).get.getString(2)
+      assert(redacted == "contact <EMAIL> for details")
+    } finally q.stop()
+  }
+
   test("file-source readStream over the testdata parquet plans the same transform") {
     // readStream proves source compatibility; one micro-batch only.
     val stream = spark.readStream
