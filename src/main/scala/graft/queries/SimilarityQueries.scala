@@ -223,6 +223,12 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
+  /** Every AnnIncrMod-th vec id (remainder AnnIncrRem) plays the "newly
+    * arrived embedding batch" for the incremental ANN operator.
+    */
+  private[queries] val AnnIncrMod = 10
+  private[queries] val AnnIncrRem = 7
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B22: brute-force cosine top-5 for 8 query vectors — the exact
     // baseline: one pass over embeddings, queries broadcast, bounded
@@ -230,6 +236,33 @@ object SimilarityQueries {
     "q_cosine_topk" -> ((s, d) => {
       CosineFunctions.register(s)
       exactTopK(s, d, 5)
+    }),
+
+    // Incremental ANN ingest: a newly-arrived embedding batch searched
+    // against the indexed corpus through the SAME LSH bucket structure
+    // q_ann_lsh uses — bucket-to-bucket candidates, exact cosine re-rank,
+    // bounded top-3 per new vector. The batch side is NOT broadcast (an
+    // ingest batch can be arbitrarily large); candidates join on
+    // (band, bucket) where population is bounded by construction, then on
+    // qid — both plain shuffle joins that scale with the batch. The
+    // symmetric operator to q_dedup_incremental on the embedding tier.
+    "q_ann_incremental" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val sig = lshSigs(s, d)
+      val bands = lshBands(sig)
+      val batch = bands.filter(col("vec_id") % AnnIncrMod === AnnIncrRem)
+        .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+      val corpus = bands.filter(col("vec_id") % AnnIncrMod =!= AnnIncrRem)
+      val candIds = corpus.join(batch, Seq("band", "bucket"))
+        .select("qid", "vec_id").distinct()
+      val qe = sig.filter(col("vec_id") % AnnIncrMod === AnnIncrRem)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = candIds
+        .join(sig.select("vec_id", "embedding"), Seq("vec_id"))
+        .join(qe, Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("CAST(array_cosine_similarity(embedding, qvec) AS FLOAT)").as("sim"))
+      topkPerQuery(s, cands, 3)
     }),
 
     // B23-adjacent: embedding near-duplicate pairs — LSH-band candidate
@@ -534,6 +567,28 @@ object SimilarityQueries {
       s"""WITH ${lshOracleCtes(5)}
          |SELECT qid, vec_id, sim FROM lsh_top
          |ORDER BY qid, sim DESC, vec_id""".stripMargin,
+
+    "q_ann_incremental" -> {
+      val cos = oracleCos("e.embedding", "q.qv")
+      s"""WITH $lshSigOracleCtes,
+         |bq AS (SELECT vec_id AS qid, b, bucket FROM lbands
+         |       WHERE vec_id % $AnnIncrMod = $AnnIncrRem),
+         |bcand AS (
+         |  SELECT DISTINCT q.qid, v.vec_id
+         |  FROM lbands v JOIN bq q ON v.b = q.b AND v.bucket = q.bucket
+         |  WHERE v.vec_id % $AnnIncrMod <> $AnnIncrRem),
+         |qv AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id % $AnnIncrMod = $AnnIncrRem),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id, CAST($cos AS REAL) AS sim
+         |  FROM bcand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |               JOIN qv q ON c.qid = q.qid)
+         |SELECT qid, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored) x WHERE rn <= 3
+         |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    },
 
     "q_ann_lsh_recall" -> {
       val cos = oracleCos("e.embedding", "q.qv")

@@ -36,6 +36,39 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ANN: batch hits only the corpus, recall floor held") {
+    val sf01 = "/root/testdata/sf0.01"
+    val (m, r) = (SimilarityQueries.AnnIncrMod, SimilarityQueries.AnnIncrRem)
+    val rows = SparkEntry.queries("q_ann_incremental")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      assert(row.getLong(0) % m == r, "every query id is a batch vector")
+      assert(row.getLong(1) % m != r, "every hit is a corpus vector")
+    }
+    // exact batch-vs-corpus top-3 computed independently
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables.load(spark, sf01, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = e.filter(_._1 % m != r)
+    val exact = e.filter(_._1 % m == r).map { case (qid, qv) =>
+      qid -> corpus.map { case (id, v) => (cos(qv, v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(3).map(_._2).toSet
+    }.toMap
+    val approx = rows.groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    val rec = recall(approx, exact)
+    withClue(s"incremental recall=$rec:") { assert(rec >= 0.2) }
+  }
+
   test("Lloyd training improves the quantizer: objective up, balance kept, recall floor held") {
     // What training buys at 100 TB is cell quality, and that is what
     // this pins (at sf0.01, the oracle-gate scale):
