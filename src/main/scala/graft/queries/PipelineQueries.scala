@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.ops.Multimodal
@@ -135,6 +136,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Skewed aggregation through the explicit two-phase salted shape
+    // (graft.ops.Skew): event_type has only 5 distinct values over the
+    // whole events table — the exact case where a plain groupBy funnels
+    // each hot key into one task. Salting splits each key into 32
+    // sub-groups aggregated in parallel; the merge phase aggregates 160
+    // tiny partials. Decimal sums keep the result order-independent, so
+    // the oracle is the plain GROUP BY.
+    "q_salted_agg" -> ((s, d) => {
+      graft.ops.Skew.saltedCountSum(
+          Tables.load(s, d, "events").select(col("event_type"), col("value")),
+          "event_type", col("value").cast(DecimalType(18, 4)), saltBuckets = 32)
+        .select(col("event_type"), col("n"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // GPU-batch planning over the binary payload tier: assign each
+    // payload to a fixed-byte-budget inference batch via the distributed
+    // prefix sum (range partition + broadcast offsets — NOT a global
+    // single-partition window), then emit the per-batch manifest. The
+    // same shape as sequence packing, applied to bytes: at 100 TB this
+    // is how a multimodal scoring pass sizes its accelerator batches
+    // without any driver-side loop.
+    "q_multimodal_batchplan" -> ((s, d) => {
+      val sz = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(encode(text, 'UTF-8'))").as("n_bytes"))
+      graft.ops.PrefixSum.runningBefore(sz, "doc_id", "n_bytes",
+          partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id"), col("n_bytes"),
+          expr("CAST(floor(cum_before / 65536.0) AS BIGINT)").as("batch_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),
+          min("doc_id").as("first_doc"))
+        .orderBy("batch_id")
+    }),
+
     // Sliding-window chunking: split each document into max-32-token
     // chunks with 8 tokens of overlap (stride 24) — the pre-tokenization
     // step that turns long documents into training sequences. Chunk
@@ -242,6 +280,24 @@ object PipelineQueries {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2048.0) AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_multimodal_batchplan" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(floor(COALESCE(SUM(n_bytes) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 65536.0) AS BIGINT) AS batch_id
+        |  FROM t)
+        |SELECT batch_id, COUNT(*) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, MIN(doc_id) AS first_doc
+        |FROM c GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     "q_multimodal_decode" ->
       """SELECT doc_id,
