@@ -48,8 +48,12 @@ object ConnectedComponents {
       // operator no longer controls (ADVICE r5). setCheckpointDir appends
       // a random subdir, so compare against the parent.
       val current = sc.getCheckpointDir
+      // setCheckpointDir appends a random subdir, so compare against the
+      // parent WITH a trailing separator — a bare prefix match would
+      // treat a reconfigure to "/mnt/ck" as already satisfied by an
+      // existing "/mnt/ckpt/<uuid>".
       if (current.isEmpty) sc.setCheckpointDir(ckDir)
-      else if (!current.get.stripSuffix("/").startsWith(ckDir.stripSuffix("/"))) {
+      else if (!current.get.stripSuffix("/").startsWith(ckDir.stripSuffix("/") + "/")) {
         System.err.println(
           s"[cc] checkpoint dir changed ${current.get} -> $ckDir; re-pointing context")
         sc.setCheckpointDir(ckDir)

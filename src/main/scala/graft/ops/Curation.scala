@@ -43,22 +43,35 @@ object Curation {
     */
   def boilerplate(df: DataFrame, idCol: String, textCol: String,
       k: Int, flagAbove: Double = 0.5): DataFrame = {
+    // explode_outer: documents with fewer than 2 words keep their row
+    // (null bigram -> n_bigrams = 0) instead of vanishing from the
+    // report.
     val b = df.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), explode_outer(expr(
         """CASE WHEN size(w) < 2 THEN array()
           |     ELSE transform(sequence(1, size(w) - 1),
           |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
           |END""".stripMargin)).as("bigram"))
-    val top = b.select(idCol, "bigram").distinct()
+    boilerplateFromBigrams(b, idCol, k, flagAbove)
+  }
+
+  /** [[boilerplate]] over a pre-built `(idCol, bigram)` frame — the entry
+    * point for callers that already persist a shared bigram frame (the
+    * benchmark queries). Null bigrams count as zero-bigram documents.
+    */
+  def boilerplateFromBigrams(b: DataFrame, idCol: String,
+      k: Int, flagAbove: Double = 0.5): DataFrame = {
+    val top = b.filter(col("bigram").isNotNull).select(idCol, "bigram").distinct()
       .groupBy("bigram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("bigram"))
       .limit(k)
       .select(col("bigram"), lit(1).as("is_boiler"))
     b.join(broadcast(top), Seq("bigram"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), count(col("is_boiler")).as("n_boiler"))
+      .agg(count(col("bigram")).as("n_bigrams"), count(col("is_boiler")).as("n_boiler"))
       .select(col(idCol), col("n_bigrams"), col("n_boiler"),
-        expr("CAST(n_boiler AS DOUBLE) / n_bigrams").as("boiler_frac"))
+        coalesce(expr("CAST(n_boiler AS DOUBLE) / nullif(n_bigrams, 0)"), lit(0.0))
+          .as("boiler_frac"))
       .withColumn("flagged", col("boiler_frac") > flagAbove)
   }
 
@@ -68,15 +81,26 @@ object Curation {
     * cannot change the integer). Returns (idCol, n_tokens,
     * total_unats, ppl).
     */
-  def lmUnigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = df.select(col(idCol),
-      explode(split(lower(col(textCol)), " ")).as("word"))
+  def lmUnigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmUnigramFromWords(
+      df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("word")),
+      idCol)
+
+  /** Micro-nat surprisal of one vocabulary probability, `n` out of `nt`
+    * occurrences. Shared verbatim with the DuckDB oracle (floatT = REAL)
+    * so the FLOAT-collapse subtlety lives in exactly one place.
+    */
+  def unatsExpr(floatT: String): String =
+    s"CAST(ROUND(CAST(CAST(-ln(CAST(n AS DOUBLE) / nt) AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+
+  /** [[lmUnigramScore]] over a pre-built `(idCol, word)` frame — the
+    * entry point for callers with a shared persisted word frame.
+    */
+  def lmUnigramFromWords(w: DataFrame, idCol: String): DataFrame = {
     val tot = w.agg(count(lit(1)).as("nt"))
     val vocab = w.groupBy("word").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(tot))
-      .select(col("word"), expr(
-        "CAST(ROUND(CAST(CAST(-ln(CAST(n AS DOUBLE) / nt) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)")
-        .as("unats"))
+      .select(col("word"), expr(unatsExpr("FLOAT")).as("unats"))
     w.join(broadcast(vocab), Seq("word"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("unats").as("total_unats"))

@@ -45,13 +45,19 @@ object WinnowOps {
     h >>> 4 // 64 bits accumulated, drop the low nibble -> first 15 hex chars
   }
 
-  /** (n_fp, fp_xor) over the distinct window minima; (0, 0) when the
+  /** The winnow core: hash every k-gram, slide a w-wide monotonic-deque
+    * minimum over the gram hashes, and invoke `onMin` once per window
+    * minimum (duplicates included — accumulators dedup as they see fit).
+    * ONE copy of the index arithmetic serves both the summary expression
+    * and the set expression; the callback is a monomorphic
+    * megamorphic-free lambda the JIT inlines. Returns false when the
     * document is shorter than one full window (k + w - 1 bytes).
     */
-  def fingerprints(s: UTF8String, k: Int, w: Int): InternalRow = {
+  private def forEachWindowMin(
+      s: UTF8String, k: Int, w: Int)(onMin: Long => Unit): Boolean = {
     val bytes = s.getBytes
     val ng = bytes.length - k + 1
-    if (ng < w) return InternalRow(0L, 0L)
+    if (ng < w) return false
     val d = md5.get()
     val hs = new Array[Long](ng)
     var i = 0
@@ -59,19 +65,26 @@ object WinnowOps {
     // sliding min over windows [i, i+w): monotonic deque of indices
     val deque = new Array[Int](ng)
     var (head, tail) = (0, 0) // deque content lives in [head, tail)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    var nFp = 0L
-    var xor = 0L
     i = 0
     while (i < ng) {
       while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
       deque(tail) = i; tail += 1
       if (deque(head) <= i - w) head += 1
-      if (i >= w - 1) {
-        val m = hs(deque(head))
-        if (seen.add(m)) { nFp += 1L; xor ^= m }
-      }
+      if (i >= w - 1) onMin(hs(deque(head)))
       i += 1
+    }
+    true
+  }
+
+  /** (n_fp, fp_xor) over the distinct window minima; (0, 0) when the
+    * document is shorter than one full window (k + w - 1 bytes).
+    */
+  def fingerprints(s: UTF8String, k: Int, w: Int): InternalRow = {
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var nFp = 0L
+    var xor = 0L
+    forEachWindowMin(s, k, w) { m =>
+      if (seen.add(m)) { nFp += 1L; xor ^= m }
     }
     InternalRow(nFp, xor)
   }
@@ -84,27 +97,11 @@ object WinnowOps {
     * is narrow.
     */
   def fingerprintSet(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = s.getBytes
-    val ng = bytes.length - k + 1
-    if (ng < w) return new GenericArrayData(Array.empty[Long])
-    val d = md5.get()
-    val hs = new Array[Long](ng)
-    var i = 0
-    while (i < ng) { hs(i) = gramHash(d, bytes, i, k); i += 1 }
-    val deque = new Array[Int](ng)
-    var (head, tail) = (0, 0)
     val seen = new java.util.TreeSet[java.lang.Long]()
-    i = 0
-    while (i < ng) {
-      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
-      deque(tail) = i; tail += 1
-      if (deque(head) <= i - w) head += 1
-      if (i >= w - 1) seen.add(hs(deque(head)))
-      i += 1
-    }
+    forEachWindowMin(s, k, w)(m => seen.add(m))
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
-    i = 0
+    var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }

@@ -14,7 +14,7 @@ import graft.Tables
   */
 object CurationQueries {
 
-  /** Portable 60-bit hash (same as DedupQueries): low 15 hex chars of
+  /** Portable 60-bit hash (same as DedupQueries): first (most-significant) 15 hex chars of
     * md5. Spark conv(…,16,10) == DuckDB CAST('0x'||… AS BIGINT).
     */
   private def h60(c: String): String =
@@ -66,28 +66,24 @@ object CurationQueries {
   private val Bm25B = "0.75"
   private[queries] val Bm25Terms = Seq("join", "window", "hash")
 
-  /** PII patterns, written without backslash escapes (`[.]` instead of
-    * `\.`) so the same literal parses identically as a Java regex
-    * (Spark) and an RE2 regex (DuckDB) with no string-escaping
-    * divergence. All three are in the common leftmost-first greedy
-    * subset of both engines.
-    */
-  private val ReEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
-  private val RePhone = "555-[0-9]{4}"
-  private val ReIp = "[0-9]{1,3}([.][0-9]{1,3}){3}"
-
-  /** The email → phone → IPv4 redaction chain over a string SQL
-    * expression. Fixed order in both engines; `flags` is "" for Spark
-    * (regexp_replace replaces every match) and "g" for DuckDB (default
-    * is first-match-only).
+  /** The PII redaction chain over a string SQL expression, generated
+    * from [[graft.ops.Curation.DefaultPatterns]] — the SINGLE source of
+    * the patterns, so editing the library surface cannot drift from the
+    * oracle replay. `flags` is "" for Spark (regexp_replace replaces
+    * every match) and "g" for DuckDB (default is first-match-only).
     */
   private[queries] def redactChain(c: String, flags: String = ""): String = {
     val f = if (flags.isEmpty) "" else s", '$flags'"
-    s"""regexp_replace(regexp_replace(regexp_replace($c,
-       |  '$ReEmail', '<EMAIL>'$f),
-       |  '$RePhone', '<PHONE>'$f),
-       |  '$ReIp', '<IP>'$f)""".stripMargin
+    graft.ops.Curation.DefaultPatterns.foldLeft(c) { case (acc, (re, repl)) =>
+      s"regexp_replace($acc, '$re', '$repl'$f)"
+    }
   }
+
+  /** Per-pattern match-count SQL, same single pattern source. */
+  private def piiCountSql(c: String, lenFn: String): Seq[String] =
+    graft.ops.Curation.DefaultPatterns.map { case (re, _) =>
+      s"$lenFn(regexp_extract_all($c, '$re'))"
+    }
 
   /** The synthetic corpus carries no PII, so the redaction operator runs
     * over text with deterministic PII-like tokens injected from the
@@ -118,14 +114,9 @@ object CurationQueries {
     "CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') " +
       "THEN CAST(0.10 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / 30 END"
 
-  /** Unigram-LM surprisal grid: micro-nats. The only transcendental
-    * (`ln`) is collapsed to a FLOAT before scaling so a last-ulp libm
-    * difference between JVM `Math.log` and DuckDB's `std::log` cannot
-    * survive into the rounded integer; after that every sum is exact
-    * BIGINT arithmetic and therefore order-independent across partitions.
-    */
-  private def unatsExpr(floatT: String): String =
-    s"CAST(ROUND(CAST(CAST(-ln(CAST(n AS DOUBLE) / nt) AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+  // Unigram-LM surprisal grid (micro-nats): the expression lives in
+  // graft.ops.Curation.unatsExpr — one definition serves the Spark plan
+  // (FLOAT) and the oracle replay (REAL).
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: flag every training document sharing at
@@ -220,19 +211,10 @@ object CurationQueries {
     // corpus itself never shuffles, and the flagged set is bounded at K
     // regardless of corpus size.
     "q_boilerplate" -> ((s, d) => {
-      val b = TextQueries.bigramDF(s, d)
-      val top = b.select("doc_id", "bigram").distinct()
-        .groupBy("bigram").agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("bigram"))
-        .limit(BoilerK)
-        .select(col("bigram"), lit(1).as("is_boiler"))
-      val perDoc = b.join(broadcast(top), Seq("bigram"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          count(col("is_boiler")).as("n_boiler"))
-      perDoc.select(col("doc_id"), col("n_bigrams"), col("n_boiler"),
-          expr("CAST(n_boiler AS DOUBLE) / n_bigrams").as("boiler_frac"))
-        .withColumn("flagged", col("boiler_frac") > 0.5)
+      // Delegates to the Curation API over the shared persisted bigram
+      // frame (one explode for this sf dir, shared across queries).
+      graft.ops.Curation.boilerplateFromBigrams(
+          TextQueries.bigramDF(s, d), "doc_id", BoilerK)
         .orderBy("doc_id")
     }),
 
@@ -244,17 +226,10 @@ object CurationQueries {
     // the per-doc sum is exact BIGINT so no float-order hazard exists,
     // and the final perplexity is one exp() collapsed to FLOAT.
     "q_lm_unigram" -> ((s, d) => {
-      val w = DedupQueries.wordDF(s, d).select("doc_id", "word")
-      val tot = w.agg(count(lit(1)).as("nt"))
-      val vocab = w.groupBy("word").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(tot))
-        .select(col("word"), expr(unatsExpr("FLOAT")).as("unats"))
-      w.join(broadcast(vocab), Seq("word"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("unats").as("total_unats"))
-        .select(col("doc_id"), col("n_tokens"), col("total_unats"),
-          expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS FLOAT)")
-            .as("ppl"))
+      // Delegates to the Curation API over the shared persisted word
+      // frame DedupQueries already maintains for this sf dir.
+      graft.ops.Curation.lmUnigramFromWords(
+          DedupQueries.wordDF(s, d).select("doc_id", "word"), "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -351,9 +326,8 @@ object CurationQueries {
          |r AS (SELECT doc_id, s, ${redactChain("s", "g")} AS red
          |      FROM p)
          |SELECT doc_id,
-         |  len(regexp_extract_all(s, '$ReEmail')) AS n_email,
-         |  len(regexp_extract_all(s, '$RePhone')) AS n_phone,
-         |  len(regexp_extract_all(s, '$ReIp')) AS n_ip,
+         |  ${piiCountSql("s", "len").zip(Seq("n_email", "n_phone", "n_ip"))
+              .map { case (e, n) => s"$e AS $n," }.mkString("\n  ")}
          |  md5(red) AS redacted_fp,
          |  length(red) AS n_redacted_chars
          |FROM r ORDER BY doc_id""".stripMargin,
@@ -375,7 +349,7 @@ object CurationQueries {
       s"""WITH w AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
          |           FROM documents),
          |tot AS (SELECT COUNT(*) AS nt FROM w),
-         |vocab AS (SELECT word, ${unatsExpr("REAL")} AS unats
+         |vocab AS (SELECT word, ${graft.ops.Curation.unatsExpr("REAL")} AS unats
          |          FROM (SELECT word, COUNT(*) AS n FROM w GROUP BY word)
          |          CROSS JOIN tot),
          |s AS (SELECT doc_id, COUNT(*) AS n_tokens,

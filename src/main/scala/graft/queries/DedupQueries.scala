@@ -26,7 +26,7 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** Portable 60-bit word/shingle hash: low 15 hex chars of md5.
+  /** Portable 60-bit word/shingle hash: first (most-significant) 15 hex chars of md5.
     * Spark: conv(hex,16,10); DuckDB: CAST('0x'||hex AS BIGINT).
     */
   private def h60(colName: String): String =

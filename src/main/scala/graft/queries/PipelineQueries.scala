@@ -19,6 +19,12 @@ object PipelineQueries {
   /** Chunking parameters: max tokens per training chunk and the overlap
     * carried between consecutive chunks (stride = max - overlap).
     */
+  /** Frame geometry for q_multimodal_framesample, interpolated into BOTH
+    * the Spark call and the oracle so the two cannot drift.
+    */
+  private[queries] val FrameSize = 32
+  private[queries] val FrameStride = 4
+
   private[queries] val ChunkMax = 32
   private[queries] val ChunkOverlap = 8
 
@@ -29,11 +35,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Frame sampling over the binary payload tier: every 4th 32-byte
-    // frame summarized by the batched kernel (video keyframe-sampling
-    // plumbing; real codec seeks would replace the stub summary only).
+    // Frame sampling over the binary payload tier: every FrameStride-th
+    // FrameSize-byte frame summarized by the batched kernel (video
+    // keyframe-sampling plumbing; real codec seeks would replace the
+    // stub summary only). Geometry constants shared with the oracle.
     "q_multimodal_framesample" -> ((s, d) => {
-      graft.ops.Multimodal.sampleFrames(s, Tables.load(s, d, "documents"))
+      graft.ops.Multimodal.sampleFrames(s, Tables.load(s, d, "documents"),
+          frameSize = FrameSize, stride = FrameStride)
         .orderBy("doc_id", "frame_id")
     }),
 
@@ -309,17 +317,17 @@ object PipelineQueries {
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_framesample" ->
-      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
-        |f AS (SELECT doc_id, text, nb,
-        |        UNNEST(range(0, CAST(ceil(CAST(nb AS DOUBLE) / 32) AS INT))) AS frame_id
-        |      FROM d)
-        |SELECT doc_id, frame_id, frame_id * 32 AS off,
-        |  CAST(least(32, nb - frame_id * 32) AS INT) AS fr_bytes,
-        |  CAST(list_aggregate(list_transform(
-        |    range(frame_id * 32 + 1, frame_id * 32 + least(32, nb - frame_id * 32) + 1),
-        |    j -> unicode(substr(text, CAST(j AS INT), 1))), 'sum') AS INT) AS checksum
-        |FROM f WHERE frame_id % 4 = 0
-        |ORDER BY doc_id, frame_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         |f AS (SELECT doc_id, text, nb,
+         |        UNNEST(range(0, CAST(ceil(CAST(nb AS DOUBLE) / $FrameSize) AS INT))) AS frame_id
+         |      FROM d)
+         |SELECT doc_id, frame_id, frame_id * $FrameSize AS off,
+         |  CAST(least($FrameSize, nb - frame_id * $FrameSize) AS INT) AS fr_bytes,
+         |  CAST(list_aggregate(list_transform(
+         |    range(frame_id * $FrameSize + 1, frame_id * $FrameSize + least($FrameSize, nb - frame_id * $FrameSize) + 1),
+         |    j -> unicode(substr(text, CAST(j AS INT), 1))), 'sum') AS INT) AS checksum
+         |FROM f WHERE frame_id % $FrameStride = 0
+         |ORDER BY doc_id, frame_id""".stripMargin,
     "q_stream_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS window_start_us,
         |  event_type, COUNT(*) AS n,

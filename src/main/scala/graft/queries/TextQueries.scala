@@ -35,7 +35,7 @@ object TextQueries {
     s"len(list_filter(string_split(lower(text), ' '), x -> list_contains($arr, x)))"
   }
 
-  /** Portable 60-bit hash (same as DedupQueries): low 15 hex chars of
+  /** Portable 60-bit hash (same as DedupQueries): first (most-significant) 15 hex chars of
     * md5. Spark conv(…,16,10) == DuckDB CAST('0x'||… AS BIGINT).
     */
   private def h60(c: String): String =

@@ -28,6 +28,8 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     results, errors = {}, {}
     for name in sorted(oracles):
+        if name.startswith("_"):  # metadata keys (e.g. "_filtered"), not SQL
+            continue
         sql = oracles[name]
         try:
             con.sql(sql).fetchall()  # warm-up
