@@ -139,4 +139,53 @@ object Curation {
     */
   def shardAssign(idColName: String, nShards: Int): Column =
     expr(s"CAST(conv(substr(md5(CAST($idColName AS STRING)), 1, 15), 16, 10) AS BIGINT)") % nShards
+
+  /** Deterministic keep-predicate for hash sampling: true for rows whose
+    * portable key hash lands below `rate` out of `outOf` buckets. `rate`
+    * may be any Column (e.g. a per-stratum CASE), making this the
+    * building block for both flat and stratified sampling — reproducible
+    * on any cluster, no rand().
+    */
+  def hashKeep(idColName: String, rate: Column, outOf: Int): Column =
+    (expr(s"CAST(conv(substr(md5(CAST($idColName AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      % outOf) < rate
+
+  /** Sliding-window training chunks: split `textCol` into windows of
+    * `maxTokens` with `overlap` tokens shared between neighbors. Chunk
+    * count and bounds are closed-form per document, so the whole
+    * operator is one narrow explode with NO shuffle; provenance columns
+    * (chunk_id, start_tok, n_tok, fp) keep chunks re-joinable to their
+    * source rows. Returns (idCol, chunk_id, start_tok, n_tok, fp).
+    */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap < maxTokens, "overlap must be smaller than maxTokens")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("nc", expr(
+        s"CASE WHEN n <= $maxTokens THEN 1 ELSE 1 + CAST(ceil(CAST(n - $maxTokens AS DOUBLE) / $stride) AS INT) END"))
+      .select(col(idCol), col("w"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"chunk_id * $stride + 1").as("start_tok"),
+        expr(s"least($maxTokens, n - chunk_id * $stride)").as("n_tok"),
+        expr(s"md5(concat_ws(' ', slice(w, chunk_id * $stride + 1, " +
+          s"least($maxTokens, n - chunk_id * $stride))))").as("fp"))
+  }
+
+  /** Benchmark decontamination over pre-hashed n-gram frames
+    * `(idCol, h)`: flag every training row sharing at least one gram
+    * hash with the benchmark side. The benchmark side is broadcast (an
+    * eval set is small by definition), so the training corpus is
+    * scanned once with a map-side join and never shuffled. Returns
+    * (idCol, n_shared, min_bench_id).
+    */
+  def decontaminateFromGrams(trainGrams: DataFrame, benchGrams: DataFrame,
+      idCol: String, benchIdCol: String): DataFrame =
+    trainGrams
+      .join(broadcast(benchGrams.select(col(benchIdCol), col("h"))), Seq("h"))
+      .groupBy(idCol)
+      .agg(countDistinct("h").as("n_shared"),
+        min(benchIdCol).as(s"min_$benchIdCol"))
 }

@@ -127,12 +127,11 @@ object CurationQueries {
     // only as often as grams repeat inside the tiny benchmark).
     "q_decontaminate" -> ((s, d) => {
       val grams = gramsDF(s, d)
-      val bench = grams.filter(col("doc_id") % BenchMod === 0)
-        .select(col("doc_id").as("bench_id"), col("h"))
-      grams.filter(col("doc_id") % BenchMod =!= 0)
-        .join(broadcast(bench), Seq("h"))
-        .groupBy("doc_id")
-        .agg(countDistinct("h").as("n_shared"), min("bench_id").as("min_bench_id"))
+      graft.ops.Curation.decontaminateFromGrams(
+          grams.filter(col("doc_id") % BenchMod =!= 0),
+          grams.filter(col("doc_id") % BenchMod === 0)
+            .select(col("doc_id").as("bench_id"), col("h")),
+          idCol = "doc_id", benchIdCol = "bench_id")
         .orderBy("doc_id")
     }),
 
@@ -144,7 +143,8 @@ object CurationQueries {
       val rate = """CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 4 WHEN 'es' THEN 5
                    |     WHEN 'fr' THEN 8 WHEN 'zh' THEN 10 ELSE 3 END""".stripMargin
       Tables.load(s, d, "documents")
-        .withColumn("kept", expr(s"${h60("CAST(doc_id AS STRING)")} % 20 < ($rate)"))
+        .withColumn("kept",
+          graft.ops.Curation.hashKeep("doc_id", expr(rate), outOf = 20))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           count(expr("CASE WHEN kept THEN 1 END")).as("n_kept"),

@@ -189,19 +189,10 @@ object PipelineQueries {
     // chunk provenance (doc_id, chunk_id, start_tok) and an md5 of the
     // chunk text make every chunk re-joinable to its source.
     "q_chunk_text" -> ((s, d) => {
-      val (max, stride) = (ChunkMax, ChunkMax - ChunkOverlap)
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .withColumn("n", size(col("w")))
-        .withColumn("nc", expr(
-          s"CASE WHEN n <= $max THEN 1 ELSE 1 + CAST(ceil(CAST(n - $max AS DOUBLE) / $stride) AS INT) END"))
-        .select(col("doc_id"), col("w"), col("n"),
-          explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          expr(s"chunk_id * $stride + 1").as("start_tok"),
-          expr(s"least($max, n - chunk_id * $stride)").as("n_tok"),
-          expr(s"md5(concat_ws(' ', slice(w, chunk_id * $stride + 1, " +
-            s"least($max, n - chunk_id * $stride))))").as("fp"))
+      // Delegates to the Curation API (same closed-form plan, shared
+      // constants with the oracle below).
+      graft.ops.Curation.chunkText(Tables.load(s, d, "documents"),
+          "doc_id", "text", maxTokens = ChunkMax, overlap = ChunkOverlap)
         .orderBy("doc_id", "chunk_id")
     }),
 

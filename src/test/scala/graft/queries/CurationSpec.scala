@@ -289,7 +289,7 @@ class CurationSpec extends AnyFunSuite {
   test("Curation API operators run on arbitrary frames and columns") {
     val spark2 = spark
     import spark2.implicits._
-    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.functions.{col, concat, explode, expr, lit}
     val frame = Seq(
       (1L, "alpha beta alpha beta alpha beta", "news"),
       (2L, "gamma delta epsilon zeta eta theta", "web"),
@@ -324,6 +324,41 @@ class CurationSpec extends AnyFunSuite {
       concat(lit("mail x@y.io "), col("body"))).as("r"))
       .head().getString(0)
     assert(red.startsWith("mail <EMAIL> "))
+
+    // chunking on custom columns: 4-token windows, overlap 1 -> stride 3
+    val chunks = graft.ops.Curation.chunkText(frame, "rec_id", "body",
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // 6 tokens -> chunk 0 covers [1,4], chunk 1 covers [4,6]
+    assert(chunks.filter(_._1 == 2L).sortBy(_._2).toSeq ==
+      Seq((2L, 0, 1, 4), (2L, 1, 4, 3)))
+
+    // hash-keep is deterministic and respects a zero rate
+    val kept = frame.withColumn("k",
+        graft.ops.Curation.hashKeep("rec_id", lit(20), outOf = 20))
+      .collect().map(_.getBoolean(3))
+    assert(kept.forall(identity), "rate = outOf keeps everything")
+    val none = frame.withColumn("k",
+        graft.ops.Curation.hashKeep("rec_id", lit(0), outOf = 20))
+      .collect().map(_.getBoolean(3))
+    assert(none.forall(!_), "rate 0 keeps nothing")
+
+    // decontamination from custom gram frames: doc 3 shares "alpha beta"
+    // grams with bench doc 1
+    val grams = frame.select(col("rec_id"), explode(expr(
+      """transform(sequence(1, size(split(lower(body), ' ')) - 1),
+        |  i -> concat_ws(' ', element_at(split(lower(body), ' '), i),
+        |                      element_at(split(lower(body), ' '), i + 1)))""".stripMargin))
+      .as("g")).selectExpr("rec_id",
+      "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) AS h")
+    val hits = graft.ops.Curation.decontaminateFromGrams(
+        grams.filter(col("rec_id") =!= 1L),
+        grams.filter(col("rec_id") === 1L)
+          .select(col("rec_id").as("bench_id"), col("h")),
+        idCol = "rec_id", benchIdCol = "bench_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(3L), "only doc 3 shares a bigram with doc 1")
+    assert(hits(3L) == 1L, "the one shared bigram is 'alpha beta'")
   }
 
   test("q_quality_repetition fractions are consistent and flag agrees") {
