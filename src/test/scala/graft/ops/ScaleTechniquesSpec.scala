@@ -34,6 +34,37 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ord_bucketed")
   }
 
+  test("incremental and curation plans carry no nested-loop or cartesian joins") {
+    // The plan shapes these operators claim (bucket equi-joins, broadcast
+    // join-backs, map-only scans) must not silently degrade to a
+    // nested-loop product if a join condition is edited.
+    val sf = "/root/testdata/sf0.001"
+    // No query may plan a non-broadcast CartesianProduct. The stricter
+    // no-nested-loop-at-all bar applies to the join-driven operators;
+    // q_boilerplate / q_lm_unigram legitimately carry ONE
+    // BroadcastNestedLoopJoin each — the deliberate 1-row broadcast
+    // stats pattern (crossJoin(broadcast(tot))), a constant-size build.
+    Seq("q_dedup_incremental", "q_ann_incremental", "q_winnow_crossdup",
+      "q_boilerplate", "q_lm_unigram", "q_stream_join").foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      withClue(s"$q plan:") { assert(!plan.contains("CartesianProduct")) }
+    }
+    Seq("q_dedup_incremental", "q_ann_incremental", "q_winnow_crossdup",
+      "q_stream_join").foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      withClue(s"$q plan:") {
+        assert(!plan.contains("BroadcastNestedLoopJoin"))
+      }
+    }
+    // The PII scrub is map-only: its single exchange is the final sort.
+    val pii = graft.SparkEntry.queries("q_pii_redact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(pii).length <= 1,
+      s"q_pii_redact must stay map-only plus one sort exchange:\n${pii.take(1500)}")
+  }
+
   test("hot-shingle df cutoff excludes a planted stop-shingle from candidates") {
     import spark.implicits._
     // shingle 100 is "hot": present in all 5 docs (df = 5); shingle 200
