@@ -63,6 +63,22 @@ object TextQueries {
   private[queries] val CrossMaxDf = 20
   private[queries] val CrossMinShared = 3
 
+  /** Composite quality score (length band + TTR + stopword ratio) —
+    * ONE definition per dialect, shared by q_text_quality and the
+    * corpus-relative threshold filter.
+    */
+  private[queries] val QualityExpr =
+    """0.5 * (CAST(size(array_distinct(split(lower(text), ' '))) AS DOUBLE) / size(split(text, ' ')))
+      | + 0.25 * (CASE WHEN size(split(text, ' ')) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.0 END)
+      | + 0.25 * (CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the', 'a'), x))) AS DOUBLE) / size(split(text, ' ')))"""
+      .stripMargin.replace("\n", " ")
+
+  private[queries] val DuckQualityExpr =
+    """0.5 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      | + 0.25 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.0 END)
+      | + 0.25 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(string_split(text, ' ')))"""
+      .stripMargin.replace("\n", " ")
+
   /** Persisted `(doc_id, bigram)` frame — shared by the corpus-wide
     * bigram counts and the per-doc repetition signals, one copy per
     * (session, sf dir) like the dedup shingle/word frames.
@@ -248,11 +264,27 @@ object TextQueries {
       Tables.load(s, d, "documents").selectExpr(
         "doc_id",
         "size(split(text, ' ')) AS n_tokens",
-        """0.5 * (CAST(size(array_distinct(split(lower(text), ' '))) AS DOUBLE) / size(split(text, ' ')))
-          | + 0.25 * (CASE WHEN size(split(text, ' ')) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.0 END)
-          | + 0.25 * (CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the', 'a'), x))) AS DOUBLE) / size(split(text, ' ')))
-          | AS quality""".stripMargin.replace("\n", " ")
+        s"$QualityExpr AS quality"
       ).orderBy("doc_id")
+    }),
+
+    // Corpus-relative quality filtering: keep documents above the CORPUS
+    // MEDIAN quality — thresholds derived from the data itself, the way
+    // a curation pipeline actually sets them (no magic constants). The
+    // median is one aggregate row broadcast back over the scored corpus;
+    // quality values are bit-identical to q_text_quality's, and Spark
+    // `percentile` matches DuckDB `quantile_cont` exactly (q_percentile
+    // pins this), so the comparison is deterministic.
+    "q_quality_threshold" -> ((s, d) => {
+      val scored = Tables.load(s, d, "documents")
+        .selectExpr("doc_id", "lang", s"$QualityExpr AS q")
+      val med = scored.agg(expr("percentile(q, 0.5)").as("threshold"))
+      scored.crossJoin(broadcast(med))
+        .filter(col("q") > col("threshold"))
+        .groupBy("lang", "threshold")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
+        .select("lang", "n_kept", "first_id", "threshold")
+        .orderBy("lang")
     })
   )
 
@@ -355,12 +387,15 @@ object TextQueries {
         |       (top_word_frac > 0.125 OR top_bigram_frac > 0.15) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
-      """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  0.5 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) / len(string_split(text, ' ')))
-        |   + 0.25 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.0 END)
-        |   + 0.25 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(string_split(text, ' ')))
-        |   AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  $DuckQualityExpr AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_threshold" ->
+      s"""WITH s AS (SELECT doc_id, lang, $DuckQualityExpr AS q FROM documents),
+         |m AS (SELECT quantile_cont(q, 0.5) AS threshold FROM s)
+         |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id, threshold
+         |FROM s CROSS JOIN m WHERE q > threshold
+         |GROUP BY lang, threshold ORDER BY lang""".stripMargin
   )
 }
