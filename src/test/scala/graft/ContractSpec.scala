@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the SparkEntry driver contract itself: the query catalog
+  * is merged from seven family maps with `++`, which would SILENTLY
+  * drop a query if two families ever reused a name — and the
+  * correctness gate only checks queries that survive the merge.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private val families = Seq(
+    "Relational" -> graft.queries.Relational.queries.keySet,
+    "FrontmatterQueries" -> graft.queries.FrontmatterQueries.queries.keySet,
+    "SimilarityQueries" -> graft.queries.SimilarityQueries.queries.keySet,
+    "DedupQueries" -> graft.queries.DedupQueries.queries.keySet,
+    "TextQueries" -> graft.queries.TextQueries.queries.keySet,
+    "CurationQueries" -> graft.queries.CurationQueries.queries.keySet,
+    "PipelineQueries" -> graft.queries.PipelineQueries.queries.keySet)
+
+  test("no query name is defined by two families (++ would drop one)") {
+    val all = families.flatMap { case (f, ks) => ks.map(_ -> f) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"duplicate query names across families: ${dups.map { case (k, fs) =>
+        s"$k in ${fs.map(_._2).mkString("+")}" }.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every query has an oracle row and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    // The repo convention is FULL oracle coverage (zero rows-only in the
+    // gate); a new operator must ship its oracle or consciously amend
+    // this test with a documented exemption.
+    assert(q == o, s"queries without oracles: ${q -- o}")
+  }
+
+  // Single-row global aggregates: ordering is vacuous.
+  private val singleRowExempt = Set("q_count_star", "q_fm_count")
+
+  test("oracle SQL is non-empty and totally ordered") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name oracle is empty")
+      // every oracle carries a total ORDER BY (the hash compare sorts
+      // rows, but ties need a deterministic tie-break, and the ORDER BY
+      // convention is what reviewers check)
+      if (!singleRowExempt(name))
+        assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+    }
+  }
+}
