@@ -25,6 +25,14 @@ object PipelineQueries {
   private[queries] val FrameSize = 32
   private[queries] val FrameStride = 4
 
+  /** Count-Min Sketch geometry and probe words, shared with the oracle.
+    * zzz_absent never occurs — its estimate exposes pure collision mass.
+    */
+  private[queries] val CmsD = 4
+  private[queries] val CmsW = 256
+  private[queries] val CmsProbes =
+    Seq("join", "window", "hash", "the", "zzz_absent")
+
   private[queries] val ChunkMax = 32
   private[queries] val ChunkOverlap = 8
 
@@ -221,6 +229,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Count-Min Sketch word-frequency estimates: a fixed d x w cell
+    // table (4 x 256 = 1024 cells REGARDLESS of corpus size — that fixed
+    // bound is the whole point at 100 TB), built with one hash
+    // aggregate; probe estimates are the min over rows of the probed
+    // cell. Deterministic portable hashing makes the ESTIMATE itself
+    // oracle-exact, and the true counts ride along so the
+    // over-estimation guarantee (est >= true, and = for non-colliding
+    // words) is visible in the verified output.
+    "q_sketch_cms" -> ((s, d) => {
+      val h60 = (c: String) =>
+        s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
+      val words = DedupQueries.wordDF(s, d).select("word")
+      val rows = array((0 until CmsD).map(lit): _*)
+      val cells = words
+        .select(col("word"), explode(rows).as("r"))
+        .select(col("r"), expr(s"${h60("concat(r, ':', word)")} % $CmsW").as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("n"))
+      val probes = s.range(1)
+        .select(explode(array(CmsProbes.map(lit): _*)).as("word"))
+        .select(col("word"), explode(rows).as("r"))
+        .select(col("word"), col("r"),
+          expr(s"${h60("concat(r, ':', word)")} % $CmsW").as("b"))
+      val est = broadcast(probes).join(cells, Seq("r", "b"), "left")
+        .groupBy("word").agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+      val tru = words.filter(col("word").isin(CmsProbes: _*))
+        .groupBy("word").agg(count(lit(1)).as("n_true"))
+      est.join(tru, Seq("word"), "left")
+        .select(col("word"), col("cms_est"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .orderBy("word")
+    }),
+
     // KMV distinct-count sketch per event_type: deterministic with the
     // portable 60-bit hash, so the estimate is exactly reproducible in
     // SQL (the oracle recomputes the kth-order statistic).
@@ -372,6 +412,30 @@ object PipelineQueries {
         |SELECT p.event_id, epoch_us(p.ts) AS ts_us, c.n_errors
         |FROM p JOIN c ON p.event_id = c.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "q_sketch_cms" -> {
+      val probes = CmsProbes.map(p => s"'$p'").mkString("[", ", ", "]")
+      val inList = CmsProbes.map(p => s"'$p'").mkString(", ")
+      s"""WITH w AS (SELECT UNNEST(string_split(lower(text), ' ')) AS word
+         |           FROM documents),
+         |rws AS (SELECT UNNEST(range(0, $CmsD)) AS r),
+         |cells AS (
+         |  SELECT r, CAST('0x' || substr(md5(r || ':' || word), 1, 15) AS BIGINT) % $CmsW AS b,
+         |         COUNT(*) AS n
+         |  FROM w CROSS JOIN rws GROUP BY 1, 2),
+         |pb AS (
+         |  SELECT word, r,
+         |         CAST('0x' || substr(md5(r || ':' || word), 1, 15) AS BIGINT) % $CmsW AS b
+         |  FROM (SELECT UNNEST($probes) AS word) CROSS JOIN rws),
+         |est AS (
+         |  SELECT word, MIN(COALESCE(n, 0)) AS cms_est
+         |  FROM pb LEFT JOIN cells USING (r, b) GROUP BY word),
+         |tru AS (SELECT word, COUNT(*) AS n_true FROM w
+         |        WHERE word IN ($inList) GROUP BY word)
+         |SELECT est.word AS word, CAST(cms_est AS BIGINT) AS cms_est,
+         |       CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true
+         |FROM est LEFT JOIN tru USING (word) ORDER BY word""".stripMargin
+    },
+
     "q_sketch_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
