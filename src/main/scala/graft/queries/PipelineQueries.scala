@@ -26,10 +26,12 @@ object PipelineQueries {
   private[queries] val FrameStride = 4
 
   /** Count-Min Sketch geometry and probe words, shared with the oracle.
-    * zzz_absent never occurs — its estimate exposes pure collision mass.
+    * Width is fixed at 256: each row's bucket is one DISJOINT BYTE of
+    * the word's md5 (hex chars [2r+1, 2r+2]), so one digest yields all
+    * CmsD row-hashes. zzz_absent never occurs — its estimate exposes
+    * pure collision mass.
     */
   private[queries] val CmsD = 4
-  private[queries] val CmsW = 256
   private[queries] val CmsProbes =
     Seq("join", "window", "hash", "the", "zzz_absent")
 
@@ -238,20 +240,24 @@ object PipelineQueries {
     // over-estimation guarantee (est >= true, and = for non-colliding
     // words) is visible in the verified output.
     "q_sketch_cms" -> ((s, d) => {
-      val h60 = (c: String) =>
-        s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
-      val words = DedupQueries.wordDF(s, d).select("word")
-      val rows = array((0 until CmsD).map(lit): _*)
+      // The CmsD row-buckets are DISJOINT BYTES of the word's 60-bit
+      // md5-prefix hash — which the shared word frame ALREADY carries as
+      // column `h`, so building the sketch does zero hashing: pure
+      // shift/mask integer ops over a persisted frame (bytes of a
+      // cryptographic digest are independent enough for CMS).
+      val buckets = (0 until CmsD).map(r => expr(s"(h >> ${8 * r}) & 255"))
+      val words = DedupQueries.wordDF(s, d).select("word", "h")
       val cells = words
-        .select(col("word"), explode(rows).as("r"))
-        .select(col("r"), expr(s"${h60("concat(r, ':', word)")} % $CmsW").as("b"))
+        .select(posexplode(array(buckets: _*)).as(Seq("r", "b")))
         .groupBy("r", "b").agg(count(lit(1)).as("n"))
       val probes = s.range(1)
         .select(explode(array(CmsProbes.map(lit): _*)).as("word"))
-        .select(col("word"), explode(rows).as("r"))
-        .select(col("word"), col("r"),
-          expr(s"${h60("concat(r, ':', word)")} % $CmsW").as("b"))
-      val est = broadcast(probes).join(cells, Seq("r", "b"), "left")
+        .withColumn("h", expr(
+          "CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"))
+        .select(col("word"), posexplode(array(buckets: _*)).as(Seq("r", "b")))
+      // broadcast the CELLS (1024 rows, fixed size): a LeftOuter
+      // BroadcastHashJoin can only build its right side.
+      val est = probes.join(broadcast(cells), Seq("r", "b"), "left")
         .groupBy("word").agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
       val tru = words.filter(col("word").isin(CmsProbes: _*))
         .groupBy("word").agg(count(lit(1)).as("n_true"))
@@ -415,17 +421,24 @@ object PipelineQueries {
     "q_sketch_cms" -> {
       val probes = CmsProbes.map(p => s"'$p'").mkString("[", ", ", "]")
       val inList = CmsProbes.map(p => s"'$p'").mkString(", ")
-      s"""WITH w AS (SELECT UNNEST(string_split(lower(text), ' ')) AS word
-         |           FROM documents),
+      // Bucket r = byte r of the 60-bit md5-prefix hash (same value the
+      // Spark plan reads from the shared word frame's `h` column).
+      val duckBuckets = (0 until CmsD).map(r =>
+        s"(h >> ${8 * r}) & 255").mkString("[", ", ", "]")
+      s"""WITH w0 AS (SELECT UNNEST(string_split(lower(text), ' ')) AS word
+         |            FROM documents),
+         |w AS (SELECT word,
+         |        CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+         |      FROM w0),
          |rws AS (SELECT UNNEST(range(0, $CmsD)) AS r),
          |cells AS (
-         |  SELECT r, CAST('0x' || substr(md5(r || ':' || word), 1, 15) AS BIGINT) % $CmsW AS b,
-         |         COUNT(*) AS n
+         |  SELECT r, ($duckBuckets)[CAST(r + 1 AS INT)] AS b, COUNT(*) AS n
          |  FROM w CROSS JOIN rws GROUP BY 1, 2),
          |pb AS (
-         |  SELECT word, r,
-         |         CAST('0x' || substr(md5(r || ':' || word), 1, 15) AS BIGINT) % $CmsW AS b
-         |  FROM (SELECT UNNEST($probes) AS word) CROSS JOIN rws),
+         |  SELECT word, r, ($duckBuckets)[CAST(r + 1 AS INT)] AS b
+         |  FROM (SELECT word,
+         |          CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+         |        FROM (SELECT UNNEST($probes) AS word)) CROSS JOIN rws),
          |est AS (
          |  SELECT word, MIN(COALESCE(n, 0)) AS cms_est
          |  FROM pb LEFT JOIN cells USING (r, b) GROUP BY word),
