@@ -47,7 +47,9 @@ object PlanAudit {
     "q_dedup_incremental" -> "ingest dedup: band-bucket equi-join batch vs corpus index, NO batch x corpus product",
     "q_ann_incremental" -> "ingest ANN: LSH bucket join batch vs corpus, batch NOT broadcast, exact re-rank of candidates",
     "q_salted_agg" -> "skewed agg: explicit two-phase salted shape — 5 hot keys split into 32 sub-groups, tiny merge",
-    "q_multimodal_batchplan" -> "byte-budget batch packing: distributed prefix sum, NO single-partition global window")
+    "q_multimodal_batchplan" -> "byte-budget batch packing: distributed prefix sum, NO single-partition global window",
+    "q_sketch_cms" -> "CMS sketch: fixed 1024-cell hash aggregate from persisted-frame integer ops, cells broadcast to probes",
+    "q_quality_threshold" -> "corpus-relative filter: percentile as one broadcast row back over the scored scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
