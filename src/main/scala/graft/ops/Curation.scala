@@ -133,12 +133,21 @@ object Curation {
         expr("CAST(floor(CAST(n AS DOUBLE) * (ratio / mx)) AS BIGINT)").as("n_keep"))
   }
 
+  /** The portable 60-bit key hash (first 15 hex chars of md5, same value
+    * as DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) — ONE
+    * definition for every hash-derived operator here, because the whole
+    * oracle-exactness story depends on this expression being identical
+    * everywhere.
+    */
+  private def portableHash(idColName: String): Column =
+    expr(s"CAST(conv(substr(md5(CAST($idColName AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+
   /** Deterministic portable-hash shard assignment (same value on any
     * cluster, no rand()) over the named key column. Feed straight into
     * `.write.partitionBy(...)`.
     */
   def shardAssign(idColName: String, nShards: Int): Column =
-    expr(s"CAST(conv(substr(md5(CAST($idColName AS STRING)), 1, 15), 16, 10) AS BIGINT)") % nShards
+    portableHash(idColName) % nShards
 
   /** Deterministic keep-predicate for hash sampling: true for rows whose
     * portable key hash lands below `rate` out of `outOf` buckets. `rate`
@@ -147,8 +156,7 @@ object Curation {
     * on any cluster, no rand().
     */
   def hashKeep(idColName: String, rate: Column, outOf: Int): Column =
-    (expr(s"CAST(conv(substr(md5(CAST($idColName AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-      % outOf) < rate
+    (portableHash(idColName) % outOf) < rate
 
   /** Sliding-window training chunks: split `textCol` into windows of
     * `maxTokens` with `overlap` tokens shared between neighbors. Chunk
@@ -159,7 +167,10 @@ object Curation {
     */
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, overlap: Int): DataFrame = {
-    require(overlap < maxTokens, "overlap must be smaller than maxTokens")
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens) — a negative overlap would " +
+        "silently skip tokens between chunks")
     val stride = maxTokens - overlap
     df.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
       .withColumn("n", size(col("w")))

@@ -26,10 +26,10 @@ object PipelineQueries {
   private[queries] val FrameStride = 4
 
   /** Count-Min Sketch geometry and probe words, shared with the oracle.
-    * Width is fixed at 256: each row's bucket is one DISJOINT BYTE of
-    * the word's md5 (hex chars [2r+1, 2r+2]), so one digest yields all
-    * CmsD row-hashes. zzz_absent never occurs — its estimate exposes
-    * pure collision mass.
+    * Width is fixed at 256: row r's bucket is byte r of the 60-bit
+    * md5-prefix hash, counting from the LOW end — `(h >> 8r) & 255`,
+    * i.e. bits [8r, 8r+8) — so one digest yields all CmsD row-hashes.
+    * zzz_absent never occurs — its estimate exposes pure collision mass.
     */
   private[queries] val CmsD = 4
   private[queries] val CmsProbes =

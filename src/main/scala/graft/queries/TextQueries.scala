@@ -79,6 +79,23 @@ object TextQueries {
       | + 0.25 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(string_split(text, ' ')))"""
       .stripMargin.replace("\n", " ")
 
+  /** Persisted `(doc_id, lang, n_tokens, quality)` scored frame —
+    * QualityExpr is the most expensive per-doc projection (three
+    * split/lambda passes), and both quality queries consume it; one
+    * copy per (session, sf dir) like the other shared frames.
+    */
+  private val qualityCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private def qualityDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.memo(qualityCache, (Tables.sessionKey(s), d))({
+      Tables.load(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          "size(split(text, ' ')) AS n_tokens",
+          s"$QualityExpr AS quality")
+        .persist()
+    })
+
   /** Persisted `(doc_id, bigram)` frame — shared by the corpus-wide
     * bigram counts and the per-doc repetition signals, one copy per
     * (session, sf dir) like the dedup shingle/word frames.
@@ -261,11 +278,9 @@ object TextQueries {
 
     // Quality scoring: length band + type-token ratio + stopword ratio.
     "q_text_quality" -> ((s, d) => {
-      Tables.load(s, d, "documents").selectExpr(
-        "doc_id",
-        "size(split(text, ' ')) AS n_tokens",
-        s"$QualityExpr AS quality"
-      ).orderBy("doc_id")
+      qualityDF(s, d)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
     }),
 
     // Corpus-relative quality filtering: keep documents above the CORPUS
@@ -276,8 +291,10 @@ object TextQueries {
     // `percentile` matches DuckDB `quantile_cont` exactly (q_percentile
     // pins this), so the comparison is deterministic.
     "q_quality_threshold" -> ((s, d) => {
-      val scored = Tables.load(s, d, "documents")
-        .selectExpr("doc_id", "lang", s"$QualityExpr AS q")
+      // Both sides (median aggregate + filter) read the shared persisted
+      // scored frame — the expensive QualityExpr runs once per corpus.
+      val scored = qualityDF(s, d)
+        .select(col("doc_id"), col("lang"), col("quality").as("q"))
       val med = scored.agg(expr("percentile(q, 0.5)").as("threshold"))
       scored.crossJoin(broadcast(med))
         .filter(col("q") > col("threshold"))

@@ -40,14 +40,38 @@ class ContractSpec extends AnyFunSuite {
   // Single-row global aggregates: ordering is vacuous.
   private val singleRowExempt = Set("q_count_star", "q_fm_count")
 
+  /** True iff the SQL has an ORDER BY at paren depth 0 — a window
+    * function's `OVER (ORDER BY ...)` or a subquery's ordering does NOT
+    * order the result set. Single-quoted literals are skipped so parens
+    * inside regex/string constants don't corrupt the depth count.
+    */
+  private def hasTopLevelOrderBy(sql: String): Boolean = {
+    val u = sql.toUpperCase
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < u.length) {
+      u.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case 'O' if !inQuote && depth == 0 &&
+            u.regionMatches(i, "ORDER BY", 0, 8) => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
   test("oracle SQL is non-empty and totally ordered") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name oracle is empty")
-      // every oracle carries a total ORDER BY (the hash compare sorts
-      // rows, but ties need a deterministic tie-break, and the ORDER BY
-      // convention is what reviewers check)
+      // every oracle carries a RESULT-SET ORDER BY (the hash compare
+      // sorts rows, but ties need a deterministic tie-break) — a window
+      // function's OVER (ORDER BY ...) must not satisfy this
       if (!singleRowExempt(name))
-        assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+        assert(hasTopLevelOrderBy(sql), s"$name oracle lacks a top-level ORDER BY")
     }
   }
 }

@@ -44,18 +44,16 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // q_boilerplate / q_lm_unigram legitimately carry ONE
     // BroadcastNestedLoopJoin each — the deliberate 1-row broadcast
     // stats pattern (crossJoin(broadcast(tot))), a constant-size build.
-    Seq("q_dedup_incremental", "q_ann_incremental", "q_winnow_crossdup",
-      "q_boilerplate", "q_lm_unigram", "q_stream_join").foreach { q =>
-      val plan = graft.SparkEntry.queries(q)(spark, sf)
+    val statsPattern = Set("q_boilerplate", "q_lm_unigram")
+    val plans = (Seq("q_dedup_incremental", "q_ann_incremental",
+      "q_winnow_crossdup", "q_stream_join") ++ statsPattern).map { q =>
+      q -> graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
-      withClue(s"$q plan:") { assert(!plan.contains("CartesianProduct")) }
     }
-    Seq("q_dedup_incremental", "q_ann_incremental", "q_winnow_crossdup",
-      "q_stream_join").foreach { q =>
-      val plan = graft.SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString
+    plans.foreach { case (q, plan) =>
       withClue(s"$q plan:") {
-        assert(!plan.contains("BroadcastNestedLoopJoin"))
+        assert(!plan.contains("CartesianProduct"))
+        if (!statsPattern(q)) assert(!plan.contains("BroadcastNestedLoopJoin"))
       }
     }
     // The PII scrub is map-only: its single exchange is the final sort.
