@@ -246,6 +246,43 @@ object DedupQueries {
         .orderBy("ia", "ib")
     }),
 
+    // TF-IDF cosine re-scoring of the near-dup candidate pairs: the
+    // standard lexical similarity an IR pipeline layers over candidate
+    // generation. Every quantity is EXACT integer arithmetic — tf counts
+    // are ints, idf is FLOAT-collapsed ln(N/df) rounded to a kilo-nat
+    // grid, so dot products and norms are order-independent BIGINT sums
+    // and even the cosine is oracle-exact (one IEEE division over exact
+    // ints). Pairs come from the shared persisted Jaccard frame; weights
+    // ride the shared word frame; nothing here scans the corpus anew.
+    "q_tfidf_sim" -> ((s, d) => {
+      val w = wordDF(s, d).select("doc_id", "word")
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val nd = w.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
+      val idf = w.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .select(col("word"), expr(
+          "CAST(ROUND(CAST(CAST(ln(CAST(nd AS DOUBLE) / df) AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
+          .as("idf_knats"))
+      val wts = tf.join(broadcast(idf), Seq("word"))
+        .select(col("doc_id"), col("word"), (col("tf") * col("idf_knats")).as("wt"))
+      val norms = wts.groupBy("doc_id")
+        .agg(sum(col("wt") * col("wt")).as("n2"))
+      val pairs = jaccardPairsCached(s, d)
+        .filter(col("jac") >= 0.5).select("ia", "ib")
+      val dots = pairs
+        .join(wts.select(col("doc_id").as("ia"), col("word"), col("wt").as("wa")), Seq("ia"))
+        .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb")), Seq("ib", "word"))
+        .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("ia"), col("n2").as("na")), Seq("ia"))
+        .join(norms.select(col("doc_id").as("ib"), col("n2").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          expr("CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))")
+            .as("cos_tfidf"))
+        .orderBy("ia", "ib")
+    }),
+
     // SimHash near-dup: 60-bit signature from per-word md5 hashes, banded
     // 4 x 15 bits; pigeonhole makes the banding COMPLETE for hamming<=3,
     // so the all-pairs oracle matches the banded Spark plan exactly.
@@ -379,6 +416,42 @@ object DedupQueries {
       s"""WITH $duckShingleCte,
          |$duckCandCte,
          |${duckVerify("cand", 0.5)}""".stripMargin,
+
+    "q_tfidf_sim" ->
+      s"""WITH $duckShingleCte,
+         |$duckCandCte,
+         |common AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+         |  FROM sh a JOIN cand ON a.doc_id = cand.ia
+         |            JOIN sh b ON b.doc_id = cand.ib AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM common
+         |  JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+         |w AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+         |      FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM w),
+         |idf AS (
+         |  SELECT word,
+         |    CAST(ROUND(CAST(CAST(ln(CAST(nd AS DOUBLE) / df) AS REAL) AS DOUBLE) * 1000) AS BIGINT) AS idf_knats
+         |  FROM (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word)
+         |  CROSS JOIN nd),
+         |wts AS (SELECT doc_id, word, CAST(tf * idf_knats AS BIGINT) AS wt
+         |        FROM tf JOIN idf USING (word)),
+         |norms AS (SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS n2
+         |          FROM wts GROUP BY doc_id),
+         |dots AS (
+         |  SELECT p.ia, p.ib, CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot
+         |  FROM pairs p JOIN wts a ON a.doc_id = p.ia
+         |               JOIN wts b ON b.doc_id = p.ib AND b.word = a.word
+         |  GROUP BY 1, 2)
+         |SELECT d.ia, d.ib,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_tfidf
+         |FROM dots d JOIN norms na ON d.ia = na.doc_id
+         |            JOIN norms nb ON d.ib = nb.doc_id
+         |ORDER BY ia, ib""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until SimBits)

@@ -12,6 +12,34 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("q_tfidf_sim matches an independent tf-idf cosine computation") {
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq).toMap
+    val nd = texts.size.toDouble
+    val df = texts.values.toSeq.flatMap(_.distinct)
+      .groupBy(identity).map { case (w, os) => w -> os.size }
+    def idfK(w: String): Long =
+      math.round((math.log(nd / df(w)).toFloat).toDouble * 1000)
+    def wts(id: Long): Map[String, Long] =
+      texts(id).groupBy(identity).map { case (w, os) => w -> os.size * idfK(w) }
+    val rows = SparkEntry.queries("q_tfidf_sim")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ia, ib, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (wa, wb) = (wts(ia), wts(ib))
+      val dot = wa.keySet.intersect(wb.keySet).toSeq
+        .map(w => wa(w) * wb(w)).sum
+      def n2(m: Map[String, Long]) = m.values.map(v => v * v).sum
+      val expected = dot.toDouble / (math.sqrt(n2(wa).toDouble) * math.sqrt(n2(wb).toDouble))
+      assert(cos == expected, s"pair ($ia,$ib): $cos vs $expected")
+      // valid cosine over non-negative weights; note a high shingle
+      // Jaccard does NOT imply a high tf-idf cosine (idf downweights
+      // the shared common words) — that re-ranking power is the point
+      assert(cos > 0.0 && cos <= 1.0)
+    }
+  }
+
   test("q_dedup_incremental agrees with the pairwise SimHash query") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
