@@ -225,6 +225,31 @@ object DedupQueries {
     */
   private[queries] val IncrMod = 5
 
+  /** Persisted `(doc_id, word, wt)` tf-idf weight frame — scanned three
+    * times by the cosine re-scorer (norms + both dot sides), one copy
+    * per (session, sf dir) like the other shared frames. `wt` is
+    * tf x idf on the kilo-nat integer grid, so every downstream sum is
+    * exact BIGINT.
+    */
+  private val tfidfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def tfidfWtsDF(s: SparkSession, d: String): DataFrame =
+    Tables.memo(tfidfCache, (Tables.sessionKey(s), d))({
+      val w = wordDF(s, d).select("doc_id", "word")
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val nd = w.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
+      val idf = w.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .select(col("word"), expr(
+          "CAST(ROUND(CAST(CAST(ln(CAST(nd AS DOUBLE) / df) AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
+          .as("idf_knats"))
+      tf.join(broadcast(idf), Seq("word"))
+        .select(col("doc_id"), col("word"), (col("tf") * col("idf_knats")).as("wt"))
+        .persist()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on a normalized fingerprint (sorted word
     // multiset), emitting group size + canonical keeper per group.
@@ -255,17 +280,7 @@ object DedupQueries {
     // ints). Pairs come from the shared persisted Jaccard frame; weights
     // ride the shared word frame; nothing here scans the corpus anew.
     "q_tfidf_sim" -> ((s, d) => {
-      val w = wordDF(s, d).select("doc_id", "word")
-      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val nd = w.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
-      val idf = w.select("doc_id", "word").distinct()
-        .groupBy("word").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nd))
-        .select(col("word"), expr(
-          "CAST(ROUND(CAST(CAST(ln(CAST(nd AS DOUBLE) / df) AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
-          .as("idf_knats"))
-      val wts = tf.join(broadcast(idf), Seq("word"))
-        .select(col("doc_id"), col("word"), (col("tf") * col("idf_knats")).as("wt"))
+      val wts = tfidfWtsDF(s, d)
       val norms = wts.groupBy("doc_id")
         .agg(sum(col("wt") * col("wt")).as("n2"))
       val pairs = jaccardPairsCached(s, d)
