@@ -49,7 +49,8 @@ object PlanAudit {
     "q_salted_agg" -> "skewed agg: explicit two-phase salted shape — 5 hot keys split into 32 sub-groups, tiny merge",
     "q_multimodal_batchplan" -> "byte-budget batch packing: distributed prefix sum, NO single-partition global window",
     "q_sketch_cms" -> "CMS sketch: fixed 1024-cell hash aggregate from persisted-frame integer ops, cells broadcast to probes",
-    "q_quality_threshold" -> "corpus-relative filter: percentile as one broadcast row back over the scored scan")
+    "q_quality_threshold" -> "corpus-relative filter: percentile as one broadcast row back over the scored scan",
+    "q_tfidf_sim" -> "tf-idf re-scorer: broadcast idf table, shared weight frame, exact-integer dot/norm sums")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
