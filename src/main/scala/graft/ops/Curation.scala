@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** PII patterns shared with the oracle replay: no backslash escapes
-    * (`[.]` not `\.`), so the identical literals run as Java regex and
-    * RE2. Substitute your jurisdiction's patterns at construction.
+    * (`[.]` not `\.`) and `(?i)` for case-insensitivity, so the
+    * identical literals run as Java regex and RE2 with the same
+    * semantics (ASCII case folding is identical in both).
+    *
+    * DEMO-GRADE defaults: the phone pattern only covers the North
+    * American 555 test prefix and the email pattern ignores quoted
+    * local parts / IDN domains. Substitute your jurisdiction's
+    * patterns at the call site before scrubbing real data.
     */
   val DefaultPatterns: Seq[(String, String)] = Seq(
-    "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+" -> "<EMAIL>",
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+" -> "<EMAIL>",
     "555-[0-9]{4}" -> "<PHONE>",
     "[0-9]{1,3}([.][0-9]{1,3}){3}" -> "<IP>")
 

@@ -76,17 +76,41 @@ object WinnowOps {
     true
   }
 
+  /** Distinct window minima, sorted ascending, with zero per-minimum
+    * boxing: consecutive windows usually share the same minimum (that is
+    * the point of winnowing), so appending only on CHANGE bounds the
+    * buffer near the true fingerprint count (~n/w) rather than the
+    * window count; one primitive sort + in-place dedup finishes the set.
+    */
+  private def collectMinima(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    var buf = new Array[Long](16)
+    var n = 0
+    forEachWindowMin(s, k, w) { m =>
+      if (n == 0 || buf(n - 1) != m) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+        buf(n) = m; n += 1
+      }
+    }
+    if (n == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(buf, 0, n)
+    var out = 1
+    var i = 1
+    while (i < n) {
+      if (buf(i) != buf(out - 1)) { buf(out) = buf(i); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, out)
+  }
+
   /** (n_fp, fp_xor) over the distinct window minima; (0, 0) when the
     * document is shorter than one full window (k + w - 1 bytes).
     */
   def fingerprints(s: UTF8String, k: Int, w: Int): InternalRow = {
-    val seen = new java.util.HashSet[java.lang.Long]()
-    var nFp = 0L
+    val fps = collectMinima(s, k, w)
     var xor = 0L
-    forEachWindowMin(s, k, w) { m =>
-      if (seen.add(m)) { nFp += 1L; xor ^= m }
-    }
-    InternalRow(nFp, xor)
+    var i = 0
+    while (i < fps.length) { xor ^= fps(i); i += 1 }
+    InternalRow(fps.length.toLong, xor)
   }
 
   /** The distinct window minima themselves, sorted ascending — the
@@ -96,15 +120,8 @@ object WinnowOps {
     * document (each window contributes one), so the explode this feeds
     * is narrow.
     */
-  def fingerprintSet(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val seen = new java.util.TreeSet[java.lang.Long]()
-    forEachWindowMin(s, k, w)(m => seen.add(m))
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
+  def fingerprintSet(s: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(collectMinima(s, k, w))
 }
 
 /** `graft_winnow(text)` — winnowing fingerprint summary as a native

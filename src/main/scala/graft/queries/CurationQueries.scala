@@ -88,11 +88,14 @@ object CurationQueries {
   /** The synthetic corpus carries no PII, so the redaction operator runs
     * over text with deterministic PII-like tokens injected from the
     * row's own columns — both engines build the identical string, then
-    * both run the identical redaction chain over it. `castStr` differs
-    * only in the dialects' string type keyword.
+    * both run the identical redaction chain over it. The email is
+    * deliberately MIXED-CASE so the oracle gate exercises the `(?i)`
+    * case-folding path of [[graft.ops.Curation.DefaultPatterns]], not
+    * just pre-lowercased input. `castStr` differs only in the dialects'
+    * string type keyword.
     */
   private def piiText(castStr: String): String =
-    "'user.' || doc_id || '@mail-' || lang || '.com call 555-' || " +
+    "'User.' || doc_id || '@Mail-' || lang || '.Com call 555-' || " +
       s"lpad(CAST(doc_id % 10000 AS $castStr), 4, '0') || " +
       "' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) || ' ' || text"
 

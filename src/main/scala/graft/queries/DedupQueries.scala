@@ -275,20 +275,25 @@ object DedupQueries {
     // standard lexical similarity an IR pipeline layers over candidate
     // generation. Every quantity is EXACT integer arithmetic — tf counts
     // are ints, idf is FLOAT-collapsed ln(N/df) rounded to a kilo-nat
-    // grid, so dot products and norms are order-independent BIGINT sums
-    // and even the cosine is oracle-exact (one IEEE division over exact
-    // ints). Pairs come from the shared persisted Jaccard frame; weights
-    // ride the shared word frame; nothing here scans the corpus anew.
+    // grid, and dot products / norms are order-independent
+    // DECIMAL(38,0) sums (wt can reach ~1e9 for long docs with rare
+    // terms, so SUM(wt*wt) in BIGINT could silently wrap on Spark while
+    // DuckDB errors — DECIMAL keeps both engines exact AND
+    // overflow-checked), so even the cosine is oracle-exact (one IEEE
+    // division over exact ints). Pairs come from the shared persisted
+    // Jaccard frame; weights ride the shared word frame; nothing here
+    // scans the corpus anew.
     "q_tfidf_sim" -> ((s, d) => {
       val wts = tfidfWtsDF(s, d)
       val norms = wts.groupBy("doc_id")
-        .agg(sum(col("wt") * col("wt")).as("n2"))
+        .agg(sum(expr("CAST(wt AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))")).as("n2"))
       val pairs = jaccardPairsCached(s, d)
         .filter(col("jac") >= 0.5).select("ia", "ib")
       val dots = pairs
         .join(wts.select(col("doc_id").as("ia"), col("word"), col("wt").as("wa")), Seq("ia"))
         .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb")), Seq("ib", "word"))
-        .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
+        .groupBy("ia", "ib")
+        .agg(sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))")).as("dot"))
       dots
         .join(norms.select(col("doc_id").as("ia"), col("n2").as("na")), Seq("ia"))
         .join(norms.select(col("doc_id").as("ib"), col("n2").as("nb")), Seq("ib"))
@@ -455,10 +460,12 @@ object DedupQueries {
          |  CROSS JOIN nd),
          |wts AS (SELECT doc_id, word, CAST(tf * idf_knats AS BIGINT) AS wt
          |        FROM tf JOIN idf USING (word)),
-         |norms AS (SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS n2
+         |norms AS (SELECT doc_id,
+         |            SUM(CAST(wt AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))) AS n2
          |          FROM wts GROUP BY doc_id),
          |dots AS (
-         |  SELECT p.ia, p.ib, CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot
+         |  SELECT p.ia, p.ib,
+         |    SUM(CAST(a.wt AS DECIMAL(19,0)) * CAST(b.wt AS DECIMAL(19,0))) AS dot
          |  FROM pairs p JOIN wts a ON a.doc_id = p.ia
          |               JOIN wts b ON b.doc_id = p.ib AND b.word = a.word
          |  GROUP BY 1, 2)

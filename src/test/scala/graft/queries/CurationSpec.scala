@@ -199,6 +199,9 @@ class CurationSpec extends AnyFunSuite {
     // replace-ALL semantics, not first-match
     assert(redact("a.b@c.io then d_e@f.co.uk done")
       == "<EMAIL> then <EMAIL> done")
+    // case-insensitive: mixed-case emails are PII too
+    assert(redact("write Jane.Doe@Example.COM today")
+      == "write <EMAIL> today")
     assert(redact("plain text with numbers 42 and a dot. end")
       == "plain text with numbers 42 and a dot. end")
   }
