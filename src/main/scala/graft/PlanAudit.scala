@@ -50,7 +50,11 @@ object PlanAudit {
     "q_multimodal_batchplan" -> "byte-budget batch packing: distributed prefix sum, NO single-partition global window",
     "q_sketch_cms" -> "CMS sketch: fixed 1024-cell hash aggregate from persisted-frame integer ops, cells broadcast to probes",
     "q_quality_threshold" -> "corpus-relative filter: percentile as one broadcast row back over the scored scan",
-    "q_tfidf_sim" -> "tf-idf re-scorer: broadcast idf table, shared weight frame, exact-integer dot/norm sums")
+    "q_tfidf_sim" -> "tf-idf re-scorer: broadcast idf table, shared weight frame, exact-integer dot/norm sums",
+    "q_sketch_hll" -> "HLL sketch: fixed 64-register hash aggregate per group, exact BIGINT harmonic sum, no state growth",
+    "q_quantile_hist" -> "histogram quantiles: one scan + bucket hash aggregate; window runs over the HISTOGRAM, never sorts the data",
+    "q_bloom_decontam" -> "bloom decontamination: <=4096-row bit-position relation broadcast to the gram scan, corpus never shuffles before the agg",
+    "q_lm_bigram" -> "bigram LM: prefix counts + vocab scalar broadcast, scored bigrams equi-joined back over the shared bigram frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

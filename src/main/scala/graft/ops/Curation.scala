@@ -115,6 +115,42 @@ object Curation {
           .as("ppl"))
   }
 
+  /** Micro-nat surprisal of one ADD-ONE-SMOOTHED bigram probability
+    * P(w2|w1) = (c12 + 1) / (c1 + v): c12 the bigram count, c1 the
+    * prefix occurrence count, v the unigram vocabulary size. Shared
+    * verbatim with the DuckDB oracle (floatT = REAL), same
+    * FLOAT-collapse-then-integer-grid determinism as [[unatsExpr]].
+    */
+  def bigramUnatsExpr(floatT: String): String =
+    s"CAST(ROUND(CAST(CAST(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+
+  /** Corpus-trained add-one-smoothed bigram surprisal per document over
+    * a pre-built `(idCol, bigram)` frame; `nVocab` is a one-row frame
+    * with the unigram vocabulary size as column `v`. Prefix counts and
+    * the vocabulary scalar broadcast (both are language-sized, not
+    * corpus-sized); the scored bigram table joins back with a plain
+    * equi-join — unlike the unigram vocab, the bigram vocabulary keeps
+    * growing with corpus size, so it is NOT assumed broadcast-safe.
+    * Returns (idCol, n_bigrams, total_unats, ppl).
+    */
+  def lmBigramFromBigrams(b: DataFrame, idCol: String,
+      nVocab: DataFrame): DataFrame = {
+    val c12 = b.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = b.select(expr("element_at(split(bigram, ' '), 1)").as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = c12
+      .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(nVocab))
+      .select(col("bigram"), expr(bigramUnatsExpr("FLOAT")).as("unats"))
+    b.join(scored, Seq("bigram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("unats").as("total_unats"))
+      .select(col(idCol), col("n_bigrams"), col("total_unats"),
+        expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_bigrams / 1000000.0) AS FLOAT)")
+          .as("ppl"))
+  }
+
   /** Per-group keep rates reaching `targets` (groupValue -> target
     * fraction) with maximum retention: the most under-represented group
     * keeps 100%, everything else downsamples proportionally. Returns

@@ -31,6 +31,15 @@ object CurationQueries {
     */
   private[queries] val BenchMod = 50
 
+  /** Bloom-filter geometry for q_bloom_decontam: m bits, k probes. The
+    * k bit positions are DISJOINT 12-bit slices of the gram's 60-bit
+    * portable hash (bits [12j, 12j+12) — the same digest-carving trick
+    * as the CMS row buckets), so the filter is fully deterministic and
+    * the oracle replays membership bit-for-bit.
+    */
+  private[queries] val BloomM = 4096
+  private[queries] val BloomK = 3
+
   /** n-gram expression over a pre-split words column `w` (same guard
     * style as DedupQueries.shinglesExpr — Spark sequence() descends on
     * n <= 0, hence the CASE).
@@ -135,6 +144,57 @@ object CurationQueries {
           grams.filter(col("doc_id") % BenchMod === 0)
             .select(col("doc_id").as("bench_id"), col("h")),
           idCol = "doc_id", benchIdCol = "bench_id")
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-filter decontamination: the scale path of q_decontaminate.
+    // At 100 TB you do not ship the benchmark GRAM SET to every task —
+    // you ship its m-bit Bloom filter. Here the filter is relational
+    // (its set-bit positions, <= BloomM rows REGARDLESS of corpus size,
+    // broadcast to the scan); a gram is bloom-positive iff all BloomK
+    // position probes hit. The exact membership join rides along so the
+    // verified output exposes the filter's one-sided error contract:
+    // n_bloom >= n_exact always (no false negatives), with hash
+    // collisions visible wherever n_bloom > n_exact.
+    "q_bloom_decontam" -> ((s, d) => {
+      val posCols = (0 until BloomK).map(j =>
+        expr(s"shiftright(h, ${12 * j}) & ${BloomM - 1}"))
+      val grams = gramsDF(s, d)
+      val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      val train = grams.filter(col("doc_id") % BenchMod =!= 0)
+      val bits = bench.select(explode(array(posCols: _*)).as("p")).distinct()
+        .withColumn("set_bit", lit(1))
+      val bloom = train
+        .select(col("doc_id"), col("h"), explode(array(posCols: _*)).as("p"))
+        .join(broadcast(bits), Seq("p"), "left")
+        .groupBy("doc_id", "h")
+        .agg(count("set_bit").as("n_set"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("n_set") === BloomK, 1)).as("n_bloom"))
+      val exact = train
+        .join(broadcast(bench.select("h").distinct()), Seq("h"))
+        .groupBy("doc_id").agg(countDistinct("h").as("n_exact"))
+      bloom.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("n_bloom") > 0).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // Bigram language-model surprisal: the natural upgrade of
+    // q_lm_unigram — add-one-smoothed P(w2|w1) trained on the corpus
+    // itself. Prefix counts and the vocabulary scalar broadcast; the
+    // scored bigram table joins back over the shared persisted bigram
+    // frame with a plain equi-join (bigram vocabulary is NOT assumed
+    // broadcast-sized at 100 TB). Integer micro-nat sums keep the
+    // per-doc totals exact; ppl is one exp() collapsed to FLOAT.
+    "q_lm_bigram" -> ((s, d) => {
+      val nVocab = DedupQueries.wordDF(s, d).select("word").distinct()
+        .agg(count(lit(1)).as("v"))
+      graft.ops.Curation.lmBigramFromBigrams(
+          TextQueries.bigramDF(s, d).select("doc_id", "bigram"),
+          "doc_id", nVocab)
         .orderBy("doc_id")
     }),
 
@@ -291,6 +351,47 @@ object CurationQueries {
          |SELECT doc_id, COUNT(DISTINCT t.h) AS n_shared, MIN(bench_id) AS min_bench_id
          |FROM train t JOIN bench b ON t.h = b.h
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bloom_decontam" -> {
+      val duckPos = (0 until BloomK).map(j =>
+        s"(h >> ${12 * j}) & ${BloomM - 1}").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id, UNNEST(${duckGrams(ContamN)}) AS g FROM d),
+         |g AS (SELECT doc_id, ${duckH60("g")} AS h FROM g0),
+         |bench AS (SELECT doc_id, h FROM g WHERE doc_id % $BenchMod = 0),
+         |train AS (SELECT doc_id, h FROM g WHERE doc_id % $BenchMod <> 0),
+         |bits AS (SELECT DISTINCT UNNEST($duckPos) AS p, 1 AS set_bit FROM bench),
+         |probe AS (SELECT doc_id, h, UNNEST($duckPos) AS p FROM train),
+         |m AS (SELECT doc_id, h, COUNT(set_bit) AS n_set
+         |      FROM probe LEFT JOIN bits USING (p) GROUP BY doc_id, h),
+         |blm AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |          COUNT(CASE WHEN n_set = $BloomK THEN 1 END) AS n_bloom
+         |        FROM m GROUP BY doc_id),
+         |ex AS (SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_exact
+         |       FROM train t JOIN (SELECT DISTINCT h FROM bench) b ON t.h = b.h
+         |       GROUP BY t.doc_id)
+         |SELECT blm.doc_id AS doc_id, n_grams, n_bloom,
+         |  COALESCE(n_exact, 0) AS n_exact, n_bloom > 0 AS flagged
+         |FROM blm LEFT JOIN ex ON blm.doc_id = ex.doc_id
+         |ORDER BY blm.doc_id""".stripMargin
+    },
+    "q_lm_bigram" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1])) AS bigram FROM d),
+         |c12 AS (SELECT bigram, COUNT(*) AS c12 FROM b GROUP BY bigram),
+         |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS c1
+         |       FROM b GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT word) AS v FROM
+         |        (SELECT UNNEST(string_split(lower(text), ' ')) AS word FROM documents)),
+         |sc AS (SELECT bigram, ${graft.ops.Curation.bigramUnatsExpr("REAL")} AS unats
+         |       FROM c12 JOIN c1 ON string_split(c12.bigram, ' ')[1] = c1.w1
+         |       CROSS JOIN v),
+         |per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |          CAST(SUM(unats) AS BIGINT) AS total_unats
+         |        FROM b JOIN sc USING (bigram) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, total_unats,
+         |  CAST(exp(CAST(total_unats AS DOUBLE) / n_bigrams / 1000000.0) AS REAL) AS ppl
+         |FROM per ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, COUNT(*) AS n_total,
          |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,

@@ -38,6 +38,21 @@ object PipelineQueries {
   private[queries] val ChunkMax = 32
   private[queries] val ChunkOverlap = 8
 
+  /** HyperLogLog geometry: m = 64 registers (6-bit bucket carve of the
+    * 60-bit portable hash, leaving 54 bits for the rank), alpha_64 =
+    * 0.709 (Flajolet et al. 2007), and the raw estimator only — no
+    * small/large-range correction, which keeps the estimate a single
+    * deterministic expression both engines compute identically.
+    */
+  private[queries] val HllM = 64
+  private[queries] val HllAlpha = "0.709"
+
+  /** Histogram-quantile geometry: fixed price buckets and the probed
+    * percentiles, shared with the oracle.
+    */
+  private[queries] val QuantBucket = 100
+  private[queries] val QuantPcts = Seq(50, 90, 99)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary media column + batched per-partition decode (stubbed kernel).
     "q_multimodal_decode" -> ((s, d) => {
@@ -267,6 +282,66 @@ object PipelineQueries {
         .orderBy("word")
     }),
 
+    // HyperLogLog distinct-count sketch per event_type: 64 registers
+    // carved from the portable 60-bit hash (bucket = low 6 bits, rank =
+    // leading-zero count of the remaining 54). The register table is a
+    // hash aggregate of FIXED size (m rows per group at ANY corpus
+    // size — the entire point at 100 TB: distinct-count state that
+    // never grows), and the harmonic sum is EXACT integer arithmetic:
+    // SUM(2^(55-rank)) is a BIGINT (<= 64 * 2^54 < 2^63), so the only
+    // float op is the final one-expression estimate, identical in both
+    // engines. Exact distinct counts ride along to expose the error.
+    "q_sketch_hll" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val regs = ev
+        .select(col("event_type"), (col("h") % HllM).as("b"),
+          expr("CASE WHEN shiftright(h, 6) = 0 THEN 55 ELSE 55 - length(bin(shiftright(h, 6))) END").as("rho"))
+        .groupBy("event_type", "b").agg(max("rho").as("rz"))
+      val sums = regs.groupBy("event_type")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - rz)")).as("s_present"),
+          count(lit(1)).as("nb"))
+        .select(col("event_type"),
+          expr(s"s_present + ($HllM - nb) * shiftleft(CAST(1 AS BIGINT), 55)").as("s_all"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      exact.join(sums, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          expr(s"CAST($HllAlpha AS DOUBLE) * CAST(${HllM * HllM} AS DOUBLE) * " +
+            s"CAST(${1L << 55} AS DOUBLE) / CAST(s_all AS DOUBLE)").as("hll_est"))
+        .orderBy("event_type")
+    }),
+
+    // Histogram quantiles: p50/p90/p99 of l_extendedprice per return
+    // flag via a fixed-width bucket histogram — ONE scan + a hash
+    // aggregate whose size is the bucket count, then a window over the
+    // HISTOGRAM (thousands of rows), never a sort of the data. This is
+    // the distributed-quantile shape at 100 TB: exact-to-the-bucket,
+    // integer cum*100 >= pct*total arithmetic, no approx_percentile
+    // nondeterminism. The selected bucket's lower bound is the answer.
+    "q_quantile_hist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          expr(s"CAST(floor(CAST(l_extendedprice AS DOUBLE) / $QuantBucket) AS BIGINT)").as("bucket"))
+        .groupBy("l_returnflag", "bucket").agg(count(lit(1)).as("n"))
+      val cum = hist
+        .withColumn("cum",
+          sum("n").over(Window.partitionBy("l_returnflag").orderBy("bucket")))
+        .withColumn("tot",
+          sum("n").over(Window.partitionBy("l_returnflag")))
+      val qs = s.range(1)
+        .select(explode(array(QuantPcts.map(lit): _*)).as("q_pct"))
+      cum.crossJoin(broadcast(qs))
+        .filter(col("cum") * 100 >= col("q_pct") * col("tot"))
+        .groupBy("l_returnflag", "q_pct")
+        .agg(min("bucket").as("bucket"))
+        .select(col("l_returnflag"), col("q_pct"), col("bucket"),
+          (col("bucket") * QuantBucket).as("value_lo"))
+        .orderBy("l_returnflag", "q_pct")
+    }),
+
     // KMV distinct-count sketch per event_type: deterministic with the
     // portable 60-bit hash, so the estimate is exactly reproducible in
     // SQL (the oracle recomputes the kth-order statistic).
@@ -447,6 +522,43 @@ object PipelineQueries {
          |SELECT est.word AS word, CAST(cms_est AS BIGINT) AS cms_est,
          |       CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true
          |FROM est LEFT JOIN tru USING (word) ORDER BY word""".stripMargin
+    },
+
+    "q_sketch_hll" ->
+      s"""WITH e AS (SELECT event_type, user_id,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h % $HllM AS b,
+         |    CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+         |  FROM e),
+         |regs AS (SELECT event_type, b, MAX(rho) AS rz FROM r GROUP BY 1, 2),
+         |sums AS (SELECT event_type,
+         |    CAST(SUM(1::BIGINT << (55 - rz)) AS BIGINT)
+         |      + ($HllM - COUNT(*)) * (1::BIGINT << 55) AS s_all
+         |  FROM regs GROUP BY event_type),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         |       FROM events GROUP BY event_type)
+         |SELECT event_type, n_exact,
+         |  CAST($HllAlpha AS DOUBLE) * CAST(${HllM * HllM} AS DOUBLE)
+         |    * CAST(${1L << 55} AS DOUBLE) / CAST(s_all AS DOUBLE) AS hll_est
+         |FROM ex JOIN sums USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q_quantile_hist" -> {
+      val pcts = QuantPcts.mkString("[", ", ", "]")
+      s"""WITH hist AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) / $QuantBucket) AS BIGINT) AS bucket,
+         |    COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (SELECT l_returnflag, bucket,
+         |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         |    SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+         |  FROM hist),
+         |q AS (SELECT UNNEST($pcts) AS q_pct)
+         |SELECT l_returnflag, q_pct, MIN(bucket) AS bucket,
+         |  MIN(bucket) * $QuantBucket AS value_lo
+         |FROM c CROSS JOIN q WHERE cum * 100 >= q_pct * tot
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "q_sketch_kmv" ->

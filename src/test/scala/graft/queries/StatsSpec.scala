@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Behavior checks for the sketch/statistics operators beyond the DuckDB
+  * hash gate: the HLL estimate is pinned to its accuracy envelope, the
+  * Bloom filter to its one-sided-error contract, the bigram LM to an
+  * independent driver-side recomputation, and the histogram quantiles to
+  * the definition they claim (smallest bucket covering the percentile).
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q_sketch_hll estimates stay inside the m=64 accuracy envelope") {
+    val rows = SparkEntry.queries("q_sketch_hll")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getDouble(2))
+      assert(est > 0.0)
+      // 1.04/sqrt(64) = 13% standard error; 3.5 sigma leaves headroom
+      // for the raw estimator's small-range bias (no linear counting).
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.45, s"${r.getString(0)}: exact=$exact est=$est rel=$rel")
+    }
+  }
+
+  test("q_bloom_decontam honors the one-sided error contract") {
+    val rows = SparkEntry.queries("q_bloom_decontam")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nGrams, nBloom, nExact, flagged) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(nBloom >= nExact, s"doc ${r.getLong(0)}: false negative")
+      assert(nBloom <= nGrams)
+      assert(flagged == (nBloom > 0))
+    }
+    // the filter must agree with exact decontamination on every true hit
+    val exactHits = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == exactHits.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}: n_exact drifted from q_decontaminate")
+    }
+  }
+
+  test("q_lm_bigram matches an independent driver-side recomputation") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+    val bigrams = docs.flatMap { case (id, w) =>
+      w.sliding(2).filter(_.length == 2).map(p => (id, p.mkString(" ")))
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val c1 = bigrams.groupBy(_._2.split(" ")(0)).map { case (w1, xs) => w1 -> xs.length }
+    val v = docs.flatMap(_._2).distinct.length
+    def unats(b: String): Long = {
+      val p = (c12(b) + 1).toDouble / (c1(b.split(" ")(0)) + v)
+      math.round((-math.log(p)).toFloat.toDouble * 1000000)
+    }
+    val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(x => unats(x._2)).sum
+    }
+    val rows = SparkEntry.queries("q_lm_bigram")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.take(50).foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)} total_unats")
+      assert(r.getFloat(3) > 1.0f)
+    }
+  }
+
+  test("q_quantile_hist picks the smallest bucket covering each percentile") {
+    val prices = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT)").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    SparkEntry.queries("q_quantile_hist")(spark, sf).collect().foreach { r =>
+      val (flag, q, bucket) = (r.getString(0), r.getInt(1), r.getLong(2))
+      val bs = prices(flag)
+      val covered = bs.count(_ <= bucket).toLong
+      assert(covered * 100 >= q * bs.length.toLong, s"$flag p$q undercovers")
+      val prevCovered = bs.count(_ <= bucket - 1).toLong
+      assert(prevCovered * 100 < q * bs.length.toLong, s"$flag p$q not minimal")
+      assert(r.getLong(3) == bucket * 100)
+    }
+  }
+}
