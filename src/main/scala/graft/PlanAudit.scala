@@ -54,7 +54,9 @@ object PlanAudit {
     "q_sketch_hll" -> "HLL sketch: fixed 64-register hash aggregate per group, exact BIGINT harmonic sum, no state growth",
     "q_quantile_hist" -> "histogram quantiles: one scan + bucket hash aggregate; window runs over the HISTOGRAM, never sorts the data",
     "q_bloom_decontam" -> "bloom decontamination: <=4096-row bit-position relation broadcast to the gram scan, corpus never shuffles before the agg",
-    "q_lm_bigram" -> "bigram LM: prefix counts + vocab scalar broadcast, scored bigrams equi-joined back over the shared bigram frame")
+    "q_lm_bigram" -> "bigram LM: prefix counts + vocab scalar broadcast, scored bigrams equi-joined back over the shared bigram frame",
+    "q_pagerank" -> "iterative PageRank: per-iteration edge/rank equi-join + dst hash aggregate, degree frame persisted, no driver state",
+    "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

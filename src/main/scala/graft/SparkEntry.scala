@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
 }

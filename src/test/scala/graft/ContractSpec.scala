@@ -16,7 +16,8 @@ class ContractSpec extends AnyFunSuite {
     "DedupQueries" -> graft.queries.DedupQueries.queries.keySet,
     "TextQueries" -> graft.queries.TextQueries.queries.keySet,
     "CurationQueries" -> graft.queries.CurationQueries.queries.keySet,
-    "PipelineQueries" -> graft.queries.PipelineQueries.queries.keySet)
+    "PipelineQueries" -> graft.queries.PipelineQueries.queries.keySet,
+    "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries.keySet)
 
   test("no query name is defined by two families (++ would drop one)") {
     val all = families.flatMap { case (f, ks) => ks.map(_ -> f) }

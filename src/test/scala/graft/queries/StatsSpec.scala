@@ -73,6 +73,63 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank is uniform on a symmetric graph and conserves rank mass") {
+    import spark.implicits._
+    // 3-cycle both ways: perfectly symmetric, so every node must hold
+    // exactly the same rank at every iteration.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val ranks = graft.ops.PageRank.run(edges, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 3)
+    assert(ranks.values.toSet.size == 1, "symmetric graph must be uniform")
+    val total = ranks.values.sum
+    val sc = graft.ops.PageRank.Scale
+    // floor divisions leak at most a few units per node per iteration
+    assert(total <= sc && total > sc - 1000L, s"mass $total vs $sc")
+    // a hub must outrank leaves: star graph, symmetrized
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    val sr = graft.ops.PageRank.run(star, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sr(0L) > sr(1L), "hub must outrank a leaf")
+    assert(sr(1L) == sr(2L) && sr(2L) == sr(3L), "leaves are symmetric")
+  }
+
+  test("q_session_funnel stage timestamps are strictly ordered") {
+    val rows = SparkEntry.queries("q_session_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      // stages fill strictly left to right: no t_{i+1} without t_i
+      ts.sliding(2).foreach {
+        case Seq(a, b) => assert(!(a.isEmpty && b.isDefined), s"gap in ${r.getLong(0)}")
+        case _ =>
+      }
+      val present = ts.flatten
+      assert(present == present.sorted && present.distinct == present,
+        s"user ${r.getLong(0)}: stage times not strictly increasing")
+      assert(r.getInt(5) == present.length)
+    }
+    // independent recomputation for a sample of users from raw events
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    rows.take(30).foreach { r =>
+      val mine = byUser(r.getLong(0))
+      var gate = Long.MinValue
+      Seq("signup", "view", "click", "purchase").zipWithIndex.foreach {
+        case (stage, i) =>
+          val next = mine.filter(e => e._2 == stage && e._3 > gate)
+            .map(_._3).minOption
+          val got = if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))
+          assert(got == next, s"user ${r.getLong(0)} stage $stage")
+          gate = next.getOrElse(Long.MaxValue)
+      }
+    }
+  }
+
   test("q_quantile_hist picks the smallest bucket covering each percentile") {
     val prices = graft.Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"),
