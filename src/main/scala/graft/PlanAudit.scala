@@ -56,6 +56,7 @@ object PlanAudit {
     "q_bloom_decontam" -> "bloom decontamination: <=4096-row bit-position relation broadcast to the gram scan, corpus never shuffles before the agg",
     "q_lm_bigram" -> "bigram LM: prefix counts + vocab scalar broadcast, scored bigrams equi-joined back over the shared bigram frame",
     "q_pagerank" -> "iterative PageRank: per-iteration edge/rank equi-join + dst hash aggregate, degree frame persisted, no driver state",
+    "q_ann_pq" -> "PQ ADC scan: codegen graft_pq_codes assignment, 1024-row distance table broadcast, integer ADC sums over the compressed tier",
     "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort")
 
   def main(args: Array[String]): Unit = {

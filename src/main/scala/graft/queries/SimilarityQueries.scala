@@ -119,6 +119,61 @@ object SimilarityQueries {
   private[queries] val IvfIters = 2
   private val IvfProbes = 4
 
+  /** Product-quantization geometry: M contiguous subspaces of SubDim
+    * dims (M * SubDim = LshDim), K sub-centroids per subspace — a
+    * 64-float vector compresses to M 4-bit codes. One deterministic
+    * Lloyd iteration per subspace trains the codebook (seed = the K
+    * lowest vec_ids' sub-vectors), mirroring the IVF trainer.
+    */
+  private[queries] val PqM = 8
+  private[queries] val PqSubDim = LshDim / PqM
+  private[queries] val PqK = 16
+  private[queries] val PqIters = 1
+
+  private val pqCbCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Array[Array[Array[Float]]]]
+
+  /** Deterministic per-subspace Lloyd training of the PQ codebook. Seed
+    * sub-centroids are the PqK lowest vec_ids' sub-vectors; each
+    * iteration assigns every vector's subspaces through the codegen
+    * `graft_pq_codes` kernel (sequential double squared-L2, lowest code
+    * on ties) and recomputes per-(subspace, code, dim) means as ONE
+    * distributed hash aggregate, rounded to float32 to absorb sum-order
+    * noise — the same replayable-training recipe as [[ivfCentroids]].
+    * Empty codes keep their previous sub-centroid. The driver only ever
+    * holds the M x K x SubDim codebook itself.
+    */
+  private[queries] def pqCodebook(s: SparkSession, d: String,
+      iters: Int = PqIters): Array[Array[Array[Float]]] =
+    Tables.memo(pqCbCache, (Tables.sessionKey(s), d, iters))({
+      val e = Tables.load(s, d, "embeddings")
+      val seeds = e.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      var cb: Array[Array[Array[Float]]] = Array.tabulate(PqM)(m =>
+        seeds.map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) })
+      for (_ <- 1 to iters) {
+        graft.ops.PqFunctions.register(s, cb)
+        val means = e
+          .select(expr("graft_pq_codes(embedding)").as("codes"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(expr(s"CAST(pos DIV $PqSubDim AS INT)").as("m"),
+            expr(s"codes[CAST(pos DIV $PqSubDim AS INT)]").as("code"),
+            expr(s"pos % $PqSubDim").as("sp"), col("v"))
+          .groupBy("m", "code", "sp")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).cast(FloatType).as("mv"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3)
+        }
+        cb = next
+      }
+      cb
+    })
+
   private val ivfCentCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String, Int), Array[(Long, Array[Float])]]
 
@@ -344,6 +399,55 @@ object SimilarityQueries {
     // the whole structure INCLUDING the training loop.
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, 5, IvfIters)),
 
+    // ANN scale path #3 — product quantization with ADC scoring: each
+    // vector compresses to 8 four-bit codes (64x smaller than float32),
+    // assigned by the codegen graft_pq_codes kernel against a trained
+    // per-subspace codebook. Queries precompute an 8 x 16 distance
+    // table (driver-side: queries x codebook is broadcast-sized BY
+    // DEFINITION), quantized to an integer micro-grid so the per-vector
+    // ADC sum is an order-independent BIGINT — the asymmetric-distance
+    // scan that makes billion-vector rankings run entirely over the
+    // compressed tier, touching no raw floats. Deterministic end to
+    // end: the oracle replays the training, the codes, the table, and
+    // the ranking.
+    "q_ann_pq" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val cb = pqCodebook(s, d)
+      graft.ops.PqFunctions.register(s, cb)
+      graft.ops.GraftAggregates.register(s)
+      val codes = e.select(col("vec_id"),
+        posexplode(expr("graft_pq_codes(embedding)")).as(Seq("m", "code")))
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val tabRows = for {
+        (qid, qv) <- qs.toSeq
+        m <- 0 until PqM
+        c <- 0 until PqK
+      } yield {
+        var d2 = 0.0
+        var i = 0
+        while (i < PqSubDim) {
+          val x = qv(m * PqSubDim + i).toDouble - cb(m)(c)(i)
+          d2 += x * x
+          i += 1
+        }
+        (qid, m, c, math.round(d2 * 1000000))
+      }
+      import s.implicits._
+      val tab = tabRows.toDF("qid", "m", "code", "dmicro")
+      codes.join(broadcast(tab), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum("dmicro").as("d_adc"))
+        .groupBy("qid")
+        .agg(expr("graft_top_k(struct(d_adc AS s, vec_id AS v), 5)").as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.v").as("vec_id"), col("t.s").as("d_adc"))
+        .orderBy(col("qid"), col("d_adc"), col("vec_id"))
+    }),
+
     // Embedding compression for the 100 TB store: symmetric per-vector
     // int8 quantization (scale = max|x|/127, round-half-up) — 4x smaller
     // vectors for the ANN candidate tier. Entirely deterministic integer
@@ -504,6 +608,49 @@ object SimilarityQueries {
          |cl$t AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m$t GROUP BY cid),
          |c$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
          |        FROM c${t - 1} p LEFT JOIN cl$t n USING (cid))""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Squared L2 between two SubDim-element DuckDB lists as an ascending
+    * fixed-order fold — the same sequential double arithmetic as
+    * [[graft.ops.PqOps.codes]] and the driver-side ADC table builder.
+    */
+  private def pqOracleD2(v: String, c: String): String =
+    s"list_aggregate(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])), 'sum')"
+
+  /** DuckDB replay of [[pqCodebook]]: sub-vector slices, seed codebook
+    * (codes = dense 0-based rank of the PqK lowest vec_ids, mirroring
+    * the Scala seed array index), one Lloyd round of squared-L2 argmin
+    * assignment + per-(m, code, dim) means cast to REAL. Ends with
+    * `cb$PqIters(m, code, cv)`.
+    */
+  private def pqOracleCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""sub AS (SELECT UNNEST(range(0, $PqM)) AS m),
+       |sv AS (SELECT vec_id, m,
+       |         embedding[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS v
+       |       FROM embeddings, sub),
+       |cb0 AS (SELECT m,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) AS code,
+       |          v AS cv
+       |        FROM sv WHERE vec_id < $PqK)""".stripMargin
+    for (t <- 1 to PqIters) {
+      val d2 = pqOracleD2("s.v", "c.cv")
+      sb ++= s""",
+         |a$t AS (SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY $d2, c.code) AS rn
+         |    FROM sv s JOIN cb${t - 1} c USING (m)) x WHERE rn = 1),
+         |m$t AS (SELECT a.m, a.code, p.sp,
+         |          CAST(SUM(CAST(s.v[p.sp + 1] AS DOUBLE)) / COUNT(*) AS REAL) AS mv
+         |        FROM a$t a JOIN sv s ON a.vec_id = s.vec_id AND a.m = s.m
+         |             CROSS JOIN (SELECT UNNEST(range(0, $PqSubDim)) AS sp) p
+         |        GROUP BY a.m, a.code, p.sp),
+         |cl$t AS (SELECT m, code, list(mv ORDER BY sp) AS cv FROM m$t GROUP BY m, code),
+         |cb$t AS (SELECT p.m, p.code, COALESCE(n.cv, p.cv) AS cv
+         |         FROM cb${t - 1} p LEFT JOIN cl$t n ON p.m = n.m AND p.code = n.code)""".stripMargin
     }
     sb.toString
   }
@@ -672,6 +819,30 @@ object SimilarityQueries {
          |      FROM scored)
          |SELECT qid, vec_id, sim FROM r WHERE rn <= 5
          |ORDER BY qid, sim DESC, vec_id""".stripMargin
+    },
+
+    "q_ann_pq" -> {
+      val assignD2 = pqOracleD2("s.v", "c.cv")
+      val tabD2 = pqOracleD2("q.qv", "c.cv")
+      s"""WITH $pqOracleCtes,
+         |cb AS (SELECT m, code, cv FROM cb$PqIters),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY $assignD2, c.code) AS rn
+         |    FROM sv s JOIN cb c USING (m)) x WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, m, v AS qv FROM sv WHERE vec_id < 8),
+         |qtab AS (SELECT q.qid, q.m, c.code,
+         |    CAST(ROUND($tabD2 * 1000000) AS BIGINT) AS dmicro
+         |  FROM q JOIN cb c ON q.m = c.m),
+         |adc AS (SELECT t.qid, c.vec_id, CAST(SUM(t.dmicro) AS BIGINT) AS d_adc
+         |        FROM codes c JOIN qtab t ON t.m = c.m AND t.code = c.code
+         |        WHERE c.vec_id <> t.qid
+         |        GROUP BY t.qid, c.vec_id),
+         |r AS (SELECT qid, vec_id, d_adc,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d_adc, vec_id) AS rn
+         |      FROM adc)
+         |SELECT qid, vec_id, d_adc FROM r WHERE rn <= 5
+         |ORDER BY qid, d_adc, vec_id""".stripMargin
     },
 
     // The embed() e2e oracle: replays the deterministic feature-hashing
