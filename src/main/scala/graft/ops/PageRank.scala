@@ -39,7 +39,8 @@ object PageRank {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select("src", "dst")
     val withDeg = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")).hint("shuffle_hash"),
+        Seq("src"))
       .persist()
     val nc = broadcast(
       e.select(col("src").as("node")).distinct().agg(count(lit(1)).as("n")))
@@ -48,8 +49,11 @@ object PageRank {
       .crossJoin(nc)
       .select(col("node"), expr(baseExpr).as("pr"))
     (1 to iterations).foreach { _ =>
+      // Build the hash table on the node-sized rank frame: a sort-merge
+      // join would sort the (much larger) edge frame every iteration,
+      // and at graph scale neither side broadcasts.
       ranks = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), withDeg("src") === ranks("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
         .crossJoin(nc)

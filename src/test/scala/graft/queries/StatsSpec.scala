@@ -130,6 +130,18 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cohort_retention: week zero is complete, retention bounded") {
+    val rows = SparkEntry.queries("q_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, active, cohort, ret) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(active <= cohort && ret <= 1.0 && ret > 0.0)
+      // the signup event itself makes every user active in week 0
+      if (off == 0L) assert(active == cohort, s"cohort ${r.getLong(0)}")
+    }
+  }
+
   test("q_quantile_hist picks the smallest bucket covering each percentile") {
     val prices = graft.Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"),
