@@ -46,6 +46,21 @@ object TextQueries {
     * share a fingerprint — the local-document fingerprint scheme, vs the
     * whole-document md5 in q_text_stats.
     */
+  /** PMI collocation floor: pairs seen fewer times carry no stable
+    * signal and amplify log-ratio noise. Shared with the oracle.
+    */
+  private[queries] val PmiMinCount = 5
+
+  /** Micro-nat PMI of a (c12, c1, c2, n, nb) row — probability ratios
+    * in one fixed-shape double expression, FLOAT-collapsed before the
+    * integer grid; ONE definition for the Spark plan (floatT = FLOAT)
+    * and the DuckDB oracle (floatT = REAL).
+    */
+  private[queries] def PmiUnatsExpr(floatT: String): String =
+    "CAST(ROUND(CAST(CAST(ln((CAST(c12 AS DOUBLE) / nb) / " +
+      "((CAST(c1 AS DOUBLE) / n) * (CAST(c2 AS DOUBLE) / n))) " +
+      s"AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+
   private[queries] val WinK = 8
   private[queries] val WinW = 4
 
@@ -193,6 +208,34 @@ object TextQueries {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    }),
+
+    // PMI collocation extraction: the top 50 word pairs whose joint
+    // probability most exceeds independence — the classic phrase-mining
+    // signal. Counts ride the shared persisted word/bigram frames (two
+    // hash aggregates); unigram counts broadcast back over the filtered
+    // bigram vocabulary; totals are two broadcast scalar rows. The PMI
+    // itself is probability ratios in fixed-shape double arithmetic,
+    // FLOAT-collapsed then micro-nat-gridded so the ranking is
+    // oracle-exact; a count floor keeps rare-pair noise (and log-of-
+    // tiny-ratio instability) out of the verified set.
+    "q_text_pmi" -> ((s, d) => {
+      val wc = DedupQueries.wordDF(s, d)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val n = DedupQueries.wordDF(s, d).agg(count(lit(1)).as("n"))
+      val nb = bigramDF(s, d).agg(count(lit(1)).as("nb"))
+      val c12 = bigramDF(s, d)
+        .groupBy("bigram").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= PmiMinCount)
+        .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+        .withColumn("w2", expr("element_at(split(bigram, ' '), 2)"))
+      c12
+        .join(broadcast(wc.select(col("word").as("w1"), col("c").as("c1"))), Seq("w1"))
+        .join(broadcast(wc.select(col("word").as("w2"), col("c").as("c2"))), Seq("w2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+        .select(col("bigram"), col("c12"), expr(PmiUnatsExpr("FLOAT")).as("pmi_unats"))
+        .orderBy(col("pmi_unats").desc, col("bigram"))
+        .limit(50)
     }),
 
     // Rolling-hash document fingerprinting by winnowing: hash every
@@ -345,6 +388,25 @@ object TextQueries {
         |        i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_text_pmi" ->
+      s"""WITH wd AS (SELECT UNNEST(string_split(lower(text), ' ')) AS word
+         |            FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY word),
+         |n AS (SELECT COUNT(*) AS n FROM wd),
+         |d AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+         |b AS (SELECT UNNEST(list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM d),
+         |nb AS (SELECT COUNT(*) AS nb FROM b),
+         |c12 AS (SELECT bigram, COUNT(*) AS c12,
+         |          string_split(bigram, ' ')[1] AS w1,
+         |          string_split(bigram, ' ')[2] AS w2
+         |        FROM b GROUP BY bigram HAVING COUNT(*) >= $PmiMinCount),
+         |j AS (SELECT bigram, c12, a.c AS c1, bb.c AS c2, n.n AS n, nb.nb AS nb
+         |      FROM c12 JOIN wc a ON c12.w1 = a.word
+         |               JOIN wc bb ON c12.w2 = bb.word
+         |               CROSS JOIN n CROSS JOIN nb)
+         |SELECT bigram, c12, ${PmiUnatsExpr("REAL")} AS pmi_unats
+         |FROM j ORDER BY pmi_unats DESC, bigram LIMIT 50""".stripMargin,
     "q_text_winnow" -> {
       val (k, w) = (WinK, WinW)
       // DuckDB range(a, b) is stop-EXCLUSIVE (never descends), so

@@ -130,6 +130,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_pmi matches an independent PMI recomputation") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).toLowerCase.split(" ").toSeq)
+    val words = docs.flatten
+    val bigrams = docs.flatMap(w => w.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+    val wc = words.groupBy(identity).map { case (w, xs) => w -> xs.length }
+    val bc = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.length }
+    val (n, nb) = (words.length.toDouble, bigrams.length.toDouble)
+    def pmi(b: String): Long = {
+      val Array(w1, w2) = b.split(" ")
+      val r = (bc(b) / nb) / ((wc(w1) / n) * (wc(w2) / n))
+      math.round(math.log(r).toFloat.toDouble * 1000000)
+    }
+    val rows = SparkEntry.queries("q_text_pmi")(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5, "count floor")
+      assert(r.getLong(2) == pmi(r.getString(0)), s"pmi of '${r.getString(0)}'")
+    }
+    // the result really is the top-50: no excluded eligible pair beats
+    // the published minimum
+    val minPublished = rows.map(_.getLong(2)).min
+    val published = rows.map(_.getString(0)).toSet
+    val best = bc.collect { case (b, c) if c >= 5 && !published(b) => pmi(b) }
+    assert(best.forall(_ <= minPublished))
+  }
+
   test("q_cohort_retention: week zero is complete, retention bounded") {
     val rows = SparkEntry.queries("q_cohort_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
