@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.MiningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.AnalyticsQueries.oracleSql
+      graft.queries.AnalyticsQueries.oracleSql ++
+      graft.queries.MiningQueries.oracleSql
 }

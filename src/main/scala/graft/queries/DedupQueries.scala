@@ -54,7 +54,7 @@ object DedupQueries {
   private val minhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private val jacCache = scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame]
 
-  private def shingleDF(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingleDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(shCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
@@ -400,7 +400,7 @@ object DedupQueries {
   private def duckH60(c: String): String =
     s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)"
 
-  private val duckShingleCte =
+  private[queries] val duckShingleCte =
     s"""shs AS (SELECT doc_id, UNNEST($duckShingles) AS shingle FROM documents),
        |sh AS (SELECT doc_id, ${duckH60("shingle")} AS sh FROM shs),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus/graph mining operators the 100 TB brief adds on top of the
+  * reference surface: BPE merge-rule learning (the pair-merge loop at the
+  * heart of subword tokenizer training), degree-ordered triangle counting
+  * over the co-purchase graph, a prefix-filtered set-similarity join
+  * (the PPJoin-style alternative to hot-shingle blocking), and
+  * embedding-level benchmark decontamination (the semantic sibling of
+  * q_decontaminate's n-gram overlap).
+  *
+  * Everything is exact integer/string arithmetic or float-collapsed
+  * doubles, so each query replays bit-for-bit in the DuckDB oracle.
+  */
+object MiningQueries {
+
+  /** Fixed number of BPE merges, shared with the unrolled oracle CTE
+    * chain (one pair-count + top-1 + re-symbolization stage per merge).
+    */
+  private[queries] val BpeMerges = 5
+
+  /** Jaccard threshold for the prefix-filtered similarity join, as a
+    * ratio (num/den) so the selection predicate stays in integers.
+    */
+  private[queries] val JacNum = 4
+  private[queries] val JacDen = 5
+
+  /** Minimum co-purchase support for a part-part edge. Random
+    * co-occurrence gives almost every pair support 1 at any scale; the
+    * support floor is what keeps the graph (and its triangle count)
+    * sparse as orders grow — the standard market-basket prune.
+    */
+  private[queries] val TriSupport = 2
+
+  /** Every vec_id divisible by this plays the "benchmark eval set" for
+    * semantic decontamination — 1/25 of the corpus, broadcast-sized at
+    * any scale where an eval set is an eval set.
+    */
+  private[queries] val EvalMod = 25
+
+  /** Cosine floor above which a corpus vector is flagged as semantic
+    * contamination (same scale as q_embed_neardup's near-dup floor).
+    */
+  private[queries] val DecontamSim = 0.35
+
+  /** The shared greedy left-to-right pair-merge fold: rewrites a
+    * space-separated symbolization by merging every non-overlapping
+    * occurrence of adjacent pair (x, y) into the single symbol x||y.
+    * Since removing the trailing token x and appending x||y is just
+    * appending y, the fold never rebuilds the accumulator. The CASE is
+    * written once here and emitted verbatim into BOTH engines (Spark
+    * `aggregate`, DuckDB `list_reduce` — same left fold, same
+    * first-element seed semantics), which is what makes the learned
+    * merges oracle-exact.
+    */
+  private def mergeFold(sym: String, x: String, y: String,
+      split: String => String, reduce: (String, String) => String): String =
+    reduce(split(sym),
+      s"""CASE WHEN acc = '' THEN tk
+         |     WHEN tk = $y AND (acc = $x OR right(acc, length($x) + 1) = (' ' || $x))
+         |     THEN acc || $y
+         |     ELSE acc || ' ' || tk END""".stripMargin)
+
+  private def sparkMergeFold(sym: String, x: String, y: String): String =
+    mergeFold(sym, x, y, s => s"split($s, ' ')",
+      (l, c) => s"aggregate($l, '', (acc, tk) -> $c)")
+
+  private def duckMergeFold(sym: String, x: String, y: String): String =
+    mergeFold(sym, x, y, s => s"str_split($s, ' ')",
+      (l, c) => s"list_reduce($l, (acc, tk) -> $c)")
+
+  /** Portable char-level seed symbolization: every character of the
+    * word joined by single spaces (explicit substr loop — empty-pattern
+    * split is not portable across the two engines).
+    */
+  private val sparkCharSym =
+    "concat_ws(' ', transform(sequence(1, length(word)), i -> substr(word, i, 1)))"
+  private val duckCharSym =
+    "array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')"
+
+  /** Adjacent-pair weighted counts of a symbolization frame
+    * `(word, cnt, sym)`: one narrow explode (bounded by symbols-per-word,
+    * which only shrinks as merges land) + one hash aggregate. This is
+    * the whole per-iteration distributed cost of BPE training.
+    */
+  private def pairCounts(w: DataFrame): DataFrame = w
+    .selectExpr("cnt", "split(sym, ' ') AS toks")
+    .selectExpr("cnt",
+      // Spark sequence(1, 0) counts DOWN, so single-symbol words need the
+      // explicit empty-array guard (same idiom as the shingle expression).
+      """explode(CASE WHEN size(toks) < 2 THEN array()
+        |  ELSE transform(sequence(1, size(toks) - 1),
+        |    i -> struct(element_at(toks, i) AS x, element_at(toks, i + 1) AS y)) END) AS p"""
+        .stripMargin)
+    .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+    .agg(sum("cnt").as("w"))
+
+  /** Word-frequency frame `(word, cnt, sym)` with the char-level seed
+    * symbolization — the training corpus for the merge loop.
+    */
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    DedupQueries.wordDF(s, d)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", expr(sparkCharSym))
+
+  /** Distinct-shingle frame `(doc_id, sh)` shared with the dedup family
+    * (60-bit hashed 3-gram shingles, per-doc-distinct by construction,
+    * persisted once per sf dir).
+    */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    DedupQueries.shingleDF(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE merge-rule learning: BpeMerges iterations of (count adjacent
+    // symbol pairs weighted by word frequency) -> (take the single
+    // heaviest pair, ties broken lexicographically) -> (re-symbolize by
+    // greedy left-to-right merge). Each iteration is one narrow explode
+    // + hash aggregate over the word-frequency table — never over raw
+    // text — so the loop costs O(distinct words x word length) per merge
+    // regardless of corpus size; the learned rule itself is the only
+    // driver-side state (one row per iteration, the trained-structure
+    // pattern the IVF/PQ quantizers use). The fold that applies a merge
+    // is emitted verbatim into both engines, so the whole training
+    // trajectory replays bit-for-bit in the oracle's unrolled CTE chain.
+    "q_bpe_merges" -> ((s, d) => {
+      var w = wordFreq(s, d)
+      val steps = (1 to BpeMerges).map { k =>
+        val top = pairCounts(w)
+          .orderBy(col("w").desc, col("x"), col("y"))
+          .limit(1)
+          .collect()(0)
+        val (x, y, wt) = (top.getString(0), top.getString(1), top.getLong(2))
+        val (xl, yl) = (literal(x), literal(y))
+        w = w.withColumn("sym", expr(sparkMergeFold("sym", xl, yl)))
+        (k, x, y, wt)
+      }
+      s.createDataFrame(steps.map { case (k, x, y, wt) =>
+        org.apache.spark.sql.Row(k, x, y, x + y, wt)
+      }.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("y",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy("step")
+    }),
+
+    // Degree-ordered triangle counting over the co-purchase graph:
+    // parts are adjacent when >= TriSupport distinct orders contain
+    // both. Edges are oriented from the (degree, id)-smaller endpoint —
+    // the compact-forward scheme that bounds every wedge fan-out by
+    // O(sqrt(m)) instead of the max raw degree, which is the difference
+    // between a tractable and an explosive wedge join on a skewed graph.
+    // Wedge generation and the closing-edge check are plain equi-joins
+    // (wedges join the oriented edge list on (b, c)), so the whole count
+    // is three hash joins + one hash aggregate — no driver state.
+    "q_graph_triangles" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e0 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= TriSupport)
+        .select("pa", "pb")
+      val und = e0.select(col("pa").as("u"))
+        .union(e0.select(col("pb").as("u")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      val orr = e0
+        .join(deg.select(col("u").as("pa"), col("dg").as("da")), Seq("pa"))
+        .join(deg.select(col("u").as("pb"), col("dg").as("db")), Seq("pb"))
+        .select(
+          expr("CASE WHEN da < db OR (da = db AND pa < pb) THEN pa ELSE pb END").as("s"),
+          expr("CASE WHEN da < db OR (da = db AND pa < pb) THEN pb ELSE pa END").as("t"),
+          expr("CASE WHEN da < db OR (da = db AND pa < pb) THEN db ELSE da END").as("dt"))
+        .persist()
+      val tri = orr.select(col("s"), col("t").as("b"), col("dt").as("dbb"))
+        .join(orr.select(col("s"), col("t").as("c"), col("dt").as("dcc")), Seq("s"))
+        .filter(col("dbb") < col("dcc") || (col("dbb") === col("dcc") && col("b") < col("c")))
+        .join(orr.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+        .select(col("s").as("a"), col("b"), col("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("tri"))
+        .orderBy(col("tri").desc, col("part"))
+        .limit(25)
+    }),
+
+    // Prefix-filtered set-similarity join (PPJoin-style): each doc's
+    // shingle set is sorted rarest-first by global document frequency,
+    // and only the first m - ceil(J*m) + 1 shingles — too few for two
+    // sets to reach Jaccard J without sharing one — become join keys.
+    // Pruning is lossless for pairs at or above the threshold, and the
+    // candidate join runs over RARE keys by construction (the exact
+    // opposite of the hot-shingle problem), so candidate volume tracks
+    // the true near-dup rate instead of the corpus pair count. The
+    // per-doc rarity sort partitions by doc_id — no global sort — and
+    // verification is the same exact-Jaccard join the blocking dedup
+    // uses, with the J >= num/den test kept in integers.
+    "q_jaccard_prefix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docShingles(s, d)
+      val dfreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
+      val ranked = tok.join(dfreq, Seq("sh"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val prefix = ranked
+        .filter(col("pos") <= col("m") - expr(s"($JacNum * m + ${JacDen - 1}) DIV $JacDen") + 1)
+        .select("doc_id", "sh")
+      val cand = prefix.select(col("doc_id").as("ia"), col("sh"))
+        .join(prefix.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val inter = cand
+        .join(tok.select(col("doc_id").as("ia"), col("sh")), Seq("ia"))
+        .join(tok.select(col("doc_id").as("ib"), col("sh")), Seq("ib", "sh"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("ia"), col("m").as("ma")), Seq("ia"))
+        .join(sz.select(col("doc_id").as("ib"), col("m").as("mb")), Seq("ib"))
+        .withColumn("uni", col("ma") + col("mb") - col("inter"))
+        .filter(col("inter") * JacDen >= col("uni") * JacNum)
+        .select(col("ia"), col("ib"), col("inter"), col("uni"),
+          expr("CAST(inter AS DOUBLE) / uni").as("jac"))
+        .orderBy("ia", "ib")
+    }),
+
+    // Semantic benchmark decontamination: the eval split (every
+    // EvalMod-th vector) is broadcast against the corpus scan, each
+    // corpus vector keeps its single best eval match through the bounded
+    // top-k aggregate (O(1) state per vector, no window), and vectors
+    // within DecontamSim cosine of any eval vector are flagged. The
+    // corpus never shuffles — the same one-pass shape as the n-gram
+    // decontaminator, at embedding granularity.
+    "q_semantic_decontam" -> ((s, d) => {
+      graft.semantic.CosineFunctions.register(s)
+      graft.ops.GraftAggregates.register(s)
+      val e = Tables.load(s, d, "embeddings")
+      val eval = e.filter(col("vec_id") % EvalMod === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+      e.filter(col("vec_id") % EvalMod =!= 0)
+        .crossJoin(broadcast(eval))
+        .select(col("vec_id"), col("eval_id"),
+          expr("array_cosine_similarity(embedding, evec)").as("sim_d"))
+        .groupBy("vec_id")
+        .agg(expr("graft_top_k(struct(-sim_d AS s, eval_id AS e, sim_d AS sim_d), 1)").as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.e").as("eval_id"), col("t.sim_d").as("sim_d"))
+        .filter(col("sim_d") >= DecontamSim)
+        .select(col("vec_id"), col("eval_id"),
+          col("sim_d").cast(org.apache.spark.sql.types.FloatType).as("sim"))
+        .orderBy("vec_id")
+    })
+  )
+
+  /** SQL string literal with quote escaping (merge symbols are plain
+    * word characters today, but the oracle should not depend on that).
+    */
+  private def literal(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> {
+      val stages = (1 to BpeMerges).map { k =>
+        s"""p$k AS (SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS w FROM (
+           |    SELECT cnt, toks[i] AS x, toks[i + 1] AS y FROM (
+           |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+           |      FROM (SELECT cnt, str_split(sym, ' ') AS toks FROM w${k - 1})))
+           |  GROUP BY x, y),
+           |t$k AS (SELECT x, y, w FROM p$k ORDER BY w DESC, x, y LIMIT 1),
+           |w$k AS (SELECT word, cnt,
+           |    ${duckMergeFold("sym", s"t$k.x", s"t$k.y")} AS sym
+           |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeMerges).map(k =>
+        s"SELECT $k AS step, x, y, x || y AS merged, w FROM t$k").mkString("\nUNION ALL ")
+      s"""WITH wf AS (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |w0 AS (SELECT word, cnt, $duckCharSym AS sym FROM wf),
+         |$stages
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+    "q_graph_triangles" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |         AND a.l_partkey < b.l_partkey
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $TriSupport),
+         |und AS (SELECT pa AS u FROM e0 UNION ALL SELECT pb FROM e0),
+         |deg AS (SELECT u, COUNT(*) AS dg FROM und GROUP BY u),
+         |orr AS (SELECT
+         |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb) THEN pa ELSE pb END AS s,
+         |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb) THEN pb ELSE pa END AS t,
+         |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb) THEN db.dg ELSE da.dg END AS dt
+         |  FROM e0 JOIN deg da ON da.u = pa JOIN deg db ON db.u = pb),
+         |tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+         |  FROM orr w1 JOIN orr w2 ON w1.s = w2.s
+         |    AND (w1.dt < w2.dt OR (w1.dt = w2.dt AND w1.t < w2.t))
+         |  JOIN orr e3 ON e3.s = w1.t AND e3.t = w2.t),
+         |mem AS (SELECT a AS part FROM tri UNION ALL SELECT b FROM tri
+         |        UNION ALL SELECT c FROM tri)
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS tri FROM mem
+         |GROUP BY part ORDER BY tri DESC, part LIMIT 25""".stripMargin,
+    "q_jaccard_prefix" ->
+      s"""WITH ${DedupQueries.duckShingleCte},
+         |f AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+         |r AS (SELECT t.doc_id, t.sh,
+         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.sh) AS pos,
+         |    COUNT(*) OVER (PARTITION BY t.doc_id) AS m
+         |  FROM sh t JOIN f USING (sh)),
+         |p AS (SELECT doc_id, sh FROM r
+         |      WHERE pos <= m - ($JacNum * m + ${JacDen - 1}) // $JacDen + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |ins AS (SELECT c.ia, c.ib, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.ia
+         |  JOIN sh b ON b.doc_id = c.ib AND b.sh = a.sh
+         |  GROUP BY c.ia, c.ib)
+         |SELECT ia, ib, inter, sa.n + sb.n - inter AS uni,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+         |FROM ins JOIN cnt sa ON sa.doc_id = ia JOIN cnt sb ON sb.doc_id = ib
+         |WHERE inter * $JacDen >= (sa.n + sb.n - inter) * $JacNum
+         |ORDER BY ia, ib""".stripMargin,
+    "q_semantic_decontam" -> {
+      def dot(x: String, y: String) =
+        s"list_aggregate(list_transform(range(1, 65), i -> " +
+          s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
+      val cos = s"(${dot("c.embedding", "e.embedding")} / " +
+        s"(sqrt(${dot("c.embedding", "c.embedding")}) * sqrt(${dot("e.embedding", "e.embedding")})))"
+      s"""WITH scored AS (
+         |  SELECT c.vec_id, e.vec_id AS eval_id, $cos AS sim_d,
+         |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |      ORDER BY $cos DESC, e.vec_id) AS rn
+         |  FROM embeddings c JOIN embeddings e
+         |    ON c.vec_id % $EvalMod <> 0 AND e.vec_id % $EvalMod = 0)
+         |SELECT vec_id, eval_id, CAST(sim_d AS REAL) AS sim
+         |FROM scored WHERE rn = 1 AND sim_d >= $DecontamSim
+         |ORDER BY vec_id""".stripMargin
+    }
+  )
+}
