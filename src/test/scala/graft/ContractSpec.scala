@@ -3,9 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards on the SparkEntry driver contract itself: the query catalog
-  * is merged from seven family maps with `++`, which would SILENTLY
+  * is merged from the family maps with `++`, which would SILENTLY
   * drop a query if two families ever reused a name — and the
   * correctness gate only checks queries that survive the merge.
+  * Every family listed in SparkEntry MUST also appear here, or the
+  * size cross-check below fails (by design — it catches exactly the
+  * case where a new family is wired into one place but not the other).
   */
 class ContractSpec extends AnyFunSuite {
 
@@ -17,7 +20,8 @@ class ContractSpec extends AnyFunSuite {
     "TextQueries" -> graft.queries.TextQueries.queries.keySet,
     "CurationQueries" -> graft.queries.CurationQueries.queries.keySet,
     "PipelineQueries" -> graft.queries.PipelineQueries.queries.keySet,
-    "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries.keySet)
+    "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries.keySet,
+    "MiningQueries" -> graft.queries.MiningQueries.queries.keySet)
 
   test("no query name is defined by two families (++ would drop one)") {
     val all = families.flatMap { case (f, ks) => ks.map(_ -> f) }
