@@ -326,6 +326,40 @@ object CurationQueries {
           sum("n_chars").as("n_bytes"),
           min("doc_id").as("first_id"))
         .orderBy("shard")
+    }),
+
+    // Temperature-based mixture sampling (alpha = 0.5): per-source
+    // weights n^alpha re-balance a skewed corpus toward rarer sources,
+    // the standard multilingual/multi-source training-mix move. The
+    // sqrt is collapsed to FLOAT and rounded to a micro-int so every
+    // downstream step (share, per-doc rate, cap) is exact BIGINT
+    // arithmetic — order-independent and replayed digit-for-digit by
+    // the oracle. Sampling itself is the deterministic hash-keep
+    // predicate at rate_ppm out of 1e6: one broadcast of the per-source
+    // rate table over the corpus scan, no rand(), reproducible on any
+    // cluster. Output = the mixture plan plus realized sample counts.
+    // (Bound: share_ppm * (tot_docs/2) stays under 2^63 up to ~9e12
+    // docs — far past any real corpus row count.)
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_micro",
+          expr("CAST(ROUND(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS FLOAT)" +
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      val tot = stats.agg(sum("s_micro").as("tot_micro"),
+        sum("n_docs").as("tot_docs"))
+      val rated = stats.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(s_micro * 1000000) DIV tot_micro"))
+        .withColumn("rate_ppm",
+          expr("LEAST(1000000L, (share_ppm * (tot_docs DIV 2)) DIV n_docs)"))
+      val kept = docs
+        .join(broadcast(rated.select("source", "rate_ppm")), Seq("source"))
+        .filter(graft.ops.Curation.hashKeep("doc_id", col("rate_ppm"), outOf = 1000000))
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      rated.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("share_ppm"), col("rate_ppm"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
     })
   )
 
@@ -479,6 +513,27 @@ object CurationQueries {
       s"""SELECT ${duckH60("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
          |  MIN(doc_id) AS first_id
-         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_mix_temperature" ->
+      s"""WITH st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |sm AS (SELECT source, n_docs,
+         |    CAST(ROUND(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS REAL)
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_micro
+         |  FROM st),
+         |tot AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS tot_micro,
+         |    CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM sm),
+         |rated AS (SELECT source, n_docs,
+         |    (s_micro * 1000000) // tot_micro AS share_ppm,
+         |    LEAST(1000000, (((s_micro * 1000000) // tot_micro)
+         |      * (tot_docs // 2)) // n_docs) AS rate_ppm
+         |  FROM sm CROSS JOIN tot),
+         |kept AS (SELECT d.source, COUNT(*) AS n_sampled
+         |  FROM documents d JOIN rated r ON d.source = r.source
+         |  WHERE ${duckH60("CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.share_ppm, r.rate_ppm,
+         |  CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+         |FROM rated r LEFT JOIN kept k USING (source)
+         |ORDER BY source""".stripMargin
   )
 }

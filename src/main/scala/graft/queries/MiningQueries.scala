@@ -114,6 +114,57 @@ object MiningQueries {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     DedupQueries.shingleDF(s, d)
 
+  private val bpeRuleCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(Int, String, String, Long)]]
+
+  /** The learned BPE merge trajectory `(step, x, y, weight)` — the only
+    * driver-side state of tokenizer training (one row per merge, the
+    * trained-structure pattern the IVF/PQ quantizers use). Memoized per
+    * (session, sf dir) so training runs once whether the caller is the
+    * merge-table query or the tokenizer application.
+    */
+  private[queries] def bpeRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    Tables.memo(bpeRuleCache, (Tables.sessionKey(s), d))({
+      var w = wordFreq(s, d)
+      (1 to BpeMerges).map { k =>
+        val top = pairCounts(w)
+          .orderBy(col("w").desc, col("x"), col("y"))
+          .limit(1)
+          .collect()(0)
+        val (x, y, wt) = (top.getString(0), top.getString(1), top.getLong(2))
+        w = w.withColumn("sym", expr(sparkMergeFold("sym", literal(x), literal(y))))
+        (k, x, y, wt)
+      }
+    })
+
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  /** Co-purchase part graph: undirected unique edges `(pa < pb)` between
+    * parts sharing >= TriSupport distinct orders. One self-equi-join on
+    * the order key + one hash aggregate; persisted per (session, sf dir)
+    * because both graph queries start from it.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.memo(edgeCache, (Tables.sessionKey(s), d))({
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= TriSupport)
+        .select("pa", "pb")
+        .persist()
+    })
+
+  /** k-core peel parameters: KcoreRounds fixed rounds of removing
+    * vertices with degree < KcoreK (fixed-depth peeling, not a fixpoint
+    * — the oracle unrolls exactly this many rounds).
+    */
+  private[queries] val KcoreK = 3
+  private[queries] val KcoreRounds = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge-rule learning: BpeMerges iterations of (count adjacent
     // symbol pairs weighted by word frequency) -> (take the single
@@ -127,17 +178,7 @@ object MiningQueries {
     // is emitted verbatim into both engines, so the whole training
     // trajectory replays bit-for-bit in the oracle's unrolled CTE chain.
     "q_bpe_merges" -> ((s, d) => {
-      var w = wordFreq(s, d)
-      val steps = (1 to BpeMerges).map { k =>
-        val top = pairCounts(w)
-          .orderBy(col("w").desc, col("x"), col("y"))
-          .limit(1)
-          .collect()(0)
-        val (x, y, wt) = (top.getString(0), top.getString(1), top.getLong(2))
-        val (xl, yl) = (literal(x), literal(y))
-        w = w.withColumn("sym", expr(sparkMergeFold("sym", xl, yl)))
-        (k, x, y, wt)
-      }
+      val steps = bpeRules(s, d)
       s.createDataFrame(steps.map { case (k, x, y, wt) =>
         org.apache.spark.sql.Row(k, x, y, x + y, wt)
       }.asJava, org.apache.spark.sql.types.StructType(Seq(
@@ -164,14 +205,7 @@ object MiningQueries {
     // (wedges join the oriented edge list on (b, c)), so the whole count
     // is three hash joins + one hash aggregate — no driver state.
     "q_graph_triangles" -> ((s, d) => {
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val e0 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb")), Seq("ok"))
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
-        .filter(col("support") >= TriSupport)
-        .select("pa", "pb")
+      val e0 = copurchaseEdges(s, d)
       val und = e0.select(col("pa").as("u"))
         .union(e0.select(col("pb").as("u")))
       val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
@@ -235,6 +269,58 @@ object MiningQueries {
         .orderBy("ia", "ib")
     }),
 
+    // BPE tokenizer APPLICATION: the trained merge rules (5 rows of
+    // driver-side state from the shared memoized trainer) replayed over
+    // the word-frequency table as a fixed chain of codegen folds — one
+    // narrow pass, no shuffle beyond the final vocab aggregate. Output
+    // is the learned subword vocabulary's top 25 tokens by corpus
+    // frequency: exactly what a tokenizer build step materializes before
+    // the corpus-wide encode. At 100 TB the re-symbolization stays a
+    // map-only column rewrite over DISTINCT WORDS (not raw text), and
+    // the token histogram is one hash aggregate.
+    "q_bpe_tokenize" -> ((s, d) => {
+      val w = bpeRules(s, d).foldLeft(wordFreq(s, d)) {
+        case (df, (_, x, y, _)) =>
+          df.withColumn("sym", expr(sparkMergeFold("sym", literal(x), literal(y))))
+      }
+      w.select(col("cnt"), explode(split(col("sym"), " ")).as("token"))
+        .groupBy("token").agg(sum("cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(25)
+    }),
+
+    // Fixed-depth k-core peeling over the co-purchase graph: KcoreRounds
+    // rounds of (degree count -> drop vertices below KcoreK -> drop
+    // incident edges). Each round is one union + hash aggregate + two
+    // semi-shaped equi-joins against a vertex set that only SHRINKS —
+    // no driver state at all, and at 1000 executors each peel is a
+    // cheap broadcastable filter once the survivor set collapses. The
+    // round result is localCheckpoint'd: the degree count + both joins
+    // reference it three times, so without truncation the lazy plan
+    // would nest ~3^rounds copies of the edge lineage (the same hazard
+    // ConnectedComponents documents; linear-growth PageRank doesn't
+    // need the cut, this loop does). The oracle unrolls the same
+    // rounds as CTEs.
+    "q_graph_kcore" -> ((s, d) => {
+      var edges = copurchaseEdges(s, d)
+      for (_ <- 1 to KcoreRounds) {
+        val keep = edges.select(col("pa").as("u"))
+          .union(edges.select(col("pb").as("u")))
+          .groupBy("u").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= KcoreK)
+          .select("u")
+        edges = edges
+          .join(keep.select(col("u").as("pa")), Seq("pa"))
+          .join(keep.select(col("u").as("pb")), Seq("pb"))
+          .select("pa", "pb")
+          .localCheckpoint()
+      }
+      edges.select(col("pa").as("part")).union(edges.select(col("pb").as("part")))
+        .groupBy("part").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("part"))
+        .limit(50)
+    }),
+
     // Semantic benchmark decontamination: the eval split (every
     // EvalMod-th vector) is broadcast against the corpus scan, each
     // corpus vector keeps its single best eval match through the bounded
@@ -276,30 +362,69 @@ object MiningQueries {
     }
   }
 
+  /** DuckDB replay of [[bpeRules]]: the word-frequency seed plus one
+    * (pair-count, top-1, re-symbolization) CTE triple per merge. Ends
+    * with `t{BpeMerges}(x, y, w)` and `w{BpeMerges}(word, cnt, sym)`.
+    */
+  private def duckBpeCtes: String = {
+    val stages = (1 to BpeMerges).map { k =>
+      s"""p$k AS (SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS w FROM (
+         |    SELECT cnt, toks[i] AS x, toks[i + 1] AS y FROM (
+         |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+         |      FROM (SELECT cnt, str_split(sym, ' ') AS toks FROM w${k - 1})))
+         |  GROUP BY x, y),
+         |t$k AS (SELECT x, y, w FROM p$k ORDER BY w DESC, x, y LIMIT 1),
+         |w$k AS (SELECT word, cnt,
+         |    ${duckMergeFold("sym", s"t$k.x", s"t$k.y")} AS sym
+         |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |w0 AS (SELECT word, cnt, $duckCharSym AS sym FROM wf),
+       |$stages""".stripMargin
+  }
+
+  /** Unrolled k-core peel: `e0` in scope; emits d1/k1/e1 ... up to
+    * `e{KcoreRounds}`.
+    */
+  private def duckKcoreCtes: String =
+    (1 to KcoreRounds).map { t =>
+      s"""d$t AS (SELECT u, COUNT(*) AS dg FROM (
+         |    SELECT pa AS u FROM e${t - 1} UNION ALL SELECT pb FROM e${t - 1})
+         |  GROUP BY u),
+         |k$t AS (SELECT u FROM d$t WHERE dg >= $KcoreK),
+         |e$t AS (SELECT pa, pb FROM e${t - 1}
+         |        JOIN k$t a ON a.u = pa JOIN k$t b ON b.u = pb)""".stripMargin
+    }.mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> {
-      val stages = (1 to BpeMerges).map { k =>
-        s"""p$k AS (SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS w FROM (
-           |    SELECT cnt, toks[i] AS x, toks[i + 1] AS y FROM (
-           |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i
-           |      FROM (SELECT cnt, str_split(sym, ' ') AS toks FROM w${k - 1})))
-           |  GROUP BY x, y),
-           |t$k AS (SELECT x, y, w FROM p$k ORDER BY w DESC, x, y LIMIT 1),
-           |w$k AS (SELECT word, cnt,
-           |    ${duckMergeFold("sym", s"t$k.x", s"t$k.y")} AS sym
-           |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to BpeMerges).map(k =>
         s"SELECT $k AS step, x, y, x || y AS merged, w FROM t$k").mkString("\nUNION ALL ")
-      s"""WITH wf AS (
-         |  SELECT word, COUNT(*) AS cnt FROM (
-         |    SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents)
-         |  GROUP BY word),
-         |w0 AS (SELECT word, cnt, $duckCharSym AS sym FROM wf),
-         |$stages
-         |$out
-         |ORDER BY step""".stripMargin
+      s"""WITH $duckBpeCtes,
+         |out AS ($out)
+         |SELECT * FROM out ORDER BY step""".stripMargin
     },
+
+    "q_bpe_tokenize" ->
+      s"""WITH $duckBpeCtes
+         |SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+         |  SELECT cnt, unnest(str_split(sym, ' ')) AS token FROM w$BpeMerges)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    "q_graph_kcore" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |         AND a.l_partkey < b.l_partkey
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $TriSupport),
+         |$duckKcoreCtes
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT pa AS part FROM e$KcoreRounds
+         |  UNION ALL SELECT pb FROM e$KcoreRounds)
+         |GROUP BY part ORDER BY deg DESC, part LIMIT 50""".stripMargin,
     "q_graph_triangles" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb

@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{FloatType, IntegerType}
+import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
 
 import graft.Tables
 import graft.semantic.{CosineFunctions, Embed, SemanticContext}
@@ -24,7 +24,7 @@ object SimilarityQueries {
     * [[graft.semantic.CosineOps]] exactly; final values are cast to REAL
     * on both sides because float32 absorbs any last-ulp double noise.
     */
-  private def oracleCos(a: String, b: String, dim: Int = 64): String = {
+  private[queries] def oracleCos(a: String, b: String, dim: Int = 64): String = {
     def dot(x: String, y: String) =
       s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> " +
         s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
@@ -115,7 +115,7 @@ object SimilarityQueries {
   private[queries] val ProjDim = 32
   private val ProjSeed = 7702L
 
-  private val IvfCells = 16
+  private[queries] val IvfCells = 16
   private[queries] val IvfIters = 2
   private val IvfProbes = 4
 
@@ -129,6 +129,28 @@ object SimilarityQueries {
   private[queries] val PqSubDim = LshDim / PqM
   private[queries] val PqK = 16
   private[queries] val PqIters = 1
+
+  /** Cosine floor above which two same-cell vectors are semantic
+    * duplicates (same scale as q_embed_neardup's 0.35 near-dup floor —
+    * the synthetic embeddings are diffuse, so a production 0.9x floor
+    * would fire on nothing).
+    */
+  private[queries] val SemDedupSim = 0.35
+
+  /** MMR selection depth; lambda = 0.7 appears as the exact integer
+    * pair 7/3 in the score.
+    */
+  private[queries] val MmrK = 5
+
+  /** Cosine on the exact micro-int grid: collapse to FLOAT (absorbing
+    * any last-ulp double noise), widen back, scale by 1e6, round
+    * half-away-from-zero — identical digit-for-digit to the oracle's
+    * `CAST(ROUND(CAST(cos AS REAL) * CAST(1000000 AS DOUBLE)) AS
+    * BIGINT)`.
+    */
+  private def microCos(a: Column, b: Column): Column =
+    round(call_function("array_cosine_similarity", a, b)
+      .cast(FloatType).cast("double") * lit(1000000.0)).cast("long")
 
   private val pqCbCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String, Int), Array[Array[Array[Float]]]]
@@ -188,7 +210,7 @@ object SimilarityQueries {
     * centroid matrix itself (IvfCells x dim — the broadcast-kmeans
     * pattern); assignment and means stay distributed.
     */
-  private def ivfCentroids(s: SparkSession, d: String, iters: Int): Array[(Long, Array[Float])] =
+  private[queries] def ivfCentroids(s: SparkSession, d: String, iters: Int): Array[(Long, Array[Float])] =
     Tables.memo(ivfCentCache, (Tables.sessionKey(s), d, iters))({
       val e = Tables.load(s, d, "embeddings")
       var cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < IvfCells)
@@ -508,6 +530,87 @@ object SimilarityQueries {
       topkPerQuery(s, sims, 5)
     }),
 
+    // SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    // Data-efficient learning at web-scale through semantic
+    // deduplication"): cluster with the trained IVF coarse quantizer,
+    // compute pairwise cosine ONLY within a cell, and keep one canonical
+    // vector (min id) per connected near-dup group. This is the scale
+    // path for embedding dedup — all-pairs is O(n^2) and dies at corpus
+    // scale, while per-cell pairwise is O(sum cell^2) with balanced
+    // cells, each cell's block co-located by the `cell` shuffle key.
+    // Cluster labeling reuses the pointer-jumping min-label components
+    // op; the oracle replays quantizer training, assignment, and the
+    // closure with a recursive CTE.
+    "q_semdedup" -> ((s, d) => {
+      CosineFunctions.register(s)
+      graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
+      val assigned = Tables.load(s, d, "embeddings")
+        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val a = assigned.select(col("cell"), col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = assigned.select(col("cell"), col("vec_id").as("ib"), col("embedding").as("vb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("ia") < col("ib"))
+        .filter(expr("array_cosine_similarity(va, vb)") >= SemDedupSim)
+        .select("ia", "ib")
+      graft.ops.ConnectedComponents.labelPropagate(s, pairs)
+        .filter(col("label") < col("node"))
+        .select(col("node").as("vec_id"), col("label").as("keeper"))
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select("vec_id", "keeper", "cell")
+        .orderBy("vec_id")
+    }),
+
+    // Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
+    // greedy top-MmrK selection maximizing lambda*relevance -
+    // (1-lambda)*max-similarity-to-already-picked (lambda = 0.7, scaled
+    // to integers 7/3) — the diversity-aware context-selection step of
+    // a RAG/retrieval pipeline. Each of the MmrK steps is ONE
+    // distributed argmax over the candidate scan with the picked
+    // vectors broadcast as plan constants (O(k) driver state, the
+    // trained-structure pattern); scores live on an exact micro-int
+    // grid via the float-collapse rule so the unrolled-CTE oracle
+    // replays every tie-break bit-for-bit.
+    "q_mmr_rerank" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val e = Tables.load(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val cand = e.filter(col("vec_id") > 0)
+        .select(col("vec_id"), col("embedding"),
+          microCos(col("embedding"), typedLit(qv)).as("rel"))
+      var picked = Vector.empty[(Int, Long, Long, Long)]
+      var selVecs = Vector.empty[Seq[Float]]
+      for (k <- 1 to MmrK) {
+        val ms =
+          if (selVecs.isEmpty) lit(0L)
+          else if (selVecs.size == 1) microCos(col("embedding"), typedLit(selVecs(0)))
+          else greatest(selVecs.map(v => microCos(col("embedding"), typedLit(v))): _*)
+        val ids = picked.map(_._2)
+        val top = cand
+          .filter(if (ids.isEmpty) lit(true) else !col("vec_id").isInCollection(ids))
+          .withColumn("ms", ms)
+          .withColumn("score", lit(7L) * col("rel") - lit(3L) * col("ms"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(1)
+          .select("vec_id", "rel", "ms", "embedding")
+          .collect()(0)
+        picked :+= ((k, top.getLong(0), top.getLong(1), top.getLong(2)))
+        selVecs :+= top.getSeq[Float](3)
+      }
+      val rows = picked.map { case (k, id, rel, ms) =>
+        org.apache.spark.sql.Row(k, id, rel, ms, 7L * rel - 3L * ms)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rel_micro", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("maxsim_micro", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score_micro", LongType, nullable = false)))
+      s.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+        .orderBy("step")
+    }),
+
     // A8-A11 + A20-A21 end-to-end (rows-only: embed() has no DuckDB
     // analogue): corpus → differential indexer → embedding join →
     // README.md:318-333 similarity query through the engine.
@@ -588,7 +691,7 @@ object SimilarityQueries {
     * aggregate. Empty cells COALESCE to the previous round's centroid.
     * Ends with `c{iters}(cid, cv)`.
     */
-  private def ivfOracleCtes(iters: Int): String = {
+  private[queries] def ivfOracleCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfCells)"
     for (t <- 1 to iters) {
@@ -843,6 +946,68 @@ object SimilarityQueries {
          |      FROM adc)
          |SELECT qid, vec_id, d_adc FROM r WHERE rn <= 5
          |ORDER BY qid, d_adc, vec_id""".stripMargin
+    },
+
+    // Quantizer training + assignment + within-cell pairwise + the same
+    // recursive transitive closure the dedup-clusters oracle uses.
+    "q_semdedup" -> {
+      val cos = oracleCos("a.embedding", "b.embedding")
+      val asgCos = oracleCos("e.embedding", "c.cv")
+      s"""WITH RECURSIVE ${ivfOracleCtes(IvfIters)},
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $asgCos DESC, c.cid) AS rn
+         |    FROM embeddings e, c$IvfIters c) x WHERE rn = 1),
+         |av AS (SELECT e.vec_id, e.embedding, asg.cell
+         |       FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $cos >= $SemDedupSim),
+         |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS keeper
+         |  FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) < a)
+         |SELECT c.vec_id, c.keeper, asg.cell
+         |FROM comp c JOIN asg ON asg.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin
+    },
+
+    // Unrolled greedy MMR: step k's CTE cross-joins the k-1 winner CTEs,
+    // recomputes each candidate's max-similarity-to-picked on the same
+    // micro grid, and takes the top scorer with the id tie-break.
+    "q_mmr_rerank" -> {
+      def mc(a: String, b: String) =
+        s"CAST(ROUND(CAST(${oracleCos(a, b)} AS REAL) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+      val ctes = new StringBuilder
+      ctes ++= s"""qvv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.embedding, ${mc("e.embedding", "q.qv")} AS rel
+         |         FROM embeddings e CROSS JOIN qvv q WHERE e.vec_id > 0)""".stripMargin
+      for (k <- 1 to MmrK) {
+        val prev = (1 until k).map(j => s"s$j")
+        val msExpr =
+          if (prev.isEmpty) "CAST(0 AS BIGINT)"
+          else if (prev.size == 1) mc("c.embedding", "s1.embedding")
+          else "GREATEST(" +
+            prev.map(p => mc("c.embedding", s"$p.embedding")).mkString(", ") + ")"
+        val from = "cand c" + prev.map(p => s" CROSS JOIN $p").mkString
+        val excl = if (prev.isEmpty) ""
+          else "\n  WHERE c.vec_id NOT IN (" +
+            prev.map(p => s"$p.vec_id").mkString(", ") + ")"
+        ctes ++= s""",
+           |s$k AS (SELECT c.vec_id, c.embedding, c.rel, $msExpr AS ms
+           |  FROM $from$excl
+           |  ORDER BY 7 * c.rel - 3 * ($msExpr) DESC, c.vec_id LIMIT 1)""".stripMargin
+      }
+      val out = (1 to MmrK).map(k =>
+        s"SELECT $k AS step, vec_id, rel AS rel_micro, ms AS maxsim_micro, " +
+          s"7 * rel - 3 * ms AS score_micro FROM s$k").mkString("\nUNION ALL ")
+      s"""WITH ${ctes.toString},
+         |outp AS ($out)
+         |SELECT * FROM outp ORDER BY step""".stripMargin
     },
 
     // The embed() e2e oracle: replays the deterministic feature-hashing

@@ -374,4 +374,44 @@ class CurationSpec extends AnyFunSuite {
       assert(fl == (wf > 0.125 || bf > 0.15))
     }
   }
+
+  /** Same portable 60-bit hash as ops.Curation.portableHash, re-derived
+    * independently (md5 hex, first 15 nibbles).
+    */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("q_mix_temperature replays the exact-integer temperature plan") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    val srcOf = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nBySrc = srcOf.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+    def roundHalfUp(x: Double): Long =
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val sMicro = nBySrc.map { case (s, n) =>
+      // float-collapsed sqrt on the micro grid, same as both engines
+      s -> roundHalfUp(math.sqrt(n.toDouble).toFloat.toDouble * 1e6)
+    }
+    val totMicro = sMicro.values.sum
+    val totDocs = nBySrc.values.sum
+    val expected = nBySrc.keys.toSeq.sorted.map { s =>
+      val share = sMicro(s) * 1000000L / totMicro
+      val rate = math.min(1000000L, share * (totDocs / 2) / nBySrc(s))
+      val sampled = srcOf.count { case (id, src) =>
+        src == s && hash60(id.toString) % 1000000L < rate
+      }.toLong
+      (s, nBySrc(s), share, rate, sampled)
+    }
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == expected)
+    // temperature must actually flatten the mix: the rarest source's
+    // rate is at least the most common source's rate
+    val rates = rows.map(r => r.getLong(1) -> r.getLong(3))
+    assert(rates.minBy(_._1)._2 >= rates.maxBy(_._1)._2)
+  }
 }

@@ -25,16 +25,16 @@ class MiningSpec extends AnyFunSuite {
              else w.sliding(3).map(_.mkString(" ")).toSet)
   }
 
-  test("q_bpe_merges replays a plain-Scala reference BPE trainer") {
-    val rows = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
-    assert(rows.length == MiningQueries.BpeMerges)
-
-    // reference trainer: word frequency table -> greedy pair merges
+  /** Reference BPE trainer: returns the merge trajectory and the final
+    * symbolization-frequency table, shared by the merge-table and
+    * tokenizer tests.
+    */
+  private lazy val referenceBpe: (Seq[(String, String, Long)], Map[List[String], Long]) = {
     var syms: Map[List[String], Long] = docWords.values.flatten
       .groupBy(identity).map { case (w, g) =>
         w.toList.map(_.toString) -> g.size.toLong
       }
-    val expected = (1 to MiningQueries.BpeMerges).map { _ =>
+    val merges = (1 to MiningQueries.BpeMerges).map { _ =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       syms.foreach { case (toks, cnt) =>
         toks.zip(toks.tail).foreach(p =>
@@ -50,6 +50,32 @@ class MiningSpec extends AnyFunSuite {
         .map { case (ts, g) => ts -> g.values.sum }
       (x, y, w)
     }
+    (merges, syms)
+  }
+
+  /** Brute-force co-purchase edge set (support >= TriSupport), shared by
+    * the triangle and k-core tests.
+    */
+  private lazy val referenceEdges: Set[(Long, Long)] = {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    li.groupBy(_._1).values.foreach { order =>
+      val parts = order.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    support.collect {
+      case (e, c) if c >= MiningQueries.TriSupport => e
+    }.toSet
+  }
+
+  test("q_bpe_merges replays a plain-Scala reference BPE trainer") {
+    val rows = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
+    assert(rows.length == MiningQueries.BpeMerges)
+    val expected = referenceBpe._1
     rows.zip(expected).foreach { case (r, (x, y, w)) =>
       assert(r.getString(1) == x && r.getString(2) == y && r.getLong(4) == w,
         s"step ${r.getInt(0)}: got (${r.getString(1)},${r.getString(2)},${r.getLong(4)}) want ($x,$y,$w)")
@@ -64,19 +90,7 @@ class MiningSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
 
-    val li = Tables.load(spark, sf, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
-    li.groupBy(_._1).values.foreach { order =>
-      val parts = order.map(_._2).distinct.sorted
-      for (i <- parts.indices; j <- i + 1 until parts.length)
-        support((parts(i), parts(j))) =
-          support.getOrElse((parts(i), parts(j)), 0) + 1
-    }
-    val edges = support.collect {
-      case (e, c) if c >= MiningQueries.TriSupport => e
-    }.toSet
+    val edges = referenceEdges
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
       .withDefaultValue(Set.empty)
     edges.foreach { case (a, b) =>
@@ -96,6 +110,45 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getLong(0) == p && r.getLong(1) == n,
         s"got (${r.getLong(0)}, ${r.getLong(1)}) want ($p, $n)")
     }
+  }
+
+  test("q_bpe_tokenize vocabulary matches the reference trainer's tokenization") {
+    val rows = SparkEntry.queries("q_bpe_tokenize")(spark, sf).collect()
+    val vocab = scala.collection.mutable.Map.empty[String, Long]
+    referenceBpe._2.foreach { case (toks, cnt) =>
+      toks.foreach(t => vocab(t) = vocab.getOrElse(t, 0L) + cnt)
+    }
+    val want = vocab.toSeq.sortBy { case (t, c) => (-c, t) }.take(25)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+    // the learned merges must actually appear in the applied vocabulary
+    val merged = referenceBpe._1.map { case (x, y, _) => x + y }.toSet
+    assert(vocab.keySet.intersect(merged).nonEmpty,
+      "no learned merge symbol survives in the final vocabulary")
+  }
+
+  test("q_graph_kcore matches brute-force fixed-round peeling") {
+    val rows = SparkEntry.queries("q_graph_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+
+    var edges = referenceEdges
+    for (_ <- 1 to MiningQueries.KcoreRounds) {
+      val deg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val keep = deg.collect {
+        case (u, dgr) if dgr >= MiningQueries.KcoreK => u
+      }.toSet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val want = deg.toSeq.sortBy { case (p, n) => (-n, p) }.take(rows.length)
+    rows.zip(want).foreach { case (r, (p, n)) =>
+      assert(r.getLong(0) == p && r.getLong(1) == n,
+        s"got (${r.getLong(0)}, ${r.getLong(1)}) want ($p, $n)")
+    }
+    // peeling must have removed something, or the test is vacuous
+    assert(edges.size < referenceEdges.size,
+      "k-core peel removed no edges at this SF; raise KcoreK")
   }
 
   test("q_jaccard_prefix finds exactly the above-threshold pairs (lossless prune)") {
