@@ -59,7 +59,16 @@ object PlanAudit {
     "q_ann_pq" -> "PQ ADC scan: codegen graft_pq_codes assignment, 1024-row distance table broadcast, integer ADC sums over the compressed tier",
     "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort",
     "q_cohort_retention" -> "cohort retention: distinct (user, week) hash agg + user_id equi-join, integer epoch weeks, no window or sort",
-    "q_text_pmi" -> "PMI collocations: two hash aggs over shared frames, unigram counts broadcast back, bounded top-50 output")
+    "q_text_pmi" -> "PMI collocations: two hash aggs over shared frames, unigram counts broadcast back, bounded top-50 output",
+    "q_bpe_merges" -> "BPE training: per-merge narrow explode + hash agg over the word-frequency frame, only the 1-row argmax ever reaches the driver",
+    "q_bpe_tokenize" -> "tokenizer application: fixed merge-fold chain as codegen column rewrites over distinct words, one vocab hash agg",
+    "q_graph_triangles" -> "degree-ordered wedge join: persisted oriented edges, three hash joins + one agg, wedge fan-out bounded by sqrt(m)",
+    "q_graph_kcore" -> "fixed-round peel: degree agg + two survivor equi-joins per round, lineage localCheckpoint-cut each round",
+    "q_jaccard_prefix" -> "prefix-filter similarity join: per-doc rarity window (doc-partitioned, no global sort), candidates only from RARE prefix keys, exact verify",
+    "q_semantic_decontam" -> "semantic decontamination: eval split broadcast over the corpus scan, bounded top-1 agg, corpus never shuffles",
+    "q_semdedup" -> "SemDeDup: codegen cell assignment, within-cell self-join shuffles on cell only, min-label components on the tiny pair graph",
+    "q_mmr_rerank" -> "greedy MMR: per-step argmax = one candidate scan with picked vectors as plan constants + TakeOrdered(1), O(k) driver state",
+    "q_mix_temperature" -> "temperature mix: two broadcast-sized aggregates, ppm rate table broadcast back over the corpus scan, no corpus shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -356,7 +356,7 @@ object CurationQueries {
         .join(broadcast(rated.select("source", "rate_ppm")), Seq("source"))
         .filter(graft.ops.Curation.hashKeep("doc_id", col("rate_ppm"), outOf = 1000000))
         .groupBy("source").agg(count(lit(1)).as("n_sampled"))
-      rated.join(kept, Seq("source"), "left")
+      rated.join(broadcast(kept), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("share_ppm"), col("rate_ppm"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy("source")

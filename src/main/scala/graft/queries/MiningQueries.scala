@@ -209,18 +209,21 @@ object MiningQueries {
       val und = e0.select(col("pa").as("u"))
         .union(e0.select(col("pb").as("u")))
       val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      // shuffle_hash everywhere: none of these joins benefits from sort
+      // order, and the degree/edge frames are both graph-sized — SMJ
+      // would pay two full sorts per join for nothing.
       val orr = e0
-        .join(deg.select(col("u").as("pa"), col("dg").as("da")), Seq("pa"))
-        .join(deg.select(col("u").as("pb"), col("dg").as("db")), Seq("pb"))
+        .join(deg.select(col("u").as("pa"), col("dg").as("da")).hint("shuffle_hash"), Seq("pa"))
+        .join(deg.select(col("u").as("pb"), col("dg").as("db")).hint("shuffle_hash"), Seq("pb"))
         .select(
           expr("CASE WHEN da < db OR (da = db AND pa < pb) THEN pa ELSE pb END").as("s"),
           expr("CASE WHEN da < db OR (da = db AND pa < pb) THEN pb ELSE pa END").as("t"),
           expr("CASE WHEN da < db OR (da = db AND pa < pb) THEN db ELSE da END").as("dt"))
         .persist()
       val tri = orr.select(col("s"), col("t").as("b"), col("dt").as("dbb"))
-        .join(orr.select(col("s"), col("t").as("c"), col("dt").as("dcc")), Seq("s"))
+        .join(orr.select(col("s"), col("t").as("c"), col("dt").as("dcc")).hint("shuffle_hash"), Seq("s"))
         .filter(col("dbb") < col("dcc") || (col("dbb") === col("dcc") && col("b") < col("c")))
-        .join(orr.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+        .join(orr.select(col("s").as("b"), col("t").as("c")).hint("shuffle_hash"), Seq("b", "c"))
         .select(col("s").as("a"), col("b"), col("c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("tri"))
