@@ -126,6 +126,9 @@ object CurationQueries {
     "CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') " +
       "THEN CAST(0.10 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / 30 END"
 
+  /** Max documents any single source may contribute (domain cap). */
+  private[queries] val DomainCap = 15L
+
   // Unigram-LM surprisal grid (micro-nats): the expression lives in
   // graft.ops.Curation.unatsExpr — one definition serves the Spark plan
   // (FLOAT) and the oracle replay (REAL).
@@ -328,6 +331,28 @@ object CurationQueries {
         .orderBy("shard")
     }),
 
+    // Per-source document caps (the Common-Crawl-style domain balancer):
+    // every source keeps at most DomainCap docs, selected by the
+    // deterministic portable hash so the survivors are a uniform,
+    // cluster-reproducible sample of the source — no rand(), no
+    // quality-model coupling. One window partitioned by source (the
+    // partition key IS the shuffle key, so at 1000 executors each
+    // source sorts locally; a skewed mega-source sorts only its own
+    // partition and the cap bounds what survives). Output audits the
+    // cap: per-source totals, kept counts, and the hash-order head.
+    "q_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.load(s, d, "documents")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(expr(h60("CAST(doc_id AS STRING)")), col("doc_id"))))
+      ranked.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("rk") <= DomainCap, 1)).as("n_kept"),
+          min(when(col("rk") === 1, col("doc_id"))).as("cap_head"))
+        .orderBy("source")
+    }),
+
     // Temperature-based mixture sampling (alpha = 0.5): per-source
     // weights n^alpha re-balance a skewed corpus toward rarer sources,
     // the standard multilingual/multi-source training-mix move. The
@@ -514,6 +539,15 @@ object CurationQueries {
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
          |  MIN(doc_id) AS first_id
          |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_domain_cap" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN rk <= $DomainCap THEN 1 END) AS n_kept,
+         |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS cap_head
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_mix_temperature" ->
       s"""WITH st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
          |sm AS (SELECT source, n_docs,

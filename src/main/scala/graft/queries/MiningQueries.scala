@@ -292,6 +292,28 @@ object MiningQueries {
         .limit(25)
     }),
 
+    // Per-document token cost under the TRAINED tokenizer — the number a
+    // sequence-packing/budgeting stage actually consumes. The merge-fold
+    // chain runs over DISTINCT WORDS only (the same vocabulary-sized
+    // frame the trainer used); per-word token counts then join back to
+    // the word-occurrence frame and one hash aggregate yields per-doc
+    // totals. At 100 TB the expensive fold is O(vocabulary), never
+    // O(corpus), and the join key (word) is the shared memoized frame's
+    // existing layout.
+    "q_bpe_doclen" -> ((s, d) => {
+      val wordTok = bpeRules(s, d).foldLeft(wordFreq(s, d)) {
+        case (df, (_, x, y, _)) =>
+          df.withColumn("sym", expr(sparkMergeFold("sym", literal(x), literal(y))))
+      }.select(col("word"), expr("size(split(sym, ' '))").as("tok"))
+      DedupQueries.wordDF(s, d).select("doc_id", "word")
+        .join(wordTok.hint("shuffle_hash"), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("tok").as("n_tokens"))
+        .withColumn("tokens_per_word_milli",
+          expr("(n_tokens * 1000) DIV n_words"))
+        .orderBy("doc_id")
+    }),
+
     // Fixed-depth k-core peeling over the co-purchase graph: KcoreRounds
     // rounds of (degree count -> drop vertices below KcoreK -> drop
     // incident edges). Each round is one union + hash aggregate + two
@@ -416,6 +438,17 @@ object MiningQueries {
          |SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
          |  SELECT cnt, unnest(str_split(sym, ' ')) AS token FROM w$BpeMerges)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    "q_bpe_doclen" ->
+      s"""WITH $duckBpeCtes,
+         |wt AS (SELECT word, len(str_split(sym, ' ')) AS tok FROM w$BpeMerges),
+         |dw AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word
+         |       FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  (CAST(SUM(tok) AS BIGINT) * 1000) // COUNT(*) AS tokens_per_word_milli
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_graph_kcore" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -384,6 +384,25 @@ class CurationSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
+  test("q_domain_cap keeps exactly the hash-least docs per source") {
+    val rows = SparkEntry.queries("q_domain_cap")(spark, sf).collect()
+    val srcOf = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = srcOf.groupBy(_._2)
+    val expected = bySrc.keys.toSeq.sorted.map { s =>
+      val ranked = bySrc(s).map(_._1)
+        .sortBy(id => (hash60(id.toString), id))
+      (s, ranked.length.toLong,
+        math.min(ranked.length.toLong, CurationQueries.DomainCap),
+        ranked.head)
+    }
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == expected)
+    // the cap must bite at this SF for the audit to mean anything
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("q_mix_temperature replays the exact-integer temperature plan") {
     val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
     val srcOf = graft.Tables.load(spark, sf, "documents")

@@ -126,6 +126,22 @@ class MiningSpec extends AnyFunSuite {
       "no learned merge symbol survives in the final vocabulary")
   }
 
+  test("q_bpe_doclen matches per-doc token totals from the reference tokenizer") {
+    val rows = SparkEntry.queries("q_bpe_doclen")(spark, sf).collect()
+    val tokOf: Map[String, Long] = referenceBpe._2.map { case (toks, _) =>
+      toks.mkString("") -> toks.length.toLong
+    }
+    val want = docWords.toSeq.sortBy(_._1).map { case (id, ws) =>
+      val nTok = ws.map(tokOf).sum
+      (id, ws.length.toLong, nTok, nTok * 1000 / ws.length)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == want)
+    // merges must compress: some document needs fewer tokens than chars
+    val chars = docWords.map { case (id, ws) => id -> ws.map(_.length.toLong).sum }
+    assert(rows.exists(r => r.getLong(2) < chars(r.getLong(0))))
+  }
+
   test("q_graph_kcore matches brute-force fixed-round peeling") {
     val rows = SparkEntry.queries("q_graph_kcore")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
