@@ -353,6 +353,45 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Composed curation funnel, end-to-end as ONE declarative job:
+    // domain cap (hash-least DomainCap per source) -> benchmark
+    // decontamination (drop eval docs and anything sharing a ContamN-gram
+    // with them, bench grams broadcast) -> per-source survivor counts and
+    // whitespace token budget. The funnel audit (n_docs -> n_capped ->
+    // n_clean -> n_tokens) is what a training-mix owner actually reads
+    // before a run. Catalyst fuses the stages; the corpus is scanned
+    // once for the cap window and once for grams (the gram frame is the
+    // shared persisted one), and every per-source frame is
+    // source-cardinality-sized and broadcast.
+    "q_pipeline_curate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val capped = docs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(expr(h60("CAST(doc_id AS STRING)")), col("doc_id"))))
+        .filter(col("rk") <= DomainCap)
+      val grams = gramsDF(s, d)
+      val contaminated = grams.filter(col("doc_id") % BenchMod =!= 0)
+        .join(broadcast(grams.filter(col("doc_id") % BenchMod === 0)
+          .select("h")), Seq("h"))
+        .select("doc_id").distinct()
+      val clean = capped
+        .filter(col("doc_id") % BenchMod =!= 0)
+        .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val cappedStats = capped.groupBy("source").agg(count(lit(1)).as("n_capped"))
+      val cleanStats = clean.groupBy("source").agg(
+        count(lit(1)).as("n_clean"),
+        sum(size(split(lower(col("text")), " "))).as("n_tokens"))
+      stats.join(broadcast(cappedStats), Seq("source"))
+        .join(broadcast(cleanStats), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_capped"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // Temperature-based mixture sampling (alpha = 0.5): per-source
     // weights n^alpha re-balance a skewed corpus toward rarer sources,
     // the standard multilingual/multi-source training-mix move. The
@@ -548,6 +587,31 @@ object CurationQueries {
          |  COUNT(CASE WHEN rk <= $DomainCap THEN 1 END) AS n_kept,
          |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS cap_head
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_pipeline_curate" ->
+      s"""WITH r AS (SELECT source, doc_id, text,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents),
+         |capped AS (SELECT source, doc_id, text FROM r WHERE rk <= $DomainCap),
+         |d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id, UNNEST(${duckGrams(ContamN)}) AS g FROM d),
+         |g AS (SELECT doc_id, ${duckH60("g")} AS h FROM g0),
+         |bench AS (SELECT h FROM g WHERE doc_id % $BenchMod = 0),
+         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+         |           WHERE g.doc_id % $BenchMod <> 0),
+         |clean AS (SELECT c.source, c.doc_id, c.text FROM capped c
+         |  WHERE c.doc_id % $BenchMod <> 0
+         |    AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |cs AS (SELECT source, COUNT(*) AS n_capped FROM capped GROUP BY source),
+         |cl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean,
+         |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+         |  FROM clean GROUP BY source)
+         |SELECT st.source, st.n_docs, cs.n_capped,
+         |  CAST(COALESCE(cl.n_clean, 0) AS BIGINT) AS n_clean,
+         |  CAST(COALESCE(cl.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM st JOIN cs USING (source) LEFT JOIN cl USING (source)
+         |ORDER BY source""".stripMargin,
     "q_mix_temperature" ->
       s"""WITH st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
          |sm AS (SELECT source, n_docs,

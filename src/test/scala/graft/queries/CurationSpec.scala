@@ -403,6 +403,43 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
   }
 
+  test("q_pipeline_curate funnel agrees with independently composed stages") {
+    val rows = SparkEntry.queries("q_pipeline_curate")(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // stage 1: per-source hash-least cap
+    val cappedIds = docs.groupBy(_._2).values.flatMap { g =>
+      g.map(_._1).sortBy(id => (hash60(id.toString), id))
+        .take(CurationQueries.DomainCap.toInt)
+    }.toSet
+    // stage 2: benchmark 4-gram contamination on raw text
+    def grams(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ")
+      if (w.length < CurationQueries.ContamN) Set.empty
+      else w.sliding(CurationQueries.ContamN).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = docs.filter(_._1 % CurationQueries.BenchMod == 0)
+      .flatMap(d => grams(d._3)).toSet
+    val clean = docs.filter { case (id, _, t) =>
+      cappedIds(id) && id % CurationQueries.BenchMod != 0 &&
+        grams(t).intersect(benchGrams).isEmpty
+    }
+    val expected = docs.groupBy(_._2).keys.toSeq.sorted.map { s =>
+      val all = docs.filter(_._2 == s)
+      val cl = clean.filter(_._2 == s)
+      (s, all.length.toLong,
+        math.min(all.length.toLong, CurationQueries.DomainCap),
+        cl.length.toLong,
+        cl.map(_._3.toLowerCase.split(" ").length.toLong).sum)
+    }
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == expected)
+    // every stage must drop something somewhere, or the funnel is vacuous
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)))
+  }
+
   test("q_mix_temperature replays the exact-integer temperature plan") {
     val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
     val srcOf = graft.Tables.load(spark, sf, "documents")
