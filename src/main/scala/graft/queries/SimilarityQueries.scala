@@ -137,6 +137,12 @@ object SimilarityQueries {
     */
   private[queries] val SemDedupSim = 0.35
 
+  /** Salt fan-out for the within-cell pairwise self-join (see
+    * q_semdedup): spreads each cell's O(n^2) block over this many
+    * partitions instead of one per cell.
+    */
+  private[queries] val SemDedupSalt = 8
+
   /** MMR selection depth; lambda = 0.7 appears as the exact integer
     * pair 7/3 in the score.
     */
@@ -546,9 +552,21 @@ object SimilarityQueries {
       graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
       val assigned = Tables.load(s, d, "embeddings")
         .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
-      val a = assigned.select(col("cell"), col("vec_id").as("ia"), col("embedding").as("va"))
-      val b = assigned.select(col("cell"), col("vec_id").as("ib"), col("embedding").as("vb"))
-      val pairs = a.join(b, Seq("cell"))
+      // Salted self-join: the join key is (cell, salt), not bare cell —
+      // with only IvfCells distinct cells, a cell-keyed shuffle would cap
+      // the pairwise stage at IvfCells-way parallelism on a 1000-executor
+      // cluster. Side A pins salt = ia % SemDedupSalt; side B replicates
+      // each row across all salts, so every (ia, ib) pair still meets
+      // exactly once while each cell's O(n_c^2) block spreads over
+      // SemDedupSalt partitions. (A production run would ALSO raise the
+      // cell count; it is small here so the oracle can replay training.)
+      val a = assigned
+        .select(col("cell"), col("vec_id").as("ia"), col("embedding").as("va"))
+        .withColumn("salt", expr(s"ia % $SemDedupSalt"))
+      val b = assigned
+        .select(col("cell"), col("vec_id").as("ib"), col("embedding").as("vb"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${SemDedupSalt - 1})")))
+      val pairs = a.join(b, Seq("cell", "salt"))
         .filter(col("ia") < col("ib"))
         .filter(expr("array_cosine_similarity(va, vb)") >= SemDedupSim)
         .select("ia", "ib")
