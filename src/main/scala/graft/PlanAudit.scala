@@ -66,12 +66,13 @@ object PlanAudit {
     "q_graph_kcore" -> "fixed-round peel: degree agg + two survivor equi-joins per round, lineage localCheckpoint-cut each round",
     "q_jaccard_prefix" -> "prefix-filter similarity join: per-doc rarity window (doc-partitioned, no global sort), candidates only from RARE prefix keys, exact verify",
     "q_semantic_decontam" -> "semantic decontamination: eval split broadcast over the corpus scan, bounded top-1 agg, corpus never shuffles",
-    "q_semdedup" -> "SemDeDup: codegen cell assignment, within-cell self-join shuffles on cell only, min-label components on the tiny pair graph",
     "q_mmr_rerank" -> "greedy MMR: per-step argmax = one candidate scan with picked vectors as plan constants + TakeOrdered(1), O(k) driver state",
     "q_mix_temperature" -> "temperature mix: two broadcast-sized aggregates, ppm rate table broadcast back over the corpus scan, no corpus shuffle",
     "q_bpe_doclen" -> "token costing: merge folds over DISTINCT WORDS only, shuffle-hash join back to occurrences, one per-doc hash agg",
     "q_domain_cap" -> "domain cap: ONE source-partitioned window (partition key = shuffle key), per-source agg, no global sort",
-    "q_pipeline_curate" -> "composed funnel: cap window + broadcast bench grams + anti-join, per-source frames all broadcast")
+    "q_pipeline_curate" -> "composed funnel: cap window + broadcast bench grams + anti-join, per-source frames all broadcast",
+    "q_semdedup" -> "salted within-cell self-join: join key (cell, salt) spreads each quadratic block, codegen assignment, no all-pairs",
+    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

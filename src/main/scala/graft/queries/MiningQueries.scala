@@ -162,7 +162,7 @@ object MiningQueries {
     * vertices with degree < KcoreK (fixed-depth peeling, not a fixpoint
     * — the oracle unrolls exactly this many rounds).
     */
-  private[queries] val KcoreK = 3
+  private[queries] val KcoreK = 2
   private[queries] val KcoreRounds = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,11 +416,11 @@ object MiningQueries {
     */
   private def duckKcoreCtes: String =
     (1 to KcoreRounds).map { t =>
-      s"""d$t AS (SELECT u, COUNT(*) AS dg FROM (
+      s"""d$t AS MATERIALIZED (SELECT u, COUNT(*) AS dg FROM (
          |    SELECT pa AS u FROM e${t - 1} UNION ALL SELECT pb FROM e${t - 1})
          |  GROUP BY u),
-         |k$t AS (SELECT u FROM d$t WHERE dg >= $KcoreK),
-         |e$t AS (SELECT pa, pb FROM e${t - 1}
+         |k$t AS MATERIALIZED (SELECT u FROM d$t WHERE dg >= $KcoreK),
+         |e$t AS MATERIALIZED (SELECT pa, pb FROM e${t - 1}
          |        JOIN k$t a ON a.u = pa JOIN k$t b ON b.u = pb)""".stripMargin
     }.mkString(",\n")
 
@@ -451,8 +451,8 @@ object MiningQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_graph_kcore" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
          |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
          |         AND a.l_partkey < b.l_partkey
          |       GROUP BY 1, 2 HAVING COUNT(*) >= $TriSupport),
@@ -462,14 +462,14 @@ object MiningQueries {
          |  UNION ALL SELECT pb FROM e$KcoreRounds)
          |GROUP BY part ORDER BY deg DESC, part LIMIT 50""".stripMargin,
     "q_graph_triangles" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
          |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
          |         AND a.l_partkey < b.l_partkey
          |       GROUP BY 1, 2 HAVING COUNT(*) >= $TriSupport),
          |und AS (SELECT pa AS u FROM e0 UNION ALL SELECT pb FROM e0),
          |deg AS (SELECT u, COUNT(*) AS dg FROM und GROUP BY u),
-         |orr AS (SELECT
+         |orr AS MATERIALIZED (SELECT
          |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb) THEN pa ELSE pb END AS s,
          |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb) THEN pb ELSE pa END AS t,
          |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb) THEN db.dg ELSE da.dg END AS dt
@@ -484,14 +484,14 @@ object MiningQueries {
          |GROUP BY part ORDER BY tri DESC, part LIMIT 25""".stripMargin,
     "q_jaccard_prefix" ->
       s"""WITH ${DedupQueries.duckShingleCte},
-         |f AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
-         |r AS (SELECT t.doc_id, t.sh,
+         |f AS MATERIALIZED (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+         |r AS MATERIALIZED (SELECT t.doc_id, t.sh,
          |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.sh) AS pos,
          |    COUNT(*) OVER (PARTITION BY t.doc_id) AS m
          |  FROM sh t JOIN f USING (sh)),
-         |p AS (SELECT doc_id, sh FROM r
+         |p AS MATERIALIZED (SELECT doc_id, sh FROM r
          |      WHERE pos <= m - ($JacNum * m + ${JacDen - 1}) // $JacDen + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          |ins AS (SELECT c.ia, c.ib, CAST(COUNT(*) AS BIGINT) AS inter
          |  FROM cand c JOIN sh a ON a.doc_id = c.ia

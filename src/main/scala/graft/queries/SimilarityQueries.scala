@@ -578,6 +578,37 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Incremental SemDeDup — the ingest path of q_semdedup, completing
+    // the incremental triad (q_dedup_incremental, q_ann_incremental):
+    // a newly-arrived embedding batch is checked against the EXISTING
+    // corpus through the already-trained coarse quantizer. Batch and
+    // corpus assign to cells in one codegen pass; candidates are the
+    // same-cell corpus vectors only; each batch vector keeps its single
+    // best match through the bounded top-1 aggregate (O(1) state, no
+    // window) and is flagged dup at the SemDeDup floor. Never a
+    // batch x corpus product, no re-clustering of the world.
+    "q_semdedup_incremental" -> ((s, d) => {
+      CosineFunctions.register(s)
+      graft.ops.GraftAggregates.register(s)
+      graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val batch = e.filter(col("vec_id") % AnnIncrMod === AnnIncrRem)
+        .select(col("cell"), col("vec_id").as("bid"), col("embedding").as("bv"))
+      val corpus = e.filter(col("vec_id") % AnnIncrMod =!= AnnIncrRem)
+        .select(col("cell"), col("vec_id").as("mid"), col("embedding").as("mv"))
+      batch.join(corpus, Seq("cell"))
+        .select(col("bid"), col("cell"), col("mid"),
+          expr("array_cosine_similarity(bv, mv)").as("sim_d"))
+        .groupBy("bid", "cell")
+        .agg(expr("graft_top_k(struct(-sim_d AS s, mid AS m, sim_d AS sim_d), 1)").as("top"))
+        .select(col("bid").as("vec_id"), col("cell"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("cell"), col("t.m").as("match_id"),
+          col("t.sim_d").cast(FloatType).as("sim"),
+          (col("t.sim_d") >= SemDedupSim).as("dup"))
+        .orderBy("vec_id")
+    }),
+
     // Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
     // greedy top-MmrK selection maximizing lambda*relevance -
     // (1-lambda)*max-similarity-to-already-picked (lambda = 0.7, scaled
@@ -966,12 +997,56 @@ object SimilarityQueries {
          |ORDER BY qid, d_adc, vec_id""".stripMargin
     },
 
-    // Quantizer training + assignment + within-cell pairwise + the same
-    // recursive transitive closure the dedup-clusters oracle uses.
+    // Quantizer training + assignment + within-cell pairwise, then the
+    // components as UNROLLED pointer-jumping min-label stages — the same
+    // (own label, neighbors' labels, label's label) -> MIN update
+    // ConnectedComponents.labelPropagate runs, for the same maxIter cap.
+    // The near-dup graph here is a LONG CHAIN (the synthetic embeddings
+    // drift by id), so a naive recursive transitive closure would run
+    // ~diameter iterations and materialize all-pairs reach — it spilled
+    // tens of GB at sf0.1. Pointer jumping converges in ~log(diameter)
+    // and each stage is three node/edge-sized joins.
     "q_semdedup" -> {
       val cos = oracleCos("a.embedding", "b.embedding")
       val asgCos = oracleCos("e.embedding", "c.cv")
-      s"""WITH RECURSIVE ${ivfOracleCtes(IvfIters)},
+      val maxIter = 25 // = labelPropagate's cap; idempotent past convergence
+      val stages = (1 to maxIter).map { t =>
+        s"""l$t AS MATERIALIZED (SELECT node, MIN(label) AS label FROM (
+           |    SELECT node, label FROM l${t - 1}
+           |    UNION ALL
+           |    SELECT e.a AS node, l.label FROM edges e
+           |      JOIN l${t - 1} l ON l.node = e.b
+           |    UNION ALL
+           |    SELECT l1.node, l2.label FROM l${t - 1} l1
+           |      JOIN l${t - 1} l2 ON l1.label = l2.node
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfOracleCtes(IvfIters)},
+         |asg AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $asgCos DESC, c.cid) AS rn
+         |    FROM embeddings e, c$IvfIters c) x WHERE rn = 1),
+         |av AS MATERIALIZED (SELECT e.vec_id, e.embedding, asg.cell
+         |       FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id),
+         |p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $cos >= $SemDedupSim),
+         |edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         |l0 AS MATERIALIZED (SELECT a AS node, a AS label FROM edges GROUP BY a),
+         |$stages
+         |SELECT l.node AS vec_id, l.label AS keeper, asg.cell
+         |FROM l$maxIter l JOIN asg ON asg.vec_id = l.node
+         |WHERE l.label < l.node
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // Same quantizer replay as q_semdedup; the batch/corpus split and the
+    // top-1 window mirror the Spark bounded aggregate's tie-break.
+    "q_semdedup_incremental" -> {
+      val cos = oracleCos("b.embedding", "c.embedding")
+      val asgCos = oracleCos("e.embedding", "c.cv")
+      s"""WITH ${ivfOracleCtes(IvfIters)},
          |asg AS (SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cid AS cell,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -979,19 +1054,16 @@ object SimilarityQueries {
          |    FROM embeddings e, c$IvfIters c) x WHERE rn = 1),
          |av AS (SELECT e.vec_id, e.embedding, asg.cell
          |       FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id),
-         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE $cos >= $SemDedupSim),
-         |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         |reach AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS keeper
-         |  FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) < a)
-         |SELECT c.vec_id, c.keeper, asg.cell
-         |FROM comp c JOIN asg ON asg.vec_id = c.vec_id
-         |ORDER BY c.vec_id""".stripMargin
+         |scored AS (SELECT b.vec_id, b.cell, c.vec_id AS match_id,
+         |    $cos AS sim_d,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS rn
+         |  FROM av b JOIN av c ON b.cell = c.cell
+         |  WHERE b.vec_id % $AnnIncrMod = $AnnIncrRem
+         |    AND c.vec_id % $AnnIncrMod <> $AnnIncrRem)
+         |SELECT vec_id, cell, match_id, CAST(sim_d AS REAL) AS sim,
+         |  sim_d >= $SemDedupSim AS dup
+         |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
 
     // Unrolled greedy MMR: step k's CTE cross-joins the k-1 winner CTEs,

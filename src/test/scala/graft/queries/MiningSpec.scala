@@ -67,7 +67,12 @@ class MiningSpec extends AnyFunSuite {
         support((parts(i), parts(j))) =
           support.getOrElse((parts(i), parts(j)), 0) + 1
     }
-    support.collect {
+    // .iterator first: Map.collect with a pair-valued function resolves
+    // to the MAP-REBUILDING overload, which would silently collapse the
+    // edge set to one edge per distinct first endpoint (and did, leaving
+    // the triangle comparison vacuously empty until the k-core test
+    // tripped over it).
+    support.iterator.collect {
       case (e, c) if c >= MiningQueries.TriSupport => e
     }.toSet
   }
@@ -106,6 +111,9 @@ class MiningSpec extends AnyFunSuite {
       }
     }
     val want = triPer.toSeq.sortBy { case (p, n) => (-n, p) }.take(rows.length)
+    // a short `want` would make the zip comparison vacuous — pin lengths
+    assert(want.length == rows.length,
+      s"reference found ${want.length} triangle-bearing parts, query ${rows.length}")
     rows.zip(want).foreach { case (r, (p, n)) =>
       assert(r.getLong(0) == p && r.getLong(1) == n,
         s"got (${r.getLong(0)}, ${r.getLong(1)}) want ($p, $n)")
@@ -158,6 +166,8 @@ class MiningSpec extends AnyFunSuite {
     val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
     val want = deg.toSeq.sortBy { case (p, n) => (-n, p) }.take(rows.length)
+    assert(want.length == rows.length,
+      s"reference kept ${want.length} vertices, query ${rows.length}")
     rows.zip(want).foreach { case (r, (p, n)) =>
       assert(r.getLong(0) == p && r.getLong(1) == n,
         s"got (${r.getLong(0)}, ${r.getLong(1)}) want ($p, $n)")

@@ -59,6 +59,32 @@ class SemanticDedupSpec extends AnyFunSuite {
       == want)
   }
 
+  test("q_semdedup_incremental flags exactly the batch vectors with a same-cell match") {
+    val rows = SparkEntry.queries("q_semdedup_incremental")(spark, sf).collect()
+    val cents = SimilarityQueries.ivfCentroids(
+      spark, sf, SimilarityQueries.IvfIters)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cos(v, c), cid) }
+        .minBy { case (sim, cid) => (-sim, cid) }._2
+    }
+    val (mod, rem) = (SimilarityQueries.AnnIncrMod, SimilarityQueries.AnnIncrRem)
+    val corpus = vecs.keys.filter(_ % mod != rem).toSeq.sorted
+    val expected = vecs.keys.filter(_ % mod == rem).toSeq.sorted.flatMap { b =>
+      val cands = corpus.filter(c => cellOf(c) == cellOf(b))
+      if (cands.isEmpty) None
+      else {
+        val (m, sim) = cands.map(c => (c, cos(vecs(b), vecs(c))))
+          .minBy { case (c, s) => (-s, c) }
+        Some((b, cellOf(b), m, sim.toFloat,
+          sim >= SimilarityQueries.SemDedupSim))
+      }
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getFloat(3), r.getBoolean(4))).toSeq == expected)
+    assert(expected.exists(_._5) && expected.exists(!_._5),
+      "threshold should split the batch at this SF")
+  }
+
   test("q_mmr_rerank matches a driver-side greedy reference") {
     val rows = SparkEntry.queries("q_mmr_rerank")(spark, sf).collect()
     def micro(x: Double): Long =
