@@ -31,6 +31,11 @@ object CurationQueries {
     */
   private[queries] val BenchMod = 50
 
+  /** Sample size per source for q_weighted_sample (A-ES weighted
+    * sampling without replacement); shared with the oracle.
+    */
+  private[queries] val WeightedK = 5
+
   /** Bloom-filter geometry for q_bloom_decontam: m bits, k probes. The
     * k bit positions are DISJOINT 12-bit slices of the gram's 60-bit
     * portable hash (bits [12j, 12j+12) — the same digest-carving trick
@@ -424,6 +429,29 @@ object CurationQueries {
         .select(col("source"), col("n_docs"), col("share_ppm"), col("rate_ppm"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy("source")
+    }),
+
+    // Weighted sampling without replacement (A-ES, Efraimidis–Spirakis):
+    // per source, keep the WeightedK docs with the largest u^(1/w) —
+    // equivalently the largest ln(u)/w, the form used here — with
+    // w = n_chars and u the portable 60-bit hash normalized to (0,1).
+    // One scan computes every key (no per-group state), a per-group
+    // top-k window takes the winners; at 100 TB the window becomes a
+    // `graft_top_k` aggregate (O(k) state, no per-group sort), but the
+    // ordering — and therefore the sample — is identical. Deterministic:
+    // the ln is FLOAT-collapsed before the one exact double division.
+    "q_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("CAST(CAST(ln(CAST(" + h60("CAST(doc_id AS STRING)") +
+            " AS DOUBLE) / 1152921504606846976.0) AS FLOAT) AS DOUBLE)" +
+            " / CAST(n_chars AS DOUBLE)").as("es_key"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("es_key").desc, col("doc_id"))))
+        .filter(col("rn") <= WeightedK)
+        .select("source", "rn", "doc_id", "n_chars", "es_key")
+        .orderBy("source", "rn")
     })
   )
 
@@ -632,6 +660,20 @@ object CurationQueries {
          |SELECT r.source, r.n_docs, r.share_ppm, r.rate_ppm,
          |  CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
          |FROM rated r LEFT JOIN kept k USING (source)
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(CAST(ln(CAST(${duckH60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |      / 1152921504606846976.0) AS REAL) AS DOUBLE)
+         |      / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, n_chars, es_key,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY es_key DESC, doc_id) AS rn
+         |  FROM k)
+         |SELECT source, rn, doc_id, n_chars, es_key
+         |FROM r WHERE rn <= $WeightedK ORDER BY source, rn""".stripMargin
   )
 }

@@ -53,6 +53,30 @@ object PipelineQueries {
   private[queries] val QuantBucket = 100
   private[queries] val QuantPcts = Seq(50, 90, 99)
 
+  /** Z-order (Morton) layout geometry: ZBits bits per dimension
+    * interleaved into a 2*ZBits-bit key, bucketed by its top bits into
+    * 2^ZBits / ZBucketDiv range files. The interleave is unrolled into
+    * one static integer expression per dialect — identical bit math, no
+    * UDF — via [[zInterleave]].
+    */
+  private[queries] val ZBits = 8
+  private[queries] val ZBucketDiv = 256
+
+  /** Bit-interleave expression for dialect `shl`/`shr` operators:
+    * sum over i of ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1).
+    */
+  private[queries] def zInterleave(x: String, y: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until ZBits).map { i =>
+      s"${shl(s"(${shr(x, i)} & 1)", 2 * i)} + ${shl(s"(${shr(y, i)} & 1)", 2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  private[queries] def zSpark(x: String, y: String): String =
+    zInterleave(x, y, (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+
+  private[queries] def zDuck(x: String, y: String): String =
+    zInterleave(x, y, (e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary media column + batched per-partition decode (stubbed kernel).
     "q_multimodal_decode" -> ((s, d) => {
@@ -353,6 +377,58 @@ object PipelineQueries {
         .groupBy("event_type")
         .agg(expr("graft_kmv(h, 32)").as("est_users"))
         .orderBy("event_type")
+    }),
+
+    // Z-order (Morton) data layout: interleave the bits of two query
+    // dimensions (user bucket x, hour bucket y) into one sort key, then
+    // audit per-range-bucket min/max spans. At 100 TB the z-key is the
+    // `repartitionByRange` + sortWithinPartitions key at write time, so
+    // every file's min/max footer covers a NARROW range of BOTH
+    // dimensions and scans filtering on either prune files — the
+    // multi-dimensional clustering trick behind lakehouse OPTIMIZE
+    // ZORDER. Here the layout audit itself is the query: one scan, one
+    // hash aggregate (bucket count is fixed), exact integer bit math.
+    "q_zorder_layout" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .select(expr(s"user_id % ${1 << ZBits}").as("xb"),
+          expr(s"(unix_micros(ts) div 3600000000) % ${1 << ZBits}").as("yb"))
+        .withColumn("zval", expr(zSpark("xb", "yb")))
+        .withColumn("zbucket", expr(s"zval div $ZBucketDiv"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("xb").as("min_x"), max("xb").as("max_x"),
+          min("yb").as("min_y"), max("yb").as("max_y"))
+        .withColumn("span_x", col("max_x") - col("min_x"))
+        .withColumn("span_y", col("max_y") - col("min_y"))
+        .orderBy("zbucket")
+    }),
+
+    // CDC upsert/delete merge (the MERGE INTO shape): reduce the change
+    // stream to its last event per key (shuffle by key, then a bounded
+    // window over per-key groups), then one full-outer join against the
+    // base table applies keeps/updates/inserts and drops deletes. At
+    // 100 TB both sides shuffle-partition on the merge key (no
+    // broadcast: the base is the big side and full-outer needs both),
+    // AQE handles hot keys; the change reduction is the classic
+    // "compact the CDC log before merging" step.
+    "q_cdc_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val last = Tables.load(s, d, "events")
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val base = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      base.join(last, base("c_custkey") === last("user_id"), "full_outer")
+        .filter(col("user_id").isNull || col("event_type") =!= "error")
+        .select(coalesce(col("c_custkey"), col("user_id")).as("custkey"),
+          col("c_name"),
+          coalesce(col("value"), col("c_acctbal")).as("acctbal"),
+          when(col("user_id").isNull, lit("keep"))
+            .when(col("c_custkey").isNull, lit("insert"))
+            .otherwise(lit("update")).as("op"))
+        .orderBy("custkey")
     })
   )
 
@@ -574,6 +650,36 @@ object PipelineQueries {
         |  CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
         |       ELSE 31.0 * 1152921504606846976.0 / CAST(h AS DOUBLE) END AS est_users
         |FROM r WHERE rn = CASE WHEN n < 32 THEN n ELSE 32 END
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q_zorder_layout" -> {
+      s"""WITH xy AS (
+         |  SELECT user_id % ${1 << ZBits} AS xb,
+         |    ((epoch_us(ts) // 3600000000) % ${1 << ZBits}) AS yb
+         |  FROM events),
+         |z AS (SELECT xb, yb, ${zDuck("xb", "yb")} AS zval FROM xy)
+         |SELECT zval // $ZBucketDiv AS zbucket, COUNT(*) AS n,
+         |  MIN(xb) AS min_x, MAX(xb) AS max_x,
+         |  MIN(yb) AS min_y, MAX(yb) AS max_y,
+         |  MAX(xb) - MIN(xb) AS span_x, MAX(yb) - MIN(yb) AS span_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_cdc_merge" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.user_id) AS custkey,
+        |  c.c_name AS c_name,
+        |  COALESCE(l.value, c.c_acctbal) AS acctbal,
+        |  CASE WHEN l.user_id IS NULL THEN 'keep'
+        |       WHEN c.c_custkey IS NULL THEN 'insert'
+        |       ELSE 'update' END AS op
+        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.user_id
+        |WHERE l.user_id IS NULL OR l.event_type <> 'error'
+        |ORDER BY custkey""".stripMargin
   )
 }

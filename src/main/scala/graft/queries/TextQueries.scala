@@ -51,6 +51,16 @@ object TextQueries {
     */
   private[queries] val PmiMinCount = 5
 
+  /** Zipf-fit depth: ranks 1..ZipfTop enter the log-log regression. */
+  private[queries] val ZipfTop = 100
+
+  /** ln(col) on the exact micro-nat integer grid, FLOAT-collapsed first
+    * (floatT = FLOAT for Spark, REAL for DuckDB) so JVM/libm last-ulp
+    * differences cannot reach the regression sums.
+    */
+  private[queries] def ZipfUnats(c: String, floatT: String): String =
+    s"CAST(ROUND(CAST(CAST(ln(CAST($c AS DOUBLE)) AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+
   /** Micro-nat PMI of a (c12, c1, c2, n, nb) row — probability ratios
     * in one fixed-shape double expression, FLOAT-collapsed before the
     * integer grid; ONE definition for the Spark plan (floatT = FLOAT)
@@ -345,6 +355,36 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
         .select("lang", "n_kept", "first_id", "threshold")
         .orderBy("lang")
+    }),
+
+    // Zipf slope per language: least-squares fit of ln(freq) on
+    // ln(rank) over the top ZipfTop words — the standard corpus-health
+    // check (natural text sits near slope -1; generated or boilerplate
+    // text drifts). One scan + hash aggregate builds the frequency
+    // table (vocabulary-sized, NOT corpus-sized), the rank window sorts
+    // only per-language vocabularies, and the regression is exact
+    // integer sums on the micro-nat grid (FLOAT-collapsed ln), so both
+    // engines produce identical bits with one final double division.
+    "q_text_zipf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("word"))))
+        .filter(col("r") <= ZipfTop)
+        .select(col("lang"),
+          expr(ZipfUnats("r", "FLOAT")).as("x"),
+          expr(ZipfUnats("n", "FLOAT")).as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("n_words"),
+          expr("CAST(n_words * sxy - sx * sy AS DOUBLE)" +
+            " / CAST(n_words * sxx - sx * sx AS DOUBLE)").as("zipf_slope"))
+        .orderBy("lang")
     })
   )
 
@@ -475,6 +515,26 @@ object TextQueries {
          |m AS (SELECT quantile_cont(q, 0.5) AS threshold FROM s)
          |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id, threshold
          |FROM s CROSS JOIN m WHERE q > threshold
-         |GROUP BY lang, threshold ORDER BY lang""".stripMargin
+         |GROUP BY lang, threshold ORDER BY lang""".stripMargin,
+    "q_text_zipf" ->
+      s"""WITH w AS (
+         |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS word
+         |  FROM documents),
+         |f AS (SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word),
+         |rk AS (SELECT lang, n,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS r
+         |  FROM f),
+         |g AS (SELECT lang, ${ZipfUnats("r", "REAL")} AS x,
+         |    ${ZipfUnats("n", "REAL")} AS y
+         |  FROM rk WHERE r <= $ZipfTop),
+         |a AS (SELECT lang, COUNT(*) AS n_words,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM g GROUP BY lang)
+         |SELECT lang, n_words,
+         |  CAST(n_words * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n_words * sxx - sx * sx AS DOUBLE) AS zipf_slope
+         |FROM a ORDER BY lang""".stripMargin
   )
 }
