@@ -37,7 +37,7 @@ object ConnectedComponents {
     * analysis of the growing tree quickly dominates the actual
     * sub-second execution.
     */
-  private def truncate(df: DataFrame): (DataFrame, RDD[Row]) = {
+  private def truncate(df: DataFrame, eager: Boolean = true): (DataFrame, RDD[Row]) = {
     val spark = df.sparkSession
     val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir").getOrElse("")
     val rdd = df.rdd
@@ -65,7 +65,10 @@ object ConnectedComponents {
     } else {
       rdd.localCheckpoint()
     }
-    rdd.count() // eager
+    // A non-eager caller promises to run an action on the returned frame
+    // immediately (it folds materialization into work it needs anyway,
+    // e.g. the convergence sum) — the checkpoint must not stay pending.
+    if (eager) rdd.count()
     (spark.createDataFrame(rdd, df.schema), rdd)
   }
 
@@ -101,7 +104,21 @@ object ConnectedComponents {
     var (labels, labelsRdd) = truncate(sym.select(col("a").as("node"))
       .union(sym.select(col("b").as("node")))
       .distinct()
-      .withColumn("label", col("node")))
+      .withColumn("label", col("node")), eager = false)
+    // Convergence via the exact label sum: every step takes a MIN over a
+    // set containing the node's current label, so labels are pointwise
+    // non-increasing and an unchanged sum means an unchanged assignment.
+    // The sum is DECIMAL(38,0) (node ids times node count overflows
+    // BIGINT at planetary scale, and a silent wrap could false-converge)
+    // and doubles as the action that materializes each generation's
+    // checkpoint — one tiny job per round where a join-based changed?
+    // probe was a second shuffle over both label frames.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -116,16 +133,15 @@ object ConnectedComponents {
         .select(col("node"), col("label2").as("label"))
       val (next, nextRdd) = truncate(
         labels.select("node", "label").union(viaNeighbors).union(viaLabel)
-          .groupBy("node").agg(min("label").as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
+          .groupBy("node").agg(min("label").as("label")), eager = false)
+      val nextSum = labelSum(next) // materializes the checkpoint
       release(spark, labelsRdd) // superseded generation: blocks + ckpt files
       labels = next
       labelsRdd = nextRdd
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] iter=$iter changed=$changed")
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] iter=$iter sum=$nextSum")
     }
     release(spark, symRdd) // final labels are themselves checkpointed
     (labels, iter)
