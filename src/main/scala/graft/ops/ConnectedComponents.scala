@@ -86,12 +86,67 @@ object ConnectedComponents {
     }
   }
 
+  /** Edge-count ceiling for the driver-local solve in [[labelPropagate]]:
+    * below it the (already candidate-pruned) pair graph is collected and
+    * union-found on the driver. 4M edges = two longs each = ~64 MB — the
+    * same budget class as a broadcast-join small side. Override with
+    * `spark.graft.cc.localThreshold` (0 disables the local path).
+    */
+  val DefaultLocalThreshold = 4000000L
+
   /** @param edges two long columns (a, b), undirected.
     * @return (node, label) for every node appearing in `edges`, where
     *         label = min node id reachable from it.
+    *
+    * Adaptive: a dedup pipeline's pair graph is CANDIDATES, already
+    * pruned by banding/blocking, and is routinely orders of magnitude
+    * smaller than the corpus. When it fits the (configurable) driver
+    * budget, collecting it and running union-find locally is the same
+    * move as broadcasting a small join side — and replaces ~log(diameter)
+    * shuffle rounds with one collect. Larger graphs take the distributed
+    * pointer-jumping path ([[labelPropagateWithStats]]); both produce the
+    * identical min-label fixpoint (OpsSpec pins the equivalence).
     */
-  def labelPropagate(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame =
-    labelPropagateWithStats(spark, edges, maxIter)._1
+  def labelPropagate(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val threshold = spark.conf.getOption("spark.graft.cc.localThreshold")
+      .map(_.toLong).getOrElse(DefaultLocalThreshold)
+    val edgesAb = edges.toDF("a", "b")
+    val n = if (threshold > 0 && threshold < Int.MaxValue)
+      edgesAb.limit(threshold.toInt + 1).count() else Long.MaxValue
+    if (n <= threshold) localUnionFind(spark, edgesAb)
+    else labelPropagateWithStats(spark, edgesAb, maxIter)._1
+  }
+
+  /** Driver-side union-find with path halving + min-label roots; same
+    * result as the distributed fixpoint: label = min reachable node.
+    */
+  private def localUnionFind(spark: SparkSession, edgesAb: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    val rows = edgesAb.select(col("a").cast("long"), col("b").cast("long")).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so the representative is the component minimum
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keys.toArray.sorted.map(nd => Row(nd, find(nd)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, math.max(1, out.length / 500000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** [[labelPropagate]] plus the iteration count it converged in (the
     * spec pins ~log(diameter) growth on a chain graph).

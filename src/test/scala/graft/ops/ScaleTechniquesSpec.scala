@@ -127,6 +127,29 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("local union-find path equals the distributed fixpoint") {
+    import spark.implicits._
+    // Deterministic messy graph: chains, a star, self-loops, dup edges,
+    // reversed edges, and a few cross-links merging components.
+    val edges = (
+      (0L until 400L).map(i => (i * 7 % 1000, i * 13 % 1000)) ++
+        Seq((5L, 5L), (1L, 2L), (2L, 1L), (999L, 0L))
+      ).toDF("a", "b")
+    val distributed = ConnectedComponents
+      .labelPropagateWithStats(spark, edges, maxIter = 25)._1
+      .as[(Long, Long)].collect().toMap
+    // Force the local path regardless of the default threshold.
+    spark.conf.set("spark.graft.cc.localThreshold", "1000000")
+    val local =
+      try ConnectedComponents.labelPropagate(spark, edges)
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.cc.localThreshold")
+    assert(local.size == distributed.size)
+    assert(local == distributed)
+    // And the representative really is the component minimum.
+    assert(local.forall { case (node, label) => label <= node })
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
