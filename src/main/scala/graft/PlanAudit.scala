@@ -72,7 +72,14 @@ object PlanAudit {
     "q_domain_cap" -> "domain cap: ONE source-partitioned window (partition key = shuffle key), per-source agg, no global sort",
     "q_pipeline_curate" -> "composed funnel: cap window + broadcast bench grams + anti-join, per-source frames all broadcast",
     "q_semdedup" -> "salted within-cell self-join: join key (cell, salt) spreads each quadratic block, codegen assignment, no all-pairs",
-    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product")
+    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product",
+    "q_zorder_layout" -> "z-order layout audit: unrolled integer bit-interleave in codegen, one scan + fixed-size bucket hash agg, no UDF, no window",
+    "q_cdc_merge" -> "CDC merge: change log compacted by key-partitioned window, then ONE full-outer shuffle join on the merge key (no broadcast possible, both sides keyed)",
+    "q_weighted_sample" -> "A-ES weighted sample: keys in one codegen scan, per-source top-k window only (vocabulary-sized groups), no global sort",
+    "q_text_zipf" -> "Zipf fit: vocab-sized hash agg, rank window over per-lang vocab only, exact BIGINT regression sums — corpus never sorted",
+    "q_skew_audit" -> "skew diagnostics: per-key hash agg + bounded graft_top_k hitters + one totals row — NO global sort, state O(k)",
+    "q_curriculum" -> "curriculum phasing: cumulative over the ≤1001-row histogram only, threshold row broadcast back, corpus never sorted",
+    "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

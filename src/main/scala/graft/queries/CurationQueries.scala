@@ -36,6 +36,12 @@ object CurationQueries {
     */
   private[queries] val WeightedK = 5
 
+  /** Character-length bucket width for q_dpo_pairs (pairs are formed
+    * within same-source, same-length-band groups so the preference
+    * signal is quality, not length); shared with the oracle.
+    */
+  private[queries] val DpoLenBucket = 100
+
   /** Bloom-filter geometry for q_bloom_decontam: m bits, k probes. The
     * k bit positions are DISJOINT 12-bit slices of the gram's 60-bit
     * portable hash (bits [12j, 12j+12) — the same digest-carving trick
@@ -452,6 +458,64 @@ object CurationQueries {
         .filter(col("rn") <= WeightedK)
         .select("source", "rn", "doc_id", "n_chars", "es_key")
         .orderBy("source", "rn")
+    }),
+
+    // Curriculum phasing: split the corpus into three quality bands with
+    // DATA-DERIVED boundaries and NO global sort — quality lands on a
+    // fixed milli-grid, the cumulative runs over the ≤1001-row HISTOGRAM
+    // (the q_quantile_hist trick), and the two threshold buckets come
+    // back as one broadcast row. Per-phase doc/token totals are what a
+    // training scheduler consumes.
+    "q_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, d, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens",
+          s"CAST(floor((${TextQueries.QualityExpr}) * 1000) AS BIGINT) AS qb")
+      val hist = scored.groupBy("qb").agg(count(lit(1)).as("n"))
+      val cum = hist
+        .withColumn("cum", sum("n").over(Window.orderBy("qb")))
+        .crossJoin(broadcast(hist.agg(sum("n").as("tot"))))
+      val thresholds = cum.agg(
+        min(when(col("cum") * 3 >= col("tot"), col("qb"))).as("t1"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("qb"))).as("t2"))
+      scored.crossJoin(broadcast(thresholds))
+        .withColumn("phase", when(col("qb") <= col("t1"), lit(1L))
+          .when(col("qb") <= col("t2"), lit(2L)).otherwise(lit(3L)))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"), min("qb").as("min_qb"),
+          max("qb").as("max_qb"), sum("n_tokens").as("tokens"))
+        .orderBy("phase")
+    }),
+
+    // Preference-pair construction (DPO/RLHF data prep): within each
+    // (source, length-band) group, the top-quality doc becomes `chosen`
+    // and the bottom-quality doc `rejected` — controlling for source and
+    // length so the pair's contrast is quality. Both extremes come from
+    // the SAME shuffle partitioning (two windows, one exchange);
+    // single-doc groups self-pair and are dropped. Scale: group count is
+    // bounded by sources x bands, per-group state is one row each way.
+    "q_dpo_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, d, "documents")
+        .selectExpr("doc_id", "source", s"n_chars DIV $DpoLenBucket AS len_bucket",
+          s"(${TextQueries.QualityExpr}) AS q")
+      val both = scored
+        .withColumn("rn_top", row_number().over(Window
+          .partitionBy("source", "len_bucket").orderBy(col("q").desc, col("doc_id"))))
+        .withColumn("rn_bot", row_number().over(Window
+          .partitionBy("source", "len_bucket").orderBy(col("q").asc, col("doc_id"))))
+      val chosen = both.filter(col("rn_top") === 1)
+        .select(col("source"), col("len_bucket"),
+          col("doc_id").as("chosen_id"), col("q").as("chosen_q"))
+      val rejected = both.filter(col("rn_bot") === 1)
+        .select(col("source"), col("len_bucket"),
+          col("doc_id").as("rejected_id"), col("q").as("rejected_q"))
+      chosen.join(rejected, Seq("source", "len_bucket"))
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .select(col("source"), col("len_bucket"), col("chosen_id"),
+          col("rejected_id"),
+          (col("chosen_q") - col("rejected_q")).as("quality_gap"))
+        .orderBy("source", "len_bucket")
     })
   )
 
@@ -674,6 +738,39 @@ object CurationQueries {
          |      ORDER BY es_key DESC, doc_id) AS rn
          |  FROM k)
          |SELECT source, rn, doc_id, n_chars, es_key
-         |FROM r WHERE rn <= $WeightedK ORDER BY source, rn""".stripMargin
+         |FROM r WHERE rn <= $WeightedK ORDER BY source, rn""".stripMargin,
+
+    "q_curriculum" ->
+      s"""WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(floor((${TextQueries.DuckQualityExpr}) * 1000) AS BIGINT) AS qb
+         |  FROM documents),
+         |h AS (SELECT qb, COUNT(*) AS n FROM s GROUP BY qb),
+         |c AS (SELECT qb, SUM(n) OVER (ORDER BY qb) AS cum FROM h),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM h),
+         |th AS (SELECT MIN(CASE WHEN cum * 3 >= tot THEN qb END) AS t1,
+         |    MIN(CASE WHEN cum * 3 >= tot * 2 THEN qb END) AS t2
+         |  FROM c CROSS JOIN tt)
+         |SELECT CAST(CASE WHEN qb <= t1 THEN 1 WHEN qb <= t2 THEN 2
+         |    ELSE 3 END AS BIGINT) AS phase,
+         |  COUNT(*) AS n_docs, MIN(qb) AS min_qb, MAX(qb) AS max_qb,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
+         |FROM s CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dpo_pairs" ->
+      s"""WITH s AS (SELECT doc_id, source, n_chars // $DpoLenBucket AS len_bucket,
+         |    (${TextQueries.DuckQualityExpr}) AS q
+         |  FROM documents),
+         |r AS MATERIALIZED (SELECT doc_id, source, len_bucket, q,
+         |    ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+         |      ORDER BY q DESC, doc_id) AS rn_top,
+         |    ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+         |      ORDER BY q ASC, doc_id) AS rn_bot
+         |  FROM s)
+         |SELECT c.source, c.len_bucket, c.doc_id AS chosen_id,
+         |  b.doc_id AS rejected_id, c.q - b.q AS quality_gap
+         |FROM r c JOIN r b
+         |  ON c.source = b.source AND c.len_bucket = b.len_bucket
+         |WHERE c.rn_top = 1 AND b.rn_bot = 1 AND c.doc_id <> b.doc_id
+         |ORDER BY c.source, c.len_bucket""".stripMargin
   )
 }

@@ -62,6 +62,9 @@ object PipelineQueries {
   private[queries] val ZBits = 8
   private[queries] val ZBucketDiv = 256
 
+  /** Heavy-hitter count reported by q_skew_audit; shared with the oracle. */
+  private[queries] val SkewTopK = 10
+
   /** Bit-interleave expression for dialect `shl`/`shr` operators:
     * sum over i of ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1).
     */
@@ -429,6 +432,30 @@ object PipelineQueries {
             .when(col("c_custkey").isNull, lit("insert"))
             .otherwise(lit("update")).as("op"))
         .orderBy("custkey")
+    }),
+
+    // Join-key skew audit — the diagnostic that DECIDES when to salt
+    // (ops.Skew) or let AQE split: per-key counts (one hash aggregate),
+    // then heavy hitters via the bounded `graft_top_k` aggregate and the
+    // corpus totals as ONE more aggregate row — never a global sort, no
+    // per-key state beyond k. Each hitter reports its absolute count,
+    // corpus share in ppm, and x100-times-average concentration, all
+    // exact integer arithmetic.
+    "q_skew_audit" -> ((s, d) => {
+      graft.ops.GraftAggregates.register(s)
+      val counts = Tables.load(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val audit = counts.agg(
+        expr(s"graft_top_k(struct(-n AS s, user_id AS k, n AS n), $SkewTopK)").as("top"),
+        count(lit(1)).as("n_keys"), sum("n").as("total"))
+      audit.select(posexplode(col("top")).as(Seq("i", "hit")),
+          col("n_keys"), col("total"))
+        .select((col("i") + 1).as("rank"),
+          col("hit.k").as("user_id"), col("hit.n").as("n"),
+          expr("(hit.n * 1000000) DIV total").as("share_ppm"),
+          expr("(hit.n * n_keys * 100) DIV total").as("x_avg_100"),
+          col("n_keys"), col("total"))
+        .orderBy("rank")
     })
   )
 
@@ -680,6 +707,19 @@ object PipelineQueries {
         |       ELSE 'update' END AS op
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.user_id
         |WHERE l.user_id IS NULL OR l.event_type <> 'error'
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    "q_skew_audit" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |        CAST(SUM(n) AS BIGINT) AS total FROM c),
+         |r AS (SELECT user_id, n,
+         |        ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rank
+         |      FROM c)
+         |SELECT rank, user_id, n,
+         |  (n * 1000000) // total AS share_ppm,
+         |  (n * n_keys * 100) // total AS x_avg_100,
+         |  n_keys, total
+         |FROM r CROSS JOIN t WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin
   )
 }
