@@ -79,7 +79,10 @@ object PlanAudit {
     "q_text_zipf" -> "Zipf fit: vocab-sized hash agg, rank window over per-lang vocab only, exact BIGINT regression sums — corpus never sorted",
     "q_skew_audit" -> "skew diagnostics: per-key hash agg + bounded graft_top_k hitters + one totals row — NO global sort, state O(k)",
     "q_curriculum" -> "curriculum phasing: cumulative over the ≤1001-row histogram only, threshold row broadcast back, corpus never sorted",
-    "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count")
+    "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count",
+    "q_para_dedup" -> "paragraph dedup: chunk fingerprints -> ONE hash aggregate keeper + equi-join back — no self-join, no corpus window",
+    "q_text_entropy" -> "lexical entropy: explode + two hash aggs, FLOAT-collapsed micro-nat terms — no window, no sort before output",
+    "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

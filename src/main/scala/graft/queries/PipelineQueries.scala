@@ -65,6 +65,22 @@ object PipelineQueries {
   /** Heavy-hitter count reported by q_skew_audit; shared with the oracle. */
   private[queries] val SkewTopK = 10
 
+  /** (doc_id, chunk_id) packing base for q_para_dedup's first-occurrence
+    * key — safe while chunks-per-doc < ParaPack (ChunkMax-token windows
+    * of the synthetic docs top out far below it); shared with the oracle.
+    */
+  private[queries] val ParaPack = 100000L
+
+  /** Arrival-jitter span for q_stream_late's simulated reordering:
+    * events within LateJitter positions of each other may swap arrival
+    * order. Shared with the oracle.
+    */
+  private[queries] val LateJitter = 64
+
+  /** Portable 60-bit hash, Spark spelling (same as DedupQueries). */
+  private def h60p(c: String): String =
+    s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
+
   /** Bit-interleave expression for dialect `shl`/`shr` operators:
     * sum over i of ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1).
     */
@@ -456,6 +472,57 @@ object PipelineQueries {
           expr("(hit.n * n_keys * 100) DIV total").as("x_avg_100"),
           col("n_keys"), col("total"))
         .orderBy("rank")
+    }),
+
+    // Paragraph-level corpus dedup (the CCNet move: dedup PARAGRAPHS
+    // across the whole corpus, not documents — boilerplate headers and
+    // copied passages vanish while the rest of the document survives).
+    // Paragraph stand-in = the non-overlapping ChunkMax-token window;
+    // keeper = first occurrence by (doc_id, chunk_id), found with ONE
+    // fingerprint hash aggregate (no self-join, no window over the
+    // corpus); per-doc kept ratios are the curation signal. All exact
+    // integer/md5 arithmetic.
+    "q_para_dedup" -> ((s, d) => {
+      val chunks = graft.ops.Curation.chunkText(
+          Tables.load(s, d, "documents"), "doc_id", "text",
+          maxTokens = ChunkMax, overlap = 0)
+        .select(col("doc_id"), col("chunk_id"), col("fp"))
+        .withColumn("ck", expr(s"doc_id * $ParaPack + chunk_id"))
+      val keep = chunks.groupBy("fp").agg(min("ck").as("mink"))
+      chunks.join(keep, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("ck") === col("mink")).cast("long")).as("n_kept"))
+        .withColumn("kept_ratio",
+          expr("CAST(n_kept AS DOUBLE) / CAST(n_chunks AS DOUBLE)"))
+        .orderBy("doc_id")
+    }),
+
+    // Watermark-delay audit: per event type, how late do events arrive
+    // behind the event-time high-water mark, and what is the max lag —
+    // the number an operator SETS `withWatermark` / the dedup window to.
+    // The synthetic feed is time-ordered, so arrival reordering is
+    // SIMULATED with a deterministic hash jitter on the arrival key
+    // (clearly a simulation knob, like the multimodal decode stub; a
+    // real ingest would use the log offset). Shape: one window whose
+    // partition key IS the shuffle key, then a per-type hash agg.
+    "q_stream_late" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("tsu"),
+          expr(s"event_id + ${h60p("CAST(event_id AS STRING)")} % $LateJitter")
+            .as("arrival_key"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("arrival_key"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("hwm", max("tsu").over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("tsu") < col("hwm")).cast("long")).as("n_late"),
+          max(col("hwm") - col("tsu")).as("max_lag_us"))
+        .withColumn("late_ppm", expr("(n_late * 1000000) DIV n_events"))
+        .orderBy("event_type")
     })
   )
 
@@ -720,6 +787,44 @@ object PipelineQueries {
          |  (n * 1000000) // total AS share_ppm,
          |  (n * n_keys * 100) // total AS x_avg_100,
          |  n_keys, total
-         |FROM r CROSS JOIN t WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin
+         |FROM r CROSS JOIN t WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin,
+
+    "q_para_dedup" -> {
+      val max = ChunkMax // stride = max: non-overlapping windows
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+         |             len(string_split(lower(text), ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, w, n,
+         |        CASE WHEN n <= $max THEN 1
+         |             ELSE 1 + CAST(ceil(CAST(n - $max AS DOUBLE) / $max) AS INT) END AS nc
+         |      FROM d),
+         |e AS MATERIALIZED (SELECT doc_id, chunk_id,
+         |        doc_id * $ParaPack + chunk_id AS ck,
+         |        md5(array_to_string(w[(chunk_id * $max + 1):(chunk_id * $max + least($max, n - chunk_id * $max))], ' ')) AS fp
+         |      FROM (SELECT doc_id, w, n, UNNEST(range(0, nc)) AS chunk_id FROM c)),
+         |k AS (SELECT fp, MIN(ck) AS mink FROM e GROUP BY fp)
+         |SELECT e.doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN e.ck = k.mink THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(CAST(SUM(CASE WHEN e.ck = k.mink THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS kept_ratio
+         |FROM e JOIN k ON e.fp = k.fp
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+    },
+
+    "q_stream_late" ->
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tsu,
+         |    event_id + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % $LateJitter AS arrival_key
+         |  FROM events),
+         |h AS (SELECT event_type, tsu,
+         |    MAX(tsu) OVER (PARTITION BY event_type
+         |      ORDER BY arrival_key, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+         |  FROM e)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN tsu < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  MAX(hwm - tsu) AS max_lag_us,
+         |  (CAST(SUM(CASE WHEN tsu < hwm THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // COUNT(*) AS late_ppm
+         |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -54,6 +54,14 @@ object TextQueries {
   /** Zipf-fit depth: ranks 1..ZipfTop enter the log-log regression. */
   private[queries] val ZipfTop = 100
 
+  /** `x * ln(x)` on the exact micro-nat grid (x a positive integer
+    * column), FLOAT-collapsing the ln before the exact int-double
+    * product — the entropy term both engines compute bit-identically.
+    */
+  private[queries] def EntUnats(c: String, floatT: String): String =
+    s"CAST(ROUND(CAST($c AS DOUBLE) * " +
+      s"CAST(CAST(ln(CAST($c AS DOUBLE)) AS $floatT) AS DOUBLE) * 1000000) AS BIGINT)"
+
   /** ln(col) on the exact micro-nat integer grid, FLOAT-collapsed first
     * (floatT = FLOAT for Spark, REAL for DuckDB) so JVM/libm last-ulp
     * differences cannot reach the regression sums.
@@ -357,6 +365,30 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Per-document lexical entropy H = ln(n) - (1/n) * sum c_w ln c_w
+    // over the word distribution — the information-theoretic diversity
+    // signal next to TTR (word soup scores high, copy-paste repetition
+    // low). Shape: one explode + (doc, word) hash agg + per-doc hash agg
+    // — no window, no sort until the final ORDER BY. Exact: each
+    // c_w ln c_w term is FLOAT-collapsed onto the micro-nat grid, so the
+    // per-doc sum is an order-independent BIGINT and the division is one
+    // integer DIV; both engines produce identical bits.
+    "q_text_entropy" -> ((s, d) => {
+      DedupQueries.wordDF(s, d)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+          sum(expr(EntUnats("c", "FLOAT"))).as("s_unats"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          // H = (n ln n - sum c ln c) / n on the micro-nat grid. The
+          // GREATEST(0, _) guards the one-ulp-negative rounding case:
+          // Spark DIV truncates toward zero while the oracle's // floors,
+          // so a -1-micro numerator would otherwise diverge.
+          expr(s"CAST(GREATEST(0, ${EntUnats("n", "FLOAT")} - s_unats) DIV n AS DOUBLE)" +
+            " / CAST(1000000 AS DOUBLE)").as("entropy_nats"))
+        .orderBy("doc_id")
+    }),
+
     // Zipf slope per language: least-squares fit of ln(freq) on
     // ln(rank) over the top ZipfTop words — the standard corpus-health
     // check (natural text sits near slope -1; generated or boilerplate
@@ -516,6 +548,19 @@ object TextQueries {
          |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id, threshold
          |FROM s CROSS JOIN m WHERE q > threshold
          |GROUP BY lang, threshold ORDER BY lang""".stripMargin,
+    "q_text_entropy" ->
+      s"""WITH wc AS (SELECT doc_id, word, COUNT(*) AS c FROM
+         |    (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+         |     FROM documents) GROUP BY doc_id, word),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(SUM(${EntUnats("c", "REAL")}) AS BIGINT) AS s_unats
+         |  FROM wc GROUP BY doc_id)
+         |SELECT doc_id, n, n_distinct,
+         |  CAST(GREATEST(0, ${EntUnats("n", "REAL")} - s_unats) // n AS DOUBLE)
+         |    / CAST(1000000 AS DOUBLE) AS entropy_nats
+         |FROM a ORDER BY doc_id""".stripMargin,
+
     "q_text_zipf" ->
       s"""WITH w AS (
          |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS word
