@@ -82,7 +82,8 @@ object PlanAudit {
     "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count",
     "q_para_dedup" -> "paragraph dedup: chunk fingerprints -> ONE hash aggregate keeper + equi-join back — no self-join, no corpus window",
     "q_text_entropy" -> "lexical entropy: explode + two hash aggs, FLOAT-collapsed micro-nat terms — no window, no sort before output",
-    "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order")
+    "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order",
+    "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

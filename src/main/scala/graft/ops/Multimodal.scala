@@ -46,6 +46,52 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResizedFeatures(
+      doc_id: Long, n_bytes: Int, out_len: Int, checksum: Int,
+      first_px: Int, last_px: Int)
+
+  /** STUB nearest-neighbor resize kernel: maps the payload onto a fixed
+    * `outLen`-byte raster, output position j sampling source byte
+    * `(j * nb) / outLen` — the index arithmetic, bounded batching, and
+    * schema are the real resize plumbing; a real implementation would
+    * run codec + interpolation here. Payloads shorter than the target
+    * repeat source bytes (classic nearest-neighbor upscale), longer
+    * ones skip (downscale); memory per task is one payload + the fixed
+    * output raster.
+    */
+  def resizeBatch(batch: Seq[(Long, Array[Byte])], outLen: Int): Seq[ResizedFeatures] =
+    batch.map { case (id, bytes) =>
+      val nb = bytes.length
+      if (nb == 0) ResizedFeatures(id, 0, outLen, 0, -1, -1)
+      else {
+        var s = 0
+        var first = -1
+        var last = -1
+        var j = 0
+        while (j < outLen) {
+          val b = bytes(((j.toLong * nb) / outLen).toInt) & 0xff
+          if (j == 0) first = b
+          if (j == outLen - 1) last = b
+          s += b
+          j += 1
+        }
+        ResizedFeatures(id, nb, outLen, s, first, last)
+      }
+    }
+
+  /** documents → payload → batched per-partition resize (same bounded
+    * shape as [[decodeFeatures]]).
+    */
+  def resizeMedia(
+      spark: SparkSession, docs: DataFrame,
+      outLen: Int = 256, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => resizeBatch(g.toSeq, outLen)))
+      .toDF()
+  }
+
   final case class FrameFeatures(
       doc_id: Long, frame_id: Long, off: Long, fr_bytes: Int, checksum: Int)
 

@@ -25,6 +25,9 @@ object PipelineQueries {
   private[queries] val FrameSize = 32
   private[queries] val FrameStride = 4
 
+  /** Output raster length for q_multimodal_resize; shared with the oracle. */
+  private[queries] val ResizeOut = 256
+
   /** Count-Min Sketch geometry and probe words, shared with the oracle.
     * Width is fixed at 256: row r's bucket is byte r of the 60-bit
     * md5-prefix hash, counting from the LOW end — `(h >> 8r) & 255`,
@@ -111,6 +114,15 @@ object PipelineQueries {
       graft.ops.Multimodal.sampleFrames(s, Tables.load(s, d, "documents"),
           frameSize = FrameSize, stride = FrameStride)
         .orderBy("doc_id", "frame_id")
+    }),
+
+    // Nearest-neighbor resize over the binary payload tier: every doc's
+    // payload mapped to a fixed ResizeOut-byte raster by the batched
+    // kernel (image-resize plumbing; a real codec + interpolation would
+    // replace only the stub sampling). Geometry shared with the oracle.
+    "q_multimodal_resize" -> ((s, d) => {
+      Multimodal.resizeMedia(s, Tables.load(s, d, "documents"), outLen = ResizeOut)
+        .orderBy("doc_id")
     }),
 
     // Tumbling event-time window aggregate (watermarked on streams).
@@ -598,6 +610,18 @@ object PipelineQueries {
         |  CASE CAST(octet_length(encode(text)) % 3 AS INT)
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_resize" ->
+      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         |px AS (SELECT doc_id, nb,
+         |    list_transform(range(0, $ResizeOut),
+         |      j -> unicode(substr(text, CAST((j * nb) // $ResizeOut AS INT) + 1, 1))) AS pxs
+         |  FROM d)
+         |SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+         |  CAST($ResizeOut AS INT) AS out_len,
+         |  CAST(list_aggregate(pxs, 'sum') AS INT) AS checksum,
+         |  CAST(pxs[1] AS INT) AS first_px,
+         |  CAST(pxs[$ResizeOut] AS INT) AS last_px
+         |FROM px ORDER BY doc_id""".stripMargin,
     "q_multimodal_framesample" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
          |f AS (SELECT doc_id, text, nb,
