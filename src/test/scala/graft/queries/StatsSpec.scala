@@ -185,4 +185,43 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getLong(3) == bucket * 100)
     }
   }
+
+  test("q_text_entropy respects the information-theoretic bounds") {
+    val rows = SparkEntry.queries("q_text_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0, s"doc ${r.getLong(0)}: negative entropy $h")
+      // H <= ln(n_distinct) (uniform maximizes); grid rounding epsilon.
+      assert(h <= math.log(nd.toDouble) + 1e-5,
+        s"doc ${r.getLong(0)}: H=$h exceeds ln($nd)")
+      if (nd == 1) assert(h == 0.0)
+      assert(nd <= n)
+    }
+    // Cross-check a handful against a plain recomputation from raw text.
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(10).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    docs.foreach { d =>
+      val counts = d.getString(1).toLowerCase.split(" ", -1)
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      def unats(c: Long) = math.round(c.toDouble * math.log(c.toDouble).toFloat.toDouble * 1e6)
+      val exp = math.max(0L, unats(n) - counts.map(unats).sum) / n / 1e6
+      assert(byId(d.getLong(0)) == exp, s"doc ${d.getLong(0)} entropy mismatch")
+    }
+  }
+
+  test("q_text_zipf slopes are negative and fitted over full vocabularies") {
+    val rows = SparkEntry.queries("q_text_zipf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // fit depth = min(vocabulary, ZipfTop): small languages use all
+      // their vocabulary, large ones are capped at the top ranks.
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= TextQueries.ZipfTop.toLong,
+        s"lang ${r.getString(0)}: fit depth ${r.getLong(1)}")
+      assert(r.getDouble(2) < 0.0,
+        s"lang ${r.getString(0)}: slope must be negative (freq falls with rank)")
+    }
+  }
 }
