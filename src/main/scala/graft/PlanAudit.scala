@@ -83,7 +83,9 @@ object PlanAudit {
     "q_para_dedup" -> "paragraph dedup: chunk fingerprints -> ONE hash aggregate keeper + equi-join back — no self-join, no corpus window",
     "q_text_entropy" -> "lexical entropy: explode + two hash aggs, FLOAT-collapsed micro-nat terms — no window, no sort before output",
     "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order",
-    "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only")
+    "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
+    "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",
+    "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -271,6 +271,26 @@ object DedupQueries {
         .orderBy("ia", "ib")
     }),
 
+    // Cross-source duplication matrix: WHERE does the near-duplication
+    // come from? Near-dup pairs (the shared persisted Jaccard frame —
+    // nothing rescans the corpus) joined to each side's source, counted
+    // per unordered source pair. The curation diagnostic that reveals
+    // mirror sites and cross-source copying before deciding which
+    // source to downweight. Scale: two equi-joins on the doc key
+    // (pairs side is candidate-pruned and small), then a hash aggregate
+    // bounded by sources^2.
+    "q_dedup_sources" -> ((s, d) => {
+      val src = Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+      jaccardPairsCached(s, d)
+        .filter(col("jac") >= 0.5).select("ia", "ib")
+        .join(src.select(col("doc_id").as("ia"), col("source").as("src_a")), Seq("ia"))
+        .join(src.select(col("doc_id").as("ib"), col("source").as("src_b")), Seq("ib"))
+        .select(least(col("src_a"), col("src_b")).as("source_1"),
+          greatest(col("src_a"), col("src_b")).as("source_2"))
+        .groupBy("source_1", "source_2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_1", "source_2")
+    }),
+
     // TF-IDF cosine re-scoring of the near-dup candidate pairs: the
     // standard lexical similarity an IR pipeline layers over candidate
     // generation. Every quantity is EXACT integer arithmetic — tf counts
@@ -436,6 +456,27 @@ object DedupQueries {
       s"""WITH $duckShingleCte,
          |$duckCandCte,
          |${duckVerify("cand", 0.5)}""".stripMargin,
+
+    "q_dedup_sources" ->
+      s"""WITH $duckShingleCte,
+         |$duckCandCte,
+         |common AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+         |  FROM sh a JOIN cand ON a.doc_id = cand.ia
+         |            JOIN sh b ON b.doc_id = cand.ib AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM common
+         |  JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_1,
+         |  greatest(sa.source, sb.source) AS source_2,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs p
+         |JOIN ds sa ON p.ia = sa.doc_id
+         |JOIN ds sb ON p.ib = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_tfidf_sim" ->
       s"""WITH $duckShingleCte,

@@ -137,6 +137,11 @@ object SimilarityQueries {
     */
   private[queries] val SemDedupSim = 0.35
 
+  /** Outliers reported per IVF cell by q_embed_outliers; shared with the
+    * oracle.
+    */
+  private[queries] val OutlierK = 3
+
   /** Salt fan-out for the within-cell pairwise self-join (see
     * q_semdedup): spreads each cell's O(n^2) block over this many
     * partitions instead of one per cell.
@@ -609,6 +614,35 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Embedding outlier detection (the CLIP-filtering move): vectors
+    // farthest from their own trained-IVF centroid are noise/mislabeled
+    // candidates — per cell, the OutlierK lowest own-centroid cosines.
+    // Shape: codegen cell assignment, the 16-row centroid table
+    // broadcast back, and the per-cell bottom-k through the bounded
+    // `graft_top_k` aggregate (O(k) state, no window sort) — one scan
+    // over the corpus regardless of cell count. Cosines live on the
+    // micro-int grid so the oracle replays them digit-for-digit.
+    "q_embed_outliers" -> ((s, d) => {
+      CosineFunctions.register(s)
+      graft.ops.GraftAggregates.register(s)
+      val cents = ivfCentroids(s, d, IvfIters)
+      graft.ops.IvfFunctions.register(s, cents)
+      import s.implicits._
+      val centDF = broadcast(cents.toSeq.toDF("cell", "cv"))
+      Tables.load(s, d, "embeddings")
+        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+        .join(centDF, Seq("cell"))
+        .select(col("cell"), col("vec_id"),
+          microCos(col("embedding"), col("cv")).as("own_cos_micro"))
+        .groupBy("cell")
+        .agg(expr("graft_top_k(struct(own_cos_micro AS s, vec_id AS v," +
+          s" own_cos_micro AS c), $OutlierK)").as("low"))
+        .select(col("cell"), posexplode(col("low")).as(Seq("i", "o")))
+        .select(col("cell"), (col("i") + 1).as("rank"),
+          col("o.v").as("vec_id"), col("o.c").as("own_cos_micro"))
+        .orderBy("cell", "rank")
+    }),
+
     // Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
     // greedy top-MmrK selection maximizing lambda*relevance -
     // (1-lambda)*max-similarity-to-already-picked (lambda = 0.7, scaled
@@ -1064,6 +1098,32 @@ object SimilarityQueries {
          |SELECT vec_id, cell, match_id, CAST(sim_d AS REAL) AS sim,
          |  sim_d >= $SemDedupSim AS dup
          |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    // Same quantizer replay; own-centroid cosine on the micro grid,
+    // bottom-OutlierK per cell with the vec_id tie-break mirroring the
+    // bounded aggregate's struct order.
+    "q_embed_outliers" -> {
+      val asgCos = oracleCos("e.embedding", "c.cv")
+      val ownCos = oracleCos("e.embedding", "c.cv")
+      s"""WITH ${ivfOracleCtes(IvfIters)},
+         |asg AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $asgCos DESC, c.cid) AS rn
+         |    FROM embeddings e, c$IvfIters c) x WHERE rn = 1),
+         |sc AS (SELECT a.cell, e.vec_id,
+         |    CAST(ROUND(CAST(($ownCos) AS REAL) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         |      AS own_cos_micro
+         |  FROM embeddings e
+         |  JOIN asg a ON a.vec_id = e.vec_id
+         |  JOIN c$IvfIters c ON c.cid = a.cell),
+         |r AS (SELECT cell, vec_id, own_cos_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY own_cos_micro, vec_id) AS rank
+         |  FROM sc)
+         |SELECT cell, rank, vec_id, own_cos_micro
+         |FROM r WHERE rank <= $OutlierK ORDER BY cell, rank""".stripMargin
     },
 
     // Unrolled greedy MMR: step k's CTE cross-joins the k-1 winner CTEs,
