@@ -118,6 +118,41 @@ class LayoutCurationSpec extends AnyFunSuite {
     assert((rows(0).getAs[Long]("n_docs") + rows(1).getAs[Long]("n_docs")) * 3 >= 2 * total)
   }
 
+  test("paragraph dedup: exactly one keeper per distinct fingerprint") {
+    val rows = SparkEntry.queries("q_para_dedup")(spark, sf).collect()
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val distinctFps = graft.ops.Curation.chunkText(
+        Tables.load(spark, sf, "documents"), "doc_id", "text",
+        maxTokens = 32, overlap = 0)
+      .select("fp").distinct().count()
+    assert(totalKept == distinctFps,
+      s"keepers $totalKept != distinct fingerprints $distinctFps")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("source matrix total equals the near-dup pair count") {
+    val matrix = SparkEntry.queries("q_dedup_sources")(spark, sf).collect()
+    val totalPairs = matrix.map(_.getAs[Long]("n_pairs")).sum
+    val ngramPairs = SparkEntry.queries("q_dedup_ngram")(spark, sf).count()
+    assert(totalPairs == ngramPairs,
+      s"matrix covers $totalPairs pairs, ngram query found $ngramPairs")
+  }
+
+  test("embedding outliers: dense ranks, cosines below the cell ceiling") {
+    val rows = SparkEntry.queries("q_embed_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length),
+        s"cell $cell ranks not dense")
+      // outliers are the WORST fits: every reported cosine must sit at
+      // or below the within-output maximum (sanity of ordering).
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("own_cos_micro"))
+      assert(cs.toSeq == cs.sorted.toSeq, s"cell $cell not ascending")
+    }
+  }
+
   test("dpo pairs: chosen strictly outranks rejected within its group") {
     val rows = SparkEntry.queries("q_dpo_pairs")(spark, sf).collect()
     assert(rows.nonEmpty)
