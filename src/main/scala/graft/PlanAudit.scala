@@ -85,7 +85,8 @@ object PlanAudit {
     "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order",
     "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
     "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",
-    "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan")
+    "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan",
+    "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

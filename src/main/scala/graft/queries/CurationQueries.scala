@@ -460,6 +460,33 @@ object CurationQueries {
         .orderBy("source", "rn")
     }),
 
+    // Per-source language-mix drift: KL(source's lang distribution ||
+    // corpus-wide lang distribution) — the domain-mix monitoring number
+    // a pipeline alarms on when one source's composition shifts. Counts
+    // are three broadcast-sized hash aggregates off ONE (source, lang)
+    // frame; each KL term is c_sl * ln((c_sl*n)/(n_s*c_l)) with the ln
+    // FLOAT-collapsed onto the micro-nat grid, so per-source sums are
+    // exact BIGINT and both engines agree digit-for-digit.
+    "q_source_kl" -> ((s, d) => {
+      val sl = Tables.load(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c_sl"))
+      val srcN = sl.groupBy("source").agg(sum("c_sl").as("n_s"))
+      val langN = sl.groupBy("lang").agg(sum("c_sl").as("c_l"))
+      val tot = sl.agg(sum("c_sl").as("n"))
+      sl.join(broadcast(srcN), Seq("source"))
+        .join(broadcast(langN), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("t", expr(
+          "CAST(ROUND(c_sl * CAST(CAST(ln((CAST(c_sl AS DOUBLE) * n)" +
+            " / (CAST(n_s AS DOUBLE) * c_l)) AS FLOAT) AS DOUBLE)" +
+            " * 1000000) AS BIGINT)"))
+        .groupBy("source")
+        .agg(max("n_s").as("n_docs"), sum("t").as("kl_unats"))
+        .select(col("source"), col("n_docs"), col("kl_unats"),
+          expr("CAST(kl_unats AS DOUBLE) / CAST(1000000 AS DOUBLE)").as("kl_nats"))
+        .orderBy("source")
+    }),
+
     // Curriculum phasing: split the corpus into three quality bands with
     // DATA-DERIVED boundaries and NO global sort — quality lands on a
     // fixed milli-grid, the cumulative runs over the ≤1001-row HISTOGRAM
@@ -739,6 +766,23 @@ object CurationQueries {
          |  FROM k)
          |SELECT source, rn, doc_id, n_chars, es_key
          |FROM r WHERE rn <= $WeightedK ORDER BY source, rn""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH sl AS (SELECT source, lang, COUNT(*) AS c_sl
+        |  FROM documents GROUP BY 1, 2),
+        |sn AS (SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_s FROM sl GROUP BY 1),
+        |lc AS (SELECT lang, CAST(SUM(c_sl) AS BIGINT) AS c_l FROM sl GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c_sl) AS BIGINT) AS n FROM sl),
+        |t AS (SELECT sl.source, sn.n_s,
+        |    CAST(ROUND(c_sl * CAST(CAST(ln((CAST(c_sl AS DOUBLE) * n)
+        |      / (CAST(n_s AS DOUBLE) * c_l)) AS REAL) AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS t
+        |  FROM sl JOIN sn USING (source) JOIN lc USING (lang) CROSS JOIN tt)
+        |SELECT source, MAX(n_s) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS kl_unats,
+        |  CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS kl_nats
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q_curriculum" ->
       s"""WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
