@@ -88,8 +88,12 @@ object ConnectedComponents {
 
   /** Edge-count ceiling for the driver-local solve in [[labelPropagate]]:
     * below it the (already candidate-pruned) pair graph is collected and
-    * union-found on the driver. 4M edges = two longs each = ~64 MB — the
-    * same budget class as a broadcast-join small side. Override with
+    * union-found on the driver. Realistic driver heap at the ceiling:
+    * 4M edges collect as specialized `(Long, Long)` tuples (24 B object
+    * + 8 B array slot each) ≈ ~130 MB transient — 16 B/edge of payload
+    * plus JVM object overhead, NOT the bare 64 MB the payload alone
+    * suggests. Still the same budget class as a broadcast-join small
+    * side on any driver sized for broadcast joins. Override with
     * `spark.graft.cc.localThreshold` (0 disables the local path).
     */
   val DefaultLocalThreshold = 4000000L
@@ -111,16 +115,31 @@ object ConnectedComponents {
     val threshold = spark.conf.getOption("spark.graft.cc.localThreshold")
       .map(_.toLong).getOrElse(DefaultLocalThreshold)
     val edgesAb = edges.toDF("a", "b")
-    val n = if (threshold > 0 && threshold < Int.MaxValue)
-      edgesAb.limit(threshold.toInt + 1).count() else Long.MaxValue
-    if (n <= threshold) localUnionFind(spark, edgesAb)
-    else labelPropagateWithStats(spark, edgesAb, maxIter)._1
+    // Size probe and data fetch are ONE evaluation: collect at most
+    // threshold+1 primitive pairs; if the graph fit, that array IS the
+    // union-find input (a separate limit/count probe would run the —
+    // possibly expensive, e.g. a cosine self-join's — candidate
+    // pipeline twice). Pairs come back as specialized (Long, Long)
+    // tuples via the RDD map, not boxed Rows.
+    val probe: Option[Array[(Long, Long)]] =
+      if (threshold > 0 && threshold < Int.MaxValue) {
+        val pairs = edgesAb
+          .select(col("a").cast("long"), col("b").cast("long"))
+          .limit(threshold.toInt + 1)
+          .rdd.map(r => (r.getLong(0), r.getLong(1)))
+          .collect()
+        if (pairs.length <= threshold) Some(pairs) else None
+      } else None
+    probe match {
+      case Some(pairs) => localUnionFind(spark, pairs)
+      case None => labelPropagateWithStats(spark, edgesAb, maxIter)._1
+    }
   }
 
   /** Driver-side union-find with path halving + min-label roots; same
     * result as the distributed fixpoint: label = min reachable node.
     */
-  private def localUnionFind(spark: SparkSession, edgesAb: DataFrame): DataFrame = {
+  private def localUnionFind(spark: SparkSession, pairs: Array[(Long, Long)]): DataFrame = {
     import scala.collection.mutable
     val parent = mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
@@ -131,9 +150,7 @@ object ConnectedComponents {
       }
       x
     }
-    val rows = edgesAb.select(col("a").cast("long"), col("b").cast("long")).collect()
-    rows.foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
+    pairs.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))

@@ -241,4 +241,45 @@ object Curation {
       .groupBy(idCol)
       .agg(countDistinct("h").as("n_shared"),
         min(benchIdCol).as(s"min_$benchIdCol"))
+
+  /** Bloom-filter decontamination over pre-hashed gram frames
+    * `(idCol, h)`: the scale path of [[decontaminateFromGrams]]. The
+    * benchmark side is reduced to its set-bit positions — at most
+    * `bloomM` rows regardless of corpus size — and broadcast to the
+    * training scan; the exact membership join rides along so the output
+    * exposes the filter's one-sided error contract (n_bloom >= n_exact
+    * always; collisions visible wherever n_bloom > n_exact).
+    *
+    * A gram is bloom-positive iff EVERY probe row of its (id, h) group
+    * found a set bit: the test is `n_set = n_tot` (matched = total),
+    * NOT `n_set = bloomK`, so a gram hash occurring t > 1 times in a
+    * document (t*k probe rows) still reads positive when all k of its
+    * positions are set — comparing against the constant k would
+    * silently turn repeats into false negatives and break the
+    * one-sided contract. Duplicate positions among one gram's k probes
+    * (p_i = p_j) are also safe: each probe row still joins its own hit.
+    */
+  def bloomDecontamFromGrams(trainGrams: DataFrame, benchGrams: DataFrame,
+      idCol: String, bloomM: Int, bloomK: Int): DataFrame = {
+    require(Integer.bitCount(bloomM) == 1, "bloomM must be a power of two")
+    val posCols = (0 until bloomK).map(j =>
+      expr(s"shiftright(h, ${12 * j}) & ${bloomM - 1}"))
+    val bits = benchGrams.select(explode(array(posCols: _*)).as("p")).distinct()
+      .withColumn("set_bit", lit(1))
+    val bloom = trainGrams
+      .select(col(idCol), col("h"), explode(array(posCols: _*)).as("p"))
+      .join(broadcast(bits), Seq("p"), "left")
+      .groupBy(idCol, "h")
+      .agg(count("set_bit").as("n_set"), count(lit(1)).as("n_tot"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("n_set") === col("n_tot"), 1)).as("n_bloom"))
+    val exact = trainGrams
+      .join(broadcast(benchGrams.select("h").distinct()), Seq("h"))
+      .groupBy(idCol).agg(countDistinct("h").as("n_exact"))
+    bloom.join(exact, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), col("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (col("n_bloom") > 0).as("flagged"))
+  }
 }

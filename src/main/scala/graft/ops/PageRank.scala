@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one equi-join of the edge frame with
   * the current rank frame (both partitioned by the join key) plus a
   * hash aggregate on `dst` — the standard bulk-iteration shape. The
-  * degree-annotated edge frame is persisted once and reused across
-  * iterations; rank frames are iteration-local. For deep iteration
-  * counts the lineage-truncation pattern of
-  * [[graft.ops.ConnectedComponents]] applies; the fixed shallow counts
-  * used here (<= 8) do not need it.
+  * degree-annotated edge frame is persisted for the run and RELEASED
+  * before returning (the returned ranks are materialized, so nothing
+  * references it afterwards); rank frames are iteration-local. Lineage
+  * is truncated with `localCheckpoint` every [[CheckpointInterval]]
+  * rounds — a single-ref-per-round loop grows the plan only linearly,
+  * but at 20+ iterations driver-side analysis of the accumulated tree
+  * still climbs per round, so deep runs get periodic cuts (the same
+  * release discipline as [[ConnectedComponents]]; use that operator's
+  * reliable-checkpoint mode as the template if executor-loss survival
+  * of a very deep run ever matters here).
   *
   * Callers must feed an edge set where EVERY node has at least one
   * incoming edge (e.g. a symmetrized graph), otherwise in-degree-0
@@ -32,11 +37,17 @@ object PageRank {
   /** Rank grid: ranks sum to ~Scale (1.0 == 1e12). */
   val Scale = 1000000000000L
 
+  /** Truncate lineage every this many iterations (and at the end). */
+  val CheckpointInterval = 8
+
   /** Run `iterations` damped rank updates (d = 0.85) over `(src, dst)`
-    * edges; returns `(node, pr)` with `pr` on the integer grid.
+    * edges; returns `(node, pr)` with `pr` on the integer grid. The
+    * returned frame is already materialized (checkpointed) — callers
+    * pay only their own final transformations on top.
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
     val e = edges.select("src", "dst")
     val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")).hint("shuffle_hash"),
@@ -48,7 +59,8 @@ object PageRank {
     var ranks = e.select(col("src").as("node")).distinct()
       .crossJoin(nc)
       .select(col("node"), expr(baseExpr).as("pr"))
-    (1 to iterations).foreach { _ =>
+    var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    (1 to iterations).foreach { i =>
       // Build the hash table on the node-sized rank frame: a sort-merge
       // join would sort the (much larger) edge frame every iteration,
       // and at graph scale neither side broadcasts.
@@ -59,7 +71,19 @@ object PageRank {
         .crossJoin(nc)
         .select(col("dst").as("node"),
           expr(s"(15 * ($baseExpr) + 85 * contrib) DIV 100").as("pr"))
+      if (i % CheckpointInterval == 0 || i == iterations) {
+        val rdd = ranks.rdd
+        rdd.localCheckpoint()
+        rdd.count() // materialize the cut eagerly
+        prevCut.foreach(_.unpersist(blocking = false)) // superseded generation
+        prevCut = Some(rdd)
+        ranks = spark.createDataFrame(rdd, ranks.schema)
+      }
     }
+    // The final ranks are checkpointed above, so the degree frame is no
+    // longer referenced — free its blocks instead of leaking one cached
+    // copy per invocation (ADVICE r7).
+    withDeg.unpersist(blocking = false)
     ranks
   }
 }

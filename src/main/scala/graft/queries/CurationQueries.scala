@@ -168,31 +168,16 @@ object CurationQueries {
     // broadcast to the scan); a gram is bloom-positive iff all BloomK
     // position probes hit. The exact membership join rides along so the
     // verified output exposes the filter's one-sided error contract:
-    // n_bloom >= n_exact always (no false negatives), with hash
-    // collisions visible wherever n_bloom > n_exact.
+    // n_bloom >= n_exact always (no false negatives — the per-gram test
+    // is matched-probes = total-probes, robust to repeated gram hashes;
+    // see Curation.bloomDecontamFromGrams), with hash collisions
+    // visible wherever n_bloom > n_exact.
     "q_bloom_decontam" -> ((s, d) => {
-      val posCols = (0 until BloomK).map(j =>
-        expr(s"shiftright(h, ${12 * j}) & ${BloomM - 1}"))
       val grams = gramsDF(s, d)
-      val bench = grams.filter(col("doc_id") % BenchMod === 0)
-      val train = grams.filter(col("doc_id") % BenchMod =!= 0)
-      val bits = bench.select(explode(array(posCols: _*)).as("p")).distinct()
-        .withColumn("set_bit", lit(1))
-      val bloom = train
-        .select(col("doc_id"), col("h"), explode(array(posCols: _*)).as("p"))
-        .join(broadcast(bits), Seq("p"), "left")
-        .groupBy("doc_id", "h")
-        .agg(count("set_bit").as("n_set"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          count(when(col("n_set") === BloomK, 1)).as("n_bloom"))
-      val exact = train
-        .join(broadcast(bench.select("h").distinct()), Seq("h"))
-        .groupBy("doc_id").agg(countDistinct("h").as("n_exact"))
-      bloom.join(exact, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"), col("n_bloom"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-          (col("n_bloom") > 0).as("flagged"))
+      graft.ops.Curation.bloomDecontamFromGrams(
+          grams.filter(col("doc_id") % BenchMod =!= 0),
+          grams.filter(col("doc_id") % BenchMod === 0),
+          idCol = "doc_id", bloomM = BloomM, bloomK = BloomK)
         .orderBy("doc_id")
     }),
 
@@ -578,10 +563,10 @@ object CurationQueries {
          |train AS (SELECT doc_id, h FROM g WHERE doc_id % $BenchMod <> 0),
          |bits AS (SELECT DISTINCT UNNEST($duckPos) AS p, 1 AS set_bit FROM bench),
          |probe AS (SELECT doc_id, h, UNNEST($duckPos) AS p FROM train),
-         |m AS (SELECT doc_id, h, COUNT(set_bit) AS n_set
+         |m AS (SELECT doc_id, h, COUNT(set_bit) AS n_set, COUNT(*) AS n_tot
          |      FROM probe LEFT JOIN bits USING (p) GROUP BY doc_id, h),
          |blm AS (SELECT doc_id, COUNT(*) AS n_grams,
-         |          COUNT(CASE WHEN n_set = $BloomK THEN 1 END) AS n_bloom
+         |          COUNT(CASE WHEN n_set = n_tot THEN 1 END) AS n_bloom
          |        FROM m GROUP BY doc_id),
          |ex AS (SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_exact
          |       FROM train t JOIN (SELECT DISTINCT h FROM bench) b ON t.h = b.h

@@ -297,10 +297,13 @@ object DedupQueries {
     // are ints, idf is FLOAT-collapsed ln(N/df) rounded to a kilo-nat
     // grid, and dot products / norms are order-independent
     // DECIMAL(38,0) sums (wt can reach ~1e9 for long docs with rare
-    // terms, so SUM(wt*wt) in BIGINT could silently wrap on Spark while
-    // DuckDB errors — DECIMAL keeps both engines exact AND
-    // overflow-checked), so even the cosine is oracle-exact (one IEEE
-    // division over exact ints). Pairs come from the shared persisted
+    // terms, so SUM(wt*wt) in BIGINT could silently WRAP on Spark while
+    // DuckDB errors). DECIMAL(38,0) keeps both engines exact out to
+    // ~1e38 — far past any realistic norm — though the failure mode at
+    // that bound still differs: non-ANSI Spark returns a silent NULL on
+    // decimal-sum overflow where DuckDB raises, so DECIMAL widens the
+    // exact range by ~1e19 rather than making overflow loud. The cosine
+    // stays oracle-exact (one IEEE division over exact ints). Pairs come from the shared persisted
     // Jaccard frame; weights ride the shared word frame; nothing here
     // scans the corpus anew.
     "q_tfidf_sim" -> ((s, d) => {

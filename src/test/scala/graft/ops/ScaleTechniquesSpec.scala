@@ -150,6 +150,28 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(local.forall { case (node, label) => label <= node })
   }
 
+  test("deep PageRank: 25 iterations on a 1e5-edge graph stays bounded and mass-conserving") {
+    import spark.implicits._
+    val n = 100000L
+    // Ring 0->1->...->n-1->0: every node has an incoming edge (the
+    // operator's contract) and outdeg 1, so mass only shrinks by the
+    // deliberate floor-division leak. 25 iterations exercises the
+    // periodic localCheckpoint cuts (interval 8 -> cuts at 8, 16, 24,
+    // 25); without lineage truncation the accumulated plan tree makes
+    // driver-side analysis alone blow past the wall-clock bound here.
+    val edges = spark.range(n).select($"id".as("src"), (($"id" + 1) % n).as("dst"))
+    val t0 = System.nanoTime()
+    val ranks = graft.ops.PageRank.run(edges, iterations = 25)
+    val rows = ranks.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == n)
+    // Uniform by symmetry: every node must hold exactly base rank.
+    val prs = rows.map(_.getLong(1)).distinct
+    assert(prs.length == 1, s"ring ranks not uniform: ${prs.take(5).toSeq}")
+    assert(math.abs(prs.head - graft.ops.PageRank.Scale / n) <= 1)
+    withClue(s"25-iteration run took $secs s:") { assert(secs < 120.0) }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -47,6 +47,30 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontam is robust to repeated gram hashes within a doc") {
+    // A synthetic gram frame where doc 1's contaminated gram hash
+    // appears TWICE (t=2): the per-gram test must still read positive
+    // (n_set = n_tot, not n_set = BloomK), or a repeated contaminated
+    // gram becomes a false negative and n_bloom >= n_exact breaks.
+    import spark.implicits._
+    val bench = Seq((100L, 0x123456789ABL)).toDF("doc_id", "h")
+    val train = Seq(
+      (1L, 0x123456789ABL), (1L, 0x123456789ABL), // repeated contaminated
+      (2L, 0x0FEDCBA9876L)                        // clean, occurs once
+    ).toDF("doc_id", "h")
+    val out = graft.ops.Curation
+      .bloomDecontamFromGrams(train, bench, "doc_id", bloomM = 4096, bloomK = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val d1 = out(0)
+    assert(d1.getLong(0) == 1L && d1.getLong(1) == 1L) // 1 distinct gram
+    assert(d1.getLong(2) == 1L, "repeated contaminated gram must stay bloom-positive")
+    assert(d1.getLong(3) == 1L && d1.getBoolean(4))
+    val d2 = out(1)
+    assert(d2.getLong(3) == 0L, "clean doc has no exact hits")
+    assert(d2.getLong(2) >= d2.getLong(3)) // one-sided contract
+  }
+
   test("q_lm_bigram matches an independent driver-side recomputation") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
