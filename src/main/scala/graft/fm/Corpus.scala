@@ -64,7 +64,8 @@ object Corpus {
     * Column order: `path` first, then sorted keys (deterministic; the
     * reference's set-iteration order is arbitrary).
     */
-  def filesDF(spark: SparkSession, parsed: Dataset[ParsedFile]): (DataFrame, Seq[ParseWarning]) = {
+  def filesDF(spark: SparkSession, parsed: Dataset[ParsedFile],
+      maxWarnings: Int = Settings.maxListed()): (DataFrame, Seq[ParseWarning]) = {
     import spark.implicits._
     val good = parsed.filter(_.ok)
     val keys = good.flatMap(_.fields.map(_.key)).distinct().collect().sorted
@@ -74,7 +75,22 @@ object Corpus {
       val m = pf.fields.iterator.map(f => f.key -> f.value).toMap
       Row.fromSeq(ordered.map(m.getOrElse(_, null)))
     }
-    val warnings = parsed.filter(!_.ok).collect().map(p => ParseWarning(p.path, p.error)).toSeq
+    // Warning list bounded at the driver (Settings.maxListed): the full
+    // list is reference parity and kept verbatim below the cap, but a
+    // corpus with 10⁹ unparseable files must not OOM the driver building
+    // it — above the cap the first N are listed plus one summary entry
+    // carrying the exact remainder count.
+    val cap = math.max(1, maxWarnings)
+    val bad = parsed.filter(!_.ok)
+    val head = bad.take(cap + 1)
+    val warnings =
+      if (head.length <= cap) head.map(p => ParseWarning(p.path, p.error)).toSeq
+      else {
+        val total = bad.count()
+        head.take(cap).map(p => ParseWarning(p.path, p.error)).toSeq :+
+          ParseWarning("(truncated)",
+            s"... ${total - cap} more parse warnings not listed (listing capped at $cap; set FRONTMATTER_MAX_LIST to raise)")
+      }
     (spark.createDataFrame(rows, schema), warnings)
   }
 

@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   *  - `from_json(x, '["VARCHAR"]')` DuckDB schema hints → Spark DDL type
   *    strings (`docs/adr/0006:26-36`);
   *  - `list_contains` → `array_contains` (`tests/test_query.py:98`),
-  *    `string_split` → `split`, registered as function aliases.
+  *    `string_split` → `split`, registered as function aliases;
+  *  - long-tail constructs the reference's verbatim passthrough
+  *    (`query.py:72`) grants but Spark SQL lacks: `QUALIFY pred` →
+  *    window-in-subquery + filter, and the `* EXCLUDE (...)` star
+  *    modifier → Spark's `* EXCEPT (...)`.
   */
 object Dialect {
 
@@ -34,7 +38,8 @@ object Dialect {
       "regexp_matches", exprs => RLike(exprs(0), exprs(1)), "built-in")
   }
 
-  def rewrite(sql: String): String = rewriteFromJsonHints(rewriteUnnest(sql))
+  def rewrite(sql: String): String =
+    rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(sql))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -252,6 +257,177 @@ object Dialect {
           }
         }
         if (!changed) i = u.indexOf("UNNEST", i + 1)
+      }
+    }
+    out
+  }
+
+  /** DuckDB `SELECT * EXCLUDE (a, b)` / `t.* EXCLUDE a` star modifier →
+    * Spark's `* EXCEPT (a, b)` (supported since Spark 3.4). Only fires
+    * when the preceding non-whitespace char is `*` so the EXCLUDE
+    * keyword anywhere else (e.g. an identifier) survives; the bare
+    * single-column form gains the parens Spark requires.
+    */
+  private[fm] def rewriteExclude(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      var i = u.indexOf("EXCLUDE")
+      while (i >= 0 && !changed) {
+        val insideLiteral = msk.substring(0, i).count(_ == '\'') % 2 == 1
+        val kwOk = isKeywordAt(u, i + "EXCLUDE".length - 1, "EXCLUDE")
+        var j = i - 1
+        while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+        if (!insideLiteral && kwOk && j >= 0 && msk.charAt(j) == '*') {
+          var k = i + "EXCLUDE".length
+          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
+          if (k < msk.length && msk.charAt(k) == '(') {
+            out = out.substring(0, i) + "EXCEPT" + out.substring(i + "EXCLUDE".length)
+            changed = true
+          } else {
+            val identEnd = identEndAt(msk, k)
+            if (identEnd > k) {
+              val ident = out.substring(k, identEnd)
+              out = out.substring(0, i) + s"EXCEPT ($ident)" + out.substring(identEnd)
+              changed = true
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("EXCLUDE", i + 1)
+      }
+    }
+    out
+  }
+
+  /** DuckDB `QUALIFY pred` (post-window filter; Spark SQL has none) →
+    * subquery + WHERE, one query block at a time:
+    *
+    *  - pred WITHOUT a window call references select-list aliases →
+    *    `SELECT * FROM ( <block> ) WHERE (pred) <tail>`;
+    *  - pred WITH an inline `... OVER (...)` needs the block's base
+    *    columns, so the predicate becomes a helper column computed
+    *    alongside the original select list and dropped outside:
+    *    `SELECT * EXCEPT (__graft_qualify) FROM ( SELECT <list>,
+    *    (pred) AS __graft_qualify FROM <rest> ) WHERE __graft_qualify`.
+    *
+    * The block's trailing ORDER BY / LIMIT stays outside the wrap (its
+    * aliases remain visible through `SELECT *`). Same pre-pass
+    * discipline as [[rewriteUnnest]]: all syntax decisions on the
+    * comment-masked text, splices from the original.
+    */
+  /** Per-index "inside a single-quoted literal" flags over MASKED text
+    * (the opening/closing quotes themselves read as inside).
+    */
+  private def literalMask(msk: String): Array[Boolean] = {
+    val in = new Array[Boolean](msk.length)
+    var i = 0
+    var s = false
+    while (i < msk.length) {
+      if (msk.charAt(i) == '\'') { in(i) = true; s = !s }
+      else in(i) = s
+      i += 1
+    }
+    in
+  }
+
+  private[fm] def rewriteQualify(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("QUALIFY")
+      while (i >= 0 && !changed) {
+        val insideLiteral = msk.substring(0, i).count(_ == '\'') % 2 == 1
+        if (!insideLiteral && isKeywordAt(u, i + "QUALIFY".length - 1, "QUALIFY")) {
+          // Enclosing block start: nearest SELECT walking backwards at the
+          // same paren depth.
+          var blockStart = -1
+          var depth = 0
+          var j = i - 1
+          while (j >= 0 && blockStart < 0) {
+            val c = msk.charAt(j)
+            if (lit(j)) () // literal contents are data, not syntax
+            else if (c == ')') depth += 1
+            else if (c == '(') depth -= 1
+            else if (depth == 0 && u.charAt(j) == 'T' && j >= 5 &&
+              u.regionMatches(j - 5, "SELECT", 0, 6) &&
+              (j - 5 == 0 || !Character.isLetterOrDigit(u.charAt(j - 6))) &&
+              (j == u.length - 1 || !Character.isLetterOrDigit(u.charAt(j + 1))))
+              blockStart = j - 5
+            j -= 1
+          }
+          // Predicate end: first same-depth ORDER/LIMIT/WINDOW/set-op
+          // keyword, a block-closing ')', or end of text.
+          var predEnd = -1
+          var k = i + "QUALIFY".length
+          var d2 = 0
+          while (k < msk.length && predEnd < 0) {
+            val c = msk.charAt(k)
+            if (lit(k)) () // literal contents are data, not syntax
+            else if (c == '(') d2 += 1
+            else if (c == ')') { if (d2 == 0) predEnd = k else d2 -= 1 }
+            else if (d2 == 0 && Seq("ORDER", "LIMIT", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+              .exists(kw => u.regionMatches(k, kw, 0, kw.length) &&
+                isKeywordAt(u, k + kw.length - 1, kw)))
+              predEnd = k
+            if (predEnd < 0) k += 1
+          }
+          if (predEnd < 0) predEnd = msk.length
+          if (blockStart >= 0) {
+            val head = out.substring(blockStart, i)
+            val pred = out.substring(i + "QUALIFY".length, predEnd).trim
+            val predMasked = msk.substring(i + "QUALIFY".length, predEnd)
+            val predOff = i + "QUALIFY".length
+            val hasWindow = {
+              val pu = predMasked.toUpperCase
+              (0 until pu.length).exists(p =>
+                !lit(predOff + p) &&
+                pu.regionMatches(p, "OVER", 0, 4) && isKeywordAt(pu, p + 3, "OVER"))
+            }
+            val replacement =
+              if (!hasWindow)
+                s"SELECT * FROM ( $head ) WHERE ($pred) "
+              else {
+                // Top-level FROM inside the block's head — the helper
+                // column splices in just before it.
+                val headMsk = msk.substring(blockStart, i)
+                val hu = headMsk.toUpperCase
+                var fromAt = -1
+                var d3 = 0
+                var p = 0
+                while (p < hu.length && fromAt < 0) {
+                  val c = headMsk.charAt(p)
+                  if (lit(blockStart + p)) ()
+                  else if (c == '(') d3 += 1
+                  else if (c == ')') d3 -= 1
+                  else if (d3 == 0 && hu.regionMatches(p, "FROM", 0, 4) &&
+                    isKeywordAt(hu, p + 3, "FROM")) fromAt = p
+                  p += 1
+                }
+                if (fromAt < 0) null
+                else {
+                  val withHelper = head.substring(0, fromAt) +
+                    s", ($pred) AS __graft_qualify " + head.substring(fromAt)
+                  s"SELECT * EXCEPT (__graft_qualify) FROM ( $withHelper ) WHERE __graft_qualify "
+                }
+              }
+            if (replacement != null) {
+              out = out.substring(0, blockStart) + replacement + out.substring(predEnd)
+              changed = true
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("QUALIFY", i + 1)
       }
     }
     out

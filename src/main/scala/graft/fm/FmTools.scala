@@ -51,7 +51,10 @@ final class FmTools(spark: SparkSession, val settings: Settings) {
     val base = Map(
       "updated_count" -> r.updatedCount,
       "updated_files" -> r.updatedFiles)
-    if (r.warnings.nonEmpty) base + ("warnings" -> r.warnings) else base
+    // Reference-parity keys only below the listing cap; the extra key
+    // appears exactly when the lists were bounded (builder extension).
+    val withTrunc = if (r.listTruncated) base + ("list_truncated" -> true) else base
+    if (r.warnings.nonEmpty) withTrunc + ("warnings" -> r.warnings) else withTrunc
   }
 
   def batchUpdate(glob: String, set: Map[String, Any] = Map.empty, unset: Seq[String] = Nil): Map[String, Any] =

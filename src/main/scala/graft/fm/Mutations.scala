@@ -17,7 +17,17 @@ import scala.jdk.CollectionConverters._
 object Mutations {
 
   final case class UpdateResult(path: String, frontmatter: Map[String, Any])
-  final case class BatchResult(updatedCount: Int, updatedFiles: Seq[String], warnings: Seq[String])
+
+  /** `updatedCount` is always the EXACT total; `updatedFiles`/`warnings`
+    * are the full lists (reference parity) unless the batch exceeded the
+    * listing cap, in which case they hold the first N entries and
+    * `listTruncated` is set (see [[Settings.maxListed]]).
+    */
+  final case class BatchResult(
+      updatedCount: Int,
+      updatedFiles: Seq[String],
+      warnings: Seq[String],
+      listTruncated: Boolean = false)
 
   /** `update_file` (`files.py:110-150`): apply `set` (minus unset-shadowed
     * keys), pop `unset`, write only when something was requested; creates
@@ -231,21 +241,52 @@ object Mutations {
       baseDir: Path,
       glob: String,
       setValues: Map[String, Any] = Map.empty,
-      unset: Seq[String] = Nil): BatchResult = {
+      unset: Seq[String] = Nil,
+      maxListed: Int = Settings.maxListed()): BatchResult = {
     import spark.implicits._
     val base = baseDir.toString
-    val rels = FileScan.collect(baseDir, glob).map(_.toString)
-    val results = spark
+    val rels = FileScan.collect(baseDir, glob).map(_.toString).sorted
+    val cap = math.max(1, maxListed)
+    // ONE pass, bounded driver state: each partition returns exact
+    // counts plus at most `cap` paths/warnings, so the driver holds
+    // O(partitions * cap) strings instead of one entry per matched file
+    // (a glob matching 10⁹ files would otherwise OOM the driver; the
+    // rewrite itself is side-effecting, so a persist-and-recount scheme
+    // could re-run updates on block eviction — a single action cannot).
+    // createDataset keeps the sorted path list in contiguous partition
+    // ranges, so per-partition prefixes merge into the global sorted
+    // prefix.
+    val partial = spark
       .createDataset(rels)
       .mapPartitions { it =>
         val bd = java.nio.file.Paths.get(base)
-        it.map { rel =>
-          try { updateFile(bd.resolve(rel), bd, setValues, unset); (rel, null: String) }
-          catch { case e: Exception => (rel, s"Failed to update $rel: ${e.getMessage}") }
+        var nOk = 0L
+        var nErr = 0L
+        val ok = scala.collection.mutable.ArrayBuffer.empty[String]
+        val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+        it.foreach { rel =>
+          try {
+            updateFile(bd.resolve(rel), bd, setValues, unset)
+            nOk += 1
+            if (ok.length < cap) ok += rel
+          } catch {
+            case e: Exception =>
+              nErr += 1
+              if (errs.length < cap) errs += s"Failed to update $rel: ${e.getMessage}"
+          }
         }
+        Iterator.single((nOk, nErr, ok.toArray, errs.toArray))
       }
       .collect()
-    val (ok, bad) = results.partition(_._2 == null)
-    BatchResult(ok.length, ok.map(_._1).sorted.toSeq, bad.map(_._2).toSeq)
+    val nOk = partial.map(_._1).sum
+    val nErr = partial.map(_._2).sum
+    val okFiles = partial.iterator.flatMap(_._3).toArray.sorted
+    val errList = partial.iterator.flatMap(_._4).toSeq
+    val truncated = nOk > cap || nErr > cap
+    val warnings =
+      if (nErr <= cap) errList
+      else errList.take(cap) :+
+        s"... ${nErr - cap} more failures not listed (listing capped at $cap; set FRONTMATTER_MAX_LIST to raise)"
+    BatchResult(nOk.toInt, okFiles.take(cap).toSeq, warnings, listTruncated = truncated)
   }
 }

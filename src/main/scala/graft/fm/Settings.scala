@@ -27,6 +27,17 @@ object Settings {
   val DefaultCacheDirName = ".frontmatter-mcp"
   val DefaultEmbeddingModel = "cl-nagoya/ruri-v3-30m"
 
+  /** Cap on driver-materialized path/warning LISTS (builder extension,
+    * env `FRONTMATTER_MAX_LIST`). The reference returns the full
+    * updated-files and parse-warning lists (`server.py:49-57`), which
+    * is kept verbatim below the cap — but a glob matching 10⁹ files
+    * would OOM the driver building the response, so above the cap the
+    * APIs return exact COUNTS plus the first N entries and say so.
+    */
+  val DefaultMaxListed = 10000
+  def maxListed(env: Map[String, String] = sys.env): Int =
+    env.get("FRONTMATTER_MAX_LIST").map(_.toInt).getOrElse(DefaultMaxListed)
+
   def fromEnv(env: Map[String, String] = sys.env): Settings = Settings(
     baseDirRaw = env.getOrElse("FRONTMATTER_BASE_DIR",
       throw new RuntimeException("FRONTMATTER_BASE_DIR is required")),

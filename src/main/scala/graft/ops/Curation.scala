@@ -81,6 +81,31 @@ object Curation {
       .withColumn("flagged", col("boiler_frac") > flagAbove)
   }
 
+  /** [[boilerplateFromBigrams]] over a pre-aggregated `(idCol, bigram,
+    * n)` occurrence-count frame (bigrams must be non-null, which any
+    * explode-built count frame guarantees). Document frequency is one
+    * row-count per bigram — each (doc, bigram) appears exactly once —
+    * and the per-doc fractions are exact integer sums of n, so the
+    * result matches the per-occurrence formulation bit-for-bit while
+    * only ever shuffling the distinct-pair frame.
+    */
+  def boilerplateFromCounts(bc: DataFrame, idCol: String,
+      k: Int, flagAbove: Double = 0.5): DataFrame = {
+    val top = bc
+      .groupBy("bigram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(k)
+      .select(col("bigram"), lit(1).as("is_boiler"))
+    bc.join(broadcast(top), Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(sum("n").as("n_bigrams"),
+        sum(when(col("is_boiler").isNotNull, col("n")).otherwise(lit(0L))).as("n_boiler"))
+      .select(col(idCol), col("n_bigrams"), col("n_boiler"),
+        coalesce(expr("CAST(n_boiler AS DOUBLE) / nullif(n_bigrams, 0)"), lit(0.0))
+          .as("boiler_frac"))
+      .withColumn("flagged", col("boiler_frac") > flagAbove)
+  }
+
   /** Corpus-trained unigram surprisal per document in integer
     * micro-nats (order-independent exact sums; the one `ln` is
     * FLOAT-collapsed before rounding so libm last-ulp differences
@@ -134,18 +159,39 @@ object Curation {
     * Returns (idCol, n_bigrams, total_unats, ppl).
     */
   def lmBigramFromBigrams(b: DataFrame, idCol: String,
-      nVocab: DataFrame): DataFrame = {
-    val c12 = b.groupBy("bigram").agg(count(lit(1)).as("c12"))
-    val c1 = b.select(expr("element_at(split(bigram, ' '), 1)").as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+      nVocab: DataFrame): DataFrame =
+    lmBigramFromCounts(
+      b.groupBy(idCol, "bigram").agg(count(lit(1)).as("n")), idCol, nVocab)
+
+  /** [[lmBigramFromBigrams]] over a pre-aggregated `(idCol, bigram, n)`
+    * occurrence-count frame — the entry point for callers that already
+    * persist a shared count frame. All model statistics fold out of the
+    * counts (c12 = Σn per bigram; prefix counts c1 = Σc12 per w1, a
+    * vocab-sized aggregate instead of a second corpus-sized shuffle),
+    * and the per-doc surprisal is the exact integer sum Σ n·unats, so
+    * the result is bit-identical to the per-occurrence formulation.
+    * The scored bigram table still joins back with a plain equi-join —
+    * the bigram vocabulary keeps growing with corpus size, so it is
+    * NOT assumed broadcast-safe.
+    */
+  def lmBigramFromCounts(bc: DataFrame, idCol: String,
+      nVocab: DataFrame, vocabCounts: Option[DataFrame] = None): DataFrame = {
+    // Callers that already persist the corpus vocabulary `(bigram, c12)`
+    // (one aggregate shared across queries) pass it in; otherwise it is
+    // derived here with one vocab-sized shuffle.
+    val c12 = vocabCounts.getOrElse(
+      bc.groupBy("bigram").agg(sum("n").as("c12")))
+    val c1 = c12
+      .select(expr("element_at(split(bigram, ' '), 1)").as("w1"), col("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"))
     val scored = c12
       .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
       .join(broadcast(c1), Seq("w1"))
       .crossJoin(broadcast(nVocab))
       .select(col("bigram"), expr(bigramUnatsExpr("FLOAT")).as("unats"))
-    b.join(scored, Seq("bigram"))
+    bc.join(scored, Seq("bigram"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("unats").as("total_unats"))
+      .agg(sum("n").as("n_bigrams"), sum(col("n") * col("unats")).as("total_unats"))
       .select(col(idCol), col("n_bigrams"), col("total_unats"),
         expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_bigrams / 1000000.0) AS FLOAT)")
           .as("ppl"))

@@ -183,17 +183,19 @@ object CurationQueries {
 
     // Bigram language-model surprisal: the natural upgrade of
     // q_lm_unigram — add-one-smoothed P(w2|w1) trained on the corpus
-    // itself. Prefix counts and the vocabulary scalar broadcast; the
-    // scored bigram table joins back over the shared persisted bigram
-    // frame with a plain equi-join (bigram vocabulary is NOT assumed
-    // broadcast-sized at 100 TB). Integer micro-nat sums keep the
-    // per-doc totals exact; ppl is one exp() collapsed to FLOAT.
+    // itself. Everything folds out of the shared persisted
+    // (doc_id, bigram, n) count frame: c12/c1 are vocab-sized
+    // aggregates over it, and the scored bigram table joins back over
+    // the same distinct-pair frame with a plain equi-join (bigram
+    // vocabulary is NOT assumed broadcast-sized at 100 TB). Integer
+    // micro-nat sums (n * unats) keep the per-doc totals exact; ppl is
+    // one exp() collapsed to FLOAT.
     "q_lm_bigram" -> ((s, d) => {
-      val nVocab = DedupQueries.wordDF(s, d).select("word").distinct()
+      val nVocab = DedupQueries.docWordCounts(s, d).select("word").distinct()
         .agg(count(lit(1)).as("v"))
-      graft.ops.Curation.lmBigramFromBigrams(
-          TextQueries.bigramDF(s, d).select("doc_id", "bigram"),
-          "doc_id", nVocab)
+      graft.ops.Curation.lmBigramFromCounts(
+          TextQueries.docBigramCounts(s, d), "doc_id", nVocab,
+          vocabCounts = Some(TextQueries.bigramCounts(s, d)))
         .orderBy("doc_id")
     }),
 
@@ -268,15 +270,16 @@ object CurationQueries {
 
     // C4-style boilerplate flagging: the BoilerK most document-frequent
     // bigrams are "boilerplate"; each doc reports how much of it is made
-    // of them. Two hash aggregates over the shared persisted bigram
-    // frame, then a K-row broadcast join back over the same frame — the
-    // corpus itself never shuffles, and the flagged set is bounded at K
-    // regardless of corpus size.
+    // of them. Document frequency is one row-count over the shared
+    // persisted (doc_id, bigram, n) count frame, then a K-row broadcast
+    // join back over the same frame — the corpus itself never shuffles,
+    // and the flagged set is bounded at K regardless of corpus size.
     "q_boilerplate" -> ((s, d) => {
       // Delegates to the Curation API over the shared persisted bigram
-      // frame (one explode for this sf dir, shared across queries).
-      graft.ops.Curation.boilerplateFromBigrams(
-          TextQueries.bigramDF(s, d), "doc_id", BoilerK)
+      // count frame (one explode+aggregate for this sf dir, shared
+      // across queries).
+      graft.ops.Curation.boilerplateFromCounts(
+          TextQueries.docBigramCounts(s, d), "doc_id", BoilerK)
         .orderBy("doc_id")
     }),
 

@@ -234,12 +234,29 @@ object DedupQueries {
   private val tfidfCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** Persisted `(doc_id, word, tf)` occurrence-count frame — the one
+    * corpus-sized word shuffle per (session, sf dir); tf-idf weights,
+    * document frequency, and the per-doc repetition maxima all derive
+    * from this distinct-pair frame instead of re-aggregating the raw
+    * per-occurrence word frame.
+    */
+  private val docWordCountCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[queries] def docWordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.memo(docWordCountCache, (Tables.sessionKey(s), d))({
+      wordDF(s, d).select("doc_id", "word")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .persist()
+    })
+
   private def tfidfWtsDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(tfidfCache, (Tables.sessionKey(s), d))({
-      val w = wordDF(s, d).select("doc_id", "word")
-      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val nd = w.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
-      val idf = w.select("doc_id", "word").distinct()
+      val tf = docWordCounts(s, d)
+      val nd = tf.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
+      // df = rows per word in the distinct-pair frame (each (doc, word)
+      // appears exactly once there) — no second pass over occurrences.
+      val idf = tf
         .groupBy("word").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nd))
         .select(col("word"), expr(

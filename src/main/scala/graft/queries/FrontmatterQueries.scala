@@ -84,6 +84,21 @@ object FrontmatterQueries {
     "q_fm_topk" -> run(
       "SELECT path, n_chars FROM files ORDER BY n_chars DESC, path LIMIT 20"),
 
+    // Long-tail dialect: DuckDB QUALIFY (the most-used construct the
+    // reference's verbatim passthrough grants that Spark SQL lacks) —
+    // rewritten by Dialect.rewriteQualify into a window-in-subquery +
+    // filter. Top-2 files per category; NULL placement is explicit on
+    // both sides (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST).
+    "q_fm_qualify" -> run(
+      """SELECT path, category, n_chars FROM files
+        |QUALIFY row_number() OVER (PARTITION BY category ORDER BY n_chars DESC NULLS LAST, path) <= 2
+        |ORDER BY category NULLS FIRST, path""".stripMargin),
+
+    // Long-tail dialect: DuckDB `* EXCLUDE (...)` star modifier →
+    // Spark's `* EXCEPT (...)` via Dialect.rewriteExclude.
+    "q_fm_exclude" -> run(
+      "SELECT * EXCLUDE (tags, score) FROM files ORDER BY path LIMIT 25"),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -214,6 +229,14 @@ object FrontmatterQueries {
     "q_fm_topk" ->
       s"""$cte
          |SELECT path, n_chars FROM files ORDER BY n_chars DESC, path LIMIT 20""".stripMargin,
+    "q_fm_qualify" ->
+      s"""$cte
+         |SELECT path, category, n_chars FROM files
+         |QUALIFY row_number() OVER (PARTITION BY category ORDER BY n_chars DESC NULLS LAST, path) <= 2
+         |ORDER BY category NULLS FIRST, path""".stripMargin,
+    "q_fm_exclude" ->
+      s"""$cte
+         |SELECT * EXCLUDE (tags, score) FROM files ORDER BY path LIMIT 25""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

@@ -138,6 +138,10 @@ object TextQueries {
 
   private[queries] def bigramDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(bigramCache, (Tables.sessionKey(s), d))({
+      // NOT persisted: every consumer rides the aggregated count frames
+      // below, so the raw per-occurrence frame is scanned exactly once
+      // (explode feeding a partial hash aggregate) when
+      // [[docBigramCounts]] first materializes.
       Tables.load(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
         .select(col("doc_id"), explode(expr(
@@ -145,6 +149,36 @@ object TextQueries {
             |     ELSE transform(sequence(1, size(w) - 1),
             |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
             |END""".stripMargin)).as("bigram"))
+    })
+
+  /** Persisted `(doc_id, bigram, n)` occurrence-count frame — THE one
+    * corpus-sized bigram shuffle per (session, sf dir). Every bigram
+    * statistic downstream (corpus vocab counts, document frequency,
+    * per-doc repetition maxima, the bigram-LM join-back) is a sum/max/
+    * count over this much smaller distinct-pair frame, so the r7 bench
+    * finding that q_lm_bigram / q_quality_repetition / q_boilerplate
+    * each re-shuffled the full per-occurrence frame cannot recur by
+    * construction.
+    */
+  private val docBigramCountCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private[queries] def docBigramCounts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.memo(docBigramCountCache, (Tables.sessionKey(s), d))({
+      bigramDF(s, d).groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+        .persist()
+    })
+
+  /** Persisted corpus bigram vocabulary `(bigram, c12)` — vocab-sized,
+    * derived from [[docBigramCounts]] with one small aggregate; shared
+    * by q_text_bigrams, q_text_pmi and the bigram LM.
+    */
+  private val bigramCountCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private[queries] def bigramCounts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.memo(bigramCountCache, (Tables.sessionKey(s), d))({
+      docBigramCounts(s, d).groupBy("bigram").agg(sum("n").as("c12"))
         .persist()
     })
 
@@ -222,8 +256,8 @@ object TextQueries {
     // Corpus-wide bigram frequencies (n-gram language-model building
     // block): top 20 by count with deterministic tie-break.
     "q_text_bigrams" -> ((s, d) => {
-      bigramDF(s, d)
-        .groupBy("bigram").agg(count(lit(1)).as("n"))
+      bigramCounts(s, d)
+        .select(col("bigram"), col("c12").as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
     }),
@@ -241,9 +275,8 @@ object TextQueries {
       val wc = DedupQueries.wordDF(s, d)
         .groupBy("word").agg(count(lit(1)).as("c"))
       val n = DedupQueries.wordDF(s, d).agg(count(lit(1)).as("n"))
-      val nb = bigramDF(s, d).agg(count(lit(1)).as("nb"))
-      val c12 = bigramDF(s, d)
-        .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      val nb = bigramCounts(s, d).agg(sum("c12").as("nb"))
+      val c12 = bigramCounts(s, d)
         .filter(col("c12") >= PmiMinCount)
         .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
         .withColumn("w2", expr("element_at(split(bigram, ' '), 2)"))
@@ -322,11 +355,9 @@ object TextQueries {
       val tok = docs.select(col("doc_id"), size(col("w")).as("n_tokens"))
       // Top-word counts ride the word frame DedupQueries already
       // persists for this sf dir (one explode, shared across queries).
-      val topw = DedupQueries.wordDF(s, d).select("doc_id", "word")
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(max("n").as("top_word_n"))
-      val topb = bigramDF(s, d)
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      val topw = DedupQueries.docWordCounts(s, d)
+        .groupBy("doc_id").agg(max("tf").as("top_word_n"))
+      val topb = docBigramCounts(s, d)
         .groupBy("doc_id").agg(max("n").as("top_bigram_n"))
       tok.join(topw, Seq("doc_id"), "left").join(topb, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),

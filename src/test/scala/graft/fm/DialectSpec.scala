@@ -84,6 +84,47 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite(in).contains("LATERAL VIEW explode(tags) x AS tag"))
   }
 
+  test("QUALIFY with inline window → helper column + EXCEPT wrap") {
+    val in = "SELECT path, category FROM files " +
+      "QUALIFY row_number() OVER (PARTITION BY category ORDER BY path) <= 2 " +
+      "ORDER BY category, path"
+    val out = Dialect.rewriteQualify(in)
+    assert(!out.toUpperCase.contains("QUALIFY"), out)
+    assert(out.contains("SELECT * EXCEPT (__graft_qualify) FROM ("), out)
+    assert(out.contains(", (row_number() OVER (PARTITION BY category ORDER BY path) <= 2) AS __graft_qualify FROM files"), out)
+    assert(out.contains(") WHERE __graft_qualify ORDER BY category, path"), out)
+  }
+
+  test("QUALIFY over a select-list window alias → plain subquery + WHERE") {
+    val in = "SELECT path, row_number() OVER (ORDER BY path) AS rn FROM files " +
+      "QUALIFY rn <= 3 ORDER BY path"
+    val out = Dialect.rewriteQualify(in)
+    assert(!out.toUpperCase.replace("__GRAFT_QUALIFY", "").contains("QUALIFY"), out)
+    assert(out.contains("SELECT * FROM ( SELECT path, row_number() OVER (ORDER BY path) AS rn FROM files )"), out)
+    assert(out.contains("WHERE (rn <= 3) ORDER BY path"), out)
+  }
+
+  test("QUALIFY in a subquery rewrites just that block; LIMIT survives") {
+    val in = "SELECT n FROM (SELECT n FROM t QUALIFY rn = 1 LIMIT 5) u WHERE n > 0"
+    val out = Dialect.rewriteQualify(in)
+    assert(out.contains("(SELECT * FROM ( SELECT n FROM t ) WHERE (rn = 1) LIMIT 5) u"), out)
+  }
+
+  test("QUALIFY inside a string literal is data") {
+    val in = "SELECT 'QUALIFY x' AS c FROM t"
+    assert(Dialect.rewriteQualify(in) == in)
+  }
+
+  test("star EXCLUDE modifier → Spark EXCEPT, bare column gains parens") {
+    assert(Dialect.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t")
+      == "SELECT * EXCEPT (a, b) FROM t")
+    assert(Dialect.rewriteExclude("SELECT t.* EXCLUDE a FROM t")
+      == "SELECT t.* EXCEPT (a) FROM t")
+    // the keyword anywhere else survives
+    val in = "SELECT exclude FROM t WHERE c = 'EXCLUDE x'"
+    assert(Dialect.rewriteExclude(in) == in)
+  }
+
   test("comment openers inside string literals are data") {
     val in = "SELECT '--not a comment' AS c, '/*neither*/' AS d FROM t, UNNEST(tags) AS x(tag)"
     val out = Dialect.rewrite(in)

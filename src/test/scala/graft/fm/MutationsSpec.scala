@@ -207,7 +207,28 @@ class MutationsSpec extends AnyFunSuite {
     val r = Mutations.batchUpdateDistributed(
       graft.TestSpark.spark, dir, "*.md", Map("done" -> true))
     assert(r.updatedCount == 2)
+    assert(!r.listTruncated)
     assert(read(dir, "a.md").metadata.get("done") == java.lang.Boolean.TRUE)
     assert(read(dir, "b.md").metadata.get("done") == java.lang.Boolean.TRUE)
+  }
+
+  test("distributed batch_update bounds driver lists above the cap, exact counts always") {
+    val files = (0 until 7).map(i => f"f$i%02d.md" -> s"---\nx: $i\n---\n")
+    val dir = corpus(files: _*)
+    // Below the cap: full sorted list, reference parity, no flag.
+    val full = Mutations.batchUpdateDistributed(
+      graft.TestSpark.spark, dir, "*.md", Map("done" -> true), maxListed = 7)
+    assert(full.updatedCount == 7 && !full.listTruncated)
+    assert(full.updatedFiles == files.map(_._1))
+    // Above the cap: exact count, first N paths in sorted order, flag set.
+    val capped = Mutations.batchUpdateDistributed(
+      graft.TestSpark.spark, dir, "*.md", Map("done2" -> true), maxListed = 3)
+    assert(capped.updatedCount == 7)
+    assert(capped.listTruncated)
+    assert(capped.updatedFiles == files.map(_._1).take(3))
+    // Every file was still actually rewritten despite the bounded listing.
+    files.foreach { case (f, _) =>
+      assert(read(dir, f).metadata.get("done2") == java.lang.Boolean.TRUE, f)
+    }
   }
 }

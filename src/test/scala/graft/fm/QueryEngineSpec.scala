@@ -91,6 +91,24 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(r.warnings.exists(_.path == "bad.md"))
   }
 
+  test("parse-warning list is bounded above the cap with an exact remainder count") {
+    val bad = (0 until 5).map(i => f"bad$i%02d.md" -> "---\n{ not: valid: yaml: [\n---\n")
+    val dir = corpus((("good.md" -> "---\nok: 1\n---\n") +: bad): _*)
+    val parsed = Corpus.parse(spark, dir.toString,
+      FileScan.collect(dir, "**/*.md").map(_.toString).sorted)
+    // Below the cap: full reference-parity list, no summary entry.
+    val (_, full) = Corpus.filesDF(spark, parsed, maxWarnings = 5)
+    assert(full.length == 5 && full.forall(_.path.startsWith("bad")))
+    // Above the cap: first N plus one summary row with the exact remainder.
+    val (df, capped) = Corpus.filesDF(spark, parsed, maxWarnings = 2)
+    assert(capped.length == 3)
+    assert(capped.take(2).forall(_.path.startsWith("bad")))
+    assert(capped.last.path == "(truncated)")
+    assert(capped.last.error.contains("3 more parse warnings"))
+    // The data frame itself is unaffected by the warning cap.
+    assert(df.count() == 1)
+  }
+
   test("response shape {results, row_count, columns} (server.py:160-169)") {
     val e = eng(corpus(threeDocs: _*))
     val resp = e.query("**/*.md", "SELECT path FROM files ORDER BY path").response()
