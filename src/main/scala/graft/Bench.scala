@@ -149,5 +149,9 @@ object Bench {
     }
     println(prefix + shown.mkString(",") + s"""},"queries_omitted":${timed.length - shown.size}}""")
     spark.stop()
+    // A bench with crashing queries must not look like a clean run: round 8
+    // recorded rc:0 with 11 analysis-time failures. Artifacts are already
+    // written/printed above, so the nonzero exit only flags the round.
+    if (nFailed > 0) sys.exit(1)
   }
 }

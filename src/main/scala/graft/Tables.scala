@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver testdata star schema
   * (see /root/repo/TESTDATA.md). Reads are plain `spark.read.parquet`
@@ -56,14 +56,21 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default. Read it as a long and convert with integer division
-      // (nanos exceed 2^53, so double math would corrupt timestamps).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
+      // Spark 4 by default → read as long and integer-divide; nanos
+      // exceed 2^53 so double math would corrupt timestamps) and as
+      // timestamp[us] WITHOUT timezone (→ TIMESTAMP_NTZ, on which
+      // unix_micros fails analysis). Normalize both to TIMESTAMP; every
+      // engine session pins spark.sql.session.timeZone=UTC, so the
+      // NTZ→TIMESTAMP cast is the identity on the stored micros and
+      // matches DuckDB's epoch_us on the same naive column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -30,13 +30,32 @@ object Verify {
           s"${s.size} of ${SparkEntry.queries.size} queries: ${s.mkString(",")}")
     }
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // A query that fails to execute must NOT vanish from the artifact —
+    // round 8 dropped 11 crashing queries and the correctness report read
+    // as green. On failure, write a one-row parquet with a sentinel
+    // `_graft_error` column: the driver's compare then records a hard
+    // schema/hash MISMATCH for that name instead of silently omitting it.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name could not write error sentinel: $e2")
+        }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${queries.size} queries FAILED to execute: " +
+          failed.keys.mkString(","))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,6 +73,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable execution-failure record next to the oracle map, so
+    // a round with crashing queries is flaggable without parsing stderr.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/exec_errors.json"), errJson)
     spark.stop()
   }
 }

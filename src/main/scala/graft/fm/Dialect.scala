@@ -452,11 +452,16 @@ object Dialect {
   }
 
   private def isKeywordAt(upper: String, endIdx: Int, kw: String): Boolean = {
+    // '_' is an identifier character, not a word boundary: without it the
+    // QUALIFY inside this rewriter's own __graft_qualify helper matches as
+    // a keyword on the next scan pass and the rewrite re-wraps its output
+    // into unparsable SQL (round-8 q_fm_qualify ParseException).
+    def isIdentChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     val start = endIdx - kw.length + 1
     start >= 0 &&
     upper.regionMatches(start, kw, 0, kw.length) &&
-    (start == 0 || !Character.isLetterOrDigit(upper.charAt(start - 1))) &&
-    (endIdx == upper.length - 1 || !Character.isLetterOrDigit(upper.charAt(endIdx + 1)))
+    (start == 0 || !isIdentChar(upper.charAt(start - 1))) &&
+    (endIdx == upper.length - 1 || !isIdentChar(upper.charAt(endIdx + 1)))
   }
 
   private def matchParen(s: String, open: Int): Int = {

@@ -69,6 +69,27 @@ class ContractSpec extends AnyFunSuite {
     false
   }
 
+  test("every oracle query name appears in COVERAGE.md (crosswalk stays current)") {
+    // VERDICT r7 item 8: at 130+ queries the SURVEY§2→implementation
+    // crosswalk silently rots unless something asserts it. Every query in
+    // the gate must be findable in COVERAGE.md, and COVERAGE.md must not
+    // name queries that no longer exist.
+    val covText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    // word-bounded so `graft_pq_codes` and the `q_fm_*` wildcard idiom in
+    // prose don't read as query names
+    val mentioned =
+      "(?<![a-z0-9_])(?:q(?:_[a-z0-9]+)+|q1_agg)(?![a-z0-9_])".r
+        .findAllIn(covText).toSet
+    val queries = SparkEntry.queries.keySet
+    val undocumented = queries -- mentioned
+    assert(undocumented.isEmpty,
+      s"queries missing from COVERAGE.md: ${undocumented.toSeq.sorted.mkString(", ")}")
+    val stale = mentioned -- queries
+    assert(stale.isEmpty,
+      s"COVERAGE.md names queries that do not exist: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("oracle SQL is non-empty and totally ordered") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name oracle is empty")

@@ -89,10 +89,24 @@ class DialectSpec extends AnyFunSuite {
       "QUALIFY row_number() OVER (PARTITION BY category ORDER BY path) <= 2 " +
       "ORDER BY category, path"
     val out = Dialect.rewriteQualify(in)
-    assert(!out.toUpperCase.contains("QUALIFY"), out)
+    // the QUALIFY keyword is gone; only the __graft_qualify helper remains
+    assert(!out.toUpperCase.replace("__GRAFT_QUALIFY", "").contains("QUALIFY"), out)
     assert(out.contains("SELECT * EXCEPT (__graft_qualify) FROM ("), out)
     assert(out.contains(", (row_number() OVER (PARTITION BY category ORDER BY path) <= 2) AS __graft_qualify FROM files"), out)
     assert(out.contains(") WHERE __graft_qualify ORDER BY category, path"), out)
+  }
+
+  test("rewriteQualify is idempotent on its own output") {
+    // Regression (round 8): isKeywordAt treated '_' as a word boundary, so
+    // the QUALIFY inside the emitted __graft_qualify identifier matched as
+    // a keyword on the next scan and the block was re-wrapped into
+    // unparsable SQL.
+    val in = "SELECT path, category FROM files " +
+      "QUALIFY row_number() OVER (PARTITION BY category ORDER BY path) <= 2 " +
+      "ORDER BY category, path"
+    val once = Dialect.rewriteQualify(in)
+    assert(Dialect.rewriteQualify(once) == once, once)
+    assert(Dialect.rewrite(Dialect.rewrite(in)) == Dialect.rewrite(in))
   }
 
   test("QUALIFY over a select-list window alias → plain subquery + WHERE") {
@@ -100,14 +114,15 @@ class DialectSpec extends AnyFunSuite {
       "QUALIFY rn <= 3 ORDER BY path"
     val out = Dialect.rewriteQualify(in)
     assert(!out.toUpperCase.replace("__GRAFT_QUALIFY", "").contains("QUALIFY"), out)
-    assert(out.contains("SELECT * FROM ( SELECT path, row_number() OVER (ORDER BY path) AS rn FROM files )"), out)
-    assert(out.contains("WHERE (rn <= 3) ORDER BY path"), out)
+    assert(out.contains("SELECT * FROM ( SELECT path, row_number() OVER (ORDER BY path) AS rn FROM files"), out)
+    assert(out.contains(") WHERE (rn <= 3) ORDER BY path"), out)
   }
 
   test("QUALIFY in a subquery rewrites just that block; LIMIT survives") {
     val in = "SELECT n FROM (SELECT n FROM t QUALIFY rn = 1 LIMIT 5) u WHERE n > 0"
     val out = Dialect.rewriteQualify(in)
-    assert(out.contains("(SELECT * FROM ( SELECT n FROM t ) WHERE (rn = 1) LIMIT 5) u"), out)
+    assert(out.replaceAll("\\s+", " ")
+      .contains("(SELECT * FROM ( SELECT n FROM t ) WHERE (rn = 1) LIMIT 5) u"), out)
   }
 
   test("QUALIFY inside a string literal is data") {
