@@ -22,9 +22,9 @@ object EventStreams extends Serializable {
     * a batch frame it is a no-op and the result is the plain windowed
     * aggregate. Sums use exact decimals so results are order-independent.
     */
-  def windowedAgg(events: DataFrame): DataFrame =
+  def windowedAgg(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
     events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -32,6 +32,33 @@ object EventStreams extends Serializable {
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermark-delay audit → recommendation (the q_stream_late feedback
+    * loop). Replays a batch of the stream in ARRIVAL order, measures each
+    * event's event-time lag behind the running high-water mark per
+    * partition key, and returns the maximum rounded UP to whole seconds —
+    * the smallest `withWatermark` delay that would have admitted every
+    * observed event. Partitioned like the audit query (running max within
+    * each key's arrival sequence), so no single global sort at scale; at
+    * 100 TB this runs over a bounded recent sample, not the full history.
+    */
+  def recommendedWatermarkDelay(
+      events: DataFrame,
+      arrivalCol: String,
+      partitionCols: Seq[String] = Seq("event_type")): String = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (if (partitionCols.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsu = unix_micros(col("ts"))
+    val maxLagUs = events
+      .withColumn("__lag_us", max(tsu).over(w) - tsu)
+      .agg(max(col("__lag_us")))
+      .head().getLong(0)
+    val secs = (maxLagUs + 999999L) / 1000000L
+    s"$secs seconds"
+  }
 
   /** Gap-based sessionization via the typed state API.
     *

@@ -178,6 +178,57 @@ class SemanticSpec extends AnyFunSuite {
     assert(emb.exists(r => r.getString(1) == "FLOAT[48]"))
   }
 
+  test("weights-file encoder: dim follows the file, cache truncates, missing file falls back (VERDICT r7 item 5)") {
+    // Fixture weights: a deterministic 32-in / 48-out projection standing
+    // in for real exported model weights (reference ruri-v3-30m,
+    // docs/adr/0009). dim 48 ≠ the 64 default, so every downstream
+    // surface must follow the FILE's dimension, not a name suffix.
+    val wFile = Files.createTempFile("graft_weights", ".txt")
+    val rnd = new scala.util.Random(7)
+    val body = (0 until 48).map(_ =>
+      Array.fill(32)(f"${rnd.nextGaussian()}%.6f").mkString(" ")).mkString("\n")
+    Files.write(wFile, s"32 48\n$body\n".getBytes("UTF-8"))
+    val model = s"graft-weights:$wFile"
+
+    val enc = Encoders.forModel(model)
+    assert(enc.isInstanceOf[WeightsEncoder])
+    assert(enc.dim == 48)
+    val v1 = enc.encode("spark table scan and hash join")
+    assert(v1.length == 48)
+    assert(v1.toSeq == enc.encode("spark table scan and hash join").toSeq)
+    assert(v1.toSeq != enc.encode("completely different words").toSeq)
+    assert(math.abs(math.sqrt(v1.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+
+    // End-to-end: corpus indexed under the default model, then re-pointed
+    // at the weights file — cache truncates, vectors come from the
+    // projection, the FLOAT[48] schema row follows (cache.py:86-103).
+    val dir = corpus("a.md" -> "---\nt: 1\n---\nalpha body text for the seam")
+    val cacheDir = Files.createTempDirectory("graft_sem_weights").toString
+    def settingsWith(m: String) =
+      Settings(dir.toString, enableSemantic = true, m, Some(cacheDir))
+    val ctxA = new SemanticContext(spark, settingsWith("stub-model"))
+    ctxA.indexer.start(); assert(ctxA.indexer.await(60000))
+    assert(ctxA.cache.get("a.md").get.length == 64)
+
+    val ctxB = new SemanticContext(spark, settingsWith(model))
+    assert(ctxB.dim == 48)
+    assert(ctxB.cache.count == 0) // model change truncated the shared cache
+    ctxB.indexer.start(); assert(ctxB.indexer.await(60000))
+    assert(ctxB.cache.get("a.md").get.toSeq ==
+      enc.encode("alpha body text for the seam").toSeq)
+    val eng = new QueryEngine(spark, settingsWith(model), Some(ctxB))
+    val (_, schemaDf, _) = eng.inspect("**/*.md")
+    val emb = schemaDf.collect().find(_.getString(0) == "embedding")
+    assert(emb.exists(r => r.getString(1) == "FLOAT[48]"))
+
+    // Missing file → word-hash fallback under the SAME configured name:
+    // structurally usable offline, re-indexes once the file appears.
+    val gone = Encoders.forModel("graft-weights:/nonexistent/w.txt")
+    assert(gone.isInstanceOf[WordHashEncoder])
+    assert(gone.dim == Embed.DefaultDim)
+    assert(gone.model == "graft-weights:/nonexistent/w.txt")
+  }
+
   test("engine integration: embedding column, NULL for unindexed, cosine ranking (test_query.py:221-326)") {
     val dir = corpus(
       "x.md" -> "---\ntitle: X\n---\nspark table scan and hash join",

@@ -40,6 +40,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark audit feeds back: measured delay admits every late event, a smaller one drops them (VERDICT r7 item 7)") {
+    import spark.implicits._
+    // Arrival-ordered batch with one event 7 minutes late behind the
+    // high-water mark — the audit must recommend exactly 420 seconds.
+    val audited = Seq(
+      (1L, ts(1), "click", 1.0),
+      (2L, ts(12), "click", 2.0),
+      (3L, ts(5), "click", 4.0)) // 7 min behind hwm=00:12 when it arrives
+      .toDF("arrival", "ts", "event_type", "value")
+    val rec = EventStreams.recommendedWatermarkDelay(audited, "arrival")
+    assert(rec == "420 seconds")
+
+    // Replay the same arrival sequence through the streaming aggregate
+    // twice: with the RECOMMENDED delay the late event lands in its
+    // window; with a zero delay the closed window has already dropped it.
+    def runWith(delay: String, name: String): Map[Long, Long] = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(Timestamp, String, Double)]
+      val events = input.toDF().toDF("ts", "event_type", "value")
+      val q = EventStreams.windowedAgg(events, delay)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((ts(1), "click", 1.0), (ts(12), "click", 2.0))
+        q.processAllAvailable()
+        input.addData((ts(5), "click", 4.0)) // the audited late arrival
+        q.processAllAvailable()
+        input.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "click", 0.0))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      } finally q.stop()
+    }
+    val win0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val withRec = runWith(rec, "wm_rec")
+    assert(withRec(win0) == 2L, s"measured delay must admit the late event: $withRec")
+    val withZero = runWith("0 seconds", "wm_zero")
+    assert(withZero(win0) == 1L, s"zero delay must drop the late event: $withZero")
+  }
+
   test("sessionize streaming mode: open sessions span micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
