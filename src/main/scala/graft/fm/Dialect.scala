@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   *    `string_split` → `split`, registered as function aliases;
   *  - long-tail constructs the reference's verbatim passthrough
   *    (`query.py:72`) grants but Spark SQL lacks: `QUALIFY pred` →
-  *    window-in-subquery + filter, and the `* EXCLUDE (...)` star
-  *    modifier → Spark's `* EXCEPT (...)`.
+  *    window-in-subquery + filter, the `* EXCLUDE (...)` star modifier →
+  *    Spark's `* EXCEPT (...)`, `* REPLACE (expr AS col)` → EXCEPT +
+  *    re-projection, and list comprehensions `[e FOR x IN l IF p]` →
+  *    `transform`/`filter` higher-order functions. (`WITH RECURSIVE`
+  *    needs no rewrite — Spark 4 parses it natively.)
   */
 object Dialect {
 
@@ -36,10 +39,15 @@ object Dialect {
       "len", exprs => Length(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "regexp_matches", exprs => RLike(exprs(0), exprs(1)), "built-in")
+    // DuckDB list → string; Spark spells it array_join (both skip NULL
+    // elements when no null-replacement is given)
+    reg.createOrReplaceTempFunction(
+      "array_to_string", exprs => ArrayJoin(exprs(0), exprs(1), None), "built-in")
   }
 
   def rewrite(sql: String): String =
-    rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(sql))))
+    rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
+      rewriteReplace(rewriteListComp(sql))))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -483,5 +491,187 @@ object Dialect {
     var i = start
     while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
     i
+  }
+
+  /** Matching `]` for the `[` at `open`, skipping string literals. */
+  private def matchBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** First occurrence of keyword `kw` in `[from, until)` at nesting depth
+    * 0 (both parens and brackets), word-bounded, outside string literals;
+    * -1 if absent.
+    */
+  private def findTopKeyword(
+      u: String, msk: String, lit: Array[Boolean],
+      from: Int, until: Int, kw: String): Int = {
+    var depth = 0
+    var i = from
+    while (i < until) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && u.regionMatches(i, kw, 0, kw.length) &&
+          isKeywordAt(u, i + kw.length - 1, kw) && i + kw.length <= until) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Top-level comma positions in `[from, until)` (depth 0, outside
+    * literals), returned as the (start, end) spans between them.
+    */
+  private def splitTopCommas(
+      msk: String, lit: Array[Boolean], from: Int, until: Int): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var depth = 0
+    var start = from
+    var i = from
+    while (i < until) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) { spans += ((start, i)); start = i + 1 }
+      }
+      i += 1
+    }
+    spans += ((start, until))
+    spans.toSeq
+  }
+
+  /** DuckDB `* REPLACE (expr AS col, ...)` star modifier (passthrough
+    * long tail; Spark SQL has none) → `* EXCEPT (col, ...), expr AS col,
+    * ...`. The replaced columns move to the END of the projection —
+    * DuckDB keeps them in place, but a pure string rewrite has no schema
+    * to reconstruct positions from, and the engine's response surface
+    * (name-keyed result dicts) is position-independent. Every
+    * parenthesized item must carry a top-level `AS`, which is also what
+    * distinguishes the star modifier from a multiplication by the
+    * `replace()` string function (`a * replace(b, 'x', 'y')` has no AS).
+    * Only the direct `* REPLACE (...)` form is handled; the combined
+    * `* EXCLUDE (...) REPLACE (...)` spelling is left for the parser to
+    * reject loudly rather than silently mis-rewritten.
+    */
+  private[fm] def rewriteReplace(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("REPLACE")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + "REPLACE".length - 1, "REPLACE")) {
+          var j = i - 1
+          while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+          var k = i + "REPLACE".length
+          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
+          if (j >= 0 && msk.charAt(j) == '*' && k < msk.length && msk.charAt(k) == '(') {
+            val close = matchParen(msk, k)
+            if (close > k) {
+              val parsed = splitTopCommas(msk, lit, k + 1, close).map { case (s0, e0) =>
+                // last top-level AS splits expr from the target column
+                var asAt = -1
+                var p = findTopKeyword(u, msk, lit, s0, e0, "AS")
+                while (p >= 0) { asAt = p; p = findTopKeyword(u, msk, lit, p + 2, e0, "AS") }
+                if (asAt < 0) None
+                else {
+                  val col = out.substring(asAt + 2, e0).trim
+                  val expr = out.substring(s0, asAt).trim
+                  if (col.nonEmpty && expr.nonEmpty &&
+                    col.forall(c => Character.isLetterOrDigit(c) || c == '_' || c == '`'))
+                    Some((expr, col))
+                  else None
+                }
+              }
+              if (parsed.nonEmpty && parsed.forall(_.isDefined)) {
+                val items = parsed.flatten
+                val repl = s"EXCEPT (${items.map(_._2).mkString(", ")})" +
+                  items.map { case (e, c) => s", $e AS $c" }.mkString
+                out = out.substring(0, i) + repl + out.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("REPLACE", i + 1)
+      }
+    }
+    out
+  }
+
+  /** DuckDB list comprehensions (passthrough long tail) →
+    * `transform`/`filter` higher-order functions:
+    *
+    *   `[expr FOR x IN list]`         → `transform(list, x -> expr)`
+    *   `[expr FOR x IN list IF cond]` → `transform(filter(list, x -> cond),
+    *                                               x -> expr)`
+    *
+    * Only brackets whose body contains a top-level `FOR` are touched —
+    * plain `[1, 2]` array literals and `arr[i]` indexing pass through
+    * untouched (their 1-based-vs-0-based semantics must fail loudly at
+    * parse time, not be silently shifted). Nested comprehensions resolve
+    * outermost-first; the re-scan loop picks up the inner ones on the
+    * next pass.
+    */
+  private[fm] def rewriteListComp(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        if (msk.charAt(i) == '[' && !lit(i)) {
+          val close = matchBracket(msk, i)
+          if (close > i) {
+            val forAt = findTopKeyword(u, msk, lit, i + 1, close, "FOR")
+            if (forAt >= 0) {
+              val inAt = findTopKeyword(u, msk, lit, forAt + 3, close, "IN")
+              if (inAt >= 0) {
+                val ifAt = findTopKeyword(u, msk, lit, inAt + 2, close, "IF")
+                val expr = out.substring(i + 1, forAt).trim
+                val v = out.substring(forAt + 3, inAt).trim
+                val listEnd = if (ifAt >= 0) ifAt else close
+                val list = out.substring(inAt + 2, listEnd).trim
+                if (expr.nonEmpty && list.nonEmpty &&
+                  v.nonEmpty && v.forall(c => Character.isLetterOrDigit(c) || c == '_')) {
+                  val repl =
+                    if (ifAt >= 0) {
+                      val cond = out.substring(ifAt + 2, close).trim
+                      s"transform(filter($list, $v -> $cond), $v -> $expr)"
+                    } else s"transform($list, $v -> $expr)"
+                  out = out.substring(0, i) + repl + out.substring(close + 1)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    out
   }
 }

@@ -99,6 +99,32 @@ object FrontmatterQueries {
     "q_fm_exclude" -> run(
       "SELECT * EXCLUDE (tags, score) FROM files ORDER BY path LIMIT 25"),
 
+    // Long-tail dialect: `* REPLACE (expr AS col)` star modifier →
+    // EXCEPT + re-projection via Dialect.rewriteReplace. Replaced
+    // columns land at the END of the projection here but stay in place
+    // in DuckDB — the compare keys on column NAME, and the engine's
+    // response surface is name-keyed dicts, so both are the same result.
+    "q_fm_replace" -> run(
+      """SELECT * REPLACE (upper(category) AS category, n_chars || '!' AS n_chars)
+        |FROM files ORDER BY path LIMIT 25""".stripMargin),
+
+    // Long-tail dialect: DuckDB list comprehension (with IF filter) →
+    // transform/filter higher-order functions via Dialect.rewriteListComp,
+    // plus the array_to_string → array_join alias.
+    "q_fm_listcomp" -> run(
+      """SELECT path,
+        |  array_to_string([upper(t) FOR t IN from_json(tags, '["VARCHAR"]') IF t <> 'the'], '|') AS tags_up
+        |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin),
+
+    // Long-tail dialect: WITH RECURSIVE runs NATIVELY in Spark 4 (no
+    // rewrite) — prove the passthrough end-to-end with a recursive
+    // generator joined back to the files view.
+    "q_fm_recursive" -> run(
+      """WITH RECURSIVE r(n) AS (SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 6)
+        |SELECT 'cat' || CAST(r.n AS STRING) AS category, COUNT(f.path) AS n_files
+        |FROM r LEFT JOIN files f ON f.category = 'cat' || CAST(r.n AS STRING)
+        |GROUP BY r.n ORDER BY r.n""".stripMargin),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -237,6 +263,21 @@ object FrontmatterQueries {
     "q_fm_exclude" ->
       s"""$cte
          |SELECT * EXCLUDE (tags, score) FROM files ORDER BY path LIMIT 25""".stripMargin,
+    "q_fm_replace" ->
+      s"""$cte
+         |SELECT * REPLACE (upper(category) AS category, n_chars || '!' AS n_chars)
+         |FROM files ORDER BY path LIMIT 25""".stripMargin,
+    "q_fm_listcomp" ->
+      s"""$cte
+         |SELECT path,
+         |  array_to_string([upper(t) FOR t IN from_json(tags, '["VARCHAR"]') IF t <> 'the'], '|') AS tags_up
+         |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin,
+    "q_fm_recursive" ->
+      (cte.replaceFirst("WITH files AS", "WITH RECURSIVE files AS") +
+        """, r(n) AS (SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 6)
+          |SELECT 'cat' || CAST(r.n AS STRING) AS category, COUNT(f.path) AS n_files
+          |FROM r LEFT JOIN files f ON f.category = 'cat' || CAST(r.n AS STRING)
+          |GROUP BY r.n ORDER BY r.n""".stripMargin),
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

@@ -337,7 +337,13 @@ object MiningQueries {
     // rounds as CTEs.
     "q_graph_kcore" -> ((s, d) => {
       var edges = copurchaseEdges(s, d)
-      for (_ <- 1 to KcoreRounds) {
+      // Lineage cut every 2 rounds (3^2 plan growth between cuts is fine)
+      // with the PageRank release discipline: each cut's blocks supersede
+      // the previous cut's, which must be freed — before this, every
+      // round's checkpointed edge generation stayed resident and three
+      // bench passes of leaked generations turned into GC noise.
+      var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+      for (round <- 1 to KcoreRounds) {
         val keep = edges.select(col("pa").as("u"))
           .union(edges.select(col("pb").as("u")))
           .groupBy("u").agg(count(lit(1)).as("dg"))
@@ -347,7 +353,14 @@ object MiningQueries {
           .join(keep.select(col("u").as("pa")), Seq("pa"))
           .join(keep.select(col("u").as("pb")), Seq("pb"))
           .select("pa", "pb")
-          .localCheckpoint()
+        if (round % 2 == 0 || round == KcoreRounds) {
+          val rdd = edges.rdd
+          rdd.localCheckpoint()
+          rdd.count() // materialize the cut eagerly
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = Some(rdd)
+          edges = s.createDataFrame(rdd, edges.schema)
+        }
       }
       edges.select(col("pa").as("part")).union(edges.select(col("pb").as("part")))
         .groupBy("part").agg(count(lit(1)).as("deg"))

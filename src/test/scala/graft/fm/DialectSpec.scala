@@ -130,6 +130,39 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteQualify(in) == in)
   }
 
+  test("star REPLACE modifier → EXCEPT + re-projection; replace() function untouched") {
+    assert(Dialect.rewriteReplace("SELECT * REPLACE (lower(a) AS a) FROM t")
+      == "SELECT * EXCEPT (a), lower(a) AS a FROM t")
+    assert(Dialect.rewriteReplace("SELECT * REPLACE (a + 1 AS a, trim(b) AS b) FROM t")
+      == "SELECT * EXCEPT (a, b), a + 1 AS a, trim(b) AS b FROM t")
+    // multiplication by the replace() string function has no top-level AS
+    // in its argument list — must NOT be mistaken for the star modifier
+    val fn = "SELECT a * replace(b, 'x', 'y') AS c FROM t"
+    assert(Dialect.rewriteReplace(fn) == fn)
+    // the keyword in a string literal is data
+    val lit = "SELECT 'x REPLACE (y AS z)' AS c FROM t"
+    assert(Dialect.rewriteReplace(lit) == lit)
+    // CAST(x AS INT) inside the expr: the LAST top-level AS wins
+    assert(Dialect.rewriteReplace("SELECT * REPLACE (CAST(a AS INT) AS a) FROM t")
+      == "SELECT * EXCEPT (a), CAST(a AS INT) AS a FROM t")
+  }
+
+  test("list comprehension → transform/filter; literals and indexing untouched") {
+    assert(Dialect.rewriteListComp("SELECT [x + 1 FOR x IN tags] AS t2 FROM t")
+      == "SELECT transform(tags, x -> x + 1) AS t2 FROM t")
+    assert(Dialect.rewriteListComp("SELECT [upper(x) FOR x IN tags IF x <> ''] AS t2 FROM t")
+      == "SELECT transform(filter(tags, x -> x <> ''), x -> upper(x)) AS t2 FROM t")
+    // nested comprehension resolves on the re-scan pass
+    assert(Dialect.rewriteListComp("SELECT [[y * 2 FOR y IN x] FOR x IN m] FROM t")
+      == "SELECT transform(m, x -> transform(x, y -> y * 2)) FROM t")
+    // array literal and indexing carry no FOR — pass through untouched
+    val noFor = "SELECT arr[1], ['a', 'b'] FROM t WHERE s = '[x FOR x IN y]'"
+    assert(Dialect.rewriteListComp(noFor) == noFor)
+    assert(Dialect.rewriteListComp(Dialect.rewriteListComp(
+      "SELECT [x FOR x IN tags] FROM t")) ==
+      Dialect.rewriteListComp("SELECT [x FOR x IN tags] FROM t"))
+  }
+
   test("star EXCLUDE modifier → Spark EXCEPT, bare column gains parens") {
     assert(Dialect.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t")
       == "SELECT * EXCEPT (a, b) FROM t")
