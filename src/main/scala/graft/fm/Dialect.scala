@@ -43,11 +43,24 @@ object Dialect {
     // elements when no null-replacement is given)
     reg.createOrReplaceTempFunction(
       "array_to_string", exprs => ArrayJoin(exprs(0), exprs(1), None), "built-in")
+    // DuckDB list_* family → Spark higher-order/array functions. The
+    // lambda-taking pair resolves fine through an alias: the parser
+    // builds the LambdaFunction argument before function resolution, and
+    // ResolveLambdaVariables keys on the HigherOrderFunction node, not
+    // the name.
+    reg.createOrReplaceTempFunction(
+      "list_transform", exprs => ArrayTransform(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_filter", exprs => ArrayFilter(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_distinct", exprs => ArrayDistinct(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_sort", exprs => new SortArray(exprs(0)), "built-in")
   }
 
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
-      rewriteReplace(rewriteListComp(sql))))))
+      rewriteDistinctOn(rewriteReplace(rewriteListComp(sql)))))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -612,6 +625,106 @@ object Dialect {
           }
         }
         if (!changed) i = u.indexOf("REPLACE", i + 1)
+      }
+    }
+    out
+  }
+
+  /** DuckDB/Postgres `SELECT DISTINCT ON (keys) list … ORDER BY sort` →
+    * row_number window + filter (Spark SQL has no DISTINCT ON):
+    *
+    *   `SELECT * EXCEPT (__graft_rn) FROM ( SELECT list, row_number()
+    *    OVER (PARTITION BY keys ORDER BY sort) AS __graft_rn FROM … )
+    *    WHERE __graft_rn = 1 ORDER BY sort`
+    *
+    * With no ORDER BY the window orders by the keys themselves (an
+    * arbitrary-but-deterministic pick; DuckDB's pick is arbitrary too).
+    * The block's ORDER BY / LIMIT tail stays OUTSIDE the wrap, so it
+    * orders the deduplicated result exactly as DuckDB does. An ORDER BY
+    * referencing columns the select list drops fails loudly at analysis
+    * (Postgres requires the sort to lead with the ON keys anyway).
+    */
+  private[fm] def rewriteDistinctOn(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("DISTINCT")
+      while (i >= 0 && !changed) {
+        // shape: SELECT DISTINCT ON ( keys ) …
+        var selAt = -1
+        if (!lit(i) && isKeywordAt(u, i + "DISTINCT".length - 1, "DISTINCT")) {
+          var j = i - 1
+          while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+          if (j >= 5 && u.regionMatches(j - 5, "SELECT", 0, 6) &&
+            isKeywordAt(u, j, "SELECT")) selAt = j - 5
+        }
+        var k = i + "DISTINCT".length
+        while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
+        if (selAt >= 0 && k + 1 < msk.length && u.regionMatches(k, "ON", 0, 2) &&
+          isKeywordAt(u, k + 1, "ON")) {
+          var p = k + 2
+          while (p < msk.length && Character.isWhitespace(msk.charAt(p))) p += 1
+          if (p < msk.length && msk.charAt(p) == '(') {
+            val close = matchParen(msk, p)
+            if (close > p) {
+              val keys = out.substring(p + 1, close).trim
+              // select list runs to the block's top-level FROM
+              val fromAt = findTopKeyword(u, msk, lit, close + 1, msk.length, "FROM")
+              if (fromAt >= 0) {
+                val selectList = out.substring(close + 1, fromAt).trim
+                // block tail: first same-depth ORDER / LIMIT / ')' / set-op
+                var blockEnd = -1
+                var orderAt = -1
+                var q = fromAt
+                var d2 = 0
+                while (q < msk.length && blockEnd < 0) {
+                  val c = msk.charAt(q)
+                  if (lit(q)) ()
+                  else if (c == '(') d2 += 1
+                  else if (c == ')') { if (d2 == 0) blockEnd = q else d2 -= 1 }
+                  else if (d2 == 0) {
+                    if (orderAt < 0 && u.regionMatches(q, "ORDER", 0, 5) &&
+                      isKeywordAt(u, q + 4, "ORDER")) orderAt = q
+                    if (orderAt < 0 &&
+                      Seq("LIMIT", "UNION", "INTERSECT", "EXCEPT").exists(kw =>
+                        u.regionMatches(q, kw, 0, kw.length) &&
+                          isKeywordAt(u, q + kw.length - 1, kw))) blockEnd = q
+                    else if (orderAt >= 0 && q > orderAt &&
+                      Seq("UNION", "INTERSECT", "EXCEPT").exists(kw =>
+                        u.regionMatches(q, kw, 0, kw.length) &&
+                          isKeywordAt(u, q + kw.length - 1, kw))) blockEnd = q
+                  }
+                  if (blockEnd < 0) q += 1
+                }
+                if (blockEnd < 0) blockEnd = msk.length
+                val innerEnd = if (orderAt >= 0 && orderAt < blockEnd) orderAt else blockEnd
+                val fromPart = out.substring(fromAt, innerEnd)
+                val tail = out.substring(innerEnd, blockEnd)
+                val sort =
+                  if (orderAt >= 0 && orderAt < blockEnd) {
+                    // contents after "ORDER BY" up to LIMIT / block end
+                    val limAt = findTopKeyword(u, msk, lit, orderAt + 5, blockEnd, "LIMIT")
+                    val sortEnd = if (limAt >= 0) limAt else blockEnd
+                    val byAt = findTopKeyword(u, msk, lit, orderAt + 5, sortEnd, "BY")
+                    if (byAt >= 0) out.substring(byAt + 2, sortEnd).trim else keys
+                  } else keys
+                val replacement =
+                  s"SELECT * EXCEPT (__graft_rn) FROM ( SELECT $selectList, " +
+                    s"row_number() OVER (PARTITION BY $keys ORDER BY $sort) AS __graft_rn " +
+                    s"$fromPart) WHERE __graft_rn = 1 $tail"
+                out = out.substring(0, selAt) + replacement + out.substring(blockEnd)
+                changed = true
+              }
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("DISTINCT", i + 1)
       }
     }
     out

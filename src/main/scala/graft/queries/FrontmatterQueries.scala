@@ -116,6 +116,25 @@ object FrontmatterQueries {
         |  array_to_string([upper(t) FOR t IN from_json(tags, '["VARCHAR"]') IF t <> 'the'], '|') AS tags_up
         |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin),
 
+    // Long-tail dialect: DuckDB/Postgres DISTINCT ON → row_number window
+    // + filter via Dialect.rewriteDistinctOn. One row per category (the
+    // longest doc, path tie-break), result ordered like DuckDB orders it.
+    "q_fm_distinct_on" -> run(
+      """SELECT DISTINCT ON (category) category, path, n_chars FROM files
+        |WHERE category IS NOT NULL
+        |ORDER BY category, n_chars DESC, path""".stripMargin),
+
+    // Long-tail dialect: the DuckDB list_* function family as aliases —
+    // list_filter/list_transform (lambdas through the alias seam),
+    // list_distinct + list_sort (sort normalizes the two engines'
+    // distinct ordering), array_to_string.
+    "q_fm_listfns" -> run(
+      """SELECT path,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(list_filter(from_json(tags, '["VARCHAR"]'), t -> t <> 'the'),
+        |                   t -> upper(t)))), ',') AS tags_norm
+        |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin),
+
     // Long-tail dialect: WITH RECURSIVE runs NATIVELY in Spark 4 (no
     // rewrite) — prove the passthrough end-to-end with a recursive
     // generator joined back to the files view.
@@ -271,6 +290,18 @@ object FrontmatterQueries {
       s"""$cte
          |SELECT path,
          |  array_to_string([upper(t) FOR t IN from_json(tags, '["VARCHAR"]') IF t <> 'the'], '|') AS tags_up
+         |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin,
+    "q_fm_distinct_on" ->
+      s"""$cte
+         |SELECT DISTINCT ON (category) category, path, n_chars FROM files
+         |WHERE category IS NOT NULL
+         |ORDER BY category, n_chars DESC, path""".stripMargin,
+    "q_fm_listfns" ->
+      s"""$cte
+         |SELECT path,
+         |  array_to_string(list_sort(list_distinct(
+         |    list_transform(list_filter(from_json(tags, '["VARCHAR"]'), t -> t <> 'the'),
+         |                   t -> upper(t)))), ',') AS tags_norm
          |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin,
     "q_fm_recursive" ->
       (cte.replaceFirst("WITH files AS", "WITH RECURSIVE files AS") +

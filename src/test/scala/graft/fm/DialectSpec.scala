@@ -163,6 +163,30 @@ class DialectSpec extends AnyFunSuite {
       Dialect.rewriteListComp("SELECT [x FOR x IN tags] FROM t"))
   }
 
+  test("DISTINCT ON → row_number window + filter; ORDER BY/LIMIT tail survives outside") {
+    val in = "SELECT DISTINCT ON (category) path, category, n_chars FROM files " +
+      "ORDER BY category, n_chars DESC LIMIT 10"
+    val out = Dialect.rewriteDistinctOn(in)
+    assert(out ==
+      "SELECT * EXCEPT (__graft_rn) FROM ( SELECT path, category, n_chars, " +
+        "row_number() OVER (PARTITION BY category ORDER BY category, n_chars DESC) AS __graft_rn " +
+        "FROM files ) WHERE __graft_rn = 1 ORDER BY category, n_chars DESC LIMIT 10", out)
+    // idempotent on its own output
+    assert(Dialect.rewriteDistinctOn(out) == out)
+    // no ORDER BY → the keys order the window (deterministic pick)
+    assert(Dialect.rewriteDistinctOn("SELECT DISTINCT ON (a) b FROM t")
+      .contains("OVER (PARTITION BY a ORDER BY a)"))
+    // plain DISTINCT and an `on_time` column are untouched
+    val plain = "SELECT DISTINCT on_time FROM t"
+    assert(Dialect.rewriteDistinctOn(plain) == plain)
+    // subquery form rewrites just the block
+    val sub = "SELECT n FROM (SELECT DISTINCT ON (k) n FROM t LIMIT 5) u"
+    assert(Dialect.rewriteDistinctOn(sub) ==
+      "SELECT n FROM (SELECT * EXCEPT (__graft_rn) FROM ( SELECT n, " +
+        "row_number() OVER (PARTITION BY k ORDER BY k) AS __graft_rn FROM t ) " +
+        "WHERE __graft_rn = 1 LIMIT 5) u")
+  }
+
   test("star EXCLUDE modifier → Spark EXCEPT, bare column gains parens") {
     assert(Dialect.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t")
       == "SELECT * EXCEPT (a, b) FROM t")
