@@ -56,11 +56,60 @@ object Dialect {
       "list_distinct", exprs => ArrayDistinct(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "list_sort", exprs => new SortArray(exprs(0)), "built-in")
+    // DuckDB strftime(ts, fmt) → date_format with the %-codes translated
+    // to a java pattern at resolution time. The format must be a literal
+    // (it always is in real queries); a non-literal or an unsupported
+    // %-code throws with a precise message instead of mis-formatting.
+    reg.createOrReplaceTempFunction(
+      "strftime", exprs => {
+        val fmt = exprs(1) match {
+          case Literal(s, _) if s != null => strftimeToJava(s.toString)
+          case other => throw new IllegalArgumentException(
+            s"strftime format must be a string literal, got: $other")
+        }
+        DateFormatClass(exprs(0), Literal(fmt))
+      }, "built-in")
+  }
+
+  /** Translate a C/DuckDB strftime format to a java DateTimeFormatter
+    * pattern. Literal runs containing letters are single-quoted (pattern
+    * letters are active in java patterns); apostrophes escape as ''.
+    */
+  private[fm] def strftimeToJava(f: String): String = {
+    val codes = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+      'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE",
+      'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a", 'f' -> "SSSSSS",
+      'G' -> "yyyy", 'g' -> "yy")
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter)) sb.append('\'').append(s.replace("'", "''")).append('\'')
+      else sb.append(s.replace("'", "''"))
+      lit.clear()
+    }
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        val code = f.charAt(i + 1)
+        if (code == '%') { lit.append('%'); i += 2 }
+        else codes.get(code) match {
+          case Some(j) => flushLit(); sb.append(j); i += 2
+          case None => throw new IllegalArgumentException(
+            s"unsupported strftime code %$code in '$f'")
+        }
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    sb.toString
   }
 
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
-      rewriteDistinctOn(rewriteReplace(rewriteListComp(sql)))))))
+      rewriteDistinctOn(rewriteReplace(rewriteListComp(rewriteUsingSample(sql))))))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -725,6 +774,56 @@ object Dialect {
           }
         }
         if (!changed) i = u.indexOf("DISTINCT", i + 1)
+      }
+    }
+    out
+  }
+
+  /** DuckDB `USING SAMPLE n%` / `USING SAMPLE n [ROWS|PERCENT]` →
+    * Spark `TABLESAMPLE (n PERCENT|ROWS)`. Same position in the FROM
+    * clause, so a plain splice suffices. A bare number means rows in
+    * DuckDB and maps to ROWS here; the method-parameter form
+    * `(bernoulli, seed)` is NOT translated — it fails loudly rather than
+    * silently sampling with a different method.
+    */
+  private[fm] def rewriteUsingSample(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("USING")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 4, "USING")) {
+          var k = i + 5
+          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
+          if (u.regionMatches(k, "SAMPLE", 0, 6) && isKeywordAt(u, k + 5, "SAMPLE")) {
+            var p = k + 6
+            while (p < msk.length && Character.isWhitespace(msk.charAt(p))) p += 1
+            val numStart = p
+            while (p < msk.length &&
+              (Character.isDigit(msk.charAt(p)) || msk.charAt(p) == '.')) p += 1
+            if (p > numStart) {
+              val num = out.substring(numStart, p)
+              var q = p
+              while (q < msk.length && Character.isWhitespace(msk.charAt(q))) q += 1
+              val (unit, endAt) =
+                if (q < msk.length && msk.charAt(q) == '%') ("PERCENT", q + 1)
+                else if (u.regionMatches(q, "PERCENT", 0, 7) &&
+                  isKeywordAt(u, q + 6, "PERCENT")) ("PERCENT", q + 7)
+                else if (u.regionMatches(q, "ROWS", 0, 4) &&
+                  isKeywordAt(u, q + 3, "ROWS")) ("ROWS", q + 4)
+                else ("ROWS", p) // bare number = rows in DuckDB
+              out = out.substring(0, i) + s"TABLESAMPLE ($num $unit)" + out.substring(endAt)
+              changed = true
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("USING", i + 1)
       }
     }
     out

@@ -135,6 +135,15 @@ object FrontmatterQueries {
         |                   t -> upper(t)))), ',') AS tags_norm
         |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin),
 
+    // Long-tail dialect: strftime %-codes translated to a java pattern at
+    // function-resolution time (Dialect.register), plus GROUP BY ALL /
+    // ORDER BY ALL — both native in Spark 4 AND DuckDB, so the same text
+    // runs verbatim on both sides.
+    "q_fm_strftime" -> run(
+      """SELECT strftime(CAST(created AS DATE), '%Y-%m') AS ym, COUNT(*) AS n
+        |FROM files WHERE created IS NOT NULL
+        |GROUP BY ALL ORDER BY ALL""".stripMargin),
+
     // Long-tail dialect: WITH RECURSIVE runs NATIVELY in Spark 4 (no
     // rewrite) — prove the passthrough end-to-end with a recursive
     // generator joined back to the files view.
@@ -303,6 +312,11 @@ object FrontmatterQueries {
          |    list_transform(list_filter(from_json(tags, '["VARCHAR"]'), t -> t <> 'the'),
          |                   t -> upper(t)))), ',') AS tags_norm
          |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin,
+    "q_fm_strftime" ->
+      s"""$cte
+         |SELECT strftime(CAST(created AS DATE), '%Y-%m') AS ym, COUNT(*) AS n
+         |FROM files WHERE created IS NOT NULL
+         |GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q_fm_recursive" ->
       (cte.replaceFirst("WITH files AS", "WITH RECURSIVE files AS") +
         """, r(n) AS (SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 6)

@@ -187,6 +187,26 @@ class DialectSpec extends AnyFunSuite {
         "WHERE __graft_rn = 1 LIMIT 5) u")
   }
 
+  test("strftime format translation and USING SAMPLE rewrite") {
+    assert(Dialect.strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(Dialect.strftimeToJava("%H:%M:%S") == "HH:mm:ss")
+    // literal letters are quoted so they don't act as pattern codes
+    assert(Dialect.strftimeToJava("%YT%m") == "yyyy'T'MM")
+    assert(Dialect.strftimeToJava("100%% %b") == "100% MMM")
+    intercept[IllegalArgumentException](Dialect.strftimeToJava("%Q"))
+
+    assert(Dialect.rewriteUsingSample("SELECT * FROM files USING SAMPLE 10%")
+      == "SELECT * FROM files TABLESAMPLE (10 PERCENT)")
+    assert(Dialect.rewriteUsingSample("SELECT * FROM files USING SAMPLE 50 ROWS WHERE x = 1")
+      == "SELECT * FROM files TABLESAMPLE (50 ROWS) WHERE x = 1")
+    // bare number means rows in DuckDB
+    assert(Dialect.rewriteUsingSample("SELECT * FROM t USING SAMPLE 7")
+      == "SELECT * FROM t TABLESAMPLE (7 ROWS)")
+    // join USING is untouched
+    val ju = "SELECT * FROM a JOIN b USING (k)"
+    assert(Dialect.rewriteUsingSample(ju) == ju)
+  }
+
   test("star EXCLUDE modifier → Spark EXCEPT, bare column gains parens") {
     assert(Dialect.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t")
       == "SELECT * EXCEPT (a, b) FROM t")

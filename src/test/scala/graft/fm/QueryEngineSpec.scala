@@ -186,6 +186,15 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(r.results.collect().map(_.getString(0)).toSeq == Seq("a.md"))
   }
 
+  test("USING SAMPLE reaches TABLESAMPLE through the engine") {
+    val e = eng(corpus(threeDocs: _*))
+    // 100% keeps the test deterministic; the rewrite path is the point
+    val r = e.query("**/*.md", "SELECT path FROM files USING SAMPLE 100% ORDER BY path")
+    assert(r.results.collect().length == 3)
+    val r2 = e.query("**/*.md", "SELECT path FROM files USING SAMPLE 2 ROWS")
+    assert(r2.results.collect().length == 2)
+  }
+
   test("bad SQL propagates as an analysis error (query.py passthrough parity)") {
     val e = eng(corpus(threeDocs: _*))
     intercept[org.apache.spark.sql.AnalysisException](
