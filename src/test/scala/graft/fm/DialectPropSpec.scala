@@ -1,0 +1,108 @@
+package graft.fm
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based robustness for the DuckDB-dialect rewrites: generated
+  * SQL in the supported long-tail constructs must rewrite idempotently
+  * (round-8 regression class: a rewrite re-matching its own output),
+  * preserve paren/bracket balance, and leave no DuckDB-only syntax
+  * behind. The full rewrite pipeline runs on every sample — the passes
+  * must also compose without corrupting each other's output.
+  */
+class DialectPropSpec extends AnyFunSuite {
+
+  private def samples[A](gen: Gen[A], n: Int = 300): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val ident: Gen[String] =
+    for {
+      h <- Gen.alphaLowerChar
+      t <- Gen.listOfN(5, Gen.oneOf(Gen.alphaLowerChar, Gen.numChar, Gen.const('_')))
+    } yield (h :: t).mkString
+
+  private val simpleExpr: Gen[String] = Gen.oneOf(
+    ident,
+    for (a <- ident; b <- ident) yield s"$a + $b",
+    for (a <- ident) yield s"upper($a)",
+    for (a <- ident; n <- Gen.chooseNum(1, 99)) yield s"$a * $n",
+    for (a <- ident) yield s"coalesce($a, 'x''y')") // embedded quote in a literal
+
+  private val comprehension: Gen[String] =
+    for {
+      e <- simpleExpr; v <- ident; l <- ident
+      cond <- Gen.option(simpleExpr)
+    } yield cond match {
+      case Some(c) => s"[$e FOR $v IN $l IF $c > 0]"
+      case None    => s"[$e FOR $v IN $l]"
+    }
+
+  private val replaceMod: Gen[String] =
+    for {
+      items <- Gen.nonEmptyListOf(Gen.zip(simpleExpr, ident)).map(_.take(3))
+    } yield s"* REPLACE (${items.map { case (e, c) => s"$e AS $c" }.mkString(", ")})"
+
+  private val distinctOn: Gen[String] =
+    for {
+      k <- ident; a <- ident; b <- ident
+      ord <- Gen.option(Gen.const(s" ORDER BY $k, $b DESC"))
+    } yield s"SELECT DISTINCT ON ($k) $a, $b FROM t${ord.getOrElse("")}"
+
+  private val qualify: Gen[String] =
+    for {
+      a <- ident; k <- ident; n <- Gen.chooseNum(1, 5)
+    } yield s"SELECT $a FROM t QUALIFY row_number() OVER (PARTITION BY $k ORDER BY $a) <= $n"
+
+  private val statement: Gen[String] = Gen.oneOf(
+    comprehension.map(c => s"SELECT $c AS x FROM t ORDER BY x"),
+    replaceMod.map(r => s"SELECT $r FROM t ORDER BY 1"),
+    distinctOn,
+    qualify,
+    for (c <- comprehension; r <- replaceMod) yield s"SELECT $r, $c AS y FROM t",
+    for (q <- qualify; c <- comprehension) yield s"$q UNION ALL SELECT $c FROM u",
+    for (n <- Gen.chooseNum(1, 99)) yield s"SELECT a FROM t USING SAMPLE $n%")
+
+  private def balance(s: String): (Int, Int) = {
+    var paren = 0
+    var bracket = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr
+      case '(' if !inStr => paren += 1
+      case ')' if !inStr => paren -= 1
+      case '[' if !inStr => bracket += 1
+      case ']' if !inStr => bracket -= 1
+      case _ =>
+    }
+    (paren, bracket)
+  }
+
+  test("full rewrite pipeline is idempotent on generated dialect SQL") {
+    samples(statement).foreach { sql =>
+      val once = Dialect.rewrite(sql)
+      val twice = Dialect.rewrite(once)
+      assert(twice == once, s"not idempotent:\n  in:    $sql\n  once:  $once\n  twice: $twice")
+    }
+  }
+
+  test("rewrites preserve paren/bracket balance") {
+    samples(statement).foreach { sql =>
+      val out = Dialect.rewrite(sql)
+      assert(balance(out) == ((0, 0)), s"unbalanced output for: $sql\n  out: $out")
+    }
+  }
+
+  test("no DuckDB-only construct survives the rewrite") {
+    samples(statement).foreach { sql =>
+      val u = Dialect.rewrite(sql).toUpperCase
+      // scrub identifiers that legitimately contain the keywords
+      val scrubbed = u.replace("__GRAFT_QUALIFY", "").replace("__GRAFT_RN", "")
+      assert(!scrubbed.contains("QUALIFY"), s"QUALIFY survived: $sql")
+      assert(!scrubbed.contains("DISTINCT ON"), s"DISTINCT ON survived: $sql")
+      assert(!scrubbed.contains("USING SAMPLE"), s"USING SAMPLE survived: $sql")
+      assert("\\[[^\\]]* FOR ".r.findFirstIn(scrubbed).isEmpty,
+        s"comprehension survived: $sql")
+    }
+  }
+}
