@@ -55,23 +55,28 @@ object Tables {
     }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
-      // Spark 4 by default → read as long and integer-divide; nanos
-      // exceed 2^53 so double math would corrupt timestamps) and as
-      // timestamp[us] WITHOUT timezone (→ TIMESTAMP_NTZ, on which
-      // unix_micros fails analysis). Normalize both to TIMESTAMP; every
-      // engine session pins spark.sql.session.timeZone=UTC, so the
-      // NTZ→TIMESTAMP cast is the identity on the stored micros and
-      // matches DuckDB's epoch_us on the same naive column.
+    // The driver regenerates the testdata between rounds and the parquet
+    // timestamp physical type has ALREADY shifted twice (TIMESTAMP(NANOS)
+    // through round 7, timestamp[us] without timezone — TIMESTAMP_NTZ —
+    // in round 8, which broke 11 queries at analysis). Normalize every
+    // temporal spelling to TIMESTAMP here, for every table:
+    //  - nanos: rejected by Spark 4 by default → nanosAsLong + integer
+    //    division (nanos exceed 2^53, double math would corrupt them);
+    //  - NTZ: unix_micros fails analysis on it → cast; every engine
+    //    session pins spark.sql.session.timeZone=UTC, so the cast is the
+    //    identity on the stored micros and matches DuckDB's epoch_us on
+    //    the same naive column.
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
-      }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    val normalized = ntzCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast(TimestampType)))
+    if (name == "events" && normalized.schema("ts").dataType == LongType)
+      normalized.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else normalized
   }
 
   /** Register every table as a temp view named after itself, enabling the
