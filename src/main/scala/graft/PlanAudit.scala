@@ -58,6 +58,7 @@ object PlanAudit {
     "q_pagerank" -> "iterative PageRank: per-iteration edge/rank equi-join + dst hash aggregate, degree frame persisted, no driver state",
     "q_ann_pq" -> "PQ ADC scan: codegen graft_pq_codes assignment, 1024-row distance table broadcast, integer ADC sums over the compressed tier",
     "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort",
+    "q_rag_retrieve" -> "RAG retrieval: narrow chunk explode, executor-local embed seam, query vector as plan constant, TakeOrderedAndProject top-5 (no global sort)",
     "q_cohort_retention" -> "cohort retention: distinct (user, week) hash agg + user_id equi-join, integer epoch weeks, no window or sort",
     "q_text_pmi" -> "PMI collocations: two hash aggs over shared frames, unigram counts broadcast back, bounded top-50 output",
     "q_bpe_merges" -> "BPE training: per-merge narrow explode + hash agg over the word-frequency frame, only the 1-row argmax ever reaches the driver",

@@ -153,6 +153,13 @@ object SimilarityQueries {
     */
   private[queries] val MmrK = 5
 
+  /** RAG retrieval parameters (q_rag_retrieve): the q_chunk_text window
+    * geometry, shared with the oracle, and the fixed retrieval query.
+    */
+  private[queries] val RagChunkMax = PipelineQueries.ChunkMax
+  private[queries] val RagChunkOverlap = PipelineQueries.ChunkOverlap
+  private[queries] val RagQueryText = "spark table scan query"
+
   /** Cosine on the exact micro-int grid: collapse to FLOAT (absorbing
     * any last-ulp double noise), widen back, scale by 1e6, round
     * half-away-from-zero — identical digit-for-digit to the oracle's
@@ -694,6 +701,39 @@ object SimilarityQueries {
         .orderBy("step")
     }),
 
+    // RAG retrieval end-to-end: sliding-window chunking (the q_chunk_text
+    // parameters) → per-chunk embedding through the TextEncoder seam →
+    // cosine against a fixed query vector → global top-5. At 100 TB the
+    // shape holds: one narrow explode per document (no shuffle), the
+    // query vector is a plan constant, embedding is an executor-local
+    // map (the seam where a real batched ONNX encoder sits — same
+    // stub-kernel architecture as the multimodal decode), and the final
+    // ORDER BY+LIMIT plans as TakeOrderedAndProject, never a global
+    // sort. The oracle replays chunking, the feature-hash encoder, and
+    // the ranking in SQL.
+    "q_rag_retrieve" -> ((s, d) => {
+      CosineFunctions.register(s)
+      val stride = RagChunkMax - RagChunkOverlap
+      val qvec = Embed.encode(RagQueryText, Embed.DefaultDim)
+      val qArr = s"array(${qvec.map(f => s"CAST('$f' AS FLOAT)").mkString(", ")})"
+      val embedUdf = udf((t: String) => Embed.encode(t, Embed.DefaultDim))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .withColumn("nc", expr(
+          s"CASE WHEN n <= $RagChunkMax THEN 1 ELSE 1 + CAST(ceil(CAST(n - $RagChunkMax AS DOUBLE) / $stride) AS INT) END"))
+        .select(col("doc_id"), explode(expr("sequence(0, nc - 1)")).as("chunk_id"),
+          col("w"), col("n"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"concat_ws(' ', slice(w, chunk_id * $stride + 1, " +
+            s"least($RagChunkMax, n - chunk_id * $stride)))").as("ctext"))
+        .withColumn("emb", embedUdf(col("ctext")))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"CAST(array_cosine_similarity(emb, $qArr) AS FLOAT)").as("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+        .limit(5)
+    }),
+
     // A8-A11 + A20-A21 end-to-end (rows-only: embed() has no DuckDB
     // analogue): corpus → differential indexer → embedding join →
     // README.md:318-333 similarity query through the engine.
@@ -1158,6 +1198,58 @@ object SimilarityQueries {
       s"""WITH ${ctes.toString},
          |outp AS ($out)
          |SELECT * FROM outp ORDER BY step""".stripMargin
+    },
+
+    // RAG retrieval oracle: replays chunking (the q_chunk_text window
+    // slices), the feature-hash encoder per CHUNK (same CTE chain as
+    // q_fm_semantic, keyed by (doc_id, chunk_id)), and the top-5 cosine
+    // ranking against the inlined query vector.
+    "q_rag_retrieve" -> {
+      val dim = Embed.DefaultDim
+      val q = Embed.encode(RagQueryText, dim)
+      var qn = 0.0
+      q.foreach(x => qn += x.toDouble * x.toDouble)
+      val qnorm = math.sqrt(qn)
+      val vals = q.zipWithIndex.collect {
+        case (f, b) if f != 0.0f => s"($b, CAST('$f' AS REAL))"
+      }.mkString(", ")
+      val max = RagChunkMax
+      val stride = RagChunkMax - RagChunkOverlap
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws,
+         |             len(string_split(lower(text), ' ')) AS n FROM documents),
+         |c0 AS (SELECT doc_id, ws, n,
+         |         CASE WHEN n <= $max THEN 1
+         |              ELSE 1 + CAST(ceil(CAST(n - $max AS DOUBLE) / $stride) AS INT) END AS nc
+         |       FROM w),
+         |ch AS (SELECT doc_id, UNNEST(range(0, nc)) AS chunk_id, ws, n FROM c0),
+         |c AS (SELECT doc_id, chunk_id,
+         |        ws[(chunk_id * $stride + 1):(chunk_id * $stride + least($max, n - chunk_id * $stride))] AS cs
+         |      FROM ch),
+         |toks AS (
+         |  SELECT doc_id, chunk_id, UNNEST(cs) AS tok FROM c
+         |  UNION ALL
+         |  SELECT doc_id, chunk_id, UNNEST(list_transform(range(1, len(cs)),
+         |    i -> cs[i] || ' ' || cs[i + 1])) AS tok FROM c),
+         |tb AS (SELECT doc_id, chunk_id, CAST((h >> 1) % $dim AS INT) AS bucket,
+         |         CASE WHEN (h & 1) = 0 THEN 1.0 ELSE -1.0 END AS sign
+         |       FROM (SELECT doc_id, chunk_id,
+         |               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+         |             FROM toks)),
+         |acc AS (SELECT doc_id, chunk_id, bucket, SUM(sign) AS s FROM tb GROUP BY 1, 2, 3),
+         |nrm AS (SELECT doc_id, chunk_id, 1.0 / sqrt(SUM(s * s)) AS inv
+         |        FROM acc GROUP BY 1, 2),
+         |f AS (SELECT acc.doc_id, acc.chunk_id, bucket, CAST(s * inv AS REAL) AS fv
+         |      FROM acc JOIN nrm USING (doc_id, chunk_id)),
+         |qv AS (SELECT * FROM (VALUES $vals) t(bucket, qf)),
+         |dp AS (SELECT f.doc_id, f.chunk_id, SUM(CAST(fv AS DOUBLE) * CAST(qf AS DOUBLE)) AS dot
+         |       FROM f JOIN qv USING (bucket) GROUP BY 1, 2),
+         |nn AS (SELECT doc_id, chunk_id, SUM(CAST(fv AS DOUBLE) * CAST(fv AS DOUBLE)) AS n2
+         |       FROM f GROUP BY 1, 2),
+         |sc AS (SELECT nn.doc_id, nn.chunk_id,
+         |         CAST(COALESCE(dot, 0.0) / (sqrt(n2) * $qnorm) AS REAL) AS score
+         |       FROM nn LEFT JOIN dp USING (doc_id, chunk_id))
+         |SELECT doc_id, chunk_id, score FROM sc
+         |ORDER BY score DESC, doc_id, chunk_id LIMIT 5""".stripMargin
     },
 
     // The embed() e2e oracle: replays the deterministic feature-hashing
