@@ -734,9 +734,10 @@ object SimilarityQueries {
         .limit(5)
     }),
 
-    // A8-A11 + A20-A21 end-to-end (rows-only: embed() has no DuckDB
-    // analogue): corpus → differential indexer → embedding join →
-    // README.md:318-333 similarity query through the engine.
+    // A8-A11 + A20-A21 end-to-end: corpus → differential indexer →
+    // embedding join → README.md:318-333 similarity query through the
+    // engine. Hash-checked: the oracle replays the feature-hash encoder
+    // itself in SQL (see the q_fm_semantic entry in oracleSql below).
     "q_fm_semantic" -> ((s, d) => {
       val eng = SemanticEngines.get(s, d)
       eng.query("**/*.md",
