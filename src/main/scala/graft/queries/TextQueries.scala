@@ -200,6 +200,29 @@ object TextQueries {
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Single-pass corpus health audit: the per-source dashboard row every
+    // ingest run needs (doc/token/char volume, exact-dup rate, language
+    // spread) computed in ONE scan + one hash aggregate. All metrics are
+    // exact integers (dup rate on the ppm grid), so the row is
+    // hash-stable under any partitioning. At 100 TB the COUNT(DISTINCT)
+    // pair shuffles 16-byte hashes, not documents — the expand+partial
+    // two-phase plan Spark generates is the right one.
+    "q_corpus_health" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"),
+          countDistinct(md5(col("text"))).as("distinct_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("chars_total"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("distinct_docs"),
+          expr("(n_docs - distinct_docs) * 1000000 DIV n_docs").as("dup_ppm"),
+          col("n_langs"), col("chars_total"))
+        .orderBy("source")
+    }),
+
     // Per-document stats + md5 fingerprint (the rolling-hash analogue for
     // whole-document identity).
     "q_text_stats" -> ((s, d) => {
@@ -452,6 +475,15 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_health" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT md5(text)) AS distinct_docs,
+        |  (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*) AS dup_ppm,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
