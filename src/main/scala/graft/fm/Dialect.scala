@@ -109,7 +109,8 @@ object Dialect {
 
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
-      rewriteDistinctOn(rewriteReplace(rewriteListComp(rewriteUsingSample(sql))))))))
+      rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
+        rewriteUsingSample(sql)))))))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -549,6 +550,24 @@ object Dialect {
     -1
   }
 
+  /** Matching `(` for the `)` at `close`, scanning backwards over MASKED
+    * text and skipping string-literal contents; -1 if unbalanced.
+    */
+  private def backwardMatchParen(
+      msk: String, lit: Array[Boolean], close: Int): Int = {
+    var depth = 0
+    var i = close
+    while (i >= 0) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) return i }
+      }
+      i -= 1
+    }
+    -1
+  }
+
   private def identEndAt(s: String, start: Int): Int = {
     var i = start
     while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
@@ -624,9 +643,9 @@ object Dialect {
     * parenthesized item must carry a top-level `AS`, which is also what
     * distinguishes the star modifier from a multiplication by the
     * `replace()` string function (`a * replace(b, 'x', 'y')` has no AS).
-    * Only the direct `* REPLACE (...)` form is handled; the combined
-    * `* EXCLUDE (...) REPLACE (...)` spelling is left for the parser to
-    * reject loudly rather than silently mis-rewritten.
+    * The combined `* EXCLUDE (a, b) REPLACE (expr AS col)` spelling is
+    * handled too: the EXCLUDE group (or its already-rewritten EXCEPT
+    * form) merges into one `* EXCEPT (a, b, col), expr AS col` output.
     */
   private[fm] def rewriteReplace(sql: String): String = {
     var out = sql
@@ -645,7 +664,32 @@ object Dialect {
           while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
           var k = i + "REPLACE".length
           while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
-          if (j >= 0 && msk.charAt(j) == '*' && k < msk.length && msk.charAt(k) == '(') {
+          // Direct `* REPLACE (...)`, or the combined form where an
+          // `EXCLUDE (...)` / `EXCEPT (...)` group sits between the star
+          // and REPLACE — its columns merge into the emitted EXCEPT list
+          // and the splice then starts at the group's keyword.
+          var spliceStart = i
+          var exclCols = ""
+          var okStar = j >= 0 && msk.charAt(j) == '*'
+          if (!okStar && j >= 0 && msk.charAt(j) == ')') {
+            val open = backwardMatchParen(msk, lit, j)
+            if (open >= 0) {
+              var e = open - 1
+              while (e >= 0 && Character.isWhitespace(msk.charAt(e))) e -= 1
+              for (kw <- Seq("EXCLUDE", "EXCEPT") if !okStar)
+                if (e >= kw.length - 1 && isKeywordAt(u, e, kw)) {
+                  val st = e - kw.length + 1
+                  var b = st - 1
+                  while (b >= 0 && Character.isWhitespace(msk.charAt(b))) b -= 1
+                  if (b >= 0 && msk.charAt(b) == '*') {
+                    okStar = true
+                    spliceStart = st
+                    exclCols = out.substring(open + 1, j).trim
+                  }
+                }
+            }
+          }
+          if (okStar && k < msk.length && msk.charAt(k) == '(') {
             val close = matchParen(msk, k)
             if (close > k) {
               val parsed = splitTopCommas(msk, lit, k + 1, close).map { case (s0, e0) =>
@@ -665,9 +709,11 @@ object Dialect {
               }
               if (parsed.nonEmpty && parsed.forall(_.isDefined)) {
                 val items = parsed.flatten
-                val repl = s"EXCEPT (${items.map(_._2).mkString(", ")})" +
+                val exceptList =
+                  (if (exclCols.isEmpty) Nil else Seq(exclCols)) ++ items.map(_._2)
+                val repl = s"EXCEPT (${exceptList.mkString(", ")})" +
                   items.map { case (e, c) => s", $e AS $c" }.mkString
-                out = out.substring(0, i) + repl + out.substring(close + 1)
+                out = out.substring(0, spliceStart) + repl + out.substring(close + 1)
                 changed = true
               }
             }
@@ -843,6 +889,237 @@ object Dialect {
     * outermost-first; the re-scan loop picks up the inner ones on the
     * next pass.
     */
+  /** DuckDB bracket syntax (passthrough long tail), translated with the
+    * exact 1-based semantics instead of the earlier fail-loud stance:
+    *
+    *   `[a, b, c]`  literal  → `array(a, b, c)`
+    *   `l[i]`       indexing → `element_at(l, i)` (both engines 1-based;
+    *                           negative i counts from the end in both)
+    *   `l[a:b]`     slicing  → `slice(l, a, (b)-(a)+1)` (DuckDB slices
+    *                           are 1-based and inclusive at both ends)
+    *   `l[:b]` / `l[a:]`     → `slice(l, 1, b)` / `slice(l, a, size(l))`
+    *
+    * A bracket is INDEXING when it directly follows an expression tail —
+    * a non-keyword identifier, `)`, `]`, or a backquoted identifier —
+    * and a LITERAL otherwise (after SELECT, ',', an operator, ...). The
+    * index base is recovered by walking backwards over `ident`,
+    * `fn(...)`, `expr[...]`, and `.`-joined chains; an unsupported base
+    * shape (e.g. a string literal) is left untouched and fails loudly at
+    * parse rather than silently shifting semantics. Negative SLICE
+    * bounds are not translated — the emitted negative length throws at
+    * runtime (loud, not silent). List comprehensions were rewritten by
+    * the earlier pass; a bracket with a top-level FOR is skipped
+    * defensively anyway.
+    */
+  private[fm] def rewriteBrackets(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        if (msk.charAt(i) == '[' && !lit(i)) {
+          val close = matchBracket(msk, i)
+          val isComp = close > i &&
+            findTopKeyword(u, msk, lit, i + 1, close, "FOR") >= 0
+          if (close > i && !isComp) {
+            var j = i - 1
+            while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+            val baseStart = if (j < 0) -1 else baseStartAt(msk, u, lit, j)
+            if (baseStart >= 0) {
+              val base = out.substring(baseStart, j + 1)
+              val colonAt = topColonAt(msk, lit, i + 1, close)
+              val repl =
+                if (colonAt < 0) {
+                  val idx = out.substring(i + 1, close).trim
+                  if (idx.isEmpty) null else s"element_at($base, $idx)"
+                } else {
+                  val lo = out.substring(i + 1, colonAt).trim
+                  val hi = out.substring(colonAt + 1, close).trim
+                  if (lo.isEmpty && hi.isEmpty) s"slice($base, 1, size($base))"
+                  else if (lo.isEmpty) s"slice($base, 1, ($hi))"
+                  else if (hi.isEmpty) s"slice($base, ($lo), size($base))"
+                  else s"slice($base, ($lo), ($hi) - ($lo) + 1)"
+                }
+              if (repl != null) {
+                out = out.substring(0, baseStart) + repl + out.substring(close + 1)
+                changed = true
+              }
+            } else if (baseStart == -1) {
+              val body = out.substring(i + 1, close).trim
+              val repl = if (body.isEmpty) "array()" else s"array($body)"
+              out = out.substring(0, i) + repl + out.substring(close + 1)
+              changed = true
+            }
+            // baseStart == -2: indexing-like but unsupported base — leave
+            // the bracket for the parser to reject loudly
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Keywords that can directly precede an array literal's `[` — an
+    * identifier tail that is one of these marks the bracket as a LITERAL,
+    * never an index base.
+    */
+  private val NonBaseKeywords: Set[String] = Set(
+    "SELECT", "WHERE", "THEN", "ELSE", "WHEN", "AND", "OR", "NOT", "IN",
+    "ON", "BY", "AS", "FROM", "HAVING", "CASE", "END", "UNION", "ALL",
+    "DISTINCT", "LIMIT", "OFFSET", "JOIN", "SET", "VALUES", "BETWEEN",
+    "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE", "EXISTS", "GROUP",
+    "ORDER", "USING", "RETURNING", "INTERSECT", "EXCEPT")
+
+  /** Start index of the expression ending at `end` (inclusive) when it
+    * can serve as an indexing base; -1 when the following bracket must
+    * be an array LITERAL; -2 when it reads as indexing but the base
+    * shape is unsupported. Scans the MASKED text, skipping string
+    * literals via `lit` (a paren inside `split(x, '(')` is data).
+    */
+  private def baseStartAt(
+      msk: String, u: String, lit: Array[Boolean], end: Int): Int = {
+    def isIdent(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    // start of the single segment ending at e, or -2 unsupported
+    def segStart(e: Int): Int = {
+      if (e < 0) return -2
+      val c = msk.charAt(e)
+      if (c == ')' || c == ']') {
+        var depth = 0
+        var k = e
+        while (k >= 0) {
+          val ch = msk.charAt(k)
+          if (!lit(k)) {
+            if (ch == ')' || ch == ']') depth += 1
+            else if (ch == '(' || ch == '[') {
+              depth -= 1
+              if (depth == 0) {
+                // include a function name directly before '('
+                var p = k - 1
+                while (p >= 0 && isIdent(msk.charAt(p))) p -= 1
+                return p + 1
+              }
+            }
+          }
+          k -= 1
+        }
+        -2
+      } else if (c == '`') {
+        var k = e - 1
+        while (k >= 0 && msk.charAt(k) != '`') k -= 1
+        if (k < 0) -2 else k
+      } else if (isIdent(c)) {
+        var p = e
+        while (p >= 0 && isIdent(msk.charAt(p))) p -= 1
+        p + 1
+      } else -2
+    }
+    val c0 = msk.charAt(end)
+    if (isIdent(c0)) {
+      var p = end
+      while (p >= 0 && isIdent(msk.charAt(p))) p -= 1
+      val word = u.substring(p + 1, end + 1)
+      // after a clause keyword or a bare number the bracket is a literal
+      if (NonBaseKeywords(word) || word.forall(Character.isDigit)) return -1
+    } else if (c0 != ')' && c0 != ']' && c0 != '`') return -1
+    var s = segStart(end)
+    if (s < 0) return -2
+    // consume `.`-joined qualifier segments backwards (a.b.c[1])
+    while (s > 0 && msk.charAt(s - 1) == '.') {
+      val prev = segStart(s - 2)
+      if (prev < 0) return s
+      s = prev
+    }
+    s
+  }
+
+  /** Top-level `:` between [from, until) — depth 0 for parens AND
+    * brackets, outside string literals; -1 if absent. `::` casts never
+    * appear at depth 0 inside an index bracket in practice; a first `:`
+    * of `::` would be matched, yielding a loud parse error downstream
+    * rather than a silent mis-slice.
+    */
+  private def topColonAt(
+      msk: String, lit: Array[Boolean], from: Int, until: Int): Int = {
+    var depth = 0
+    var i = from
+    while (i < until) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ':' && depth == 0) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** DuckDB `COLUMNS('regex')` star expansion, resolved against a known
+    * column list — the engine passes the files view's schema at query
+    * time (the same resolution point DuckDB uses). Only the bare
+    * select-item position is expanded (preceded by SELECT/DISTINCT or a
+    * top-level comma, followed by a comma, FROM, or end of text);
+    * `agg(COLUMNS(...))` and other wrapped forms stay untouched and fail
+    * loudly at parse instead of silently aggregating a column list.
+    * DuckDB matches with RE2 partial-match semantics; `Matcher.find()`
+    * mirrors that, and an anchored `^...$` pattern behaves identically
+    * in both. A regex matching NO column throws (DuckDB errors too).
+    */
+  def rewriteColumns(sql: String, columns: Seq[String]): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("COLUMNS")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + "COLUMNS".length - 1, "COLUMNS")) {
+          // select-item position: previous non-ws is ',' or SELECT/DISTINCT
+          var j = i - 1
+          while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+          val posOk = j >= 0 && (msk.charAt(j) == ',' ||
+            isKeywordAt(u, j, "SELECT") || isKeywordAt(u, j, "DISTINCT"))
+          var k = i + "COLUMNS".length
+          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
+          if (posOk && k < msk.length && msk.charAt(k) == '(') {
+            val close = matchParen(msk, k)
+            val arg = if (close > k) out.substring(k + 1, close).trim else ""
+            if (close > k && arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
+              var t = close + 1
+              while (t < msk.length && Character.isWhitespace(msk.charAt(t))) t += 1
+              val tailOk = t >= msk.length || msk.charAt(t) == ',' ||
+                (t + 3 < msk.length && u.regionMatches(t, "FROM", 0, 4) &&
+                  isKeywordAt(u, t + 3, "FROM"))
+              if (tailOk) {
+                val re = java.util.regex.Pattern.compile(
+                  arg.substring(1, arg.length - 1).replace("''", "'"))
+                val matched = columns.filter(c => re.matcher(c).find())
+                if (matched.isEmpty) throw new IllegalArgumentException(
+                  s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
+                out = out.substring(0, i) + matched.mkString(", ") +
+                  out.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("COLUMNS", i + 1)
+      }
+    }
+    out
+  }
+
   private[fm] def rewriteListComp(sql: String): String = {
     var out = sql
     var guard = 0

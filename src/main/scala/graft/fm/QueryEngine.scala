@@ -112,7 +112,9 @@ final class QueryEngine(
     val (files, warnings) = filesTable(glob)
     val out = synchronized {
       files.createOrReplaceTempView("files")
-      spark.sql(Dialect.rewrite(sql))
+      // COLUMNS('regex') expands against the files view's resolved
+      // schema first; the schema-free rewrites then run on the result.
+      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(sql, files.columns.toSeq)))
     }
     QueryResult(out, out.columns.toSeq, warnings)
   }

@@ -426,8 +426,58 @@ object DedupQueries {
       verifyJaccard(shingleDF(s, d), cand)
         .filter(col("jac") >= 0.3)
         .orderBy("ia", "ib")
+    }),
+
+    // Exact-substring dedup CLEANUP — the removal step of suffix-array
+    // substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better") re-expressed join-first: every
+    // SubstrK-word span occurring in >= 2 distinct documents is removed
+    // from every document except the smallest doc_id holding it (the
+    // keeper keeps ALL its occurrences), and the cleaned text is
+    // reassembled from the surviving token positions. Overlapping
+    // flagged spans merge for free through the position-set union.
+    // Plan shape: one explode (doc_id, pos, gram) -> gram-keyed stats
+    // aggregate -> equi-join back -> K-wide bounded position explode ->
+    // per-doc position-set aggregate -> one join to the docs frame.
+    // Every stage is LINEAR in corpus grams with equi-join keys only —
+    // no pair join exists anywhere, so unlike pairwise near-dup a
+    // boilerplate gram in 10^6 docs makes 10^6 flagged rows, never
+    // 10^12 pairs. At 100 TB the gram string key would be md5-folded to
+    // 8 bytes before the shuffle; the string key keeps the oracle
+    // byte-exact here.
+    "q_substr_dedup" -> ((s, d) => {
+      val K = SubstrK
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      val grams = docs
+        .filter(size(col("ws")) >= K)
+        .select(col("doc_id"), col("ws"),
+          explode(expr(s"sequence(1, size(ws) - ${K - 1})")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          array_join(expr(s"slice(ws, pos, $K)"), " ").as("gram"))
+      val st = grams.groupBy("gram")
+        .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2)
+        .select("gram", "keeper")
+      val cov = grams.join(st, Seq("gram"))
+        .filter(col("doc_id") > col("keeper"))
+        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${K - 1})")).as("cp"))
+        .groupBy("doc_id").agg(collect_set("cp").as("cov"))
+      docs.join(cov, Seq("doc_id"))
+        .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+          size(col("cov")).as("n_removed"),
+          expr("""array_join(transform(
+                 |  filter(sequence(1, size(ws)), p -> NOT array_contains(cov, p)),
+                 |  p -> element_at(ws, p)), ' ')""".stripMargin).as("cleaned"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("cleaned")).as("cleaned_md5"),
+          substring(col("cleaned"), 1, 60).as("cleaned_head"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Duplicated-span gram width (words) for q_substr_dedup. */
+  private[queries] val SubstrK = 8
 
   // ---- DuckDB oracles (machine-generated to share the exact constants) ----
 
@@ -631,6 +681,32 @@ object DedupQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          |${duckVerify("cand", 0.3)}""".stripMargin
+    },
+
+    "q_substr_dedup" -> {
+      val k = SubstrK
+      // DuckDB range(a, b) is stop-exclusive; list slices are 1-based
+      // inclusive like the Spark-side slice(ws, pos, K).
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, ws, UNNEST(range(1, len(ws) - ${k - 2})) AS pos
+         |      FROM d WHERE len(ws) >= $k),
+         |gr AS (SELECT doc_id, pos, array_to_string(ws[pos:pos + ${k - 1}], ' ') AS gram
+         |       FROM g),
+         |st AS (SELECT gram, MIN(doc_id) AS keeper FROM gr
+         |       GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+         |fl0 AS (SELECT gr.doc_id, gr.pos FROM gr JOIN st USING (gram)
+         |        WHERE gr.doc_id > st.keeper),
+         |flc AS (SELECT doc_id, UNNEST(range(pos, pos + $k)) AS cp FROM fl0),
+         |fl AS (SELECT DISTINCT doc_id, cp FROM flc),
+         |cov AS (SELECT doc_id, list(cp) AS cov FROM fl GROUP BY doc_id),
+         |res AS (SELECT d.doc_id, len(d.ws) AS n_tokens, len(c.cov) AS n_removed,
+         |          array_to_string(list_transform(
+         |            list_filter(range(1, len(d.ws) + 1), p -> NOT list_contains(c.cov, p)),
+         |            p -> d.ws[p]), ' ') AS cleaned
+         |        FROM d JOIN cov c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, n_tokens, n_removed, md5(cleaned) AS cleaned_md5,
+         |  substr(cleaned, 1, 60) AS cleaned_head
+         |FROM res ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -153,6 +153,32 @@ object FrontmatterQueries {
         |FROM r LEFT JOIN files f ON f.category = 'cat' || CAST(r.n AS STRING)
         |GROUP BY r.n ORDER BY r.n""".stripMargin),
 
+    // Long-tail dialect: DuckDB bracket syntax with exact 1-based
+    // semantics — literals → array(), indexing → element_at (1-based in
+    // both engines), inclusive slices → slice() — via
+    // Dialect.rewriteBrackets. The same text runs verbatim on DuckDB.
+    "q_fm_bracket" -> run(
+      """SELECT path,
+        |  from_json(tags, '["VARCHAR"]')[1] AS tag1,
+        |  string_split(path, '/')[2] AS fname,
+        |  array_to_string(string_split(path, '/')[1:2], '|') AS both_parts,
+        |  ['x', lang][2] AS lang2
+        |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin),
+
+    // Long-tail dialect: COLUMNS('regex') star expansion resolved against
+    // the files view schema (Dialect.rewriteColumns; DuckDB runs it
+    // natively). Anchored regex so RE2-partial and find() agree trivially.
+    "q_fm_columns" -> run(
+      """SELECT COLUMNS('^(path|n_chars|category)$') FROM files
+        |ORDER BY path LIMIT 25""".stripMargin),
+
+    // Long-tail dialect: the combined `* EXCLUDE (...) REPLACE (...)`
+    // star-modifier spelling merges into one EXCEPT + re-projection
+    // (Dialect.rewriteReplace's combined path).
+    "q_fm_exclude_replace" -> run(
+      """SELECT * EXCLUDE (tags, score, source) REPLACE (upper(category) AS category)
+        |FROM files ORDER BY path LIMIT 25""".stripMargin),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -323,6 +349,22 @@ object FrontmatterQueries {
           |SELECT 'cat' || CAST(r.n AS STRING) AS category, COUNT(f.path) AS n_files
           |FROM r LEFT JOIN files f ON f.category = 'cat' || CAST(r.n AS STRING)
           |GROUP BY r.n ORDER BY r.n""".stripMargin),
+    "q_fm_bracket" ->
+      s"""$cte
+         |SELECT path,
+         |  from_json(tags, '["VARCHAR"]')[1] AS tag1,
+         |  string_split(path, '/')[2] AS fname,
+         |  array_to_string(string_split(path, '/')[1:2], '|') AS both_parts,
+         |  ['x', lang][2] AS lang2
+         |FROM files WHERE tags IS NOT NULL ORDER BY path""".stripMargin,
+    "q_fm_columns" ->
+      s"""$cte
+         |SELECT COLUMNS('^(path|n_chars|category)$$') FROM files
+         |ORDER BY path LIMIT 25""".stripMargin,
+    "q_fm_exclude_replace" ->
+      s"""$cte
+         |SELECT * EXCLUDE (tags, score, source) REPLACE (upper(category) AS category)
+         |FROM files ORDER BY path LIMIT 25""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

@@ -224,4 +224,58 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("'/*neither*/'"))
     assert(out.contains("LATERAL VIEW explode(tags) x AS tag"))
   }
+
+  test("bracket literals → array(); 1-based indexing → element_at; slices → slice") {
+    assert(Dialect.rewriteBrackets("SELECT ['a','b'] FROM t")
+      == "SELECT array('a','b') FROM t")
+    assert(Dialect.rewriteBrackets("SELECT x[1] FROM t")
+      == "SELECT element_at(x, 1) FROM t")
+    assert(Dialect.rewriteBrackets("SELECT string_split(a, ' ')[2] FROM t")
+      == "SELECT element_at(string_split(a, ' '), 2) FROM t")
+    assert(Dialect.rewriteBrackets("SELECT x[1:3] FROM t")
+      == "SELECT slice(x, (1), (3) - (1) + 1) FROM t")
+    assert(Dialect.rewriteBrackets("SELECT x[2:] FROM t")
+      == "SELECT slice(x, (2), size(x)) FROM t")
+    assert(Dialect.rewriteBrackets("SELECT x[:2] FROM t")
+      == "SELECT slice(x, 1, (2)) FROM t")
+  }
+
+  test("bracket chains, qualified bases, and operator-position literals") {
+    assert(Dialect.rewriteBrackets("SELECT a.b[1][2] FROM t")
+      == "SELECT element_at(element_at(a.b, 1), 2) FROM t")
+    assert(Dialect.rewriteBrackets("SELECT a || ['x'] FROM t")
+      == "SELECT a || array('x') FROM t")
+    assert(Dialect.rewriteBrackets("SELECT [[1,2],[3]] FROM t")
+      == "SELECT array(array(1,2),array(3)) FROM t")
+    // parens inside a string argument never confuse the base scan
+    assert(Dialect.rewriteBrackets("SELECT split(a, '(')[1] FROM t")
+      == "SELECT element_at(split(a, '('), 1) FROM t")
+    // bracketed content inside string literals is data
+    assert(Dialect.rewriteBrackets("SELECT '[1]' FROM t") == "SELECT '[1]' FROM t")
+    // idempotent on its own output
+    val once = Dialect.rewriteBrackets("SELECT tags[1], [1,2][2] FROM t")
+    assert(Dialect.rewriteBrackets(once) == once)
+  }
+
+  test("combined * EXCLUDE (...) REPLACE (...) merges into one EXCEPT") {
+    val out = Dialect.rewrite(
+      "SELECT * EXCLUDE (a, b) REPLACE (upper(c) AS c) FROM t")
+    assert(out.contains("* EXCEPT (a, b, c), upper(c) AS c"), out)
+    assert(!out.toUpperCase.contains("EXCLUDE"))
+    assert(!out.toUpperCase.contains("REPLACE"))
+  }
+
+  test("COLUMNS('regex') expands against the provided schema") {
+    assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
+      == "SELECT a, b FROM t")
+    // partial-match semantics like DuckDB's RE2 search
+    assert(Dialect.rewriteColumns("SELECT COLUMNS('id') FROM t", Seq("doc_id", "x"))
+      == "SELECT doc_id FROM t")
+    // non-bare position (inside an aggregate) stays untouched
+    val in2 = "SELECT max(COLUMNS('a')) FROM t"
+    assert(Dialect.rewriteColumns(in2, Seq("a")) == in2)
+    // a regex matching nothing fails loudly, like DuckDB
+    intercept[IllegalArgumentException](
+      Dialect.rewriteColumns("SELECT COLUMNS('zzz') FROM t", Seq("a")))
+  }
 }
