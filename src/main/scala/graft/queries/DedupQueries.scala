@@ -700,9 +700,12 @@ object DedupQueries {
          |fl AS (SELECT DISTINCT doc_id, cp FROM flc),
          |cov AS (SELECT doc_id, list(cp) AS cov FROM fl GROUP BY doc_id),
          |res AS (SELECT d.doc_id, len(d.ws) AS n_tokens, len(c.cov) AS n_removed,
-         |          array_to_string(list_transform(
+         |          -- a fully-covered doc cleans to the empty string; DuckDB's
+         |          -- array_to_string of an empty list is NULL, Spark's
+         |          -- array_join is '' — align on ''
+         |          COALESCE(array_to_string(list_transform(
          |            list_filter(range(1, len(d.ws) + 1), p -> NOT list_contains(c.cov, p)),
-         |            p -> d.ws[p]), ' ') AS cleaned
+         |            p -> d.ws[p]), ' '), '') AS cleaned
          |        FROM d JOIN cov c ON d.doc_id = c.doc_id)
          |SELECT doc_id, n_tokens, n_removed, md5(cleaned) AS cleaned_md5,
          |  substr(cleaned, 1, 60) AS cleaned_head

@@ -62,4 +62,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet")
       .filter(s"doc_id % $m = 0").count())
   }
+
+  test("q_substr_dedup: removal invariants and exact-duplicate cleanup") {
+    val rows = SparkEntry.queries("q_substr_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    // invariants: 0 < n_removed <= n_tokens; the cleaned head is empty
+    // exactly when everything was removed (head is a 60-char prefix)
+    byId.foreach { case (id, (nTok, nRem, head)) =>
+      assert(nRem > 0 && nRem <= nTok, s"doc $id: $nRem of $nTok")
+      if (nRem == nTok) assert(head.isEmpty, s"doc $id")
+    }
+    // the smallest doc_id of the whole corpus can never lose a span (it
+    // is the keeper of every gram it contains)
+    val minDoc = graft.Tables.load(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.min("doc_id")).collect()(0).getLong(0)
+    assert(!byId.contains(minDoc), s"corpus-min doc $minDoc was cleaned")
+    // near-dup coverage is real at this sf: some docs are fully covered
+    // by cross-doc spans, others only partially
+    assert(byId.values.exists { case (nTok, nRem, _) => nRem == nTok })
+    assert(byId.values.exists { case (nTok, nRem, _) => nRem < nTok })
+  }
 }
