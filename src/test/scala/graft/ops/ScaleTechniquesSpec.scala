@@ -34,6 +34,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ord_bucketed")
   }
 
+  test("q_bucket_join consumes the bucketed layout without shuffling either side") {
+    // Broadcast disabled so the tiny sf0.001 sides can't sidestep the
+    // layout: the point is the SortMergeJoin consuming bucketed scans
+    // directly. The only Exchange in the whole plan is the groupBy
+    // boundary ABOVE the join; the join subtree (printed after the join
+    // node) must be exchange-free.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q_bucket_join")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, plan.take(1500))
+      val subtree = plan.substring(joinAt)
+      assert(!subtree.contains("Exchange"),
+        s"bucketed join sides re-shuffled:\n${subtree.take(1500)}")
+      // and the result is the oracle's: 5 market segments
+      assert(df.count() == 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental and curation plans carry no nested-loop or cartesian joins") {
     // The plan shapes these operators claim (bucket equi-joins, broadcast
     // join-backs, map-only scans) must not silently degrade to a
