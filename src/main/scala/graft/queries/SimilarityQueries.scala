@@ -153,6 +153,9 @@ object SimilarityQueries {
     */
   private[queries] val MmrK = 5
 
+  /** Neighbors per vector in the all-document kNN graph (q_knn_graph). */
+  private[queries] val KnnK = 3
+
   /** RAG retrieval parameters (q_rag_retrieve): the q_chunk_text window
     * geometry, shared with the oracle, and the fixed retrieval query.
     */
@@ -588,6 +591,40 @@ object SimilarityQueries {
         .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
         .select("vec_id", "keeper", "cell")
         .orderBy("vec_id")
+    }),
+
+    // All-document kNN graph — the neighbor-list builder behind
+    // embedding-based clustering, label propagation, and graph dedup:
+    // EVERY vector's KnnK most-similar cell mates (not 8 fixed query
+    // vectors — the symmetric all-kNN join). Cluster-then-pairwise, the
+    // same scale shape as q_semdedup: one codegen cell assignment, the
+    // within-cell self-join salted over (cell, salt) so each O(n_c^2)
+    // block spreads across SemDedupSalt partitions, and per-vector
+    // selection through the bounded graft_top_k aggregate (O(k) state,
+    // partial+final, no global window). At production scale the cell
+    // count grows ~sqrt(N) so blocks stay constant-size; it is small
+    // here so the oracle can replay training + assignment + ranking
+    // exactly on the integer micro-grid.
+    "q_knn_graph" -> ((s, d) => {
+      CosineFunctions.register(s)
+      graft.ops.GraftAggregates.register(s)
+      graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
+      val assigned = Tables.load(s, d, "embeddings")
+        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val a = assigned
+        .select(col("cell"), col("vec_id").as("qid"), col("embedding").as("va"))
+        .withColumn("salt", expr(s"qid % $SemDedupSalt"))
+      val b = assigned
+        .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("vb"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${SemDedupSalt - 1})")))
+      a.join(b, Seq("cell", "salt"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), microCos(col("va"), col("vb")).as("sim"))
+        .groupBy("qid")
+        .agg(expr(s"graft_top_k(struct(-sim AS s, nid AS v, sim AS sim), $KnnK)").as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.v").as("nid"), col("t.sim").as("sim_micro"))
+        .orderBy(col("qid"), col("sim_micro").desc, col("nid"))
     }),
 
     // Incremental SemDeDup — the ingest path of q_semdedup, completing
@@ -1114,6 +1151,30 @@ object SimilarityQueries {
          |FROM l$maxIter l JOIN asg ON asg.vec_id = l.node
          |WHERE l.label < l.node
          |ORDER BY vec_id""".stripMargin
+    },
+
+    // Same quantizer replay as q_semdedup; within-cell pairs ranked on
+    // the integer micro-grid with the (sim DESC, nid) tie-break the
+    // bounded aggregate's struct sort key encodes.
+    "q_knn_graph" -> {
+      val cos = oracleCos("a.embedding", "b.embedding")
+      val asgCos = oracleCos("e.embedding", "c.cv")
+      s"""WITH ${ivfOracleCtes(IvfIters)},
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $asgCos DESC, c.cid) AS rn
+         |    FROM embeddings e, c$IvfIters c) x WHERE rn = 1),
+         |av AS (SELECT e.vec_id, e.embedding, asg.cell
+         |       FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id),
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    CAST(ROUND(CAST(($cos) AS REAL) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sim
+         |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, nid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM p)
+         |SELECT qid, nid, sim AS sim_micro FROM r WHERE rn <= $KnnK
+         |ORDER BY qid, sim_micro DESC, nid""".stripMargin
     },
 
     // Same quantizer replay as q_semdedup; the batch/corpus split and the
