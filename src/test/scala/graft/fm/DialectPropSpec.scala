@@ -54,6 +54,25 @@ class DialectPropSpec extends AnyFunSuite {
       a <- ident; k <- ident; n <- Gen.chooseNum(1, 5)
     } yield s"SELECT $a FROM t QUALIFY row_number() OVER (PARTITION BY $k ORDER BY $a) <= $n"
 
+  private val bracketed: Gen[String] = Gen.oneOf(
+    // 1-based indexing on identifiers and call results
+    for (a <- ident; i <- Gen.chooseNum(1, 9)) yield s"$a[$i]",
+    for (a <- ident; i <- Gen.chooseNum(1, 9)) yield s"string_split($a, ' ')[$i]",
+    // inclusive slices, incl. open ends
+    for (a <- ident; i <- Gen.chooseNum(1, 5); j <- Gen.chooseNum(5, 9))
+      yield s"$a[$i:$j]",
+    for (a <- ident; i <- Gen.chooseNum(1, 5)) yield s"$a[$i:]",
+    for (a <- ident; j <- Gen.chooseNum(1, 9)) yield s"$a[:$j]",
+    // array literals, nested and operator-position
+    for (xs <- Gen.nonEmptyListOf(Gen.chooseNum(1, 99)).map(_.take(4)))
+      yield s"[${xs.mkString(", ")}]",
+    for (a <- ident) yield s"$a || ['x', 'y']")
+
+  private val exclReplace: Gen[String] =
+    for {
+      e1 <- ident; e2 <- ident; item <- simpleExpr; c <- ident
+    } yield s"* EXCLUDE ($e1, $e2) REPLACE ($item AS $c)"
+
   private val statement: Gen[String] = Gen.oneOf(
     comprehension.map(c => s"SELECT $c AS x FROM t ORDER BY x"),
     replaceMod.map(r => s"SELECT $r FROM t ORDER BY 1"),
@@ -61,7 +80,12 @@ class DialectPropSpec extends AnyFunSuite {
     qualify,
     for (c <- comprehension; r <- replaceMod) yield s"SELECT $r, $c AS y FROM t",
     for (q <- qualify; c <- comprehension) yield s"$q UNION ALL SELECT $c FROM u",
-    for (n <- Gen.chooseNum(1, 99)) yield s"SELECT a FROM t USING SAMPLE $n%")
+    for (n <- Gen.chooseNum(1, 99)) yield s"SELECT a FROM t USING SAMPLE $n%",
+    bracketed.map(b => s"SELECT $b AS x FROM t ORDER BY x"),
+    for (b1 <- bracketed; b2 <- bracketed) yield s"SELECT $b1 AS x, $b2 AS y FROM t",
+    exclReplace.map(m => s"SELECT $m FROM t ORDER BY 1"),
+    // brackets inside a comprehension body/list resolve together
+    for (a <- ident; v <- ident) yield s"SELECT [upper($v) FOR $v IN $a[1:3]] AS x FROM t")
 
   private def balance(s: String): (Int, Int) = {
     var paren = 0
@@ -103,6 +127,11 @@ class DialectPropSpec extends AnyFunSuite {
       assert(!scrubbed.contains("USING SAMPLE"), s"USING SAMPLE survived: $sql")
       assert("\\[[^\\]]* FOR ".r.findFirstIn(scrubbed).isEmpty,
         s"comprehension survived: $sql")
+      assert(!scrubbed.contains("EXCLUDE"), s"EXCLUDE survived: $sql")
+      // no bracket syntax survives outside string literals (the generated
+      // statements never emit quoted brackets, so a plain scan suffices)
+      val noLit = scrubbed.replaceAll("'[^']*'", "")
+      assert(!noLit.contains("["), s"bracket survived: $sql\n  out: $scrubbed")
     }
   }
 }
