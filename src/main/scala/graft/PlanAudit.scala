@@ -87,7 +87,10 @@ object PlanAudit {
     "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
     "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",
     "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan",
-    "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort")
+    "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort",
+    "q_substr_dedup" -> "substring-dedup cleanup: linear gram-keyed stats agg + equi-join back + K-bounded position explode — NO pair join anywhere",
+    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs",
+    "q_bucket_join" -> "bucketed co-located join: shuffle-free join sides (broadcast wins at audit sf; with broadcast off the SortMergeJoin consumes the bucket layout with ZERO side exchanges — pinned in ScaleTechniquesSpec)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
