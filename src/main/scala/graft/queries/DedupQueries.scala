@@ -442,9 +442,11 @@ object DedupQueries {
     // Every stage is LINEAR in corpus grams with equi-join keys only —
     // no pair join exists anywhere, so unlike pairwise near-dup a
     // boilerplate gram in 10^6 docs makes 10^6 flagged rows, never
-    // 10^12 pairs. At 100 TB the gram string key would be md5-folded to
-    // 8 bytes before the shuffle; the string key keeps the oracle
-    // byte-exact here.
+    // 10^12 pairs. The gram is md5-folded to the portable 60-bit hash
+    // BEFORE the shuffle (8-byte keys instead of ~50-byte strings, the
+    // same h60 grid every dedup query shares), so both the stats
+    // aggregate and the join-back move fixed-width integers — and the
+    // oracle folds identically, keeping the compare exact.
     "q_substr_dedup" -> ((s, d) => {
       val K = SubstrK
       val docs = Tables.load(s, d, "documents")
@@ -454,12 +456,12 @@ object DedupQueries {
         .select(col("doc_id"), col("ws"),
           explode(expr(s"sequence(1, size(ws) - ${K - 1})")).as("pos"))
         .select(col("doc_id"), col("pos"),
-          array_join(expr(s"slice(ws, pos, $K)"), " ").as("gram"))
-      val st = grams.groupBy("gram")
+          expr(h60(s"array_join(slice(ws, pos, $K), ' ')")).as("gh"))
+      val st = grams.groupBy("gh")
         .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("df"))
         .filter(col("df") >= 2)
-        .select("gram", "keeper")
-      val cov = grams.join(st, Seq("gram"))
+        .select("gh", "keeper")
+      val cov = grams.join(st, Seq("gh"))
         .filter(col("doc_id") > col("keeper"))
         .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${K - 1})")).as("cp"))
         .groupBy("doc_id").agg(collect_set("cp").as("cov"))
@@ -690,11 +692,12 @@ object DedupQueries {
       s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, ws, UNNEST(range(1, len(ws) - ${k - 2})) AS pos
          |      FROM d WHERE len(ws) >= $k),
-         |gr AS (SELECT doc_id, pos, array_to_string(ws[pos:pos + ${k - 1}], ' ') AS gram
+         |gr AS (SELECT doc_id, pos,
+         |         ${duckH60(s"array_to_string(ws[pos:pos + ${k - 1}], ' ')")} AS gh
          |       FROM g),
-         |st AS (SELECT gram, MIN(doc_id) AS keeper FROM gr
-         |       GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
-         |fl0 AS (SELECT gr.doc_id, gr.pos FROM gr JOIN st USING (gram)
+         |st AS (SELECT gh, MIN(doc_id) AS keeper FROM gr
+         |       GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |fl0 AS (SELECT gr.doc_id, gr.pos FROM gr JOIN st USING (gh)
          |        WHERE gr.doc_id > st.keeper),
          |flc AS (SELECT doc_id, UNNEST(range(pos, pos + $k)) AS cp FROM fl0),
          |fl AS (SELECT DISTINCT doc_id, cp FROM flc),
