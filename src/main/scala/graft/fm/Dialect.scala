@@ -69,6 +69,29 @@ object Dialect {
         }
         DateFormatClass(exprs(0), Literal(fmt))
       }, "built-in")
+    // strptime is strftime's inverse — same %-code table, Spark's
+    // to_timestamp underneath.
+    reg.createOrReplaceTempFunction(
+      "strptime", exprs => {
+        val fmt = exprs(1) match {
+          case Literal(s, _) if s != null => strftimeToJava(s.toString)
+          case other => throw new IllegalArgumentException(
+            s"strptime format must be a string literal, got: $other")
+        }
+        new ParseToTimestamp(exprs(0), Literal(fmt))
+      }, "built-in")
+    // DuckDB arg_max/arg_min are Spark's max_by/min_by (both skip rows
+    // with a NULL ordering value). Callers must keep the ordering key
+    // UNIQUE for a deterministic pick — true in both engines.
+    reg.createOrReplaceTempFunction(
+      "arg_max", exprs => aggregate.MaxBy(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "arg_min", exprs => aggregate.MinBy(exprs(0), exprs(1)), "built-in")
+    // DuckDB epoch_us/epoch_ms → Spark unix_micros/unix_millis.
+    reg.createOrReplaceTempFunction(
+      "epoch_us", exprs => UnixMicros(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "epoch_ms", exprs => UnixMillis(exprs(0)), "built-in")
   }
 
   /** Translate a C/DuckDB strftime format to a java DateTimeFormatter
@@ -110,7 +133,7 @@ object Dialect {
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
-        rewriteUsingSample(sql)))))))))
+        rewriteStructLit(rewriteUsingSample(sql))))))))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -889,6 +912,106 @@ object Dialect {
     * outermost-first; the re-scan loop picks up the inner ones on the
     * next pass.
     */
+  /** DuckDB struct literals `{'k': expr, ...}` → `named_struct('k',
+    * expr, ...)`. Only braces whose body parses COMPLETELY as top-level
+    * `'quoted-key': value` pairs are rewritten; anything else (including
+    * an empty `{}`) is left for the parser to reject loudly. Nested
+    * struct values resolve on the re-scan pass. Field access after the
+    * rewrite (`({'a': x}).a`) is native Spark.
+    */
+  private[fm] def rewriteStructLit(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        if (msk.charAt(i) == '{' && !lit(i)) {
+          val close = matchBrace(msk, i)
+          if (close > i) {
+            val pairs = splitStructPairs(out, msk, lit, i + 1, close)
+            if (pairs != null && pairs.nonEmpty) {
+              val repl = "named_struct(" + pairs
+                .map { case (k, v) => s"$k, $v" }.mkString(", ") + ")"
+              out = out.substring(0, i) + repl + out.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Matching `}` for the `{` at `open`, skipping string literals. */
+  private def matchBrace(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** `[from, until)` parsed as `'key': value` pairs at top level (parens,
+    * brackets, AND braces all count as nesting); null when any item does
+    * not fit the shape (the brace is then not a struct literal).
+    */
+  private def splitStructPairs(
+      out: String, msk: String, lit: Array[Boolean],
+      from: Int, until: Int): Seq[(String, String)] = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var depth = 0
+    var start = from
+    var i = from
+    while (i < until) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(' || c == '[' || c == '{') depth += 1
+        else if (c == ')' || c == ']' || c == '}') depth -= 1
+        else if (c == ',' && depth == 0) { items += ((start, i)); start = i + 1 }
+      }
+      i += 1
+    }
+    items += ((start, until))
+    val pairs = items.map { case (s0, e0) =>
+      // top-level ':' splits key from value; the key must be a complete
+      // single-quoted literal
+      var colon = -1
+      var d = 0
+      var p = s0
+      while (p < e0 && colon < 0) {
+        val c = msk.charAt(p)
+        if (!lit(p)) {
+          if (c == '(' || c == '[' || c == '{') d += 1
+          else if (c == ')' || c == ']' || c == '}') d -= 1
+          else if (c == ':' && d == 0) colon = p
+        }
+        p += 1
+      }
+      if (colon < 0) null
+      else {
+        val k = out.substring(s0, colon).trim
+        val v = out.substring(colon + 1, e0).trim
+        if (k.length >= 2 && k.head == '\'' && k.last == '\'' &&
+          !k.substring(1, k.length - 1).contains('\'') && v.nonEmpty) (k, v)
+        else null
+      }
+    }
+    if (pairs.exists(_ == null)) null else pairs.toSeq
+  }
+
   /** DuckDB bracket syntax (passthrough long tail), translated with the
     * exact 1-based semantics instead of the earlier fail-loud stance:
     *

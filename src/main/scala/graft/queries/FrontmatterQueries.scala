@@ -179,6 +179,36 @@ object FrontmatterQueries {
       """SELECT * EXCLUDE (tags, score, source) REPLACE (upper(category) AS category)
         |FROM files ORDER BY path LIMIT 25""".stripMargin),
 
+    // Long-tail dialect: DuckDB struct literals → named_struct via
+    // Dialect.rewriteStructLit; field access on the rewritten struct is
+    // native in both engines.
+    "q_fm_struct" -> run(
+      """SELECT path,
+        |  ({'cat': category, 'len': TRY_CAST(n_chars AS INT)}).cat AS cat2,
+        |  ({'cat': category, 'len': TRY_CAST(n_chars AS INT)}).len AS len2
+        |FROM files WHERE category IS NOT NULL ORDER BY path""".stripMargin),
+
+    // Long-tail dialect: arg_max/arg_min → max_by/min_by aliases. The
+    // ordering key is made UNIQUE (n_chars scaled + id) so the pick is
+    // deterministic in both engines.
+    "q_fm_aggfns" -> run(
+      """SELECT category,
+        |  arg_max(path, TRY_CAST(n_chars AS BIGINT) * 1000000 + TRY_CAST(id AS BIGINT)) AS longest,
+        |  arg_min(path, TRY_CAST(n_chars AS BIGINT) * 1000000 + TRY_CAST(id AS BIGINT)) AS shortest,
+        |  COUNT(*) AS n
+        |FROM files WHERE category IS NOT NULL
+        |GROUP BY category ORDER BY category""".stripMargin),
+
+    // Long-tail dialect: strptime (strftime's inverse, same %-code
+    // translation) and epoch_us/epoch_ms → unix_micros/unix_millis.
+    // Both engines parse the naive date under UTC, so the micros agree.
+    "q_fm_datefns" -> run(
+      """SELECT strftime(strptime(created, '%Y-%m-%d'), '%Y/%m') AS ym,
+        |  MIN(epoch_us(strptime(created, '%Y-%m-%d'))) AS first_us,
+        |  COUNT(*) AS n
+        |FROM files WHERE created IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -365,6 +395,27 @@ object FrontmatterQueries {
       s"""$cte
          |SELECT * EXCLUDE (tags, score, source) REPLACE (upper(category) AS category)
          |FROM files ORDER BY path LIMIT 25""".stripMargin,
+    "q_fm_struct" ->
+      s"""$cte
+         |SELECT path,
+         |  ({'cat': category, 'len': TRY_CAST(n_chars AS INT)}).cat AS cat2,
+         |  ({'cat': category, 'len': TRY_CAST(n_chars AS INT)}).len AS len2
+         |FROM files WHERE category IS NOT NULL ORDER BY path""".stripMargin,
+    "q_fm_aggfns" ->
+      s"""$cte
+         |SELECT category,
+         |  arg_max(path, TRY_CAST(n_chars AS BIGINT) * 1000000 + TRY_CAST(id AS BIGINT)) AS longest,
+         |  arg_min(path, TRY_CAST(n_chars AS BIGINT) * 1000000 + TRY_CAST(id AS BIGINT)) AS shortest,
+         |  COUNT(*) AS n
+         |FROM files WHERE category IS NOT NULL
+         |GROUP BY category ORDER BY category""".stripMargin,
+    "q_fm_datefns" ->
+      s"""$cte
+         |SELECT strftime(strptime(created, '%Y-%m-%d'), '%Y/%m') AS ym,
+         |  MIN(epoch_us(strptime(created, '%Y-%m-%d'))) AS first_us,
+         |  COUNT(*) AS n
+         |FROM files WHERE created IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

@@ -265,6 +265,23 @@ class DialectSpec extends AnyFunSuite {
     assert(!out.toUpperCase.contains("REPLACE"))
   }
 
+  test("struct literals → named_struct; non-struct braces untouched") {
+    assert(Dialect.rewriteStructLit("SELECT {'a': x, 'b': 1 + y} FROM t")
+      == "SELECT named_struct('a', x, 'b', 1 + y) FROM t")
+    // nested structs resolve on the re-scan pass
+    assert(Dialect.rewriteStructLit("SELECT {'o': {'i': v}} FROM t")
+      == "SELECT named_struct('o', named_struct('i', v)) FROM t")
+    // braces in string literals are data; an empty or non-pair brace
+    // stays for the parser to reject
+    assert(Dialect.rewriteStructLit("SELECT '{not: struct}' FROM t")
+      == "SELECT '{not: struct}' FROM t")
+    assert(Dialect.rewriteStructLit("SELECT {} FROM t") == "SELECT {} FROM t")
+    // values containing colons at depth (e.g. a slice) still split on
+    // the TOP-level colon only
+    assert(Dialect.rewrite("SELECT {'s': a[1:2]} FROM t")
+      == "SELECT named_struct('s', slice(a, (1), (2) - (1) + 1)) FROM t")
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
