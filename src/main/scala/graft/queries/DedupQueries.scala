@@ -53,6 +53,7 @@ object DedupQueries {
   private val simhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private val minhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private val jacCache = scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame]
+  private val substrGramCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private[queries] def shingleDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(shCache, (Tables.sessionKey(s), d))({
@@ -451,12 +452,18 @@ object DedupQueries {
       val K = SubstrK
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      val grams = docs
-        .filter(size(col("ws")) >= K)
-        .select(col("doc_id"), col("ws"),
-          explode(expr(s"sequence(1, size(ws) - ${K - 1})")).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          expr(h60(s"array_join(slice(ws, pos, $K), ' ')")).as("gh"))
+      // The gram frame feeds BOTH the stats aggregate and the join-back;
+      // persist one copy per sf dir (the wordDF/shingleDF discipline) so
+      // the md5 fold runs once, not once per plan reference.
+      val grams = Tables.memo(substrGramCache, (Tables.sessionKey(s), d))({
+        docs
+          .filter(size(col("ws")) >= K)
+          .select(col("doc_id"), col("ws"),
+            explode(expr(s"sequence(1, size(ws) - ${K - 1})")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr(h60(s"array_join(slice(ws, pos, $K), ' ')")).as("gh"))
+          .persist()
+      })
       val st = grams.groupBy("gh")
         .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("df"))
         .filter(col("df") >= 2)
