@@ -31,6 +31,14 @@ object CurationQueries {
     */
   private[queries] val BenchMod = 50
 
+  /** Seed + audit-block size for q_train_shuffle's deterministic global
+    * permutation; shared with the oracle. Changing the seed string
+    * produces an entirely different (but equally reproducible) epoch
+    * order — the per-epoch reshuffle is a seed bump, not new machinery.
+    */
+  private[queries] val ShuffleSeed = "r9seed"
+  private[queries] val ShuffleBlock = 128
+
   /** Sample size per source for q_weighted_sample (A-ES weighted
     * sampling without replacement); shared with the oracle.
     */
@@ -328,6 +336,34 @@ object CurationQueries {
           sum("n_chars").as("n_bytes"),
           min("doc_id").as("first_id"))
         .orderBy("shard")
+    }),
+
+    // Deterministic seeded global training order — the epoch shuffle a
+    // dataloader needs: every doc gets an EXACT global position in a
+    // pseudo-random permutation keyed by (seed, doc_id), so any worker
+    // can recompute any shard of the order independently and resumption
+    // is "start at position p", no shuffle file manifest required. The
+    // scale shape is the point: a naive ROW_NUMBER() OVER (ORDER BY hk)
+    // funnels 100 TB through ONE task; here PrefixSum range-partitions
+    // on the hash key and assigns positions with per-partition windows
+    // plus a partitions-sized offset table (ops/PrefixSum.scala). The
+    // struct order key (hk, doc_id) is collision-proof — PrefixSum
+    // requires a unique order column. Output is a block-level audit
+    // (counts + contiguity bounds + a modular position⊗id checksum that
+    // pins EVERY position, bounded ≤ 2^60/block even at 10^12 docs).
+    "q_train_shuffle" -> ((s, d) => {
+      val keyed = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr(h60(s"concat('$ShuffleSeed:', CAST(doc_id AS STRING))")).as("hk"))
+        .withColumn("_ord", struct(col("hk"), col("doc_id")))
+        .withColumn("one", lit(1L))
+      graft.ops.PrefixSum.runningBefore(keyed, "_ord", "one", 32)
+        .withColumn("pos", col("cum_before"))
+        .groupBy(expr(s"pos DIV $ShuffleBlock").as("block"))
+        .agg(count(lit(1)).as("n"),
+          min("pos").as("pos_lo"), max("pos").as("pos_hi"),
+          sum(expr("(pos % 1000003) * (doc_id % 1000003)")).as("checksum"))
+        .orderBy("block")
     }),
 
     // Per-source document caps (the Common-Crawl-style domain balancer):
@@ -685,6 +721,16 @@ object CurationQueries {
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
          |  MIN(doc_id) AS first_id
          |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_train_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${duckH60(s"'$ShuffleSeed:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM h)
+         |SELECT pos // $ShuffleBlock AS block, COUNT(*) AS n,
+         |  MIN(pos) AS pos_lo, MAX(pos) AS pos_hi,
+         |  CAST(SUM((pos % 1000003) * (doc_id % 1000003)) AS BIGINT) AS checksum
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_domain_cap" ->
       s"""WITH r AS (SELECT source, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY source

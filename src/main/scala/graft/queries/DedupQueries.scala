@@ -32,6 +32,15 @@ object DedupQueries {
   private def h60(colName: String): String =
     s"CAST(conv(substr(md5($colName), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Segment width (words) for q_seg_dedup's within-doc repetition
+    * removal; shared with the oracle. DEMO-GRADE: the synthetic docs are
+    * one-line word streams, so "line" is approximated by a fixed window;
+    * on real corpora the segmenter is `split(text, '\n')` and everything
+    * downstream is unchanged. 2 words is the width at which the
+    * synthetic vocabulary actually produces repeats (~2% of segments).
+    */
+  private[queries] val SegW = 2
+
   /** Distinct word 3-gram shingles over a pre-split words column `w` —
     * splitting once per row matters: inlining split() inside the lambda
     * would re-tokenize the document per shingle (quadratic per doc).
@@ -278,6 +287,40 @@ object DedupQueries {
         .groupBy("fp")
         .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
         .orderBy("fp")
+    }),
+
+    // Within-doc segment repetition removal (the C4/CCNet "drop
+    // duplicated lines" cleanup, distinct from q_quality_repetition
+    // which only SCORES repetition): each doc is segmented into SegW-word
+    // windows, repeated segments after the first occurrence are dropped
+    // (order preserved), and the per-source audit reports how much was
+    // cut plus a modular checksum of every cleaned text. The entire
+    // cleanup is per-row higher-order functions — ZERO shuffles before
+    // the final fixed-width source aggregate, so at 100 TB it is a
+    // map-only pass whose cost is the scan itself. The first-occurrence
+    // filter is array_position(segs, x) = i + 1: O(n²) in segments per
+    // doc, bounded by doc length, never cross-doc. Checksum terms are
+    // < 2^20 each, so the per-source sum stays < 2^63 up to ~10^12 docs.
+    "q_seg_dedup" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .withColumn("segs", expr(
+          s"""CASE WHEN size(w) DIV $SegW = 0 THEN array()
+             |     ELSE transform(sequence(1, size(w) DIV $SegW),
+             |            i -> concat_ws(' ', slice(w, (i - 1) * $SegW + 1, $SegW)))
+             |END""".stripMargin))
+        .withColumn("keep", expr(
+          "filter(segs, (x, i) -> array_position(segs, x) = i + 1)"))
+        .withColumn("ck", expr(s"${h60("concat_ws(' ', keep)")} % 1000003"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("segs")).cast("long")).as("segs_total"),
+          sum((size(col("segs")) - size(col("keep"))).cast("long"))
+            .as("segs_removed"),
+          sum(when(size(col("segs")) > size(col("keep")), 1L).otherwise(0L))
+            .as("docs_with_dups"),
+          sum("ck").as("checksum"))
+        .orderBy("source")
     }),
 
     // n-gram Jaccard near-dup: candidates = pairs sharing >=1 shingle
@@ -530,6 +573,25 @@ object DedupQueries {
       """SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp,
         |  COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_seg_dedup" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+         |  FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    CASE WHEN len(words) // $SegW = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE [array_to_string(words[(i - 1) * $SegW + 1 : (i - 1) * $SegW + $SegW], ' ')
+         |               FOR i IN generate_series(1, len(words) // $SegW)] END AS segs
+         |  FROM w),
+         |k AS (SELECT doc_id, source, segs,
+         |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS keep FROM s)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(segs)) AS BIGINT) AS segs_total,
+         |  CAST(SUM(len(segs) - len(keep)) AS BIGINT) AS segs_removed,
+         |  CAST(SUM(CASE WHEN len(segs) > len(keep) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_dups,
+         |  CAST(SUM(${duckH60("array_to_string(keep, ' ')")} % 1000003) AS BIGINT)
+         |    AS checksum
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $duckShingleCte,

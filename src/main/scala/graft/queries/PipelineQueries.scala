@@ -113,6 +113,14 @@ object PipelineQueries {
   private def h60p(c: String): String =
     s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Theta/KMV sketch size for q_theta_setops (union/intersection set
+    * operations); shared with the oracle. The estimate expression below
+    * the CASE is interpolated into BOTH dialects verbatim so the double
+    * arithmetic (decimal-exact 31·2^60 numerator, one double divide)
+    * cannot drift between engines.
+    */
+  private[queries] val ThetaK = 32
+
   /** Bit-interleave expression for dialect `shl`/`shr` operators:
     * sum over i of ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1).
     */
@@ -560,6 +568,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Theta-sketch set operations (DataSketches-style): estimate the
+    // distinct-user UNION and INTERSECTION of two event populations from
+    // one bounded sketch pass, next to the exact answers so the row
+    // audits its own error. The scale shape is what matters at 100 TB:
+    // each population's sketch is k hashes, θ (the union's k-th smallest
+    // distinct hash) comes from a TakeOrderedAndProject top-k — local
+    // top-k per partition, k rows to one reducer, never a global sort —
+    // and the intersection estimate counts common hashes below θ, of
+    // which there are at most k by construction. The only data-sized
+    // work is one distinct + one hash aggregate; union/intersection of
+    // N sketches later is k-row arithmetic, no re-scan (the reason theta
+    // sketches, not exact counts, are the cross-partition currency).
+    "q_theta_setops" -> ((s, d) => {
+      val h = h60p("CAST(user_id AS STRING)")
+      val byH = Tables.load(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), expr(h).as("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(count(lit(1)).as("ntypes"),
+          min("event_type").as("t_min"), max("event_type").as("t_max"))
+      val theta = byH.select("h").orderBy("h").limit(ThetaK)
+        .agg(max("h").as("kth"), count(lit(1)).as("n_seen"))
+      byH.crossJoin(broadcast(theta))
+        .agg(
+          sum(when(col("t_min") === "click", 1L).otherwise(0L)).as("exact_a"),
+          sum(when(col("t_max") === "purchase", 1L).otherwise(0L)).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(when(col("ntypes") === 2, 1L).otherwise(0L)).as("exact_inter"),
+          sum(when(col("ntypes") === 2 && col("h") < col("kth"), 1L)
+            .otherwise(0L)).as("common_below"),
+          max("kth").as("kth"), max("n_seen").as("n_seen"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_inter"),
+          expr(s"""CASE WHEN n_seen < $ThetaK THEN CAST(exact_union AS DOUBLE)
+                   ELSE ${ThetaK - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END""")
+            .as("est_union"),
+          expr(s"""CASE WHEN n_seen < $ThetaK THEN CAST(exact_inter AS DOUBLE)
+                   ELSE CAST(common_below AS DOUBLE) * 1152921504606846976.0
+                        / CAST(kth AS DOUBLE) END""")
+            .as("est_inter"))
+    }),
+
     // Watermark-delay audit: per event type, how late do events arrive
     // behind the event-time high-water mark, and what is the max lag —
     // the number an operator SETS `withWatermark` / the dedup window to.
@@ -804,6 +855,34 @@ object PipelineQueries {
          |FROM c CROSS JOIN q WHERE cum * 100 >= q_pct * tot
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q_theta_setops" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |u AS (SELECT h, COUNT(*) AS ntypes, MIN(event_type) AS t_min,
+         |        MAX(event_type) AS t_max
+         |      FROM e GROUP BY h),
+         |t AS (SELECT MAX(h) AS kth, COUNT(*) AS n_seen
+         |      FROM (SELECT h FROM u ORDER BY h LIMIT $ThetaK)),
+         |m AS (SELECT
+         |        CAST(SUM(CASE WHEN t_min = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+         |        CAST(SUM(CASE WHEN t_max = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+         |        COUNT(*) AS exact_union,
+         |        CAST(SUM(CASE WHEN ntypes = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+         |        CAST(SUM(CASE WHEN ntypes = 2 AND h < kth THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS common_below,
+         |        MAX(kth) AS kth, MAX(n_seen) AS n_seen
+         |      FROM u CROSS JOIN t)
+         |SELECT exact_a, exact_b, exact_union, exact_inter,
+         |  CASE WHEN n_seen < $ThetaK THEN CAST(exact_union AS DOUBLE)
+         |       ELSE ${ThetaK - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END
+         |    AS est_union,
+         |  CASE WHEN n_seen < $ThetaK THEN CAST(exact_inter AS DOUBLE)
+         |       ELSE CAST(common_below AS DOUBLE) * 1152921504606846976.0
+         |            / CAST(kth AS DOUBLE) END AS est_inter
+         |FROM m""".stripMargin,
 
     "q_sketch_kmv" ->
       """WITH h AS (

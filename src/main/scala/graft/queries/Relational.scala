@@ -290,6 +290,32 @@ object Relational {
         .orderBy(col("region"), col("nation"))
     }),
 
+    // PIVOT — wide report of order revenue by month × priority, via the
+    // native RelationalGroupedDataset.pivot with PINNED values (the
+    // values list is what lets Catalyst plan ONE hash aggregate with
+    // 5 conditional sums — leaving it implicit costs an extra distinct
+    // job AND makes the schema data-dependent, both wrong at 100 TB).
+    // Money goes through the integer-cents grid (round→BIGINT) so the
+    // pivoted sums are exact in any aggregation order; the output
+    // columns are renamed to identifier-safe names shared with the
+    // oracle's conditional-aggregation spelling.
+    "q_pivot_report" -> ((s, d) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val renames = Map("1-URGENT" -> "urgent_cents", "2-HIGH" -> "high_cents",
+        "3-MEDIUM" -> "medium_cents", "4-NOT SPECIFIED" -> "notspec_cents",
+        "5-LOW" -> "low_cents")
+      t(s, d, "orders")
+        .select(expr("CAST(month(o_orderdate) AS BIGINT)").as("month"),
+          col("o_orderpriority"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("month")
+        .pivot("o_orderpriority", priorities)
+        .agg(sum("cents"))
+        .withColumnsRenamed(renames)
+        .orderBy("month")
+    }),
+
     // B26: DISTINCT
     "q_distinct" -> ((s, d) => {
       t(s, d, "orders").select(col("o_orderpriority")).distinct()
@@ -477,6 +503,19 @@ object Relational {
         |ORDER BY region, nation""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "q_pivot_report" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS urgent_cents,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS high_cents,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS medium_cents,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS notspec_cents,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS low_cents
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "q_case_bucket" ->
       """SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
         |  ELSE 'high' END AS bucket, COUNT(*) AS n
