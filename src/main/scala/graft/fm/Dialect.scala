@@ -1243,6 +1243,119 @@ object Dialect {
     out
   }
 
+  /** DuckDB simplified `PIVOT` statement → Spark SQL
+    * (`PIVOT <table> ON <col> [IN (v, …)] USING <agg> [AS alias]
+    * [GROUP BY g, …] [ORDER BY …] [LIMIT …]`).
+    *
+    * DuckDB auto-discovers the pivoted values with a hidden DISTINCT
+    * pass; Spark's PIVOT clause needs the list up front. The rewrite
+    * makes that discovery explicit through `values` — the engine passes
+    * a DISTINCT query over the target view (the identical work DuckDB
+    * hides, one bounded driver-side list) — unless the statement pins
+    * its own `ON col IN (…)` list, which is used verbatim in user
+    * order, like DuckDB. Discovered values are sorted ascending
+    * (DuckDB's column order).
+    *
+    * Two shapes:
+    *  - explicit GROUP BY → conditional aggregation (one hash
+    *    aggregate; `USING … AS alias` yields DuckDB's value_alias
+    *    column names);
+    *  - no GROUP BY → Spark's native PIVOT clause, whose implicit
+    *    group-by-all-remaining-columns matches DuckDB's.
+    * Values are matched as strings (`CAST(col AS STRING) = 'v'`) —
+    * exact for the string-typed files surface.
+    *
+    * Statements that don't start with PIVOT pass through untouched.
+    */
+  def rewritePivot(sql: String, values: (String, String) => Seq[String]): String = {
+    val msk = maskComments(sql)
+    val u = msk.toUpperCase
+    val lit = literalMask(msk)
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (!(u.regionMatches(p, "PIVOT", 0, 5) && isKeywordAt(u, p + 4, "PIVOT")))
+      return sql
+    // table identifier
+    var t0 = p + 5
+    while (t0 < msk.length && msk.charAt(t0).isWhitespace) t0 += 1
+    var t1 = t0
+    while (t1 < msk.length && (Character.isLetterOrDigit(msk.charAt(t1)) ||
+      msk.charAt(t1) == '_' || msk.charAt(t1) == '.')) t1 += 1
+    if (t1 == t0) return sql
+    val table = sql.substring(t0, t1)
+    val onAt = findTopKeyword(u, msk, lit, t1, msk.length, "ON")
+    if (onAt < 0) return sql
+    val usingAt = findTopKeyword(u, msk, lit, onAt + 2, msk.length, "USING")
+    if (usingAt < 0) return sql
+    // ON span: column expression, optionally followed by IN (v, ...)
+    val inAt = findTopKeyword(u, msk, lit, onAt + 2, usingAt, "IN")
+    val col = sql.substring(onAt + 2, if (inAt >= 0) inAt else usingAt).trim
+    if (col.isEmpty || col.contains(",")) return sql
+    val pinned: Option[Seq[String]] =
+      if (inAt < 0) None
+      else {
+        val open = msk.indexOf('(', inAt)
+        val close = if (open >= 0) matchParen(msk, open) else -1
+        if (close < 0 || close > usingAt) return sql
+        Some(sql.substring(open + 1, close).split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { v =>
+            if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+              v.substring(1, v.length - 1).replace("''", "'")
+            else v
+          })
+      }
+    // agg span ends at GROUP / ORDER / LIMIT (top level) or statement end
+    val stops = Seq("GROUP", "ORDER", "LIMIT")
+      .map(k => findTopKeyword(u, msk, lit, usingAt + 5, msk.length, k))
+      .filter(_ >= 0)
+    val aggEnd = if (stops.isEmpty) msk.length else stops.min
+    val aliasAt = findTopKeyword(u, msk, lit, usingAt + 5, aggEnd, "AS")
+    val aggExpr = sql.substring(usingAt + 5, if (aliasAt >= 0) aliasAt else aggEnd).trim
+    val alias =
+      if (aliasAt < 0) None else Some(sql.substring(aliasAt + 2, aggEnd).trim)
+    val groupAt = findTopKeyword(u, msk, lit, usingAt + 5, msk.length, "GROUP")
+    def esc(v: String) = v.replace("'", "''")
+    def tick(v: String) = "`" + v.replace("`", "``") + "`"
+    val vals = pinned.getOrElse(values(table, col))
+    require(vals.nonEmpty, s"PIVOT ON $col has no non-NULL values to pivot")
+    if (groupAt >= 0) {
+      val byAt = findTopKeyword(u, msk, lit, groupAt + 5, msk.length, "BY")
+      require(byAt >= 0, "PIVOT: GROUP not followed by BY")
+      val tailStops = Seq("ORDER", "LIMIT")
+        .map(k => findTopKeyword(u, msk, lit, byAt + 2, msk.length, k))
+        .filter(_ >= 0)
+      val grpEnd = if (tailStops.isEmpty) msk.length else tailStops.min
+      val grp = sql.substring(byAt + 2, grpEnd).trim
+      val tail = sql.substring(grpEnd).trim
+      val m = java.util.regex.Pattern
+        .compile("^([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)$",
+          java.util.regex.Pattern.DOTALL)
+        .matcher(aggExpr)
+      require(m.matches(), s"PIVOT USING must be a single <fn>(<arg>) aggregate, got: $aggExpr")
+      val fn = m.group(1)
+      val rawArg = m.group(2).trim
+      val distinct = rawArg.toUpperCase.startsWith("DISTINCT ")
+      val arg0 = if (distinct) rawArg.substring(9).trim else rawArg
+      val inner = if (arg0 == "*") "1" else arg0
+      val cells = vals.map { v =>
+        val name = alias.fold(v)(a => s"${v}_$a")
+        val d = if (distinct) "DISTINCT " else ""
+        s"$fn(${d}CASE WHEN CAST(($col) AS STRING) = '${esc(v)}' THEN $inner END) AS ${tick(name)}"
+      }
+      s"SELECT $grp, ${cells.mkString(", ")} FROM $table GROUP BY $grp" +
+        (if (tail.nonEmpty) s" $tail" else "")
+    } else {
+      require(alias.isEmpty,
+        "PIVOT: USING … AS alias requires an explicit GROUP BY in this dialect")
+      require(col.forall(c => Character.isLetterOrDigit(c) || c == '_'),
+        s"PIVOT without GROUP BY needs a plain column name to pivot on, got: $col")
+      val tail = sql.substring(aggEnd).trim
+      val inList = vals.map(v => s"'${esc(v)}' AS ${tick(v)}").mkString(", ")
+      s"SELECT * FROM $table PIVOT ($aggExpr FOR $col IN ($inList))" +
+        (if (tail.nonEmpty) s" $tail" else "")
+    }
+  }
+
   private[fm] def rewriteListComp(sql: String): String = {
     var out = sql
     var guard = 0

@@ -112,9 +112,21 @@ final class QueryEngine(
     val (files, warnings) = filesTable(glob)
     val out = synchronized {
       files.createOrReplaceTempView("files")
-      // COLUMNS('regex') expands against the files view's resolved
-      // schema first; the schema-free rewrites then run on the result.
-      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(sql, files.columns.toSeq)))
+      // PIVOT value discovery runs first (it may query the just-registered
+      // view for the DISTINCT pivot values — the same hidden pass DuckDB
+      // makes, one bounded driver list); then COLUMNS('regex') expands
+      // against the files view's resolved schema; the schema-free
+      // rewrites then run on the result.
+      val pivoted = Dialect.rewritePivot(sql, (tbl, c) => {
+        val rows = spark.sql(
+          s"SELECT DISTINCT CAST(($c) AS STRING) AS v FROM $tbl " +
+            s"WHERE ($c) IS NOT NULL ORDER BY v LIMIT 1001").collect()
+        require(rows.length <= 1000,
+          s"PIVOT ON $c would create over 1000 columns — pin the values " +
+            "with ON … IN (…) instead")
+        rows.map(_.getString(0)).toSeq
+      })
+      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(pivoted, files.columns.toSeq)))
     }
     QueryResult(out, out.columns.toSeq, warnings)
   }

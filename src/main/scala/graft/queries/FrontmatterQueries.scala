@@ -94,6 +94,16 @@ object FrontmatterQueries {
         |QUALIFY row_number() OVER (PARTITION BY category ORDER BY n_chars DESC NULLS LAST, path) <= 2
         |ORDER BY category NULLS FIRST, path""".stripMargin),
 
+    // Long-tail dialect: DuckDB's simplified PIVOT statement →
+    // conditional aggregation via Dialect.rewritePivot, with the hidden
+    // DISTINCT value-discovery pass made explicit (QueryEngine supplies
+    // it from the files view). Lang is NULL for every doc_id%100==7
+    // file — NULLs pivot to no column (DuckDB semantics) but their rows
+    // still group, so the NULL-source group row shows all-zero cells.
+    "q_fm_pivot" -> run(
+      """PIVOT files ON lang USING count(*)
+        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin),
+
     // Long-tail dialect: DuckDB `* EXCLUDE (...)` star modifier →
     // Spark's `* EXCEPT (...)` via Dialect.rewriteExclude.
     "q_fm_exclude" -> run(
@@ -344,6 +354,18 @@ object FrontmatterQueries {
          |SELECT path, category, n_chars FROM files
          |QUALIFY row_number() OVER (PARTITION BY category ORDER BY n_chars DESC NULLS LAST, path) <= 2
          |ORDER BY category NULLS FIRST, path""".stripMargin,
+    // The oracle replays the pivot as conditional aggregation over the
+    // same reconstructed files table — the value set {de,en,es,fr,zh}
+    // is the generator's fixed language alphabet at every SF.
+    "q_fm_pivot" ->
+      s"""$cte
+         |SELECT source,
+         |  COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+         |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+         |  COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+         |  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+         |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+         |FROM files GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
     "q_fm_exclude" ->
       s"""$cte
          |SELECT * EXCLUDE (tags, score) FROM files ORDER BY path LIMIT 25""".stripMargin,

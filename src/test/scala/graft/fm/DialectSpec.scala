@@ -282,6 +282,44 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT named_struct('s', slice(a, (1), (2) - (1) + 1)) FROM t")
   }
 
+  test("PIVOT statement rewrites to conditional aggregation / native PIVOT") {
+    val provider = (t: String, c: String) => Seq("de", "en")
+    // GROUP BY form → one hash aggregate of CASE cells, tail preserved
+    assert(Dialect.rewritePivot(
+      "PIVOT files ON lang USING count(*) GROUP BY source ORDER BY source",
+      provider) ==
+      "SELECT source, count(CASE WHEN CAST((lang) AS STRING) = 'de' THEN 1 END) AS `de`, " +
+        "count(CASE WHEN CAST((lang) AS STRING) = 'en' THEN 1 END) AS `en` " +
+        "FROM files GROUP BY source ORDER BY source")
+    // USING alias → DuckDB's value_alias column names
+    assert(Dialect.rewritePivot(
+      "PIVOT files ON lang USING sum(n_chars) AS total GROUP BY source",
+      provider).contains("AS `de_total`"))
+    // ON … IN (…) pins the values — the provider must not be consulted
+    val pinnedOut = Dialect.rewritePivot(
+      "PIVOT files ON lang IN ('zh') USING count(*) GROUP BY source",
+      (_, _) => fail("provider consulted despite pinned IN list"))
+    assert(pinnedOut.contains("= 'zh'") && !pinnedOut.contains("`de`"))
+    // no GROUP BY → Spark's native PIVOT clause (implicit grouping)
+    assert(Dialect.rewritePivot(
+      "PIVOT files ON lang USING count(*)", provider) ==
+      "SELECT * FROM files PIVOT (count(*) FOR lang IN ('de' AS `de`, 'en' AS `en`))")
+    // count(DISTINCT x) hoists DISTINCT outside the CASE
+    assert(Dialect.rewritePivot(
+      "PIVOT files ON lang USING count(DISTINCT path) GROUP BY source",
+      provider).contains("count(DISTINCT CASE WHEN"))
+    // non-PIVOT statements (incl. PIVOT as an identifier) pass through
+    val q1 = "SELECT * FROM files"
+    assert(Dialect.rewritePivot(q1, provider) == q1)
+    val q2 = "SELECT pivot_count FROM files"
+    assert(Dialect.rewritePivot(q2, provider) == q2)
+    // the rewrite output no longer starts with PIVOT — a second pass is
+    // the identity (the same idempotency contract as rewriteQualify)
+    val once = Dialect.rewritePivot(
+      "PIVOT files ON lang USING count(*) GROUP BY source", provider)
+    assert(Dialect.rewritePivot(once, provider) == once)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
