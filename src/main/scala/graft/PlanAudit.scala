@@ -90,7 +90,11 @@ object PlanAudit {
     "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort",
     "q_substr_dedup" -> "substring-dedup cleanup: linear gram-keyed stats agg + equi-join back + K-bounded position explode — NO pair join anywhere",
     "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs",
-    "q_bucket_join" -> "bucketed co-located join: shuffle-free join sides (broadcast wins at audit sf; with broadcast off the SortMergeJoin consumes the bucket layout with ZERO side exchanges — pinned in ScaleTechniquesSpec)")
+    "q_bucket_join" -> "bucketed co-located join: shuffle-free join sides (broadcast wins at audit sf; with broadcast off the SortMergeJoin consumes the bucket layout with ZERO side exchanges — pinned in ScaleTechniquesSpec)",
+    "q_theta_setops" -> "theta set-ops: one distinct + one hash agg over the data; θ from TakeOrderedAndProject top-k (k rows to one reducer, never a global sort), broadcast back as a 1-row side",
+    "q_train_shuffle" -> "seeded epoch shuffle: exact global positions via range-partitioned prefix sum + broadcast offsets — NO single-partition window over the data",
+    "q_seg_dedup" -> "segment cleanup: per-row higher-order functions only, ZERO exchanges before the fixed-width source hash agg",
+    "q_pivot_report" -> "pinned-values pivot: NO distinct-discovery job; Spark's two-phase shape — partial (month, priority) hash agg at data scale, then a pivot agg whose exchange carries only groups x values rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -63,4 +63,26 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(1200))
     assert(!p.contains("Join"), p.take(1200))
   }
+
+  test("q_seg_dedup stays map-only before the source aggregate") {
+    // The cleanup is per-row higher-order functions; the only exchanges
+    // allowed are the fixed-width source aggregate and the final sort.
+    val p = plan("q_seg_dedup")
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+  }
+
+  test("q_theta_setops derives θ from a top-k, never a global sort") {
+    val p = plan("q_theta_setops")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q_train_shuffle broadcasts the partition offsets (prefix-sum shape)") {
+    // The offsets side is partitions-sized — it must come back as a
+    // broadcast, not a shuffled join against the data.
+    val p = plan("q_train_shuffle")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
