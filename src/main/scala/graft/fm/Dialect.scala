@@ -133,7 +133,7 @@ object Dialect {
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
-        rewriteStructLit(rewriteUsingSample(sql))))))))))
+        rewriteStructLit(rewriteUsingSample(rewriteUnpivot(sql)))))))))))
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so
@@ -1354,6 +1354,51 @@ object Dialect {
       s"SELECT * FROM $table PIVOT ($aggExpr FOR $col IN ($inList))" +
         (if (tail.nonEmpty) s" $tail" else "")
     }
+  }
+
+  /** DuckDB simplified `UNPIVOT` statement → Spark's native UNPIVOT
+    * clause (`UNPIVOT <table> ON c1, c2, … INTO NAME <k> VALUE <v>
+    * [ORDER BY …] [LIMIT …]` →
+    * `SELECT * FROM <table> UNPIVOT (<v> FOR <k> IN (c1, c2, …))`).
+    * Both engines exclude NULL cells by default, and both emit the
+    * remaining columns followed by the name/value pair, so the mapping
+    * is purely syntactic — no schema needed. Statements that don't
+    * start with UNPIVOT pass through untouched.
+    */
+  private[fm] def rewriteUnpivot(sql: String): String = {
+    val msk = maskComments(sql)
+    val u = msk.toUpperCase
+    val lit = literalMask(msk)
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (!(u.regionMatches(p, "UNPIVOT", 0, 7) && isKeywordAt(u, p + 6, "UNPIVOT")))
+      return sql
+    var t0 = p + 7
+    while (t0 < msk.length && msk.charAt(t0).isWhitespace) t0 += 1
+    var t1 = t0
+    while (t1 < msk.length && (Character.isLetterOrDigit(msk.charAt(t1)) ||
+      msk.charAt(t1) == '_' || msk.charAt(t1) == '.')) t1 += 1
+    if (t1 == t0) return sql
+    val table = sql.substring(t0, t1)
+    val onAt = findTopKeyword(u, msk, lit, t1, msk.length, "ON")
+    if (onAt < 0) return sql
+    val intoAt = findTopKeyword(u, msk, lit, onAt + 2, msk.length, "INTO")
+    if (intoAt < 0) return sql
+    val cols = sql.substring(onAt + 2, intoAt).trim
+    if (cols.isEmpty) return sql
+    val nameAt = findTopKeyword(u, msk, lit, intoAt + 4, msk.length, "NAME")
+    val valueAt = findTopKeyword(u, msk, lit, intoAt + 4, msk.length, "VALUE")
+    if (nameAt < 0 || valueAt < 0 || valueAt < nameAt) return sql
+    val stops = Seq("ORDER", "LIMIT")
+      .map(k => findTopKeyword(u, msk, lit, valueAt + 5, msk.length, k))
+      .filter(_ >= 0)
+    val valEnd = if (stops.isEmpty) msk.length else stops.min
+    val nameCol = sql.substring(nameAt + 4, valueAt).trim
+    val valueCol = sql.substring(valueAt + 5, valEnd).trim
+    if (nameCol.isEmpty || valueCol.isEmpty) return sql
+    val tail = sql.substring(valEnd).trim
+    s"SELECT * FROM $table UNPIVOT ($valueCol FOR $nameCol IN ($cols))" +
+      (if (tail.nonEmpty) s" $tail" else "")
   }
 
   private[fm] def rewriteListComp(sql: String): String = {

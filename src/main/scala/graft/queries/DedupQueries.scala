@@ -309,6 +309,12 @@ object DedupQueries {
              |     ELSE transform(sequence(1, size(w) DIV $SegW),
              |            i -> concat_ws(' ', slice(w, (i - 1) * $SegW + 1, $SegW)))
              |END""".stripMargin))
+        // O(segs²) first-occurrence membership scan — bounded by doc
+        // length, never cross-doc. (A 60-bit-hash variant measured the
+        // same solo wall time at sf0.1 — the md5 cost cancels the
+        // cheaper compares — and Spark's O(n) array_distinct can't be
+        // used because DuckDB's list_distinct scrambles order, which
+        // would break the cleaned-text checksum parity.)
         .withColumn("keep", expr(
           "filter(segs, (x, i) -> array_position(segs, x) = i + 1)"))
         .withColumn("ck", expr(s"${h60("concat_ws(' ', keep)")} % 1000003"))

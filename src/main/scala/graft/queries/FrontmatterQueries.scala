@@ -104,6 +104,16 @@ object FrontmatterQueries {
       """PIVOT files ON lang USING count(*)
         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin),
 
+    // Long-tail dialect: DuckDB's simplified UNPIVOT statement →
+    // Spark's native UNPIVOT clause via Dialect.rewriteUnpivot (pure
+    // syntax mapping; both engines drop NULL cells by default). Every
+    // frontmatter property except path folds into (prop, val) rows.
+    "q_fm_unpivot" -> run(
+      """UNPIVOT files
+        |ON id, lang, source, n_chars, created, tags, published, score, category
+        |INTO NAME prop VALUE val
+        |ORDER BY path, prop LIMIT 60""".stripMargin),
+
     // Long-tail dialect: DuckDB `* EXCLUDE (...)` star modifier →
     // Spark's `* EXCEPT (...)` via Dialect.rewriteExclude.
     "q_fm_exclude" -> run(
@@ -366,6 +376,17 @@ object FrontmatterQueries {
          |  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
          |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
          |FROM files GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    // The oracle replays the unpivot as the explicit UNION ALL it
+    // desugars to (NULL cells dropped, like both engines' default).
+    "q_fm_unpivot" -> {
+      val props = Seq("id", "lang", "source", "n_chars", "created",
+        "tags", "published", "score", "category")
+      val arms = props.map(c =>
+        s"SELECT path, '$c' AS prop, $c AS val FROM files WHERE $c IS NOT NULL")
+      s"""$cte
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY path, prop LIMIT 60""".stripMargin
+    },
     "q_fm_exclude" ->
       s"""$cte
          |SELECT * EXCLUDE (tags, score) FROM files ORDER BY path LIMIT 25""".stripMargin,

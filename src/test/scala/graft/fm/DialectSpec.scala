@@ -320,6 +320,21 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewritePivot(once, provider) == once)
   }
 
+  test("UNPIVOT statement rewrites to Spark's native UNPIVOT clause") {
+    assert(Dialect.rewriteUnpivot(
+      "UNPIVOT files ON a, b INTO NAME k VALUE v ORDER BY path LIMIT 5") ==
+      "SELECT * FROM files UNPIVOT (v FOR k IN (a, b)) ORDER BY path LIMIT 5")
+    assert(Dialect.rewriteUnpivot(
+      "UNPIVOT t ON x INTO NAME n VALUE w") ==
+      "SELECT * FROM t UNPIVOT (w FOR n IN (x))")
+    // non-UNPIVOT statements and identifiers pass through
+    val q = "SELECT unpivot_count FROM files"
+    assert(Dialect.rewriteUnpivot(q) == q)
+    // the output no longer starts with UNPIVOT → second pass is identity
+    val once = Dialect.rewriteUnpivot("UNPIVOT t ON x INTO NAME n VALUE w")
+    assert(Dialect.rewriteUnpivot(once) == once)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
