@@ -94,7 +94,8 @@ object PlanAudit {
     "q_theta_setops" -> "theta set-ops: one distinct + one hash agg over the data; θ from TakeOrderedAndProject top-k (k rows to one reducer, never a global sort), broadcast back as a 1-row side",
     "q_train_shuffle" -> "seeded epoch shuffle: exact global positions via range-partitioned prefix sum + broadcast offsets — NO single-partition window over the data",
     "q_seg_dedup" -> "segment cleanup: per-row higher-order functions only, ZERO exchanges before the fixed-width source hash agg",
-    "q_pivot_report" -> "pinned-values pivot: NO distinct-discovery job; Spark's two-phase shape — partial (month, priority) hash agg at data scale, then a pivot agg whose exchange carries only groups x values rows")
+    "q_pivot_report" -> "pinned-values pivot: NO distinct-discovery job; Spark's two-phase shape — partial (month, priority) hash agg at data scale, then a pivot agg whose exchange carries only groups x values rows",
+    "q_quality_norm" -> "source-fair quality percentiles: ONE source-partitioned shuffle shared by the rank+count windows, global median as a broadcast 1-row side, integer keep rule — no global sort, no float-percentile per row")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -123,7 +123,7 @@ object TextQueries {
   private def qualityDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(qualityCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
-        .selectExpr("doc_id", "lang",
+        .selectExpr("doc_id", "lang", "source",
           "size(split(text, ' ')) AS n_tokens",
           s"$QualityExpr AS quality")
         .persist()
@@ -419,6 +419,38 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Source-fair quality normalization (the FineWeb/DCLM move): a
+    // single global quality threshold silently biases the mix toward
+    // whatever source the scorer likes — normalizing to PER-SOURCE
+    // percentiles keeps each source's own top half instead. Keep rule
+    // is exact integer math (rk*2 > n_src ⇔ strictly above the source
+    // median position, rank made unique by (q, doc_id)), so no float
+    // percentile is compared per row. Shape: ONE source-partitioned
+    // shuffle shared by the rank and count windows (partition key =
+    // shuffle key, same as q_domain_cap — a skewed mega-source sorts
+    // only its own partition), the global median rides along as a
+    // broadcast 1-row side purely for the bias audit columns. Output
+    // shows the re-balancing: n_kept_fair is ~n/2 per source by
+    // construction; n_kept_global is what the global cut would keep.
+    "q_quality_norm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = qualityDF(s, d)
+        .select(col("doc_id"), col("source"), col("quality").as("q"))
+      val byS = Window.partitionBy("source")
+      val ranked = scored
+        .withColumn("rk", row_number().over(byS.orderBy(col("q"), col("doc_id"))))
+        .withColumn("n_src", count(lit(1)).over(byS))
+      val med = scored.agg(expr("percentile(q, 0.5)").as("gmed"))
+      ranked.crossJoin(broadcast(med))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") * 2 > col("n_src"), 1L).otherwise(0L))
+            .as("n_kept_fair"),
+          sum(when(col("q") > col("gmed"), 1L).otherwise(0L))
+            .as("n_kept_global"))
+        .orderBy("source")
+    }),
+
     // Per-document lexical entropy H = ln(n) - (1/n) * sum c_w ln c_w
     // over the word distribution — the information-theoretic diversity
     // signal next to TTR (word soup scores high, copy-paste repetition
@@ -611,6 +643,20 @@ object TextQueries {
          |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id, threshold
          |FROM s CROSS JOIN m WHERE q > threshold
          |GROUP BY lang, threshold ORDER BY lang""".stripMargin,
+    "q_quality_norm" ->
+      s"""WITH s AS (SELECT doc_id, source, $DuckQualityExpr AS q FROM documents),
+         |r AS (SELECT source, doc_id, q,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_src
+         |  FROM s),
+         |m AS (SELECT quantile_cont(q, 0.5) AS gmed FROM s)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk * 2 > n_src THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept_fair,
+         |  CAST(SUM(CASE WHEN q > gmed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept_global
+         |FROM r CROSS JOIN m GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_entropy" ->
       s"""WITH wc AS (SELECT doc_id, word, COUNT(*) AS c FROM
          |    (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word

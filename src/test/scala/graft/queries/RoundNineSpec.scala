@@ -112,6 +112,24 @@ class RoundNineSpec extends AnyFunSuite {
     assert(second == 0L, s"second pass removed $second segments")
   }
 
+  test("q_quality_norm keeps exactly the top half of each source") {
+    val rows = SparkEntry.queries("q_quality_norm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, fair) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept_fair"))
+      // rk*2 > n keeps ranks in (n/2, n] — exactly ceil(n/2) docs
+      assert(fair == (n + 1) / 2, s"${r.getString(0)}: n=$n fair=$fair")
+    }
+    // the global-cut audit column must agree with an independent count
+    val globalKept = rows.map(_.getAs[Long]("n_kept_global")).sum
+    val q = graft.queries.TextQueries
+    val scored = graft.Tables.load(spark, sf, "documents")
+      .selectExpr(s"${q.QualityExpr} AS qv")
+    val med = scored.agg(expr("percentile(qv, 0.5)")).collect().head.getDouble(0)
+    val expected = scored.filter(col("qv") > med).count()
+    assert(globalKept == expected)
+  }
+
   test("q_pivot_report cells match an independent long-form recomputation") {
     val wide = SparkEntry.queries("q_pivot_report")(spark, sf).collect()
       .map(r => r.getAs[Long]("month") ->
