@@ -73,7 +73,14 @@ class DialectPropSpec extends AnyFunSuite {
       e1 <- ident; e2 <- ident; item <- simpleExpr; c <- ident
     } yield s"* EXCLUDE ($e1, $e2) REPLACE ($item AS $c)"
 
+  private val unpivot: Gen[String] =
+    for {
+      t <- ident; c1 <- ident; c2 <- ident; k <- ident; v <- ident
+      tail <- Gen.option(Gen.const(" ORDER BY 1 LIMIT 5"))
+    } yield s"UNPIVOT $t ON $c1, $c2 INTO NAME $k VALUE $v${tail.getOrElse("")}"
+
   private val statement: Gen[String] = Gen.oneOf(
+    unpivot,
     comprehension.map(c => s"SELECT $c AS x FROM t ORDER BY x"),
     replaceMod.map(r => s"SELECT $r FROM t ORDER BY 1"),
     distinctOn,
@@ -91,12 +98,14 @@ class DialectPropSpec extends AnyFunSuite {
     var paren = 0
     var bracket = 0
     var inStr = false
+    var inTick = false // backtick identifiers may contain quotes/parens
     s.foreach {
-      case '\'' => inStr = !inStr
-      case '(' if !inStr => paren += 1
-      case ')' if !inStr => paren -= 1
-      case '[' if !inStr => bracket += 1
-      case ']' if !inStr => bracket -= 1
+      case '`' if !inStr => inTick = !inTick
+      case '\'' if !inTick => inStr = !inStr
+      case '(' if !inStr && !inTick => paren += 1
+      case ')' if !inStr && !inTick => paren -= 1
+      case '[' if !inStr && !inTick => bracket += 1
+      case ']' if !inStr && !inTick => bracket -= 1
       case _ =>
     }
     (paren, bracket)
@@ -117,6 +126,29 @@ class DialectPropSpec extends AnyFunSuite {
     }
   }
 
+  test("PIVOT rewrite is idempotent and balanced on generated statements") {
+    val provider = (_: String, _: String) => Seq("v1", "v'2")
+    val pivotStmt: Gen[String] =
+      for {
+        t <- ident; c <- ident; g <- ident
+        fn <- Gen.oneOf("count(*)", "sum(x)", "min(y1)", "count(DISTINCT p)")
+        grp <- Gen.oneOf(true, false)
+      } yield
+        if (grp) s"PIVOT $t ON $c USING $fn GROUP BY $g ORDER BY $g"
+        else s"PIVOT $t ON $c USING $fn"
+    samples(pivotStmt, 200).foreach { sql =>
+      val once = Dialect.rewritePivot(sql, provider)
+      assert(Dialect.rewritePivot(once, provider) == once,
+        s"not idempotent:\n  in:   $sql\n  once: $once")
+      assert(balance(once) == ((0, 0)), s"unbalanced: $sql\n  out: $once")
+      // the GROUP BY form must fully desugar the statement; the implicit
+      // form emits Spark's (valid) PIVOT clause, which contains no ON
+      if (sql.contains("GROUP BY"))
+        assert(!once.toUpperCase.contains("PIVOT"), s"PIVOT survived: $once")
+      else assert(!once.toUpperCase.contains(" ON "), s"ON survived: $once")
+    }
+  }
+
   test("no DuckDB-only construct survives the rewrite") {
     samples(statement).foreach { sql =>
       val u = Dialect.rewrite(sql).toUpperCase
@@ -128,6 +160,7 @@ class DialectPropSpec extends AnyFunSuite {
       assert("\\[[^\\]]* FOR ".r.findFirstIn(scrubbed).isEmpty,
         s"comprehension survived: $sql")
       assert(!scrubbed.contains("EXCLUDE"), s"EXCLUDE survived: $sql")
+      assert(!scrubbed.contains("INTO NAME"), s"UNPIVOT statement survived: $sql")
       // no bracket syntax survives outside string literals (the generated
       // statements never emit quoted brackets, so a plain scan suffices)
       val noLit = scrubbed.replaceAll("'[^']*'", "")
