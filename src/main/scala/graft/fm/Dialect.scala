@@ -1401,6 +1401,83 @@ object Dialect {
       (if (tail.nonEmpty) s" $tail" else "")
   }
 
+  /** DuckDB `SUMMARIZE <table>` statement → one-pass per-column profile.
+    *
+    * DuckDB's output schema is column_name, column_type, min, max,
+    * approx_unique, avg, std, q25, q50, q75, count, null_percentage.
+    * This engine reproduces it with EXACT semantics over the files
+    * surface, where every frontmatter property is a string by design
+    * (ADR: everything-is-a-string): min/max are lexicographic,
+    * approx_unique is the exact distinct count (a deliberate divergence
+    * — DuckDB's HLL estimate is nondeterministic across versions, an
+    * exact count is strictly better information at this cardinality),
+    * and the numeric-only stats (avg/std/q25/q50/q75) are NULL exactly
+    * as DuckDB emits for VARCHAR columns. Non-string columns (e.g. the
+    * semantic FLOAT[dim] embedding) profile as count/null%-only rows.
+    *
+    * Shape: ONE aggregate pass computing 4 stats × N columns, then a
+    * `stack` lateral view pivots the single stats row into N output
+    * rows — the scan count stays 1 however wide the table is, and the
+    * stack input is one row, so at 100 TB this costs exactly one
+    * scan + a width-bounded aggregate (the same shape SchemaInfer uses).
+    * `schema` supplies (name, Spark SQL type) pairs — the engine passes
+    * the resolved files view schema, the same provider pattern as
+    * COLUMNS/PIVOT.
+    */
+  def rewriteSummarize(sql: String, schema: Seq[(String, String)]): String = {
+    val msk = maskComments(sql)
+    val u = msk.toUpperCase
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (!(u.regionMatches(p, "SUMMARIZE", 0, 9) && isKeywordAt(u, p + 8, "SUMMARIZE")))
+      return sql
+    var t0 = p + 9
+    while (t0 < msk.length && msk.charAt(t0).isWhitespace) t0 += 1
+    var t1 = t0
+    while (t1 < msk.length && (Character.isLetterOrDigit(msk.charAt(t1)) ||
+      msk.charAt(t1) == '_' || msk.charAt(t1) == '.')) t1 += 1
+    if (t1 == t0 || msk.substring(t1).exists(!_.isWhitespace)) return sql
+    val table = sql.substring(t0, t1)
+    require(schema.nonEmpty, s"SUMMARIZE $table: no columns resolved")
+    def tick(c: String) = "`" + c.replace("`", "``") + "`"
+    val aggs = schema.zipWithIndex.flatMap { case ((c, tpe), i) =>
+      val base = Seq(
+        s"COUNT(${tick(c)}) AS __cnt_$i",
+        s"COUNT(*) - COUNT(${tick(c)}) AS __nul_$i")
+      if (tpe.equalsIgnoreCase("string"))
+        base ++ Seq(
+          s"MIN(${tick(c)}) AS __min_$i",
+          s"MAX(${tick(c)}) AS __max_$i",
+          s"COUNT(DISTINCT ${tick(c)}) AS __unq_$i")
+      else base
+    }
+    val duckType = Map("string" -> "VARCHAR", "bigint" -> "BIGINT",
+      "int" -> "INTEGER", "double" -> "DOUBLE", "float" -> "REAL",
+      "boolean" -> "BOOLEAN", "date" -> "DATE", "timestamp" -> "TIMESTAMP")
+    val stackArgs = schema.zipWithIndex.map { case ((c, tpe), i) =>
+      val t = duckType.getOrElse(tpe.toLowerCase, tpe.toUpperCase)
+      val (mn, mx, uq) =
+        if (tpe.equalsIgnoreCase("string"))
+          (s"__min_$i", s"__max_$i", s"__unq_$i")
+        else ("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+          "CAST(NULL AS BIGINT)")
+      s"'${c.replace("'", "''")}', '$t', $mn, $mx, $uq, __cnt_$i, __nul_$i"
+    }
+    s"""SELECT column_name, column_type, min, max, approx_unique,
+       |  CAST(NULL AS DOUBLE) AS avg, CAST(NULL AS DOUBLE) AS std,
+       |  CAST(NULL AS DOUBLE) AS q25, CAST(NULL AS DOUBLE) AS q50,
+       |  CAST(NULL AS DOUBLE) AS q75,
+       |  __filled + __nulls AS count,
+       |  CAST(ROUND(CAST(__nulls * 10000 AS DOUBLE)
+       |             / (__filled + __nulls)) AS BIGINT)
+       |    / CAST(100 AS DOUBLE) AS null_percentage
+       |FROM (SELECT ${aggs.mkString(", ")} FROM $table)
+       |LATERAL VIEW stack(${schema.length},
+       |  ${stackArgs.mkString(",\n  ")}) s
+       |  AS column_name, column_type, min, max, approx_unique, __filled, __nulls
+       |""".stripMargin
+  }
+
   private[fm] def rewriteListComp(sql: String): String = {
     var out = sql
     var guard = 0

@@ -117,7 +117,11 @@ final class QueryEngine(
       // makes, one bounded driver list); then COLUMNS('regex') expands
       // against the files view's resolved schema; the schema-free
       // rewrites then run on the result.
-      val pivoted = Dialect.rewritePivot(sql, (tbl, c) => {
+      // SUMMARIZE resolves against the files view's schema (names +
+      // types), the same provider pattern as COLUMNS/PIVOT.
+      val summarized = Dialect.rewriteSummarize(sql,
+        files.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString))
+      val pivoted = Dialect.rewritePivot(summarized, (tbl, c) => {
         val rows = spark.sql(
           s"SELECT DISTINCT CAST(($c) AS STRING) AS v FROM $tbl " +
             s"WHERE ($c) IS NOT NULL ORDER BY v LIMIT 1001").collect()

@@ -114,6 +114,11 @@ object FrontmatterQueries {
         |INTO NAME prop VALUE val
         |ORDER BY path, prop LIMIT 60""".stripMargin),
 
+    // Long-tail dialect: DuckDB's `SUMMARIZE` statement → one-pass
+    // per-column profile via Dialect.rewriteSummarize (schema from the
+    // files view; exact distinct counts where DuckDB estimates).
+    "q_fm_summarize" -> run("SUMMARIZE files"),
+
     // Long-tail dialect: DuckDB `* EXCLUDE (...)` star modifier →
     // Spark's `* EXCEPT (...)` via Dialect.rewriteExclude.
     "q_fm_exclude" -> run(
@@ -376,6 +381,29 @@ object FrontmatterQueries {
          |  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
          |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
          |FROM files GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    // The oracle replays SUMMARIZE column by column with the engine's
+    // exact semantics (lexicographic min/max, exact distinct, NULL
+    // numeric stats for VARCHAR, basis-point-rounded null percentage).
+    "q_fm_summarize" -> {
+      val cols = Seq("path", "id", "lang", "source", "n_chars", "created",
+        "tags", "published", "score", "category")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS column_name, 'VARCHAR' AS column_type,
+           |  MIN($c) AS min, MAX($c) AS max,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS approx_unique,
+           |  CAST(NULL AS DOUBLE) AS avg, CAST(NULL AS DOUBLE) AS std,
+           |  CAST(NULL AS DOUBLE) AS q25, CAST(NULL AS DOUBLE) AS q50,
+           |  CAST(NULL AS DOUBLE) AS q75, COUNT(*) AS count,
+           |  CAST(ROUND(CAST((COUNT(*) - COUNT($c)) * 10000 AS DOUBLE)
+           |             / COUNT(*)) AS BIGINT)
+           |    / CAST(100 AS DOUBLE) AS null_percentage
+           |FROM files""".stripMargin
+      }
+      s"""$cte
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY column_name""".stripMargin
+    },
+
     // The oracle replays the unpivot as the explicit UNION ALL it
     // desugars to (NULL cells dropped, like both engines' default).
     "q_fm_unpivot" -> {

@@ -335,6 +335,26 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteUnpivot(once) == once)
   }
 
+  test("SUMMARIZE statement rewrites to a one-pass stacked profile") {
+    val out = Dialect.rewriteSummarize("SUMMARIZE files",
+      Seq("a" -> "string", "emb" -> "array<float>"))
+    // one scan: a single aggregate subquery + stack lateral view
+    assert(out.contains("LATERAL VIEW stack(2,"))
+    assert("FROM files".r.findAllIn(out).size == 1)
+    // string column gets min/max/distinct; the array column only counts
+    assert(out.contains("MIN(`a`)") && out.contains("COUNT(DISTINCT `a`)"))
+    assert(!out.contains("MIN(`emb`)"))
+    assert(out.contains("'ARRAY<FLOAT>'"))
+    // non-SUMMARIZE statements and identifier uses pass through
+    val q = "SELECT summarize_count FROM files"
+    assert(Dialect.rewriteSummarize(q, Seq("a" -> "string")) == q)
+    // a trailing clause is not the simple statement form — untouched
+    val q2 = "SUMMARIZE files WHERE x = 1"
+    assert(Dialect.rewriteSummarize(q2, Seq("a" -> "string")) == q2)
+    // output no longer starts with SUMMARIZE → second pass is identity
+    assert(Dialect.rewriteSummarize(out, Seq("a" -> "string")) == out)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
