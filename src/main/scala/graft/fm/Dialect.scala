@@ -1478,6 +1478,131 @@ object Dialect {
        |""".stripMargin
   }
 
+  /** DuckDB `ASOF JOIN` in user SQL → the union + ordered-carry pattern
+    * (`SELECT * FROM <a> [al] ASOF [LEFT] JOIN <b> [bl]
+    * ON <x>.<k> = <y>.<k> AND <x>.<t> >= <y>.<t> [ORDER BY …] [LIMIT …]`).
+    *
+    * The naive desugaring (inequality join + keep-latest) explodes into
+    * every probe×earlier-build pair per key before pruning — the exact
+    * quadratic blowup `ops/AsOfJoin` exists to avoid. This rewrite emits
+    * the same scalable shape that operator uses, as SQL: tag both sides,
+    * UNION ALL, carry the last build-side payload forward per key with
+    * ONE window ordered by (time, build-first), keep probe rows. The
+    * build row's columns travel as ONE struct, so they always come from
+    * the SAME matched row. One shuffle on the key, no range probe.
+    *
+    * Supported surface (loudly unsupported otherwise): star projection,
+    * plain table/view identifiers, one equality + one `a.t >= b.t` (or
+    * flipped `b.t <= a.t`) condition — DuckDB's default backward join.
+    * Build rows should be unique per (key, time); at equal times the
+    * carried pick among build duplicates is arbitrary (as in DuckDB).
+    * `schema` resolves a table name to (column, Spark DDL type) pairs —
+    * the engine backs it with the session catalog.
+    */
+  def rewriteAsof(sql: String, schema: String => Seq[(String, String)]): String = {
+    val msk = maskComments(sql)
+    val u = msk.toUpperCase
+    val lit = literalMask(msk)
+    val asofAt = findTopKeyword(u, msk, lit, 0, msk.length, "ASOF")
+    if (asofAt < 0) return sql
+    // statement head must be exactly SELECT * FROM
+    val head = u.take(asofAt).trim.replaceAll("\\s+", " ")
+    def ident(from: Int): (String, Int) = {
+      var i = from
+      while (i < msk.length && msk.charAt(i).isWhitespace) i += 1
+      var j = i
+      while (j < msk.length && (Character.isLetterOrDigit(msk.charAt(j)) ||
+        msk.charAt(j) == '_' || msk.charAt(j) == '.')) j += 1
+      (sql.substring(i, j), j)
+    }
+    if (!head.startsWith("SELECT * FROM ")) return sql
+    val fromAt = u.indexOf("FROM")
+    val (ta, p1) = ident(fromAt + 4)
+    val (aliasA0, p2) = ident(p1)
+    // no alias → the scanner grabs the ASOF keyword itself
+    val aliasA =
+      if (aliasA0.isEmpty || aliasA0.equalsIgnoreCase("ASOF")) ta else aliasA0
+    if (!aliasA0.equalsIgnoreCase("ASOF") && p2 > asofAt) return sql
+    var q = asofAt + 4
+    val leftAt = findTopKeyword(u, msk, lit, q, msk.length, "LEFT")
+    val isLeft = leftAt >= 0 && u.substring(q, leftAt).isBlank
+    if (isLeft) q = leftAt + 4
+    val joinAt = findTopKeyword(u, msk, lit, q, msk.length, "JOIN")
+    if (joinAt < 0 || !u.substring(q, joinAt).isBlank) return sql
+    val (tb, p3) = ident(joinAt + 4)
+    val onAt = findTopKeyword(u, msk, lit, p3, msk.length, "ON")
+    if (onAt < 0) return sql
+    val (aliasB0, _) = ident(p3)
+    val aliasB =
+      if (aliasB0.isEmpty || aliasB0.equalsIgnoreCase("ON")) tb else aliasB0
+    // conditions: <q>.<c> OP <q>.<c> AND <q>.<c> OP <q>.<c>, then tail
+    val stops = Seq("ORDER", "LIMIT")
+      .map(k => findTopKeyword(u, msk, lit, onAt + 2, msk.length, k))
+      .filter(_ >= 0)
+    val onEnd = if (stops.isEmpty) msk.length else stops.min
+    val tail = sql.substring(onEnd).trim
+    val andAt = findTopKeyword(u, msk, lit, onAt + 2, onEnd, "AND")
+    if (andAt < 0) return sql
+    val condRe =
+      "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(=|>=|<=)\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    def parseCond(s: String): Option[(String, String, String, String, String)] =
+      s match {
+        case condRe(q1, c1, op, q2, c2) => Some((q1, c1, op, q2, c2))
+        case _ => None
+      }
+    val conds = Seq(sql.substring(onAt + 2, andAt), sql.substring(andAt + 3, onEnd))
+      .flatMap(parseCond)
+    if (conds.length != 2) return sql
+    def sideOf(qual: String): Option[Char] =
+      if (qual.equalsIgnoreCase(aliasA) || qual.equalsIgnoreCase(ta)) Some('a')
+      else if (qual.equalsIgnoreCase(aliasB) || qual.equalsIgnoreCase(tb)) Some('b')
+      else None
+    val eq = conds.find(_._3 == "=")
+    val ineq = conds.find(c => c._3 == ">=" || c._3 == "<=")
+    if (eq.isEmpty || ineq.isEmpty) return sql
+    val (ka, kb) = (sideOf(eq.get._1), sideOf(eq.get._4)) match {
+      case (Some('a'), Some('b')) => (eq.get._2, eq.get._5)
+      case (Some('b'), Some('a')) => (eq.get._5, eq.get._2)
+      case _ => return sql
+    }
+    // accept a.t >= b.t or b.t <= a.t (both: probe time at or after build)
+    val (taT, tbT) = (sideOf(ineq.get._1), ineq.get._3, sideOf(ineq.get._4)) match {
+      case (Some('a'), ">=", Some('b')) => (ineq.get._2, ineq.get._5)
+      case (Some('b'), "<=", Some('a')) => (ineq.get._5, ineq.get._2)
+      case _ => return sql
+    }
+    val aCols = schema(ta)
+    val bCols = schema(tb)
+    require(aCols.nonEmpty && bCols.nonEmpty,
+      s"ASOF JOIN: could not resolve columns of $ta / $tb")
+    def tick(c: String) = "`" + c.replace("`", "``") + "`"
+    val structTy =
+      bCols.map { case (c, t) => s"$c: $t" }.mkString("STRUCT<", ", ", ">")
+    val aProbe = aCols.map { case (c, _) => tick(c) }.mkString(", ")
+    val aNulls = aCols.map { case (c, t) => s"CAST(NULL AS $t) AS ${tick(c)}" }
+      .mkString(", ")
+    val bStruct = bCols.map { case (c, _) => s"'$c', ${tick(c)}" }
+      .mkString("named_struct(", ", ", ")")
+    val bOut = bCols.map { case (c, _) => s"__graft_m.${tick(c)} AS ${tick(c)}" }
+      .mkString(", ")
+    val matchFilter = if (isLeft) "" else " AND __graft_m IS NOT NULL"
+    s"""SELECT $aProbe, $bOut
+       |FROM (
+       |  SELECT *, last(__graft_v, true) OVER (
+       |      PARTITION BY __graft_k ORDER BY __graft_t, __graft_s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __graft_m
+       |  FROM (
+       |    SELECT $aProbe, ${tick(ka)} AS __graft_k, ${tick(taT)} AS __graft_t,
+       |           0 AS __graft_s, CAST(NULL AS $structTy) AS __graft_v
+       |    FROM $ta
+       |    UNION ALL
+       |    SELECT $aNulls, ${tick(kb)} AS __graft_k, ${tick(tbT)} AS __graft_t,
+       |           1 AS __graft_s, $bStruct AS __graft_v
+       |    FROM $tb))
+       |WHERE __graft_s = 0$matchFilter
+       |${tail}""".stripMargin.trim
+  }
+
   private[fm] def rewriteListComp(sql: String): String = {
     var out = sql
     var guard = 0

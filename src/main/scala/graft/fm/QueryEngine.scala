@@ -130,7 +130,12 @@ final class QueryEngine(
             "with ON … IN (…) instead")
         rows.map(_.getString(0)).toSeq
       })
-      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(pivoted, files.columns.toSeq)))
+      // ASOF JOIN desugars against the session catalog's schemas (both
+      // sides must be registered tables/views).
+      val asofed = Dialect.rewriteAsof(pivoted, tbl =>
+        spark.table(tbl).schema.fields.toSeq
+          .map(f => f.name -> f.dataType.simpleString))
+      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(asofed, files.columns.toSeq)))
     }
     QueryResult(out, out.columns.toSeq, warnings)
   }

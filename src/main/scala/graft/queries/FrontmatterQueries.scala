@@ -119,6 +119,28 @@ object FrontmatterQueries {
     // files view; exact distinct counts where DuckDB estimates).
     "q_fm_summarize" -> run("SUMMARIZE files"),
 
+    // Long-tail dialect: ASOF JOIN in user SQL → Dialect.rewriteAsof
+    // desugars to the union + ordered-carry shape (same plan family as
+    // ops/AsOfJoin — one shuffle on the key, no range probe, build row
+    // carried as ONE struct). The two sides are session views derived
+    // from events; DuckDB's native ASOF JOIN is the oracle. Inner form:
+    // purchases with no prior signup are dropped on both engines.
+    "q_fm_asof" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .selectExpr("event_id", "user_id", "unix_micros(ts) AS tsu")
+        .createOrReplaceTempView("graft_asof_p")
+      Tables.load(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .selectExpr("event_id AS sid", "user_id AS suser",
+          "unix_micros(ts) AS stsu")
+        .createOrReplaceTempView("graft_asof_s")
+      engine(s, d).query("**/*.md",
+        """SELECT * FROM graft_asof_p p ASOF JOIN graft_asof_s m
+          |ON p.user_id = m.suser AND p.tsu >= m.stsu
+          |ORDER BY event_id""".stripMargin).results
+    }),
+
     // Long-tail dialect: DuckDB `* EXCLUDE (...)` star modifier →
     // Spark's `* EXCEPT (...)` via Dialect.rewriteExclude.
     "q_fm_exclude" -> run(
@@ -381,6 +403,17 @@ object FrontmatterQueries {
          |  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
          |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
          |FROM files GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    // The q_fm_asof oracle is DuckDB's NATIVE ASOF JOIN over the same
+    // derived sides — the strongest possible check of the desugaring.
+    "q_fm_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT event_id AS sid, user_id AS suser, epoch_us(ts) AS stsu
+         |  FROM events WHERE event_type = 'signup')
+         |SELECT p.event_id, p.user_id, p.tsu, m.sid, m.suser, m.stsu
+         |FROM p ASOF JOIN m ON p.user_id = m.suser AND p.tsu >= m.stsu
+         |ORDER BY p.event_id""".stripMargin,
+
     // The oracle replays SUMMARIZE column by column with the engine's
     // exact semantics (lexicographic min/max, exact distinct, NULL
     // numeric stats for VARCHAR, basis-point-rounded null percentage).

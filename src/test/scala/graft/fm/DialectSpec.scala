@@ -355,6 +355,38 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteSummarize(out, Seq("a" -> "string")) == out)
   }
 
+  test("ASOF JOIN rewrites to the union + ordered-carry shape") {
+    val schema = Map(
+      "p" -> Seq("pid" -> "bigint", "k" -> "bigint", "t" -> "bigint"),
+      "b" -> Seq("bid" -> "bigint", "bk" -> "bigint", "bt" -> "bigint"))
+    val out = Dialect.rewriteAsof(
+      "SELECT * FROM p ASOF JOIN b ON p.k = b.bk AND p.t >= b.bt ORDER BY pid",
+      schema)
+    assert(out.contains("UNION ALL"), out)
+    assert(out.contains("last(__graft_v, true) OVER"), out)
+    assert(out.contains("__graft_m IS NOT NULL"), out) // inner form
+    assert(out.contains("named_struct('bid', `bid`"), out)
+    assert(out.trim.endsWith("ORDER BY pid"), out)
+    // LEFT form keeps unmatched probes
+    val left = Dialect.rewriteAsof(
+      "SELECT * FROM p ASOF LEFT JOIN b ON p.k = b.bk AND p.t >= b.bt",
+      schema)
+    assert(!left.contains("IS NOT NULL"), left)
+    // flipped inequality (b.t <= a.t) and swapped equality sides accepted
+    val flip = Dialect.rewriteAsof(
+      "SELECT * FROM p x ASOF JOIN b y ON y.bk = x.k AND y.bt <= x.t", schema)
+    assert(flip.contains("UNION ALL"), flip)
+    // unsupported surfaces pass through untouched
+    val nonStar = "SELECT pid FROM p ASOF JOIN b ON p.k = b.bk AND p.t >= b.bt"
+    assert(Dialect.rewriteAsof(nonStar, schema) == nonStar)
+    val noIneq = "SELECT * FROM p ASOF JOIN b ON p.k = b.bk AND p.t = b.bt"
+    assert(Dialect.rewriteAsof(noIneq, schema) == noIneq)
+    val plain = "SELECT * FROM p JOIN b ON p.k = b.bk"
+    assert(Dialect.rewriteAsof(plain, schema) == plain)
+    // output no longer matches the grammar → second pass is identity
+    assert(Dialect.rewriteAsof(out, schema) == out)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
