@@ -133,7 +133,48 @@ object Dialect {
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
-        rewriteStructLit(rewriteUsingSample(rewriteUnpivot(sql)))))))))))
+        rewriteStructLit(rewriteUsingSample(rewriteUnpivot(
+          rewriteDateDiffUnit(sql))))))))))))
+
+  /** DuckDB spells `date_diff('day', a, b)` with a QUOTED unit; Spark's
+    * parser owns date_diff as a special form and demands the unit as a
+    * bare identifier (same complete-unit counting, same signature
+    * otherwise). Strip the quotes off a literal first argument —
+    * everything else about the call passes through.
+    */
+  private[fm] def rewriteDateDiffUnit(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(sb.toString)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("DATE_DIFF")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 8, "DATE_DIFF")) {
+          var j = i + 9
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (j < msk.length && msk.charAt(j) == '(') {
+            var k = j + 1
+            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+            if (k < msk.length && msk.charAt(k) == '\'') {
+              val close = msk.indexOf('\'', k + 1)
+              if (close > k) {
+                val unit = sb.substring(k + 1, close)
+                if (unit.nonEmpty && unit.forall(_.isLetter)) {
+                  sb.replace(k, close + 1, unit)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+        i = u.indexOf("DATE_DIFF", i + 1)
+      }
+    }
+    sb.toString
+  }
 
   /** Length-preserving comment mask: every character inside a `--` line
     * comment or a bracketed comment is replaced by a space, so

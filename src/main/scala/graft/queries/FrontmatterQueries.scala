@@ -249,9 +249,14 @@ object FrontmatterQueries {
     // Long-tail dialect: strptime (strftime's inverse, same %-code
     // translation) and epoch_us/epoch_ms → unix_micros/unix_millis.
     // Both engines parse the naive date under UTC, so the micros agree.
+    // date_diff('day', …) rides the DuckDB alias → Spark timestampdiff;
+    // complete-unit vs boundary-crossing semantics coincide on the
+    // midnight-aligned created dates.
     "q_fm_datefns" -> run(
       """SELECT strftime(strptime(created, '%Y-%m-%d'), '%Y/%m') AS ym,
         |  MIN(epoch_us(strptime(created, '%Y-%m-%d'))) AS first_us,
+        |  date_diff('day', strptime(MIN(created), '%Y-%m-%d'),
+        |            strptime(MAX(created), '%Y-%m-%d')) AS span_days,
         |  COUNT(*) AS n
         |FROM files WHERE created IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -517,6 +522,8 @@ object FrontmatterQueries {
       s"""$cte
          |SELECT strftime(strptime(created, '%Y-%m-%d'), '%Y/%m') AS ym,
          |  MIN(epoch_us(strptime(created, '%Y-%m-%d'))) AS first_us,
+         |  date_diff('day', strptime(MIN(created), '%Y-%m-%d'),
+         |            strptime(MAX(created), '%Y-%m-%d')) AS span_days,
          |  COUNT(*) AS n
          |FROM files WHERE created IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -355,6 +355,23 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteSummarize(out, Seq("a" -> "string")) == out)
   }
 
+  test("date_diff quoted unit is unquoted for Spark's parser") {
+    assert(Dialect.rewriteDateDiffUnit("SELECT date_diff('day', a, b) FROM t")
+      == "SELECT date_diff(day, a, b) FROM t")
+    // multiple calls, spacing, case
+    assert(Dialect.rewriteDateDiffUnit(
+      "SELECT DATE_DIFF( 'hour', a, b), date_diff('DAY', c, d) FROM t")
+      == "SELECT DATE_DIFF( hour, a, b), date_diff(DAY, c, d) FROM t")
+    // non-literal first arg and unrelated strings untouched
+    val q1 = "SELECT date_diff(day, a, b) FROM t"
+    assert(Dialect.rewriteDateDiffUnit(q1) == q1)
+    val q2 = "SELECT 'date_diff(''day'', x, y)' FROM t"
+    assert(Dialect.rewriteDateDiffUnit(q2) == q2)
+    // idempotent
+    val once = Dialect.rewriteDateDiffUnit("SELECT date_diff('week', a, b) FROM t")
+    assert(Dialect.rewriteDateDiffUnit(once) == once)
+  }
+
   test("ASOF JOIN rewrites to the union + ordered-carry shape") {
     val schema = Map(
       "p" -> Seq("pid" -> "bigint", "k" -> "bigint", "t" -> "bigint"),
