@@ -92,6 +92,16 @@ object Dialect {
       "epoch_us", exprs => UnixMicros(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "epoch_ms", exprs => UnixMillis(exprs(0)), "built-in")
+    // DuckDB starts_with/ends_with (and the prefix/suffix aliases) →
+    // Spark's startswith/endswith predicates.
+    reg.createOrReplaceTempFunction(
+      "starts_with", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ends_with", exprs => EndsWith(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "prefix", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "suffix", exprs => EndsWith(exprs(0), exprs(1)), "built-in")
   }
 
   /** Translate a C/DuckDB strftime format to a java DateTimeFormatter
@@ -134,7 +144,581 @@ object Dialect {
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
         rewriteStructLit(rewriteUsingSample(rewriteUnpivot(
-          rewriteDateDiffUnit(sql))))))))))))
+          rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
+            rewriteGlob(rewriteSimilarTo(rewriteFromFirst(sql)))))))))))))))))
+
+  /** DuckDB's FROM-first statement form: `FROM t [WHERE …]` selects `*`,
+    * and `FROM t SELECT list …` reorders the clauses. Spark's parser is
+    * SELECT-first only, so desugar: bare form → `SELECT * FROM t …`,
+    * SELECT form → `SELECT list FROM t …` with every other clause left in
+    * place. Handled at statement start (including after a top-level WITH
+    * CTE list — DuckDB allows `WITH c AS (…) FROM c`) and inside
+    * parenthesized subqueries (`SELECT * FROM (FROM t WHERE …)`).
+    */
+  private[fm] def rewriteFromFirst(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      // (a) statement start (after optional WITH clause)
+      val mainAt = mainQueryStart(msk, u, lit)
+      if (mainAt >= 0 && u.regionMatches(mainAt, "FROM", 0, 4) &&
+        isKeywordAt(u, mainAt + 3, "FROM")) {
+        out = out.substring(0, mainAt) +
+          fromFirstToSelect(out.substring(mainAt), msk.substring(mainAt))
+        changed = true
+      } else {
+        // (b) parenthesized subquery whose first token is FROM
+        var i = 0
+        while (i < msk.length && !changed) {
+          if (msk.charAt(i) == '(' && !lit(i)) {
+            var j = i + 1
+            while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+            if (u.regionMatches(j, "FROM", 0, 4) && isKeywordAt(u, j + 3, "FROM")) {
+              val close = matchParen(msk, i)
+              if (close > i) {
+                val inner = out.substring(j, close)
+                out = out.substring(0, j) +
+                  fromFirstToSelect(inner, msk.substring(j, close)) +
+                  out.substring(close)
+                changed = true
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    out
+  }
+
+  /** Start index of the main query body: 0 normally, or just past a
+    * top-level `WITH [RECURSIVE] name [(cols)] AS (…) [, …]` CTE list.
+    * -1 when the shape is not recognized (pass through untouched).
+    */
+  private def mainQueryStart(msk: String, u: String, lit: Array[Boolean]): Int = {
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (p >= msk.length) return -1
+    if (!(u.regionMatches(p, "WITH", 0, 4) && isKeywordAt(u, p + 3, "WITH"))) return p
+    p += 4
+    def skipWs(): Unit = while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    skipWs()
+    if (u.regionMatches(p, "RECURSIVE", 0, 9) && isKeywordAt(u, p + 8, "RECURSIVE")) {
+      p += 9; skipWs()
+    }
+    var more = true
+    while (more) {
+      // cte name
+      val nameEnd = identEndAt(msk, p)
+      if (nameEnd == p) return -1
+      p = nameEnd; skipWs()
+      // optional column list
+      if (p < msk.length && msk.charAt(p) == '(') {
+        val c = matchParen(msk, p); if (c < 0) return -1
+        p = c + 1; skipWs()
+      }
+      if (!(u.regionMatches(p, "AS", 0, 2) && isKeywordAt(u, p + 1, "AS"))) return -1
+      p += 2; skipWs()
+      if (p >= msk.length || msk.charAt(p) != '(') return -1
+      val c = matchParen(msk, p); if (c < 0) return -1
+      p = c + 1; skipWs()
+      if (p < msk.length && msk.charAt(p) == ',') { p += 1; skipWs() }
+      else more = false
+    }
+    p
+  }
+
+  /** Desugar ONE FROM-first region (text starting at its FROM keyword).
+    * `region` is the original text, `rmsk` its comment-masked twin.
+    */
+  private def fromFirstToSelect(region: String, rmsk: String): String = {
+    val u = rmsk.toUpperCase
+    val lit = literalMask(rmsk)
+    val clauses = Seq("SELECT", "WHERE", "GROUP", "HAVING", "QUALIFY",
+      "WINDOW", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+    def nextClause(from: Int, kws: Seq[String]): Int = {
+      var i = from
+      var depth = 0
+      while (i < rmsk.length) {
+        val c = rmsk.charAt(i)
+        if (!lit(i)) {
+          if (c == '(' || c == '[') depth += 1
+          else if (c == ')' || c == ']') depth -= 1
+          else if (depth == 0 && kws.exists(kw =>
+            u.regionMatches(i, kw, 0, kw.length) &&
+              isKeywordAt(u, i + kw.length - 1, kw))) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    val teStart = 4 // past FROM
+    val teEnd0 = nextClause(teStart, clauses)
+    val teEnd = if (teEnd0 < 0) region.length else teEnd0
+    val te = region.substring(teStart, teEnd).trim
+    if (teEnd0 < 0) return s"SELECT * FROM $te"
+    val selAt = nextClause(teEnd, Seq("SELECT"))
+    if (selAt < 0) return s"SELECT * FROM $te ${region.substring(teEnd)}"
+    // clauses between the table expr and SELECT stay in order after FROM
+    val between = region.substring(teEnd, selAt).trim
+    val listEnd0 = nextClause(selAt + 6, clauses.filterNot(_ == "SELECT"))
+    val listEnd = if (listEnd0 < 0) region.length else listEnd0
+    val list = region.substring(selAt + 6, listEnd).trim
+    val tail = region.substring(listEnd)
+    val mid = if (between.isEmpty) "" else s" $between"
+    s"SELECT $list FROM $te$mid $tail".stripTrailing()
+  }
+
+  /** DuckDB's `SIMILAR TO` is a full regex match (`~` semantics, RE2);
+    * Spark spells that as an anchored RLIKE. Only literal patterns are
+    * rewritten — a non-literal right side passes through and fails loudly
+    * at parse rather than silently mis-matching.
+    */
+  private[fm] def rewriteSimilarTo(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(sb.toString)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("SIMILAR")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 6, "SIMILAR")) {
+          var j = i + 7
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (u.regionMatches(j, "TO", 0, 2) && isKeywordAt(u, j + 1, "TO")) {
+            var k = j + 2
+            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+            if (k < msk.length && msk.charAt(k) == '\'') {
+              val close = literalEnd(msk, k)
+              if (close > k) {
+                val pat = sb.substring(k + 1, close)
+                sb.replace(i, close + 1, s"RLIKE '^(?:$pat)$$'")
+                changed = true
+              }
+            }
+          }
+        }
+        i = u.indexOf("SIMILAR", i + 1)
+      }
+    }
+    sb.toString
+  }
+
+  /** DuckDB's `GLOB` operator: case-sensitive fnmatch-style globbing
+    * (`*`, `?`, `[…]`/`[!…]` classes, backslash escapes, `.` literal) as
+    * a FULL match. Spark has no glob operator — translate the literal
+    * pattern to an anchored Java regex and rewrite to RLIKE.
+    */
+  private[fm] def rewriteGlob(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(sb.toString)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("GLOB")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 3, "GLOB")) {
+          var k = i + 4
+          while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+          if (k < msk.length && msk.charAt(k) == '\'') {
+            val close = literalEnd(msk, k)
+            if (close > k) {
+              val pat = sb.substring(k + 1, close)
+              val re = globToRegex(pat)
+              sb.replace(i, close + 1, s"RLIKE '^$re$$'")
+              changed = true
+            }
+          }
+        }
+        i = u.indexOf("GLOB", i + 1)
+      }
+    }
+    sb.toString
+  }
+
+  private[fm] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      val c = glob.charAt(i)
+      c match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
+        case '\\' if i + 1 < glob.length =>
+          sb.append(java.util.regex.Pattern.quote(glob.charAt(i + 1).toString))
+          i += 2
+        case '[' =>
+          // copy the class through; fnmatch `[!…]` negation → `[^…]`
+          val end = glob.indexOf(']', i + 1)
+          if (end < 0) { sb.append("\\["); i += 1 }
+          else {
+            val body0 = glob.substring(i + 1, end)
+            val body = if (body0.startsWith("!")) "^" + body0.substring(1) else body0
+            sb.append('[').append(body).append(']')
+            i = end + 1
+          }
+        case ch if "\\.[]{}()<>*+-=!?^$|".indexOf(ch) >= 0 =>
+          sb.append('\\').append(ch); i += 1
+        // '' (an escaped quote in the enclosing SQL literal) copies
+        // through verbatim — regex sees one plain apostrophe, correct.
+        case ch => sb.append(ch); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** A DuckDB `CREATE MACRO` definition: scalar (`AS expr`) or table
+    * (`AS TABLE query`). Expansion is TEXTUAL, exactly DuckDB's model —
+    * parameters substitute into the body parenthesized, the whole body
+    * splices parenthesized into the call site, and names referenced by
+    * the body (CTEs, views, other macros) resolve at the call site.
+    */
+  final case class Macro(
+      name: String, params: Seq[String], body: String, isTable: Boolean)
+
+  /** Split a script on top-level `;` (outside literals, comments, and
+    * parens); empty statements are dropped.
+    */
+  def splitStatements(sql: String): Seq[String] = {
+    val msk = maskComments(sql)
+    val lit = literalMask(msk)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var depth = 0
+    var i = 0
+    while (i < msk.length) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ';' && depth == 0) {
+          val s = sql.substring(start, i)
+          if (s.trim.nonEmpty) out += s
+          start = i + 1
+        }
+      }
+      i += 1
+    }
+    val last = sql.substring(start)
+    if (last.trim.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Parse `CREATE [OR REPLACE] MACRO name(p1, p2) AS [TABLE] body`;
+    * None when the statement is anything else. Parameter defaults are not
+    * supported (unsupported shapes return None and fail loudly at parse).
+    */
+  def parseCreateMacro(stmt: String): Option[Macro] = {
+    val msk = maskComments(stmt)
+    val u = msk.toUpperCase
+    var p = 0
+    def skipWs(): Unit = while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    def kw(k: String): Boolean = {
+      skipWs()
+      if (u.regionMatches(p, k, 0, k.length) && isKeywordAt(u, p + k.length - 1, k)) {
+        p += k.length; true
+      } else false
+    }
+    if (!kw("CREATE")) return None
+    val save = p
+    if (kw("OR") && !kw("REPLACE")) return None
+    if (p == save) () // no OR REPLACE
+    if (!kw("MACRO") && !kw("FUNCTION")) return None
+    skipWs()
+    val nameEnd = identEndAt(msk, p)
+    if (nameEnd == p) return None
+    val name = stmt.substring(p, nameEnd)
+    p = nameEnd
+    skipWs()
+    if (p >= msk.length || msk.charAt(p) != '(') return None
+    val close = matchParen(msk, p)
+    if (close < 0) return None
+    val inner = stmt.substring(p + 1, close).trim
+    val params =
+      if (inner.isEmpty) Seq.empty[String]
+      else inner.split(",").map(_.trim).toSeq
+    if (params.exists(x => x.isEmpty ||
+      !x.forall(c => Character.isLetterOrDigit(c) || c == '_'))) return None
+    p = close + 1
+    if (!kw("AS")) return None
+    val save2 = p
+    val isTable = kw("TABLE")
+    if (!isTable) p = save2
+    skipWs()
+    val body = stmt.substring(p).trim.stripSuffix(";").trim
+    if (body.isEmpty) None
+    else Some(Macro(name, params, body, isTable))
+  }
+
+  /** Expand macro call sites in `sql` textually, to fixpoint (macros may
+    * call macros; depth-guarded). A call expands only when the argument
+    * count matches the definition — anything else passes through to fail
+    * loudly at parse.
+    */
+  def expandMacros(sql: String, macros: Map[String, Macro]): String = {
+    if (macros.isEmpty) return sql
+    val byUpper = macros.map { case (k, v) => k.toUpperCase -> v }
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        byUpper.foreach { case (un, m) =>
+          if (!changed && !lit(i) && u.regionMatches(i, un, 0, un.length) &&
+            isKeywordAt(u, i + un.length - 1, un)) {
+            // not a qualified reference (a.name) and not its own definition
+            var b = i - 1
+            while (b >= 0 && Character.isWhitespace(msk.charAt(b))) b -= 1
+            val qualified = b >= 0 && msk.charAt(b) == '.'
+            if (!qualified) {
+              var j = i + un.length
+              while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+              if (j < msk.length && msk.charAt(j) == '(') {
+                val close = matchParen(msk, j)
+                if (close > j) {
+                  val args =
+                    if (msk.substring(j + 1, close).trim.isEmpty) Vector.empty
+                    else splitTopLevelArgs(msk.substring(j + 1, close))
+                      .map { case (s, e) => out.substring(j + 1 + s, j + 1 + e) }
+                  if (args.length == m.params.length) {
+                    var body = m.body
+                    m.params.zip(args).foreach { case (param, arg) =>
+                      body = substituteParam(body, param, s"(${arg.trim})")
+                    }
+                    out = out.substring(0, i) + s"($body)" + out.substring(close + 1)
+                    changed = true
+                  }
+                }
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Replace keyword-bounded occurrences of `param` (outside literals)
+    * in a macro body with `repl`.
+    */
+  private def substituteParam(body: String, param: String, repl: String): String = {
+    val msk = maskComments(body)
+    val u = msk.toUpperCase
+    val lit = literalMask(msk)
+    val up = param.toUpperCase
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      if (!lit(i) && u.regionMatches(i, up, 0, up.length) &&
+        isKeywordAt(u, i + up.length - 1, up) &&
+        !(i > 0 && msk.charAt(i - 1) == '.')) {
+        sb.append(repl)
+        i += up.length
+      } else {
+        sb.append(body.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Index of the quote CLOSING the string literal opened at `open`
+    * (doubling-aware: `''` inside is an escaped quote, not an end); -1 if
+    * unterminated.
+    */
+  private def literalEnd(msk: String, open: Int): Int = {
+    var i = open + 1
+    while (i < msk.length) {
+      if (msk.charAt(i) == '\'') {
+        if (i + 1 < msk.length && msk.charAt(i + 1) == '\'') i += 2
+        else return i
+      } else i += 1
+    }
+    -1
+  }
+
+  /** DuckDB arithmetic operators Spark lacks: `a // b` integer division
+    * (truncating, multiplicative precedence — Spark's `DIV` exactly) and
+    * `a ** b` / `a ^ b` power (left-associative, binds tighter than `*`,
+    * looser than unary minus — pinned against DuckDB). Spark's `^` is
+    * XOR, so in this DuckDB-dialect surface `^` means power and is
+    * rewritten; DuckDB spells xor as the `xor()` function, which passes
+    * through untouched.
+    */
+  private[fm] def rewriteMathOps(sql: String): String = {
+    var out = rewritePower(sql)
+    // `//` → DIV: same token length not needed; straight splice.
+    var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(out)
+      val lit = literalMask(msk)
+      var i = 0
+      while (i + 1 < msk.length && !changed) {
+        if (msk.charAt(i) == '/' && msk.charAt(i + 1) == '/' && !lit(i)) {
+          out = out.substring(0, i) + " DIV " + out.substring(i + 2)
+          changed = true
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  private def rewritePower(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        val c = msk.charAt(i)
+        val isPow = !lit(i) &&
+          ((c == '*' && i + 1 < msk.length && msk.charAt(i + 1) == '*') || c == '^')
+        if (isPow) {
+          val opEnd = if (c == '^') i + 1 else i + 2
+          // left operand: base segment, absorbing a unary sign in prefix
+          // position (DuckDB: -2 ** 2 = 4, the sign binds tighter)
+          var j = i - 1
+          while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+          var ls = if (j < 0) -2 else baseStartAt(msk, u, lit, j)
+          // baseStartAt refuses bare numbers (-1, bracket disambiguation);
+          // for power a number IS a valid operand — recover it here.
+          if (ls < 0 && j >= 0 && !lit(j)) {
+            var p = j
+            while (p >= 0 && (Character.isLetterOrDigit(msk.charAt(p)) ||
+              msk.charAt(p) == '.' || msk.charAt(p) == '_')) p -= 1
+            if (p < j) ls = p + 1
+          }
+          if (ls >= 0) {
+            // unary sign absorption
+            var s = ls
+            var q = ls - 1
+            while (q >= 0 && Character.isWhitespace(msk.charAt(q))) q -= 1
+            if (q >= 0 && (msk.charAt(q) == '-' || msk.charAt(q) == '+')) {
+              var r = q - 1
+              while (r >= 0 && Character.isWhitespace(msk.charAt(r))) r -= 1
+              // binary iff the previous token can END an operand: a close
+              // paren/bracket, a literal, or an identifier that is NOT a
+              // clause keyword (SELECT -2 ** 2 is unary; x -2 ** 2 binary)
+              val binary = r >= 0 && {
+                val c2 = msk.charAt(r)
+                if (c2 == ')' || c2 == ']' || c2 == '`' || lit(r)) true
+                else if (Character.isLetterOrDigit(c2) || c2 == '_') {
+                  var p2 = r
+                  while (p2 >= 0 && (Character.isLetterOrDigit(msk.charAt(p2)) ||
+                    msk.charAt(p2) == '_')) p2 -= 1
+                  !NonBaseKeywords(u.substring(p2 + 1, r + 1))
+                } else false
+              }
+              if (!binary) s = q
+            }
+            val re = forwardSegEnd(msk, lit, opEnd)
+            if (re > opEnd) {
+              val lhs = out.substring(s, j + 1)
+              val rhs = out.substring(opEnd, re).trim
+              out = out.substring(0, s) + s"power($lhs, $rhs)" + out.substring(re)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** End (exclusive) of the operand starting at/after `from`: optional
+    * unary sign, then a number / identifier chain / function call /
+    * parenthesized expression, with `.`-joined tails. -1 if unsupported.
+    */
+  private def forwardSegEnd(msk: String, lit: Array[Boolean], from: Int): Int = {
+    var i = from
+    while (i < msk.length && msk.charAt(i).isWhitespace) i += 1
+    if (i >= msk.length) return -1
+    if (msk.charAt(i) == '-' || msk.charAt(i) == '+') {
+      i += 1
+      while (i < msk.length && msk.charAt(i).isWhitespace) i += 1
+    }
+    if (i >= msk.length) return -1
+    def isIdent(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
+    val c = msk.charAt(i)
+    if (c == '(') {
+      val close = matchParen(msk, i)
+      if (close < 0) -1 else close + 1
+    } else if (isIdent(c)) {
+      var e = i
+      while (e < msk.length && (isIdent(msk.charAt(e)) || msk.charAt(e) == '.')) e += 1
+      // function call?
+      var w = e
+      while (w < msk.length && msk.charAt(w).isWhitespace) w += 1
+      if (w < msk.length && msk.charAt(w) == '(' &&
+        !Character.isDigit(msk.charAt(i))) {
+        val close = matchParen(msk, w)
+        if (close < 0) -1 else close + 1
+      } else e
+    } else -1
+  }
+
+  /** DuckDB's in-aggregate ordering `string_agg(x, sep ORDER BY k)` →
+    * Spark's `string_agg(x, sep) WITHIN GROUP (ORDER BY k)` (same
+    * function since 4.0; `listagg` gets the same treatment).
+    */
+  private[fm] def rewriteOrderedAgg(sql: String): String = {
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      for (fn <- Seq("STRING_AGG", "LISTAGG") if !changed) {
+        var i = u.indexOf(fn)
+        while (i >= 0 && !changed) {
+          if (!lit(i) && isKeywordAt(u, i + fn.length - 1, fn)) {
+            var j = i + fn.length
+            while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+            if (j < msk.length && msk.charAt(j) == '(') {
+              val close = matchParen(msk, j)
+              val ob = if (close > j)
+                findTopKeyword(u, msk, lit, j + 1, close, "ORDER") else -1
+              if (ob >= 0) {
+                val orderTail = out.substring(ob, close).trim
+                val args = out.substring(j + 1, ob).trim
+                out = out.substring(0, j) +
+                  s"($args) WITHIN GROUP ($orderTail)" + out.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+          i = u.indexOf(fn, i + 1)
+        }
+      }
+    }
+    out
+  }
 
   /** DuckDB spells `date_diff('day', a, b)` with a QUOTED unit; Spark's
     * parser owns date_diff as a special form and demands the unit as a

@@ -108,10 +108,43 @@ final class QueryEngine(
     * so once the DataFrame is returned, a concurrent query replacing the
     * view cannot redirect this plan; execution happens lock-free.
     */
+  /** Session-scoped DuckDB macros (`CREATE MACRO`), name-keyed
+    * case-insensitively like DuckDB's catalog. Expansion is textual
+    * (Dialect.expandMacros) — the exact semantics DuckDB documents.
+    */
+  private val macros = TrieMap.empty[String, Dialect.Macro]
+
   def query(glob: String, sql: String): QueryResult = {
     val (files, warnings) = filesTable(glob)
+    // Multi-statement scripts: every statement but the last must be a
+    // CREATE MACRO (recorded, connection-scoped like DuckDB's); the last
+    // statement is the query whose result is returned.
+    val stmts = Dialect.splitStatements(sql)
+    stmts.dropRight(1).foreach { st =>
+      Dialect.parseCreateMacro(st) match {
+        case Some(m) => macros.put(m.name.toLowerCase, m)
+        case None => throw new IllegalArgumentException(
+          "only CREATE MACRO statements may precede the final query: " + st.trim)
+      }
+    }
+    val lastRaw = stmts.lastOption.getOrElse(sql)
+    Dialect.parseCreateMacro(lastRaw).foreach { m =>
+      macros.put(m.name.toLowerCase, m)
+      throw new IllegalArgumentException(
+        s"macro ${m.name} created; a script must end with a query to return results")
+    }
+    val expanded = Dialect.expandMacros(
+      lastRaw, macros.readOnlySnapshot().toMap)
     val out = synchronized {
       files.createOrReplaceTempView("files")
+      // DuckDB string literals keep backslashes raw (`'\.md'` IS a
+      // backslash + dot); Spark's parser processes escapes by default.
+      // Flip the parser to raw-literal mode for this dialect surface only
+      // — scoped to the lock so no other session user sees it.
+      val escKey = "spark.sql.parser.escapedStringLiterals"
+      val escPrev = spark.conf.getOption(escKey)
+      spark.conf.set(escKey, "true")
+      try {
       // PIVOT value discovery runs first (it may query the just-registered
       // view for the DISTINCT pivot values — the same hidden pass DuckDB
       // makes, one bounded driver list); then COLUMNS('regex') expands
@@ -119,7 +152,7 @@ final class QueryEngine(
       // rewrites then run on the result.
       // SUMMARIZE resolves against the files view's schema (names +
       // types), the same provider pattern as COLUMNS/PIVOT.
-      val summarized = Dialect.rewriteSummarize(sql,
+      val summarized = Dialect.rewriteSummarize(expanded,
         files.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString))
       val pivoted = Dialect.rewritePivot(summarized, (tbl, c) => {
         val rows = spark.sql(
@@ -136,6 +169,12 @@ final class QueryEngine(
         spark.table(tbl).schema.fields.toSeq
           .map(f => f.name -> f.dataType.simpleString))
       spark.sql(Dialect.rewrite(Dialect.rewriteColumns(asofed, files.columns.toSeq)))
+      } finally {
+        escPrev match {
+          case Some(v) => spark.conf.set(escKey, v)
+          case None => spark.conf.unset(escKey)
+        }
+      }
     }
     QueryResult(out, out.columns.toSeq, warnings)
   }

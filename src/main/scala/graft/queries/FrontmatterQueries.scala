@@ -261,6 +261,67 @@ object FrontmatterQueries {
         |FROM files WHERE created IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // DuckDB's FROM-first statement form (bare FROM selects *, SELECT
+    // reordered after the table expression) — Dialect.rewriteFromFirst.
+    "q_fm_fromfirst" -> run(
+      """FROM files SELECT lang, COUNT(*) AS n
+        |WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // SIMILAR TO (full regex match) and GLOB (fnmatch-style, full match),
+    // both Dialect rewrites to anchored RLIKE. The '\.' survives because
+    // the engine parses dialect SQL in raw-literal mode (DuckDB keeps
+    // backslashes in strings; QueryEngine scopes escapedStringLiterals).
+    "q_fm_similar" -> run(
+      """SELECT path,
+        |  path SIMILAR TO 'web/.*' AS in_web,
+        |  path GLOB '*/doc_000??.md' AS low_id
+        |FROM files
+        |WHERE path GLOB '*.md' AND category IS NOT NULL
+        |  AND path NOT SIMILAR TO '.*[05]\.md'
+        |ORDER BY path LIMIT 40""".stripMargin),
+
+    // DuckDB arithmetic operators: // integer division (Spark DIV), and
+    // ** / ^ power — Dialect.rewriteMathOps, semantics pinned against
+    // DuckDB (left-assoc, tighter than *, unary minus binds tighter).
+    "q_fm_mathops" -> run(
+      """SELECT path,
+        |  TRY_CAST(n_chars AS BIGINT) // 100 AS hundreds,
+        |  (TRY_CAST(id AS BIGINT) % 7) ** 2 AS pow7,
+        |  (TRY_CAST(id AS BIGINT) % 5) ^ 3 AS cube5,
+        |  -2 ** 2 AS neg_sq
+        |FROM files WHERE id IS NOT NULL ORDER BY path LIMIT 50""".stripMargin),
+
+    // CREATE MACRO: scalar + table macros, connection-scoped, expanded
+    // textually at call sites (DuckDB's documented model); multi-statement
+    // script through the engine's splitStatements path.
+    "q_fm_macro" -> run(
+      """CREATE OR REPLACE MACRO char_share(a, b) AS
+        |  TRY_CAST(a AS DOUBLE) / NULLIF(TRY_CAST(b AS DOUBLE), 0);
+        |CREATE OR REPLACE MACRO in_cat(c) AS TABLE
+        |  SELECT path AS cpath, n_chars AS cn FROM files WHERE category = c;
+        |SELECT f.path,
+        |  CAST(FLOOR(char_share(f.id, f.n_chars) * 1000) AS BIGINT) AS permille
+        |FROM files f JOIN in_cat('cat0') t ON t.cpath = f.path
+        |ORDER BY f.path""".stripMargin),
+
+    // In-aggregate ORDER BY (DuckDB) → WITHIN GROUP (Spark listagg) —
+    // Dialect.rewriteOrderedAgg; DISTINCT composes in both engines.
+    "q_fm_stringagg" -> run(
+      """SELECT category,
+        |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        |  COUNT(*) AS n
+        |FROM files WHERE category IS NOT NULL AND lang IS NOT NULL
+        |GROUP BY category ORDER BY category""".stripMargin),
+
+    // ILIKE (native both engines) + starts_with/ends_with/split_part
+    // parity (registered aliases for Spark's startswith/endswith).
+    "q_fm_ilike" -> run(
+      """SELECT path, split_part(path, '/', 2) AS fname
+        |FROM files
+        |WHERE path ILIKE '%.MD' AND ends_with(path, '.md')
+        |  AND starts_with(path, 'src') AND category IS NOT NULL
+        |ORDER BY path LIMIT 30""".stripMargin),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -527,6 +588,51 @@ object FrontmatterQueries {
          |  COUNT(*) AS n
          |FROM files WHERE created IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fm_fromfirst" ->
+      s"""$cte
+         |FROM files SELECT lang, COUNT(*) AS n
+         |WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fm_similar" ->
+      s"""$cte
+         |SELECT path,
+         |  path SIMILAR TO 'web/.*' AS in_web,
+         |  path GLOB '*/doc_000??.md' AS low_id
+         |FROM files
+         |WHERE path GLOB '*.md' AND category IS NOT NULL
+         |  AND path NOT SIMILAR TO '.*[05]\\.md'
+         |ORDER BY path LIMIT 40""".stripMargin,
+    "q_fm_mathops" ->
+      s"""$cte
+         |SELECT path,
+         |  TRY_CAST(n_chars AS BIGINT) // 100 AS hundreds,
+         |  (TRY_CAST(id AS BIGINT) % 7) ** 2 AS pow7,
+         |  (TRY_CAST(id AS BIGINT) % 5) ^ 3 AS cube5,
+         |  -2 ** 2 AS neg_sq
+         |FROM files WHERE id IS NOT NULL ORDER BY path LIMIT 50""".stripMargin,
+    "q_fm_macro" ->
+      s"""CREATE OR REPLACE MACRO char_share(a, b) AS
+         |  TRY_CAST(a AS DOUBLE) / NULLIF(TRY_CAST(b AS DOUBLE), 0);
+         |CREATE OR REPLACE MACRO in_cat(c) AS TABLE
+         |  SELECT path AS cpath, n_chars AS cn FROM files WHERE category = c;
+         |$cte
+         |SELECT f.path,
+         |  CAST(FLOOR(char_share(f.id, f.n_chars) * 1000) AS BIGINT) AS permille
+         |FROM files f JOIN in_cat('cat0') t ON t.cpath = f.path
+         |ORDER BY f.path""".stripMargin,
+    "q_fm_stringagg" ->
+      s"""$cte
+         |SELECT category,
+         |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+         |  COUNT(*) AS n
+         |FROM files WHERE category IS NOT NULL AND lang IS NOT NULL
+         |GROUP BY category ORDER BY category""".stripMargin,
+    "q_fm_ilike" ->
+      s"""$cte
+         |SELECT path, split_part(path, '/', 2) AS fname
+         |FROM files
+         |WHERE path ILIKE '%.MD' AND ends_with(path, '.md')
+         |  AND starts_with(path, 'src') AND category IS NOT NULL
+         |ORDER BY path LIMIT 30""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

@@ -404,6 +404,108 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteAsof(out, schema) == out)
   }
 
+  test("FROM-first statements desugar to SELECT-first") {
+    assert(Dialect.rewriteFromFirst("FROM t") == "SELECT * FROM t")
+    assert(Dialect.rewriteFromFirst("FROM t WHERE x > 1")
+      == "SELECT * FROM t WHERE x > 1")
+    assert(Dialect.rewriteFromFirst("FROM t SELECT s, x*2 AS y WHERE x >= 2 ORDER BY x")
+      == "SELECT s, x*2 AS y FROM t WHERE x >= 2 ORDER BY x")
+    assert(Dialect.rewriteFromFirst("FROM t ORDER BY x DESC LIMIT 1")
+      == "SELECT * FROM t ORDER BY x DESC LIMIT 1")
+    // after a WITH clause (DuckDB allows it)
+    assert(Dialect.rewriteFromFirst("WITH c AS (SELECT x FROM t) FROM c WHERE x > 1")
+      == "WITH c AS (SELECT x FROM t) SELECT * FROM c WHERE x > 1")
+    // parenthesized subquery position
+    assert(Dialect.rewriteFromFirst("SELECT * FROM (FROM t WHERE x > 2)")
+      == "SELECT * FROM (SELECT * FROM t WHERE x > 2)")
+    // join in the table expression stays inside the FROM clause
+    assert(Dialect.rewriteFromFirst("FROM a JOIN b ON a.x = b.x SELECT a.x")
+      == "SELECT a.x FROM a JOIN b ON a.x = b.x")
+    // SELECT-first statements pass through; idempotent
+    val q = "SELECT x FROM t WHERE y"
+    assert(Dialect.rewriteFromFirst(q) == q)
+    val once = Dialect.rewriteFromFirst("FROM t SELECT x")
+    assert(Dialect.rewriteFromFirst(once) == once)
+    // FROM inside a string literal is data
+    val s = "SELECT 'FROM t' AS x FROM u"
+    assert(Dialect.rewriteFromFirst(s) == s)
+  }
+
+  test("SIMILAR TO becomes an anchored RLIKE") {
+    assert(Dialect.rewriteSimilarTo("SELECT x SIMILAR TO 'ab.' FROM t")
+      == "SELECT x RLIKE '^(?:ab.)$' FROM t")
+    assert(Dialect.rewriteSimilarTo("SELECT x NOT SIMILAR TO 'a.*' FROM t")
+      == "SELECT x NOT RLIKE '^(?:a.*)$' FROM t")
+    // escaped quote inside the pattern survives
+    assert(Dialect.rewriteSimilarTo("SELECT x SIMILAR TO 'it''s' FROM t")
+      == "SELECT x RLIKE '^(?:it''s)$' FROM t")
+    // non-literal right side passes through
+    val q = "SELECT x SIMILAR TO y FROM t"
+    assert(Dialect.rewriteSimilarTo(q) == q)
+    // inside a string literal is data
+    val s = "SELECT 'a SIMILAR TO b' FROM t"
+    assert(Dialect.rewriteSimilarTo(s) == s)
+  }
+
+  test("GLOB becomes an anchored RLIKE with the glob translated") {
+    assert(Dialect.rewriteGlob("SELECT x GLOB '*.md' FROM t")
+      == "SELECT x RLIKE '^.*\\.md$' FROM t")
+    assert(Dialect.rewriteGlob("SELECT x GLOB 'a?c' FROM t")
+      == "SELECT x RLIKE '^a.c$' FROM t")
+    assert(Dialect.rewriteGlob("SELECT x GLOB 'a[0-9]' FROM t")
+      == "SELECT x RLIKE '^a[0-9]$' FROM t")
+    assert(Dialect.globToRegex("a[!0-9]b") == "a[^0-9]b")
+    assert(Dialect.globToRegex("a.b") == "a\\.b")
+    // a column named glob is not the operator
+    val q = "SELECT glob FROM t"
+    assert(Dialect.rewriteGlob(q) == q)
+  }
+
+  test("DuckDB // and ** / ^ operators map to DIV and power") {
+    assert(Dialect.rewriteMathOps("SELECT a // b FROM t")
+      == "SELECT a  DIV  b FROM t")
+    assert(Dialect.rewriteMathOps("SELECT 2 ** 3 FROM t")
+      == "SELECT power(2, 3) FROM t")
+    assert(Dialect.rewriteMathOps("SELECT a ^ 2 FROM t")
+      == "SELECT power(a, 2) FROM t")
+    // left-associative chain, pinned against DuckDB: 2**3**2 = 64
+    assert(Dialect.rewriteMathOps("SELECT 2 ** 3 ** 2")
+      == "SELECT power(power(2, 3), 2)")
+    // unary minus binds tighter (DuckDB: -2 ** 2 = 4)
+    assert(Dialect.rewriteMathOps("SELECT -2 ** 2")
+      == "SELECT power(-2, 2)")
+    // binary minus stays outside
+    assert(Dialect.rewriteMathOps("SELECT x -2 ** 2 FROM t")
+      == "SELECT x -power(2, 2) FROM t")
+    // binds tighter than *: 2 * 3 ** 2 = 18
+    assert(Dialect.rewriteMathOps("SELECT 2 * 3 ** 2")
+      == "SELECT 2 * power(3, 2)")
+    // function-call operands on either side
+    assert(Dialect.rewriteMathOps("SELECT len(s) ** abs(x) FROM t")
+      == "SELECT power(len(s), abs(x)) FROM t")
+    // decimals and negative exponents
+    assert(Dialect.rewriteMathOps("SELECT 2.5 ** -2")
+      == "SELECT power(2.5, -2)")
+    // inside string literals is data
+    val s = "SELECT 'a ** b // c ^ d' FROM t"
+    assert(Dialect.rewriteMathOps(s) == s)
+    // idempotent
+    val once = Dialect.rewriteMathOps("SELECT a ** b // c FROM t")
+    assert(Dialect.rewriteMathOps(once) == once)
+  }
+
+  test("in-aggregate ORDER BY moves to WITHIN GROUP for string_agg") {
+    assert(Dialect.rewriteOrderedAgg("SELECT string_agg(x, ',' ORDER BY x DESC) FROM t")
+      == "SELECT string_agg(x, ',') WITHIN GROUP (ORDER BY x DESC) FROM t")
+    assert(Dialect.rewriteOrderedAgg("SELECT listagg(x ORDER BY y) FROM t")
+      == "SELECT listagg(x) WITHIN GROUP (ORDER BY y) FROM t")
+    // no in-aggregate ORDER BY → untouched; idempotent
+    val q = "SELECT string_agg(x, ',') FROM t"
+    assert(Dialect.rewriteOrderedAgg(q) == q)
+    val once = Dialect.rewriteOrderedAgg("SELECT string_agg(x, ';' ORDER BY x) FROM t")
+    assert(Dialect.rewriteOrderedAgg(once) == once)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")

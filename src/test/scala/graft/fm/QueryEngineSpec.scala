@@ -195,6 +195,42 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(r2.results.collect().length == 2)
   }
 
+  test("CREATE MACRO persists on the engine and expands at call sites") {
+    val e = eng(corpus(threeDocs: _*))
+    // multi-statement script: scalar macro defined, used in the SAME call
+    val r = e.query("**/*.md",
+      """CREATE MACRO initial(s) AS upper(substr(s, 1, 1));
+        |SELECT path, initial(title) AS ini FROM files ORDER BY path""".stripMargin)
+    assert(r.results.collect().map(_.getString(1)).toSeq == Seq("A", "B", "G"))
+    // the macro survives into LATER queries (connection-scoped, DuckDB-like)
+    val r2 = e.query("**/*.md",
+      "SELECT initial('zeta') AS i FROM files LIMIT 1")
+    assert(r2.results.collect().head.getString(0) == "Z")
+    // table macro, expanded in FROM position
+    val r3 = e.query("**/*.md",
+      """CREATE OR REPLACE MACRO titled(p) AS TABLE
+        |  SELECT path AS tp FROM files WHERE title IS NOT NULL AND path <> p;
+        |SELECT tp FROM titled('b.md') ORDER BY tp""".stripMargin)
+    assert(r3.results.collect().map(_.getString(0)).toSeq == Seq("a.md", "sub/c.md"))
+    // a non-macro intermediate statement is rejected loudly
+    intercept[IllegalArgumentException](
+      e.query("**/*.md", "SELECT 1; SELECT 2"))
+  }
+
+  test("FROM-first, math operators, and SIMILAR TO work through the engine") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md", "FROM files WHERE title = 'Beta' SELECT path")
+    assert(r.results.collect().map(_.getString(0)).toSeq == Seq("b.md"))
+    val r2 = e.query("**/*.md",
+      "SELECT TRY_CAST(extra AS BIGINT) // 5 AS d, 2 ** 3 AS p FROM files WHERE extra IS NOT NULL")
+    val row = r2.results.collect().head
+    assert(row.getLong(0) == 8L && row.getDouble(1) == 8.0)
+    // raw-literal mode: '\d' reaches the regex engine as backslash-d
+    val r3 = e.query("**/*.md",
+      "SELECT path FROM files WHERE path SIMILAR TO '[a-z]\\.md' ORDER BY path")
+    assert(r3.results.collect().map(_.getString(0)).toSeq == Seq("a.md", "b.md"))
+  }
+
   test("bad SQL propagates as an analysis error (query.py passthrough parity)") {
     val e = eng(corpus(threeDocs: _*))
     intercept[org.apache.spark.sql.AnalysisException](
