@@ -145,7 +145,8 @@ object Dialect {
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
         rewriteStructLit(rewriteUsingSample(rewriteUnpivot(
           rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
-            rewriteGlob(rewriteSimilarTo(rewriteFromFirst(sql)))))))))))))))))
+            rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
+              rewriteFromFirst(sql))))))))))))))))))
 
   /** DuckDB's FROM-first statement form: `FROM t [WHERE …]` selects `*`,
     * and `FROM t SELECT list …` reorders the clauses. Spark's parser is
@@ -758,6 +759,169 @@ object Dialect {
       }
     }
     sb.toString
+  }
+
+  /** DuckDB's bare `SEMI JOIN` / `ANTI JOIN` keywords → Spark's
+    * `LEFT SEMI JOIN` / `LEFT ANTI JOIN` (identical semantics: DuckDB's
+    * unprefixed forms are left variants). Already-prefixed `LEFT SEMI`
+    * passes through (Spark-native); `RIGHT SEMI`/`RIGHT ANTI` have no
+    * Spark SQL spelling and pass through to fail loudly at parse rather
+    * than silently flipping sides.
+    */
+  private[fm] def rewriteSemiAnti(sql: String): String = {
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      for (kw <- Seq("SEMI", "ANTI") if !changed) {
+        var i = u.indexOf(kw)
+        while (i >= 0 && !changed) {
+          if (!lit(i) && isKeywordAt(u, i + kw.length - 1, kw)) {
+            var j = i + kw.length
+            while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+            if (u.regionMatches(j, "JOIN", 0, 4) && isKeywordAt(u, j + 3, "JOIN")) {
+              // previous word must not be LEFT or RIGHT
+              var b = i - 1
+              while (b >= 0 && Character.isWhitespace(msk.charAt(b))) b -= 1
+              var ws = b
+              while (ws >= 0 && (Character.isLetterOrDigit(msk.charAt(ws)) ||
+                msk.charAt(ws) == '_')) ws -= 1
+              val prev = u.substring(ws + 1, b + 1)
+              if (prev != "LEFT" && prev != "RIGHT") {
+                out = out.substring(0, i) + "LEFT " + out.substring(i)
+                changed = true
+              }
+            }
+          }
+          i = u.indexOf(kw, i + 1)
+        }
+      }
+    }
+    out
+  }
+
+  /** DuckDB's `UNION [ALL] BY NAME`: columns are matched by name, the
+    * result schema is the union of both sides' columns (left-first
+    * order), and a column absent on one side is NULL there. Spark SQL
+    * has no BY NAME spelling, so desugar to a plain UNION over aligned
+    * projections. `columnsOf` resolves a probe query's output columns —
+    * the same provider pattern as PIVOT/ASOF (the probe text includes
+    * the statement's WITH prefix so CTE references resolve).
+    * INTERSECT/EXCEPT BY NAME are not rewritten (pass through to fail
+    * loudly rather than guess shared-column semantics).
+    */
+  def rewriteUnionByName(sql: String, columnsOf: String => Seq[String]): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      def skipWs(k0: Int): Int = {
+        var k = k0
+        while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+        k
+      }
+      var i = 0
+      while (i < msk.length && !changed) {
+        if (!lit(i) && u.regionMatches(i, "UNION", 0, 5) &&
+          isKeywordAt(u, i + 4, "UNION")) {
+          var j = skipWs(i + 5)
+          var all = false
+          if (u.regionMatches(j, "ALL", 0, 3) && isKeywordAt(u, j + 2, "ALL")) {
+            all = true; j = skipWs(j + 3)
+          } else if (u.regionMatches(j, "DISTINCT", 0, 8) &&
+            isKeywordAt(u, j + 7, "DISTINCT")) {
+            j = skipWs(j + 8)
+          }
+          if (u.regionMatches(j, "BY", 0, 2) && isKeywordAt(u, j + 1, "BY")) {
+            val k = skipWs(j + 2)
+            if (u.regionMatches(k, "NAME", 0, 4) && isKeywordAt(u, k + 3, "NAME")) {
+              // region: innermost paren enclosing i, else the statement
+              // body (past any WITH prefix)
+              val (regionStart, regionEnd) = enclosingRegion(msk, u, lit, i)
+              val withPrefix = {
+                val ms = mainQueryStart(msk, u, lit)
+                if (ms > 0) out.substring(0, ms) else ""
+              }
+              val left = out.substring(regionStart, i).trim
+              val rEnd0 = nextTopKeywordIn(msk, u, lit, k + 4, regionEnd,
+                Seq("UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT", "OFFSET"))
+              val rightEnd = if (rEnd0 < 0) regionEnd else rEnd0
+              val right = out.substring(k + 4, rightEnd).trim
+              def probe(frag: String): Seq[String] = columnsOf(
+                s"${withPrefix}SELECT * FROM (\n$frag\n) __graft_ubn_probe LIMIT 0")
+              val lc = probe(left)
+              val rc = probe(right)
+              val merged = lc ++ rc.filterNot(c => lc.exists(_.equalsIgnoreCase(c)))
+              def sel(cols: Seq[String]): String = merged.map { m =>
+                if (cols.exists(_.equalsIgnoreCase(m))) s"`$m`"
+                else s"NULL AS `$m`"
+              }.mkString(", ")
+              val op = if (all) "UNION ALL" else "UNION"
+              val repl = s"SELECT ${sel(lc)} FROM ($left) __graft_ubn_l $op " +
+                s"SELECT ${sel(rc)} FROM ($right) __graft_ubn_r"
+              val tail = out.substring(rightEnd)
+              val sep = if (tail.nonEmpty && !tail.head.isWhitespace) " " else ""
+              out = out.substring(0, regionStart) + repl + sep + tail
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** (start, end) of the query region holding position `at`: the content
+    * span of the innermost parenthesis pair enclosing `at`, or the
+    * statement body (past any top-level WITH prefix) when unparenthesized.
+    */
+  private def enclosingRegion(
+      msk: String, u: String, lit: Array[Boolean], at: Int): (Int, Int) = {
+    var best = -1
+    var bestClose = msk.length
+    var i = 0
+    while (i < at) {
+      if (msk.charAt(i) == '(' && !lit(i)) {
+        val close = matchParen(msk, i)
+        if (close > at && i > best) { best = i; bestClose = close }
+      }
+      i += 1
+    }
+    if (best >= 0) (best + 1, bestClose)
+    else {
+      val ms = mainQueryStart(msk, u, lit)
+      (math.max(ms, 0), msk.length)
+    }
+  }
+
+  /** First depth-0 occurrence of any of `kws` as a keyword in
+    * [from, until); -1 when none.
+    */
+  private def nextTopKeywordIn(msk: String, u: String, lit: Array[Boolean],
+      from: Int, until: Int, kws: Seq[String]): Int = {
+    var i = from
+    var depth = 0
+    while (i < until) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && kws.exists(kw =>
+          u.regionMatches(i, kw, 0, kw.length) &&
+            isKeywordAt(u, i + kw.length - 1, kw))) return i
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Length-preserving comment mask: every character inside a `--` line

@@ -168,7 +168,14 @@ final class QueryEngine(
       val asofed = Dialect.rewriteAsof(pivoted, tbl =>
         spark.table(tbl).schema.fields.toSeq
           .map(f => f.name -> f.dataType.simpleString))
-      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(asofed, files.columns.toSeq)))
+      // UNION BY NAME aligns both sides' schemas; each side is probed
+      // with a LIMIT-0 plan (analysis only, no execution) through the
+      // full rewrite chain so dialect constructs inside the operands
+      // resolve too.
+      val unioned = Dialect.rewriteUnionByName(asofed, probe =>
+        spark.sql(Dialect.rewrite(
+          Dialect.rewriteColumns(probe, files.columns.toSeq))).columns.toSeq)
+      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(unioned, files.columns.toSeq)))
       } finally {
         escPrev match {
           case Some(v) => spark.conf.set(escKey, v)

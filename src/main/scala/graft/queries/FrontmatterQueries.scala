@@ -322,6 +322,28 @@ object FrontmatterQueries {
         |  AND starts_with(path, 'src') AND category IS NOT NULL
         |ORDER BY path LIMIT 30""".stripMargin),
 
+    // DuckDB's bare SEMI JOIN / ANTI JOIN keywords (left variants) —
+    // Dialect.rewriteSemiAnti → Spark LEFT SEMI / LEFT ANTI JOIN.
+    "q_fm_semijoin" -> run(
+      """SELECT f.path, f.lang FROM files f
+        |SEMI JOIN (SELECT path AS p FROM files WHERE lang IN ('en','fr')) e
+        |  ON f.path = e.p
+        |ANTI JOIN (SELECT path AS q FROM files WHERE category = 'cat0') c
+        |  ON f.path = c.q
+        |ORDER BY f.path LIMIT 40""".stripMargin),
+
+    // DuckDB's UNION ALL BY NAME: name-matched set union, missing
+    // columns NULL — Dialect.rewriteUnionByName (LIMIT-0 schema probes
+    // through the full rewrite chain, then aligned projections).
+    "q_fm_union_byname" -> run(
+      """SELECT lang, COUNT(*) AS n
+        |FROM files WHERE lang IS NOT NULL GROUP BY lang
+        |UNION ALL BY NAME
+        |SELECT category, COUNT(*) AS n, 'cat' AS kind
+        |FROM files WHERE category IS NOT NULL GROUP BY category
+        |ORDER BY kind NULLS FIRST, lang NULLS FIRST,
+        |  category NULLS FIRST, n""".stripMargin),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -633,6 +655,23 @@ object FrontmatterQueries {
          |WHERE path ILIKE '%.MD' AND ends_with(path, '.md')
          |  AND starts_with(path, 'src') AND category IS NOT NULL
          |ORDER BY path LIMIT 30""".stripMargin,
+    "q_fm_semijoin" ->
+      s"""$cte
+         |SELECT f.path, f.lang FROM files f
+         |SEMI JOIN (SELECT path AS p FROM files WHERE lang IN ('en','fr')) e
+         |  ON f.path = e.p
+         |ANTI JOIN (SELECT path AS q FROM files WHERE category = 'cat0') c
+         |  ON f.path = c.q
+         |ORDER BY f.path LIMIT 40""".stripMargin,
+    "q_fm_union_byname" ->
+      s"""$cte
+         |SELECT lang, COUNT(*) AS n
+         |FROM files WHERE lang IS NOT NULL GROUP BY lang
+         |UNION ALL BY NAME
+         |SELECT category, COUNT(*) AS n, 'cat' AS kind
+         |FROM files WHERE category IS NOT NULL GROUP BY category
+         |ORDER BY kind NULLS FIRST, lang NULLS FIRST,
+         |  category NULLS FIRST, n""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

@@ -506,6 +506,41 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteOrderedAgg(once) == once)
   }
 
+  test("bare SEMI/ANTI JOIN gain the LEFT prefix; prefixed forms untouched") {
+    assert(Dialect.rewriteSemiAnti("SELECT * FROM a SEMI JOIN b ON a.x = b.x")
+      == "SELECT * FROM a LEFT SEMI JOIN b ON a.x = b.x")
+    assert(Dialect.rewriteSemiAnti("SELECT * FROM a ANTI JOIN b ON a.x = b.x")
+      == "SELECT * FROM a LEFT ANTI JOIN b ON a.x = b.x")
+    val q = "SELECT * FROM a LEFT SEMI JOIN b ON a.x = b.x"
+    assert(Dialect.rewriteSemiAnti(q) == q)
+    val r = "SELECT * FROM a RIGHT ANTI JOIN b ON a.x = b.x"
+    assert(Dialect.rewriteSemiAnti(r) == r)
+    // identifiers containing the keyword are not joins
+    val id = "SELECT semicolon, anti_x, xsemi FROM t JOIN u ON t.x = u.x"
+    assert(Dialect.rewriteSemiAnti(id) == id)
+    val once = Dialect.rewriteSemiAnti("SELECT * FROM a SEMI JOIN b ON a.x = b.x ANTI JOIN c ON a.y = c.y")
+    assert(Dialect.rewriteSemiAnti(once) == once)
+  }
+
+  test("UNION BY NAME desugars to aligned projections") {
+    val cols = Map(
+      "a" -> Seq("x", "n"),
+      "b" -> Seq("y", "n"))
+    def provider(probe: String): Seq[String] =
+      cols.collectFirst { case (k, v) if probe.contains(s"FROM $k") => v }
+        .getOrElse(fail(s"unexpected probe: $probe"))
+    val out = Dialect.rewriteUnionByName(
+      "SELECT x, n FROM a UNION ALL BY NAME SELECT y, n FROM b ORDER BY n", provider)
+    assert(out ==
+      "SELECT `x`, `n`, NULL AS `y` FROM (SELECT x, n FROM a) __graft_ubn_l " +
+        "UNION ALL SELECT NULL AS `x`, `n`, `y` FROM (SELECT y, n FROM b) __graft_ubn_r " +
+        "ORDER BY n")
+    // no BY NAME → untouched; idempotent on its own output
+    val q = "SELECT x FROM a UNION SELECT x FROM b"
+    assert(Dialect.rewriteUnionByName(q, provider) == q)
+    assert(Dialect.rewriteUnionByName(out, provider) == out)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
