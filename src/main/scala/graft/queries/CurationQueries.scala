@@ -89,6 +89,137 @@ object CurationQueries {
         .persist()
     })
 
+  /** Train/holdout split modulus for the weak-label quality classifier
+    * (and the leakage audit's train/test sides): deterministic id-hash
+    * splits, the only kind that stays stable under re-partitioning.
+    */
+  private[queries] val ClfIters = 6
+  private[queries] val ClfLrNum = 1L
+  private[queries] val ClfLrDen = 4L
+
+  /** Persisted standardized-feature frame for the classifier:
+    * `(doc_id, is_train, y1000, x0..x3)` — weak label y = "above mean
+    * n_chars" in permille, features as milli-z-scores on the exact
+    * integer grid (see [[graft.ops.LinearClassifier]]). Three scalar
+    * statistics rows (label mean, feature means, feature stddevs) are
+    * broadcast back over the scan — never a driver-side data collect.
+    */
+  private val clfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def clfFeaturesDF(s: SparkSession, d: String): DataFrame =
+    Tables.memo(clfCache, (Tables.sessionKey(s), d))({
+      val raw = Tables.load(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        expr("LEAST(CAST(size(split(text, ' ')) AS BIGINT), 500)").as("r1"),
+        expr("(n_chars * 1000) div CAST(size(split(text, ' ')) AS BIGINT)")
+          .as("r2"),
+        expr("(CAST(size(filter(split(lower(text), ' '), " +
+          "x -> array_contains(array('the', 'a'), x))) AS BIGINT) * 1000) " +
+          "div CAST(size(split(text, ' ')) AS BIGINT)").as("r3"))
+      val lbl = raw.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("n_chars").cast("long").as("sc"))
+      val raw2 = raw.crossJoin(broadcast(lbl)).withColumn("y1000",
+        expr("CASE WHEN n_chars * n > sc THEN CAST(1000 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      val st1 = raw2.agg(
+        expr("CAST(SUM(r1) AS BIGINT) div COUNT(*)").as("m1"),
+        expr("CAST(SUM(r2) AS BIGINT) div COUNT(*)").as("m2"),
+        expr("CAST(SUM(r3) AS BIGINT) div COUNT(*)").as("m3"))
+      val withM = raw2.crossJoin(broadcast(st1))
+      def stdExpr(j: Int): String =
+        s"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(SQRT(CAST(" +
+          s"CAST(SUM((r$j - m$j) * (r$j - m$j)) AS BIGINT) div COUNT(*) " +
+          s"AS DOUBLE))) AS BIGINT))"
+      val st2 = withM.agg(
+        expr(stdExpr(1)).as("s1"), expr(stdExpr(2)).as("s2"),
+        expr(stdExpr(3)).as("s3"))
+      withM.crossJoin(broadcast(st2)).select(
+        col("doc_id"),
+        expr("doc_id % 5 < 4").as("is_train"),
+        col("y1000"),
+        expr("CAST(1000 AS BIGINT)").as("x0"),
+        expr("((r1 - m1) * 1000) div s1").as("x1"),
+        expr("((r2 - m2) * 1000) div s2").as("x2"),
+        expr("((r3 - m3) * 1000) div s3").as("x3"))
+        .persist()
+    })
+
+  /** The same feature/label/standardization pipeline as
+    * [[clfFeaturesDF]], spelled in the oracle dialect as a WITH-chain
+    * prefix (`raw2`, `st1`, `st2`, `f`). Generated from one template so
+    * the two dialects cannot drift.
+    */
+  private def clfOracleFeatureCtes: String = {
+    def stdExpr(j: Int): String =
+      s"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(SQRT(CAST(" +
+        s"CAST(SUM((r$j - m$j) * (r$j - m$j)) AS BIGINT) // COUNT(*) " +
+        s"AS DOUBLE))) AS BIGINT))"
+    s"""raw AS MATERIALIZED (SELECT doc_id, n_chars,
+       |  LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 500) AS r1,
+       |  (n_chars * 1000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS r2,
+       |  (CAST(len(list_filter(string_split(lower(text), ' '),
+       |     x -> list_contains(['the', 'a'], x))) AS BIGINT) * 1000)
+       |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS r3
+       |FROM documents),
+       |lbl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(n_chars) AS BIGINT) AS sc FROM raw),
+       |raw2 AS (SELECT raw.*, CASE WHEN n_chars * n > sc
+       |  THEN CAST(1000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y1000
+       |FROM raw, lbl),
+       |st1 AS (SELECT CAST(SUM(r1) AS BIGINT) // COUNT(*) AS m1,
+       |  CAST(SUM(r2) AS BIGINT) // COUNT(*) AS m2,
+       |  CAST(SUM(r3) AS BIGINT) // COUNT(*) AS m3 FROM raw2),
+       |st2 AS (SELECT ${stdExpr(1)} AS s1, ${stdExpr(2)} AS s2,
+       |  ${stdExpr(3)} AS s3 FROM raw2, st1),
+       |f AS MATERIALIZED (SELECT doc_id, doc_id % 5 < 4 AS is_train, y1000,
+       |  CAST(1000 AS BIGINT) AS x0,
+       |  ((r1 - m1) * 1000) // s1 AS x1,
+       |  ((r2 - m2) * 1000) // s2 AS x2,
+       |  ((r3 - m3) * 1000) // s3 AS x3
+       |FROM raw2, st1, st2)""".stripMargin
+  }
+
+  /** The training recursion unrolled to a CTE chain: p-stages carry the
+    * weights as constant columns, w-stages fold one full-batch gradient
+    * step (MAX over a constant column reads it back). Mirrors
+    * [[graft.ops.LinearClassifier.train]] exactly — same truncating
+    * BIGINT grid, `//` == Spark `div` == Scala `/` (all toward zero).
+    */
+  private def clfOracleSql: String = {
+    def pstage(k: Int): String =
+      s"""p$k AS (SELECT f.*, w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2,
+         |  w.w3 AS pw3,
+         |  GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000 AS BIGINT),
+         |    500 + (((w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3) // 1000000)
+         |           // 4))) AS p
+         |FROM f, w$k w)""".stripMargin
+    def wstage(k: Int): String = {
+      val upd = (0 to 3).map(j =>
+        s"MAX(pw$j) + ($ClfLrNum * (CAST(SUM(CASE WHEN is_train THEN " +
+          s"(y1000 - p) * x$j END) AS BIGINT) // " +
+          s"COUNT(CASE WHEN is_train THEN 1 END))) // $ClfLrDen AS w$j")
+        .mkString(", ")
+      s"w$k AS (SELECT $upd FROM p${k - 1})"
+    }
+    val ctes = Seq(clfOracleFeatureCtes,
+      "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+        "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)") ++
+      (0 until ClfIters).flatMap(k => Seq(pstage(k), wstage(k + 1))) :+
+      pstage(ClfIters)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT is_train, y1000 // 1000 AS y,
+       |  CAST(CASE WHEN p >= 500 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  COUNT(*) AS n, MAX(pw0) AS w0, MAX(pw1) AS w1, MAX(pw2) AS w2,
+       |  MAX(pw3) AS w3
+       |FROM p$ClfIters GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** Train/test split moduli for the leakage audit. */
+  private[queries] val LeakMod = 10
+  private[queries] val LeakTestFrom = 8
+
   /** BM25 parameters and the probe query terms. */
   private val Bm25K1 = "1.2"
   private val Bm25B = "0.75"
@@ -211,6 +342,90 @@ object CurationQueries {
     // 20, selected by the portable 60-bit hash of the key — reproducible
     // on any cluster, no rand(), and counted with a single hash
     // aggregate (the stratum column is data, not a shuffle key change).
+    // Weak-label quality classifier (the fastText/DCLM bootstrap
+    // pattern): heuristic labels -> standardized integer features ->
+    // distributed full-batch gradient descent with a hard-sigmoid link
+    // -> score the whole corpus. The driver holds ONLY the 4-long
+    // weight vector; each iteration is one 5-value aggregate over the
+    // persisted feature frame (map-side partial combine, scalar row
+    // back). Everything lives on an exact truncating-BIGINT grid, so
+    // the trained weights — exposed as output columns — are
+    // bit-identical to the oracle's unrolled replay regardless of
+    // partitioning or reduction order (see ops/LinearClassifier).
+    "q_quality_classifier" -> ((s, d) => {
+      val feats = clfFeaturesDF(s, d)
+      val cols = Seq("x0", "x1", "x2", "x3")
+      val w = graft.ops.LinearClassifier.train(
+        feats, cols, "y1000", "is_train", ClfIters, ClfLrNum, ClfLrDen)
+      val p = graft.ops.LinearClassifier.predictExpr(cols, w.toSeq)
+      feats.select(col("is_train"),
+          expr("y1000 div 1000").as("y"),
+          expr(s"CAST(CASE WHEN ($p) >= 500 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("pred"))
+        .groupBy("is_train", "y", "pred").agg(count(lit(1)).as("n"))
+        .withColumn("w0", lit(w(0))).withColumn("w1", lit(w(1)))
+        .withColumn("w2", lit(w(2))).withColumn("w3", lit(w(3)))
+        .orderBy("is_train", "y", "pred")
+    }),
+
+    // Cross-split contamination audit: which held-out (test-split)
+    // documents share a word n-gram with the training split? Unlike
+    // q_decontaminate's tiny-benchmark broadcast, BOTH sides here are
+    // corpus-sized at 100 TB, so the membership test is a plain shuffle
+    // equi-join on the 60-bit gram hash — the train side deduplicated
+    // to its gram VOCABULARY first (one row per distinct gram, the
+    // standard bound before a containment join), then aggregated per
+    // test doc. Gram-hash keys distribute uniformly, so no skew
+    // handling is needed beyond AQE's defaults.
+    "q_split_leakage" -> ((s, d) => {
+      val grams = gramsDF(s, d)
+      val trainVocab = grams
+        .filter(col("doc_id") % LeakMod < LeakTestFrom)
+        .select("h").distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % LeakMod >= LeakTestFrom)
+        .join(trainVocab, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_leaked"))
+        .withColumn("leak_permille",
+          expr("(n_leaked * 1000) div n_grams"))
+        .withColumn("leaked", col("n_leaked") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget corpus selection: spend a fixed token budget (60% of
+    // the corpus here) on the highest-quality documents — the greedy
+    // step of quality-weighted data selection. Greedy-by-quality is a
+    // global prefix-sum problem; the cumulative token count runs
+    // through ops/PrefixSum (range partition + per-partition offsets,
+    // NO single-partition window), so the plan holds at 100 TB where a
+    // global ORDER BY window would serialize on one task. The sort key
+    // packs (quality desc, doc_id) into one BIGINT so range
+    // partitioning has a single well-ordered column. The budget is one
+    // scalar aggregate row broadcast back; the keep rule is exact
+    // integer arithmetic (cum_before + n_tokens <= budget).
+    "q_token_budget_select" -> ((s, d) => {
+      val scored = Tables.load(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+        expr(s"CAST(FLOOR((${TextQueries.QualityExpr}) * 1000) AS BIGINT)")
+          .as("qp"))
+        .withColumn("skey",
+          expr("(1000 - qp) * 1099511627776 + doc_id"))
+      val budget = scored.agg(
+        expr("(CAST(SUM(n_tokens) AS BIGINT) * 6) div 10").as("budget"))
+      graft.ops.PrefixSum.runningBefore(scored, "skey", "n_tokens", 32)
+        .crossJoin(broadcast(budget))
+        .withColumn("kept",
+          col("cum_before") + col("n_tokens") <= col("budget"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens"))).cast("long")
+            .as("tokens_kept"),
+          min(when(col("kept"), col("doc_id"))).as("first_kept"))
+        .orderBy("lang")
+    }),
+
     "q_stratified_sample" -> ((s, d) => {
       val rate = """CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 4 WHEN 'es' THEN 5
                    |     WHEN 'fr' THEN 8 WHEN 'zh' THEN 10 ELSE 3 END""".stripMargin
@@ -633,6 +848,35 @@ object CurationQueries {
          |SELECT doc_id, n_bigrams, total_unats,
          |  CAST(exp(CAST(total_unats AS DOUBLE) / n_bigrams / 1000000.0) AS REAL) AS ppl
          |FROM per ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" -> clfOracleSql,
+    "q_token_budget_select" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(FLOOR((${TextQueries.DuckQualityExpr}) * 1000) AS BIGINT) AS qp
+         |FROM documents),
+         |b AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) * 6) // 10 AS budget FROM s),
+         |o AS (SELECT s.*, COALESCE(SUM(n_tokens) OVER (
+         |    ORDER BY (1000 - qp) * 1099511627776 + doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM s),
+         |k AS (SELECT o.*, cb + n_tokens <= budget AS kept FROM o, b)
+         |SELECT lang, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN n_tokens END) AS BIGINT) AS tokens_kept,
+         |  MIN(CASE WHEN kept THEN doc_id END) AS first_kept
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id, UNNEST(${duckGrams(ContamN)}) AS g FROM d),
+         |g AS (SELECT doc_id, ${duckH60("g")} AS h FROM g0),
+         |tv AS (SELECT DISTINCT h FROM g WHERE doc_id % $LeakMod < $LeakTestFrom),
+         |t AS (SELECT g.doc_id, g.h, tv.h IS NOT NULL AS hit
+         |      FROM g LEFT JOIN tv ON g.h = tv.h
+         |      WHERE g.doc_id % $LeakMod >= $LeakTestFrom)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  COUNT(CASE WHEN hit THEN 1 END) AS n_leaked,
+         |  (COUNT(CASE WHEN hit THEN 1 END) * 1000) // COUNT(*) AS leak_permille,
+         |  COUNT(CASE WHEN hit THEN 1 END) > 0 AS leaked
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, COUNT(*) AS n_total,
          |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
