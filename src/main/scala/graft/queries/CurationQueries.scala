@@ -371,12 +371,14 @@ object CurationQueries {
     // Cross-split contamination audit: which held-out (test-split)
     // documents share a word n-gram with the training split? Unlike
     // q_decontaminate's tiny-benchmark broadcast, BOTH sides here are
-    // corpus-sized at 100 TB, so the membership test is a plain shuffle
-    // equi-join on the 60-bit gram hash — the train side deduplicated
-    // to its gram VOCABULARY first (one row per distinct gram, the
-    // standard bound before a containment join), then aggregated per
-    // test doc. Gram-hash keys distribute uniformly, so no skew
-    // handling is needed beyond AQE's defaults.
+    // corpus-sized at 100 TB, so the membership test is an equi-join on
+    // the 60-bit gram hash with NO forced broadcast — the train side
+    // deduplicated to its gram VOCABULARY first (one row per distinct
+    // gram, the standard bound before a containment join), then
+    // aggregated per test doc. Catalyst broadcasts the vocab only while
+    // it fits the size threshold (it does at bench SF) and falls back
+    // to a shuffle join beyond; gram-hash keys distribute uniformly, so
+    // no skew handling is needed beyond AQE's defaults.
     "q_split_leakage" -> ((s, d) => {
       val grams = gramsDF(s, d)
       val trainVocab = grams
