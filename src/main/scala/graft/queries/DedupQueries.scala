@@ -161,7 +161,9 @@ object DedupQueries {
       .withColumn("common", col("common_cold") + coalesce(col("common_hot"), lit(0L)))
       .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
       .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
-      .select(col("ia"), col("ib"),
+      // common/na/nb ride along so asymmetric measures (containment)
+      // derive from the same shared frame without a rescan.
+      .select(col("ia"), col("ib"), col("common"), col("na"), col("nb"),
         (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
   }
 
@@ -335,6 +337,25 @@ object DedupQueries {
     "q_dedup_ngram" -> ((s, d) => {
       jaccardPairsCached(s, d)
         .filter(col("jac") >= 0.5)
+        .select("ia", "ib", "jac")
+        .orderBy("ia", "ib")
+    }),
+
+    // Asymmetric containment: C(A→B) = |A∩B| / |A| catches a short
+    // document wholly contained in a longer one (excerpts, quote
+    // inflation, boilerplate wrappers) that symmetric Jaccard MISSES
+    // when |B| >> |A| — the jaccard_missed flag makes exactly those
+    // pairs visible. Same candidate discipline as the Jaccard family
+    // (shared persisted pair frame; common/na/nb carried alongside),
+    // so zero new scans and no all-pairs exposure; the containment
+    // ratio itself is an exact permille grid.
+    "q_dedup_containment" -> ((s, d) => {
+      jaccardPairsCached(s, d)
+        .select(col("ia"), col("ib"), col("common"), col("na"), col("nb"),
+          expr("(common * 1000) div na").as("cont_a"),
+          expr("(common * 1000) div nb").as("cont_b"),
+          (col("jac") < 0.5).as("jaccard_missed"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 800)
         .orderBy("ia", "ib")
     }),
 
@@ -603,6 +624,25 @@ object DedupQueries {
       s"""WITH $duckShingleCte,
          |$duckCandCte,
          |${duckVerify("cand", 0.5)}""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH $duckShingleCte,
+         |$duckCandCte,
+         |common AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS common
+         |  FROM sh a JOIN cand ON a.doc_id = cand.ia
+         |            JOIN sh b ON b.doc_id = cand.ib AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT ia, ib, common, ca.n AS na, cb.n AS nb,
+         |    (common * 1000) // ca.n AS cont_a,
+         |    (common * 1000) // cb.n AS cont_b,
+         |    CAST(common AS DOUBLE) / (ca.n + cb.n - common) < 0.5 AS jaccard_missed
+         |  FROM common JOIN cnt ca ON ia = ca.doc_id
+         |              JOIN cnt cb ON ib = cb.doc_id)
+         |SELECT ia, ib, common, na, nb, cont_a, cont_b, jaccard_missed
+         |FROM sc WHERE GREATEST(cont_a, cont_b) >= 800
+         |ORDER BY ia, ib""".stripMargin,
 
     "q_dedup_sources" ->
       s"""WITH $duckShingleCte,

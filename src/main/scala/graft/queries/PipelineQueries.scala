@@ -193,6 +193,26 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Stream-static dimension enrichment run in batch mode: the SAME
+    // broadcast-join operator a stream uses per micro-batch (stateless,
+    // stream never shuffled — EventStreams.enrichStatic; StreamingSpec
+    // drives it over a real MemoryStream). Events enrich with customer
+    // segment + nation, then aggregate on the exact cents grid.
+    "q_stream_enrich" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      EventStreams.enrichStatic(ev, cust, "user_id", "c_custkey")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy("n_name", "c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("value_cents"))
+        .orderBy("n_name", "c_mktsegment", "event_type")
+    }),
+
     // Stream-stream interval join run in batch mode: the SAME
     // double-watermark + bounded-time-condition operator the stream uses
     // (state-expirable by construction), attributing purchases to the
@@ -761,6 +781,14 @@ object PipelineQueries {
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
         |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT n.n_name, c.c_mktsegment, e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
         |  p.user_id AS user_id,

@@ -33,6 +33,26 @@ object EventStreams extends Serializable {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static dimension enrichment — the most common streaming
+    * pattern: every micro-batch of the (unbounded) event stream joins
+    * against a bounded dimension table. The static side is explicitly
+    * broadcast, so the stream is NEVER shuffled for the join (map-side
+    * hash join per micro-batch) and no streaming state accumulates —
+    * stateless, so any output mode works and no watermark is required.
+    * LEFT join: an event with no dimension row survives with NULLs
+    * (dropping events because a dim is late-loaded is a pipeline bug).
+    * On a batch frame the same plan is the ordinary broadcast join.
+    * At 100 TB of stream the dim must stay broadcast-sized; a
+    * data-sized "dimension" is a stream-stream join problem instead
+    * (see [[attributionJoin]]).
+    */
+  def enrichStatic(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Watermark-delay audit → recommendation (the q_stream_late feedback
     * loop). Replays a batch of the stream in ARRIVAL order, measures each
     * event's event-time lag behind the running high-water mark per

@@ -106,6 +106,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val sh = ((1L to 5L).map(d => (d, 100L)) ++ Seq((1L, 200L), (2L, 200L)))
       .toDF("doc_id", "sh")
     val pairs = graft.queries.DedupQueries.jaccardPairs(sh, maxDocFreq = 5)
+      .select("ia", "ib", "jac")
       .as[(Long, Long, Double)].collect().toSet
     // only (1,2) shares a cold shingle — pairs sharing ONLY the hot one
     // (e.g. 3,4) must not be generated...

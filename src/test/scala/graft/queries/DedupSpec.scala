@@ -12,6 +12,26 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("containment catches a doc contained in a longer one that Jaccard misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1 = shingles {1..4}; doc 2 = {1..20}: containment of 1 in 2 is
+    // 1000 permille while Jaccard is 4/20 = 0.2 — below the 0.5 dedup
+    // threshold. The asymmetric measure must flag it AND mark the miss.
+    val sh = ((1L to 4L).map(h => (1L, h)) ++ (1L to 20L).map(h => (2L, h)))
+      .toDF("doc_id", "sh")
+    val pairs = DedupQueries.jaccardPairs(sh, maxDocFreq = 10)
+      .withColumn("cont_a", expr("(common * 1000) div na"))
+      .withColumn("cont_b", expr("(common * 1000) div nb"))
+      .collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("common") == 4L)
+    assert(r.getAs[Long]("cont_a") == 1000L) // A fully inside B
+    assert(r.getAs[Long]("cont_b") == 200L)
+    assert(r.getAs[Double]("jac") < 0.5)     // symmetric dedup misses it
+  }
+
   test("q_tfidf_sim matches an independent tf-idf cosine computation") {
     val texts = graft.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()

@@ -257,6 +257,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStatic joins a live stream against a static dim without state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.enrichStatic(events, dim, "user_id", "cust_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, ts(1), 1L), (11L, ts(2), 3L))
+      q.processAllAvailable()
+      // the dim can be consumed across micro-batches (stateless rejoin)
+      input.addData((12L, ts(3), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2)).getOrElse("-"))
+        .toMap
+      // matched events carry the tier; the unmatched one SURVIVES with null
+      assert(rows == Map(10L -> "gold", 11L -> "-", 12L -> "silver"))
+    } finally q.stop()
+  }
+
   test("file-source readStream over the testdata parquet plans the same transform") {
     // readStream proves source compatibility; one micro-batch only.
     val stream = spark.readStream
