@@ -70,6 +70,19 @@ class ContractSpec extends AnyFunSuite {
     false
   }
 
+  test("the catalog never shrinks below the committed floor") {
+    // ADVICE r8: 11 queries vanished from a correctness artifact and the
+    // round still read green. The harness now writes error sentinels for
+    // crashing queries; this guards the OTHER disappearance mode — a
+    // registration regression dropping map entries. Bump the floor when
+    // queries are added; lowering it is a deliberate, reviewed act.
+    val floor = 173
+    assert(SparkEntry.queries.size >= floor,
+      s"catalog shrank: ${SparkEntry.queries.size} < $floor")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      "oracle entries without a query implementation")
+  }
+
   test("every oracle query name appears in COVERAGE.md (crosswalk stays current)") {
     // VERDICT r7 item 8: at 130+ queries the SURVEY§2→implementation
     // crosswalk silently rots unless something asserts it. Every query in
