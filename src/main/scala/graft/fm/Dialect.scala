@@ -880,6 +880,98 @@ object Dialect {
     out
   }
 
+  /** Spark type → DuckDB type spelling, for DESCRIBE parity. */
+  def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => duckTypeName(e) + "[]"
+      case m: MapType =>
+        s"MAP(${duckTypeName(m.keyType)}, ${duckTypeName(m.valueType)})"
+      case s: StructType =>
+        s.fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      case other => other.simpleString.toUpperCase
+    }
+  }
+
+  /** DuckDB's `DESCRIBE`/`DESC` statement (and its table-function form
+    * inside a FROM subquery): resolve the target's schema through the
+    * provider and splice the DuckDB-shaped six-column result
+    * (column_name, column_type, null, key, default, extra) as a VALUES
+    * relation. A bare identifier target describes `SELECT * FROM ident`;
+    * anything else is treated as a query. `schemaOf` receives a probe
+    * query fragment and returns (name, duckdb-type) pairs.
+    */
+  def rewriteDescribe(
+      sql: String, schemaOf: String => Seq[(String, String)]): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      def kwLen(i: Int): Int =
+        if (u.regionMatches(i, "DESCRIBE", 0, 8) && isKeywordAt(u, i + 7, "DESCRIBE")) 8
+        else if (u.regionMatches(i, "DESC", 0, 4) && isKeywordAt(u, i + 3, "DESC")) 4
+        else -1
+      // splice [from, end) where the region is `DESCRIBE <target>`
+      def tryAt(from: Int, end: Int): Boolean = {
+        var i = from
+        while (i < end && msk.charAt(i).isWhitespace) i += 1
+        val k = kwLen(i)
+        if (k < 0) return false
+        val inner = out.substring(i + k, end).trim
+        if (inner.isEmpty) return false
+        val frag =
+          if (inner.matches("[A-Za-z_][A-Za-z0-9_.]*")) s"SELECT * FROM $inner"
+          else inner
+        val rows = schemaOf(frag).map { case (n, t) =>
+          s"('${n.replace("'", "''")}', '$t', 'YES', " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING))"
+        }.mkString(", ")
+        val repl = s"SELECT * FROM (VALUES $rows) AS __graft_describe(" +
+          "column_name, column_type, `null`, `key`, `default`, `extra`)"
+        out = out.substring(0, from) + repl + out.substring(end)
+        true
+      }
+      // (a) whole statement
+      var p = 0
+      while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+      if (kwLen(p) > 0) changed = tryAt(p, out.length)
+      // (b) parenthesized table-function position. Only the full
+      // DESCRIBE spelling here: a parenthesized expression over a column
+      // named `desc` must not trigger (the DESC shorthand stays
+      // statement-level, like DuckDB's own contextual resolution).
+      var i = 0
+      while (i < msk.length && !changed) {
+        if (msk.charAt(i) == '(' && !lit(i)) {
+          var j = i + 1
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (kwLen(j) == 8) {
+            val close = matchParen(msk, i)
+            if (close > i) changed = tryAt(j, close)
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
   /** (start, end) of the query region holding position `at`: the content
     * span of the innermost parenthesis pair enclosing `at`, or the
     * statement body (past any top-level WITH prefix) when unparenthesized.

@@ -152,7 +152,17 @@ final class QueryEngine(
       // rewrites then run on the result.
       // SUMMARIZE resolves against the files view's schema (names +
       // types), the same provider pattern as COLUMNS/PIVOT.
-      val summarized = Dialect.rewriteSummarize(expanded,
+      // DESCRIBE resolves through a LIMIT-0 probe (analysis only) with
+      // Spark types mapped to DuckDB spellings; the result splices in as
+      // a VALUES relation so the statement and subquery forms both work.
+      val described = Dialect.rewriteDescribe(expanded, frag => {
+        val probe = spark.sql(Dialect.rewrite(Dialect.rewriteColumns(
+          s"SELECT * FROM (\n$frag\n) __graft_desc_probe LIMIT 0",
+          files.columns.toSeq)))
+        probe.schema.fields.toSeq
+          .map(f => f.name -> Dialect.duckTypeName(f.dataType))
+      })
+      val summarized = Dialect.rewriteSummarize(described,
         files.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString))
       val pivoted = Dialect.rewritePivot(summarized, (tbl, c) => {
         val rows = spark.sql(

@@ -344,6 +344,15 @@ object FrontmatterQueries {
         |ORDER BY kind NULLS FIRST, lang NULLS FIRST,
         |  category NULLS FIRST, n""".stripMargin),
 
+    // DuckDB's DESCRIBE statement (subquery table-function form, with a
+    // deterministic ORDER BY per the gate contract) —
+    // Dialect.rewriteDescribe resolves the files view's schema through a
+    // LIMIT-0 probe and splices the six-column DuckDB shape.
+    "q_fm_describe" -> run(
+      """SELECT column_name, column_type
+        |FROM (DESCRIBE SELECT * FROM files)
+        |ORDER BY column_name""".stripMargin),
+
     // A7: query_inspect schema inference as a distributed aggregation
     "q_fm_inspect" -> ((s, d) => {
       val (_, schemaDf, _) = engine(s, d).inspect("**/*.md")
@@ -672,6 +681,11 @@ object FrontmatterQueries {
          |FROM files WHERE category IS NOT NULL GROUP BY category
          |ORDER BY kind NULLS FIRST, lang NULLS FIRST,
          |  category NULLS FIRST, n""".stripMargin,
+    "q_fm_describe" ->
+      s"""$cte
+         |SELECT column_name, column_type
+         |FROM (DESCRIBE SELECT * FROM files)
+         |ORDER BY column_name""".stripMargin,
     "q_fm_inspect" -> FrontmatterOracle.inspectSql,
     "q_fm_join_docs" ->
       s"""$cte

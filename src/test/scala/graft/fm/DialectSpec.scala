@@ -541,6 +541,27 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteUnionByName(out, provider) == out)
   }
 
+  test("DESCRIBE splices the DuckDB-shaped schema relation") {
+    val schema = Seq("a" -> "VARCHAR", "n" -> "BIGINT")
+    def provider(frag: String): Seq[(String, String)] = {
+      assert(frag == "SELECT * FROM files" || frag.contains("SELECT x"))
+      schema
+    }
+    val out = Dialect.rewriteDescribe("DESCRIBE files", provider)
+    assert(out.startsWith("SELECT * FROM (VALUES ('a', 'VARCHAR', 'YES'"))
+    assert(out.contains("('n', 'BIGINT', 'YES'"))
+    assert(out.contains("`null`, `key`, `default`, `extra`"))
+    // subquery (table-function) form, full spelling only
+    val sub = Dialect.rewriteDescribe(
+      "SELECT column_name FROM (DESCRIBE SELECT x FROM t) ORDER BY 1", provider)
+    assert(sub.contains("FROM (SELECT * FROM (VALUES"))
+    // a parenthesized expression over a column named desc is untouched,
+    // and the rewrite is a no-op without DESCRIBE
+    val noop = "SELECT (description) FROM t ORDER BY x DESC"
+    assert(Dialect.rewriteDescribe(noop, provider) == noop)
+    assert(Dialect.rewriteDescribe(out, provider) == out) // idempotent
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")
