@@ -880,6 +880,72 @@ object Dialect {
     out
   }
 
+  /** A parsed `COPY <source> TO '<path>' [(options)]` statement:
+    * `sourceSql` is the query to materialize (a bare table name becomes
+    * `SELECT * FROM name`), format is PARQUET/CSV/JSON (explicit FORMAT
+    * option, else inferred from the path extension like DuckDB).
+    */
+  final case class CopyTo(
+      sourceSql: String, path: String, format: String, header: Boolean)
+
+  /** Parse a COPY ... TO statement; None when the statement is anything
+    * else (including COPY FROM, which this engine does not support —
+    * pass-through fails loudly at parse).
+    */
+  def parseCopyTo(stmt: String): Option[CopyTo] = {
+    val msk = maskComments(stmt)
+    val u = msk.toUpperCase
+    var p = 0
+    def skipWs(): Unit =
+      while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    skipWs()
+    if (!(u.regionMatches(p, "COPY", 0, 4) && isKeywordAt(u, p + 3, "COPY")))
+      return None
+    p += 4; skipWs()
+    val source: String =
+      if (p < msk.length && msk.charAt(p) == '(') {
+        val close = matchParen(msk, p)
+        if (close < 0) return None
+        val q = stmt.substring(p + 1, close); p = close + 1; q
+      } else {
+        val e = identEndAt(msk, p)
+        if (e == p) return None
+        val name = stmt.substring(p, e); p = e; s"SELECT * FROM $name"
+      }
+    skipWs()
+    if (!(u.regionMatches(p, "TO", 0, 2) && isKeywordAt(u, p + 1, "TO")))
+      return None
+    p += 2; skipWs()
+    if (p >= msk.length || msk.charAt(p) != '\'') return None
+    val close = literalEnd(msk, p)
+    if (close < 0) return None
+    val path = stmt.substring(p + 1, close).replace("''", "'")
+    p = close + 1; skipWs()
+    var format = ""
+    var header = false
+    if (p < msk.length && msk.charAt(p) == '(') {
+      val c2 = matchParen(msk, p)
+      if (c2 < 0) return None
+      val opts = stmt.substring(p + 1, c2).toUpperCase
+      "FORMAT\\s+([A-Z]+)".r.findFirstMatchIn(opts)
+        .foreach(m => format = m.group(1))
+      header = opts.contains("HEADER") && !opts.contains("HEADER FALSE")
+      p = c2 + 1
+    }
+    if (format.isEmpty) {
+      val lp = path.toLowerCase
+      format =
+        if (lp.endsWith(".parquet")) "PARQUET"
+        else if (lp.endsWith(".csv")) "CSV"
+        else if (lp.endsWith(".json") || lp.endsWith(".ndjson") ||
+          lp.endsWith(".jsonl")) "JSON"
+        else return None
+    }
+    if (!Set("PARQUET", "CSV", "JSON")(format)) return None
+    if (stmt.substring(p).trim.stripSuffix(";").trim.nonEmpty) return None
+    Some(CopyTo(source, path, format, header))
+  }
+
   /** Spark type → DuckDB type spelling, for DESCRIBE parity. */
   def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._

@@ -135,6 +135,25 @@ final class QueryEngine(
     }
     val expanded = Dialect.expandMacros(
       lastRaw, macros.readOnlySnapshot().toMap)
+    // COPY ... TO: materialize the source query through the same rewrite
+    // pipeline, export ONE file at the (sandboxed) path like DuckDB, and
+    // return DuckDB's single-row Count result.
+    Dialect.parseCopyTo(expanded) match {
+      case Some(c) =>
+        val df = runRewritten(files, c.sourceSql)
+        val n = CopyOut.writeSingleFile(df, settings.baseDir, c)
+        import spark.implicits._
+        QueryResult(Seq(n).toDF("Count"), Seq("Count"), warnings)
+      case None =>
+        val out = runRewritten(files, expanded)
+        QueryResult(out, out.columns.toSeq, warnings)
+    }
+  }
+
+  /** The locked dialect-rewrite + analysis pipeline shared by the query
+    * and COPY paths (see the locking note on [[query]]).
+    */
+  private def runRewritten(files: DataFrame, expanded: String): DataFrame = {
     val out = synchronized {
       files.createOrReplaceTempView("files")
       // DuckDB string literals keep backslashes raw (`'\.md'` IS a
@@ -193,7 +212,7 @@ final class QueryEngine(
         }
       }
     }
-    QueryResult(out, out.columns.toSeq, warnings)
+    out
   }
 
   private val inspectCache =

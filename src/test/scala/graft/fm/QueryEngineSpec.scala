@@ -256,4 +256,39 @@ class QueryEngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](FileScan.resolve(dir, "../escape.md"))
     intercept[java.io.FileNotFoundException](FileScan.resolve(dir, "missing.md"))
   }
+
+  test("COPY (query) TO parquet writes ONE file and returns the Count row") {
+    val dir = corpus(threeDocs: _*)
+    val e = eng(dir)
+    val r = e.query("**/*.md",
+      "COPY (SELECT path, title FROM files WHERE date >= '2025-11-26') " +
+        "TO 'out/export.parquet'")
+    assert(r.columns == Seq("Count"))
+    assert(r.results.collect()(0).getLong(0) == 2L)
+    val f = dir.resolve("out/export.parquet")
+    assert(Files.isRegularFile(f), "target must be a single FILE, not a dir")
+    val back = spark.read.parquet(f.toString)
+    assert(back.count() == 2 && back.columns.sorted.toSeq == Seq("path", "title"))
+  }
+
+  test("COPY table TO csv honors HEADER; format inferred from extension") {
+    val dir = corpus(threeDocs: _*)
+    val e = eng(dir)
+    val r = e.query("**/*.md", "COPY files TO 'all.csv' (HEADER)")
+    assert(r.results.collect()(0).getLong(0) == 3L)
+    val lines = Files.readAllLines(dir.resolve("all.csv"))
+    assert(lines.size == 4) // header + 3 rows
+    assert(lines.get(0).split(",").toSet.contains("path"))
+  }
+
+  test("COPY TO is sandboxed and COPY FROM fails loudly") {
+    val dir = corpus(threeDocs: _*)
+    val e = eng(dir)
+    intercept[IllegalArgumentException](
+      e.query("**/*.md", "COPY files TO '../escape.parquet'"))
+    // COPY ... FROM is not COPY TO — it falls through to the Spark
+    // parser and fails loudly rather than silently doing nothing
+    intercept[Exception](
+      e.query("**/*.md", "COPY files FROM 'x.csv'"))
+  }
 }
