@@ -85,4 +85,33 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q_token_budget_select uses the distributed prefix sum, no global-sort window") {
+    // The DATA-sized cumulative window must be partitioned by the range
+    // partition id (_pid) — an unpartitioned window over the corpus
+    // would serialize it on one task at 100 TB. (PrefixSum's OFFSETS
+    // window is legitimately single-partition: it runs over
+    // #partitions rows, not the data.) The scalar budget row comes back
+    // as a broadcast.
+    val p = plan("q_token_budget_select")
+    assert(p.contains("windowspecdefinition(_pid"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q_stream_enrich never shuffles the event stream for the join") {
+    // Stream-static enrichment: both dimension joins must be broadcast;
+    // any Exchange before the aggregate would repartition the stream.
+    val p = plan("q_stream_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("classifier scoring keeps the weights as codegen plan constants") {
+    // The trained model rides the projection as literals — no extra
+    // join, no UDF node in the scoring pass.
+    val p = plan("q_quality_classifier")
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), p.take(1200))
+  }
 }
