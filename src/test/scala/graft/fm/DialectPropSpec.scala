@@ -79,8 +79,41 @@ class DialectPropSpec extends AnyFunSuite {
       tail <- Gen.option(Gen.const(" ORDER BY 1 LIMIT 5"))
     } yield s"UNPIVOT $t ON $c1, $c2 INTO NAME $k VALUE $v${tail.getOrElse("")}"
 
+  private val fromFirst: Gen[String] = Gen.oneOf(
+    for (t <- ident) yield s"FROM $t",
+    for (t <- ident; a <- ident) yield s"FROM $t WHERE $a > 1 ORDER BY $a",
+    for (t <- ident; a <- ident; b <- ident)
+      yield s"FROM $t SELECT $a, $b WHERE $b >= 2 ORDER BY $a")
+
+  private val semiAnti: Gen[String] =
+    for (a <- ident; b <- ident; k <- ident; kind <- Gen.oneOf("SEMI", "ANTI"))
+      yield s"SELECT * FROM $a $kind JOIN $b ON $a.$k = $b.$k ORDER BY 1"
+
+  private val mathOps: Gen[String] = Gen.oneOf(
+    for (a <- ident; b <- ident) yield s"SELECT $a // $b AS d FROM t ORDER BY d",
+    for (a <- ident; n <- Gen.chooseNum(1, 5)) yield s"SELECT $a ** $n AS p FROM t",
+    for (a <- ident; n <- Gen.chooseNum(1, 5)) yield s"SELECT ($a % 7) ^ $n AS p FROM t",
+    for (a <- ident; n <- Gen.chooseNum(1, 5)) yield s"SELECT -$a ** $n AS p FROM t")
+
+  private val similarGlob: Gen[String] = Gen.oneOf(
+    for (a <- ident) yield s"SELECT $a FROM t WHERE $a SIMILAR TO 'ab.*c' ORDER BY 1",
+    for (a <- ident) yield s"SELECT $a FROM t WHERE $a GLOB '*.m?' ORDER BY 1",
+    for (a <- ident) yield s"SELECT $a FROM t WHERE $a NOT SIMILAR TO 'x[0-9]' ORDER BY 1")
+
+  private val orderedAgg: Gen[String] =
+    for (a <- ident; k <- ident)
+      yield s"SELECT string_agg($a, ',' ORDER BY $a DESC) AS s FROM t GROUP BY $k ORDER BY 1"
+
   private val statement: Gen[String] = Gen.oneOf(
     unpivot,
+    fromFirst,
+    semiAnti,
+    mathOps,
+    similarGlob,
+    orderedAgg,
+    for (f <- fromFirst) yield s"SELECT * FROM ($f) q",
+    for (m <- mathOps; g <- Gen.const("GLOB 'a*b'"); a <- ident)
+      yield s"$m UNION ALL SELECT 1 AS p FROM u WHERE $a $g",
     comprehension.map(c => s"SELECT $c AS x FROM t ORDER BY x"),
     replaceMod.map(r => s"SELECT $r FROM t ORDER BY 1"),
     distinctOn,
@@ -165,6 +198,17 @@ class DialectPropSpec extends AnyFunSuite {
       // statements never emit quoted brackets, so a plain scan suffices)
       val noLit = scrubbed.replaceAll("'[^']*'", "")
       assert(!noLit.contains("["), s"bracket survived: $sql\n  out: $scrubbed")
+      // round-9 constructs
+      assert(!noLit.contains("//"), s"// survived: $sql")
+      assert(!noLit.contains("**"), s"** survived: $sql")
+      assert(!noLit.contains("^"), s"^ survived: $sql")
+      assert(!scrubbed.contains("SIMILAR TO"), s"SIMILAR TO survived: $sql")
+      assert(!scrubbed.contains("GLOB"), s"GLOB survived: $sql")
+      assert("(?<!LEFT )(?<!RIGHT )(SEMI|ANTI) JOIN".r.findFirstIn(scrubbed).isEmpty,
+        s"bare SEMI/ANTI JOIN survived: $sql")
+      assert(!scrubbed.trim.startsWith("FROM"), s"FROM-first survived: $sql")
+      assert(!"AGG\\s*\\([^)]*ORDER BY".r.findFirstIn(scrubbed).isDefined,
+        s"in-aggregate ORDER BY survived: $sql")
     }
   }
 }
