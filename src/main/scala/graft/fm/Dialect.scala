@@ -971,6 +971,28 @@ object Dialect {
     }
   }
 
+  /** DuckDB's `SHOW TABLES` statement → the engine's one-table catalog
+    * as DuckDB's single `name` column; `SHOW <target>` is DuckDB's
+    * DESCRIBE alias and is normalized to DESCRIBE for [[rewriteDescribe]]
+    * (which must run after this).
+    */
+  private[fm] def rewriteShow(sql: String, tables: Seq[String]): String = {
+    val msk = maskComments(sql)
+    val u = msk.toUpperCase
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (!(u.regionMatches(p, "SHOW", 0, 4) && isKeywordAt(u, p + 3, "SHOW")))
+      return sql
+    var q = p + 4
+    while (q < msk.length && msk.charAt(q).isWhitespace) q += 1
+    if (u.regionMatches(q, "TABLES", 0, 6) && isKeywordAt(u, q + 5, "TABLES") &&
+      sql.substring(q + 6).trim.stripSuffix(";").trim.isEmpty) {
+      val rows = tables.sorted
+        .map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+      s"SELECT * FROM (VALUES $rows) AS __graft_show(name)"
+    } else sql.substring(0, p) + "DESCRIBE " + sql.substring(q)
+  }
+
   /** DuckDB's `DESCRIBE`/`DESC` statement (and its table-function form
     * inside a FROM subquery): resolve the target's schema through the
     * provider and splice the DuckDB-shaped six-column result

@@ -174,7 +174,8 @@ final class QueryEngine(
       // DESCRIBE resolves through a LIMIT-0 probe (analysis only) with
       // Spark types mapped to DuckDB spellings; the result splices in as
       // a VALUES relation so the statement and subquery forms both work.
-      val described = Dialect.rewriteDescribe(expanded, frag => {
+      val shown = Dialect.rewriteShow(expanded, Seq("files"))
+      val described = Dialect.rewriteDescribe(shown, frag => {
         val probe = spark.sql(Dialect.rewrite(Dialect.rewriteColumns(
           s"SELECT * FROM (\n$frag\n) __graft_desc_probe LIMIT 0",
           files.columns.toSeq)))

@@ -562,6 +562,14 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteDescribe(out, provider) == out) // idempotent
   }
 
+  test("SHOW TABLES lists the catalog; SHOW <table> aliases DESCRIBE") {
+    assert(Dialect.rewriteShow("SHOW TABLES", Seq("files"))
+      == "SELECT * FROM (VALUES ('files')) AS __graft_show(name)")
+    assert(Dialect.rewriteShow("SHOW files", Seq("files")) == "DESCRIBE files")
+    val q = "SELECT showcase FROM t ORDER BY 1"
+    assert(Dialect.rewriteShow(q, Seq("files")) == q)
+  }
+
   test("COLUMNS('regex') expands against the provided schema") {
     assert(Dialect.rewriteColumns("SELECT COLUMNS('^(a|b)$') FROM t", Seq("a", "b", "c"))
       == "SELECT a, b FROM t")

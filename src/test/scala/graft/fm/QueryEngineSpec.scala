@@ -257,6 +257,15 @@ class QueryEngineSpec extends AnyFunSuite {
     intercept[java.io.FileNotFoundException](FileScan.resolve(dir, "missing.md"))
   }
 
+  test("SHOW TABLES lists the files view; SHOW files describes it") {
+    val e = eng(corpus(threeDocs: _*))
+    val t = e.query("**/*.md", "SHOW TABLES").results.collect()
+    assert(t.map(_.getString(0)).toSeq == Seq("files"))
+    val d = e.query("**/*.md", "SHOW files")
+    assert(d.columns.take(2) == Seq("column_name", "column_type"))
+    assert(d.results.collect().map(_.getString(0)).toSet.contains("title"))
+  }
+
   test("COPY (query) TO parquet writes ONE file and returns the Count row") {
     val dir = corpus(threeDocs: _*)
     val e = eng(dir)
