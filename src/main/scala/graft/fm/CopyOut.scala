@@ -24,17 +24,18 @@ object CopyOut {
     * (DuckDB's COPY result).
     */
   def writeSingleFile(df: DataFrame, baseDir: Path, c: Dialect.CopyTo): Long = {
-    val base = baseDir.normalize()
-    val target = base.resolve(c.path).normalize()
-    if (!target.startsWith(base))
-      throw new IllegalArgumentException(
-        s"Path must be within base directory: ${c.path}")
+    val target = FileScan.resolveForWrite(baseDir, c.path)
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempDirectory(target.getParent, ".graft_copy_")
+    // One evaluation: the Count result and the written file must come
+    // from the SAME execution (a nondeterministic source — USING SAMPLE
+    // — would otherwise report a count from a different sample than the
+    // exported rows), and a deterministic source shouldn't compute twice.
+    val materialized = df.persist()
     try {
-      val rows = df.count()
+      val rows = materialized.count()
       val out = tmp.resolve("out")
-      val w0 = df.coalesce(1).write.mode("overwrite")
+      val w0 = materialized.coalesce(1).write.mode("overwrite")
       (c.format match {
         case "PARQUET" => w0.format("parquet")
         case "CSV" => w0.format("csv").option("header", c.header.toString)
@@ -42,19 +43,28 @@ object CopyOut {
         case other => throw new IllegalArgumentException(
           s"unsupported COPY format: $other")
       }).save(out.toString)
-      val part = Files.list(out).iterator().asScala
+      val part = listDir(out)
         .find(_.getFileName.toString.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(
           s"no part file produced under $out"))
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       rows
     } finally {
+      materialized.unpersist()
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        if (Files.isDirectory(p)) listDir(p).foreach(rm)
         Files.deleteIfExists(p)
       }
       rm(tmp)
     }
+  }
+
+  /** Directory listing with the stream CLOSED (Files.list leaks a file
+    * descriptor per call otherwise).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+    finally s.close()
   }
 }

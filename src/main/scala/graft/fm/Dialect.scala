@@ -193,6 +193,39 @@ object Dialect {
           }
           i += 1
         }
+        // (c) FROM-first as a set-operation operand:
+        // `... UNION [ALL|DISTINCT] FROM t ...` — the operand region
+        // runs to the next set operator / result clause within the
+        // enclosing parenthesis level.
+        i = 0
+        while (i < msk.length && !changed) {
+          val op = Seq("UNION", "INTERSECT", "EXCEPT").find(o =>
+            !lit(i) && u.regionMatches(i, o, 0, o.length) &&
+              isKeywordAt(u, i + o.length - 1, o))
+          if (op.isDefined) {
+            var j = i + op.get.length
+            def skipWs(): Unit =
+              while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+            skipWs()
+            Seq("ALL", "DISTINCT").foreach { m =>
+              if (u.regionMatches(j, m, 0, m.length) &&
+                isKeywordAt(u, j + m.length - 1, m)) { j += m.length; skipWs() }
+            }
+            if (u.regionMatches(j, "FROM", 0, 4) && isKeywordAt(u, j + 3, "FROM")) {
+              val (_, regionEnd) = enclosingRegion(msk, u, lit, j)
+              val end0 = nextTopKeywordIn(msk, u, lit, j + 4, regionEnd,
+                Seq("UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT", "OFFSET"))
+              val end = if (end0 < 0) regionEnd else end0
+              val tail = out.substring(end)
+              val sep = if (tail.nonEmpty && !tail.head.isWhitespace) " " else ""
+              out = out.substring(0, j) +
+                fromFirstToSelect(out.substring(j, end), msk.substring(j, end)) +
+                sep + tail
+              changed = true
+            }
+          }
+          i += 1
+        }
       }
     }
     out
@@ -259,13 +292,19 @@ object Dialect {
       }
       -1
     }
+    val setOps = Seq("UNION", "INTERSECT", "EXCEPT")
     val teStart = 4 // past FROM
     val teEnd0 = nextClause(teStart, clauses)
     val teEnd = if (teEnd0 < 0) region.length else teEnd0
     val te = region.substring(teStart, teEnd).trim
     if (teEnd0 < 0) return s"SELECT * FROM $te"
+    // A SELECT belonging to a set-operation operand is NOT this
+    // statement's reordered projection: never search past the first
+    // top-level set operator (`FROM t UNION SELECT 1` keeps `SELECT *`).
+    val setAt = nextClause(teEnd, setOps)
     val selAt = nextClause(teEnd, Seq("SELECT"))
-    if (selAt < 0) return s"SELECT * FROM $te ${region.substring(teEnd)}"
+    if (selAt < 0 || (setAt >= 0 && selAt > setAt))
+      return s"SELECT * FROM $te ${region.substring(teEnd)}"
     // clauses between the table expr and SELECT stay in order after FROM
     val between = region.substring(teEnd, selAt).trim
     val listEnd0 = nextClause(selAt + 6, clauses.filterNot(_ == "SELECT"))
@@ -846,10 +885,12 @@ object Dialect {
               // region: innermost paren enclosing i, else the statement
               // body (past any WITH prefix)
               val (regionStart, regionEnd) = enclosingRegion(msk, u, lit, i)
-              val withPrefix = {
-                val ms = mainQueryStart(msk, u, lit)
-                if (ms > 0) out.substring(0, ms) else ""
-              }
+              // Probe prefix: only the COMPLETE CTE definitions that end
+              // before this region. When the BY NAME being rewritten sits
+              // INSIDE a CTE body, the full WITH prefix would carry the
+              // unrewritten BY NAME into the probe and fail analysis —
+              // earlier CTEs are exactly what the operands can reference.
+              val withPrefix = cteprefixBefore(out, msk, u, lit, regionStart)
               val left = out.substring(regionStart, i).trim
               val rEnd0 = nextTopKeywordIn(msk, u, lit, k + 4, regionEnd,
                 Seq("UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT", "OFFSET"))
@@ -926,10 +967,19 @@ object Dialect {
     if (p < msk.length && msk.charAt(p) == '(') {
       val c2 = matchParen(msk, p)
       if (c2 < 0) return None
-      val opts = stmt.substring(p + 1, c2).toUpperCase
-      "FORMAT\\s+([A-Z]+)".r.findFirstMatchIn(opts)
-        .foreach(m => format = m.group(1))
-      header = opts.contains("HEADER") && !opts.contains("HEADER FALSE")
+      // Every option must be recognized — an option this engine cannot
+      // honor (DELIMITER, COMPRESSION, ...) would silently produce a
+      // file DuckDB would not have written, so it fails loudly instead.
+      stmt.substring(p + 1, c2).split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach { opt =>
+          val up = opt.toUpperCase
+          val fm = "^FORMAT\\s+([A-Z]+)$".r.findFirstMatchIn(up)
+          if (fm.isDefined) format = fm.get.group(1)
+          else if (up == "HEADER" || up == "HEADER TRUE") header = true
+          else if (up == "HEADER FALSE") header = false
+          else throw new IllegalArgumentException(
+            s"unsupported COPY option: $opt (supported: FORMAT, HEADER)")
+        }
       p = c2 + 1
     }
     if (format.isEmpty) {
@@ -1059,6 +1109,59 @@ object Dialect {
     }
     out
   }
+
+  /** The statement's WITH prefix truncated to the complete CTE
+    * definitions whose bodies END before `pos` (empty when there are
+    * none): `WITH a AS (…), b AS (…)` cut after the last `)` before
+    * `pos`. Safe to prepend to a schema probe of a fragment at `pos` —
+    * it contains every CTE the fragment can reference and nothing after
+    * it (in particular not the CTE the fragment sits inside).
+    */
+  private def cteprefixBefore(
+      out: String, msk: String, u: String, lit: Array[Boolean],
+      pos: Int): String = {
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (!(u.regionMatches(p, "WITH", 0, 4) && isKeywordAt(u, p + 3, "WITH")))
+      return ""
+    p += 4
+    def skipWs(): Unit =
+      while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    skipWs()
+    if (u.regionMatches(p, "RECURSIVE", 0, 9) && isKeywordAt(u, p + 8, "RECURSIVE")) {
+      p += 9; skipWs()
+    }
+    var lastComplete = -1
+    var more = true
+    while (more) {
+      val nameEnd = identEndAt(msk, p)
+      if (nameEnd == p) more = false
+      else {
+        p = nameEnd; skipWs()
+        if (p < msk.length && msk.charAt(p) == '(') {
+          val c = matchParen(msk, p)
+          if (c < 0) return finishCte(out, lastComplete)
+          p = c + 1; skipWs()
+        }
+        if (!(u.regionMatches(p, "AS", 0, 2) && isKeywordAt(u, p + 1, "AS")))
+          return finishCte(out, lastComplete)
+        p += 2; skipWs()
+        if (p >= msk.length || msk.charAt(p) != '(')
+          return finishCte(out, lastComplete)
+        val c = matchParen(msk, p)
+        if (c < 0) return finishCte(out, lastComplete)
+        p = c + 1
+        if (p <= pos) lastComplete = p
+        skipWs()
+        if (p < msk.length && msk.charAt(p) == ',' && p < pos) { p += 1; skipWs() }
+        else more = false
+      }
+    }
+    finishCte(out, lastComplete)
+  }
+
+  private def finishCte(out: String, lastComplete: Int): String =
+    if (lastComplete < 0) "" else out.substring(0, lastComplete) + " "
 
   /** (start, end) of the query region holding position `at`: the content
     * span of the innermost parenthesis pair enclosing `at`, or the

@@ -47,11 +47,21 @@ object FileScan {
     * `relPath` against `baseDir`, reject escapes, require existence.
     */
   def resolve(baseDir: Path, relPath: String): Path = {
+    val abs = resolveForWrite(baseDir, relPath)
+    if (!Files.exists(abs))
+      throw new java.io.FileNotFoundException(s"File not found: $relPath")
+    abs
+  }
+
+  /** The containment half of [[resolve]] alone — for targets that need
+    * not exist yet (COPY ... TO). ONE implementation of the sandbox
+    * check, so a hardening fix lands on every path that writes or reads
+    * under the base dir.
+    */
+  def resolveForWrite(baseDir: Path, relPath: String): Path = {
     val abs = baseDir.resolve(relPath).normalize()
     if (!abs.startsWith(baseDir.normalize()))
       throw new IllegalArgumentException(s"Path must be within base directory: $relPath")
-    if (!Files.exists(abs))
-      throw new java.io.FileNotFoundException(s"File not found: $relPath")
     abs
   }
 }

@@ -151,10 +151,15 @@ final class QueryEngine(
   }
 
   /** The locked dialect-rewrite + analysis pipeline shared by the query
-    * and COPY paths (see the locking note on [[query]]).
+    * and COPY paths (see the locking note on [[query]]). The lock is
+    * JVM-global, NOT per-instance: the `files` temp view name and the
+    * escapedStringLiterals parser flag are SparkSession-global state, so
+    * two engine instances sharing one session must serialize here — with
+    * per-instance locks their set/restore pairs could interleave and
+    * leave the session permanently in raw-literal mode.
     */
   private def runRewritten(files: DataFrame, expanded: String): DataFrame = {
-    val out = synchronized {
+    val out = QueryEngine.sqlLock.synchronized {
       files.createOrReplaceTempView("files")
       // DuckDB string literals keep backslashes raw (`'\.md'` IS a
       // backslash + dot); Spark's parser processes escapes by default.
@@ -249,4 +254,11 @@ final class QueryEngine(
     }
     (fileCount, withSem, entry.warnings)
   }
+}
+
+object QueryEngine {
+  /** See [[QueryEngine.runRewritten]]: guards SparkSession-global state
+    * (the `files` view registration + the parser raw-literal flag).
+    */
+  private val sqlLock = new Object
 }

@@ -107,77 +107,99 @@ object CurationQueries {
   private val clfCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** ONE template for every classifier feature / label /
+    * standardization expression, instantiated per dialect — the two
+    * engines CANNOT drift (an edit to a feature lands on both sides or
+    * neither). `div` is the truncating integer division spelling, the
+    * rest are the list-function names that differ between dialects.
+    */
+  private final case class ClfDialect(
+      div: String, len: String, split: String, filter: String,
+      containsStops: String)
+
+  private val ClfSpark = ClfDialect("div", "size", "split", "filter",
+    "array_contains(array('the', 'a'), x)")
+  private val ClfDuck = ClfDialect("//", "len", "string_split",
+    "list_filter", "list_contains(['the', 'a'], x)")
+
+  private def clfWords(dl: ClfDialect): String =
+    s"CAST(${dl.len}(${dl.split}(text, ' ')) AS BIGINT)"
+  private def clfR(dl: ClfDialect, j: Int): String = j match {
+    case 1 => s"LEAST(${clfWords(dl)}, 500)"
+    case 2 => s"(n_chars * 1000) ${dl.div} ${clfWords(dl)}"
+    case 3 => s"(CAST(${dl.len}(${dl.filter}(${dl.split}(lower(text), ' '), " +
+      s"x -> ${dl.containsStops})) AS BIGINT) * 1000) ${dl.div} ${clfWords(dl)}"
+  }
+  private def clfMean(dl: ClfDialect, j: Int): String =
+    s"CAST(SUM(r$j) AS BIGINT) ${dl.div} COUNT(*)"
+  private def clfStd(dl: ClfDialect, j: Int): String =
+    s"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(SQRT(CAST(" +
+      s"CAST(SUM((r$j - m$j) * (r$j - m$j)) AS BIGINT) ${dl.div} COUNT(*) " +
+      s"AS DOUBLE))) AS BIGINT))"
+  private def clfZ(dl: ClfDialect, j: Int): String =
+    s"((r$j - m$j) * 1000) ${dl.div} s$j"
+  private val ClfLabel =
+    "CASE WHEN n_chars * n > sc THEN CAST(1000 AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END"
+  private val ClfSplit = "doc_id % 5 < 4"
+
   private def clfFeaturesDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(clfCache, (Tables.sessionKey(s), d))({
+      val dl = ClfSpark
       val raw = Tables.load(s, d, "documents").select(
         col("doc_id"), col("n_chars"),
-        expr("LEAST(CAST(size(split(text, ' ')) AS BIGINT), 500)").as("r1"),
-        expr("(n_chars * 1000) div CAST(size(split(text, ' ')) AS BIGINT)")
-          .as("r2"),
-        expr("(CAST(size(filter(split(lower(text), ' '), " +
-          "x -> array_contains(array('the', 'a'), x))) AS BIGINT) * 1000) " +
-          "div CAST(size(split(text, ' ')) AS BIGINT)").as("r3"))
+        expr(clfR(dl, 1)).as("r1"),
+        expr(clfR(dl, 2)).as("r2"),
+        expr(clfR(dl, 3)).as("r3"))
       val lbl = raw.agg(
         count(lit(1)).cast("long").as("n"),
         sum("n_chars").cast("long").as("sc"))
-      val raw2 = raw.crossJoin(broadcast(lbl)).withColumn("y1000",
-        expr("CASE WHEN n_chars * n > sc THEN CAST(1000 AS BIGINT) " +
-          "ELSE CAST(0 AS BIGINT) END"))
+      val raw2 = raw.crossJoin(broadcast(lbl))
+        .withColumn("y1000", expr(ClfLabel))
       val st1 = raw2.agg(
-        expr("CAST(SUM(r1) AS BIGINT) div COUNT(*)").as("m1"),
-        expr("CAST(SUM(r2) AS BIGINT) div COUNT(*)").as("m2"),
-        expr("CAST(SUM(r3) AS BIGINT) div COUNT(*)").as("m3"))
+        expr(clfMean(dl, 1)).as("m1"),
+        expr(clfMean(dl, 2)).as("m2"),
+        expr(clfMean(dl, 3)).as("m3"))
       val withM = raw2.crossJoin(broadcast(st1))
-      def stdExpr(j: Int): String =
-        s"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(SQRT(CAST(" +
-          s"CAST(SUM((r$j - m$j) * (r$j - m$j)) AS BIGINT) div COUNT(*) " +
-          s"AS DOUBLE))) AS BIGINT))"
       val st2 = withM.agg(
-        expr(stdExpr(1)).as("s1"), expr(stdExpr(2)).as("s2"),
-        expr(stdExpr(3)).as("s3"))
+        expr(clfStd(dl, 1)).as("s1"), expr(clfStd(dl, 2)).as("s2"),
+        expr(clfStd(dl, 3)).as("s3"))
       withM.crossJoin(broadcast(st2)).select(
         col("doc_id"),
-        expr("doc_id % 5 < 4").as("is_train"),
+        expr(ClfSplit).as("is_train"),
         col("y1000"),
         expr("CAST(1000 AS BIGINT)").as("x0"),
-        expr("((r1 - m1) * 1000) div s1").as("x1"),
-        expr("((r2 - m2) * 1000) div s2").as("x2"),
-        expr("((r3 - m3) * 1000) div s3").as("x3"))
+        expr(clfZ(dl, 1)).as("x1"),
+        expr(clfZ(dl, 2)).as("x2"),
+        expr(clfZ(dl, 3)).as("x3"))
         .persist()
     })
 
   /** The same feature/label/standardization pipeline as
-    * [[clfFeaturesDF]], spelled in the oracle dialect as a WITH-chain
-    * prefix (`raw2`, `st1`, `st2`, `f`). Generated from one template so
-    * the two dialects cannot drift.
+    * [[clfFeaturesDF]], instantiated from the SAME template in the
+    * oracle dialect as a WITH-chain prefix (`raw2`, `st1`, `st2`, `f`).
     */
   private def clfOracleFeatureCtes: String = {
-    def stdExpr(j: Int): String =
-      s"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(SQRT(CAST(" +
-        s"CAST(SUM((r$j - m$j) * (r$j - m$j)) AS BIGINT) // COUNT(*) " +
-        s"AS DOUBLE))) AS BIGINT))"
+    val dl = ClfDuck
     s"""raw AS MATERIALIZED (SELECT doc_id, n_chars,
-       |  LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 500) AS r1,
-       |  (n_chars * 1000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS r2,
-       |  (CAST(len(list_filter(string_split(lower(text), ' '),
-       |     x -> list_contains(['the', 'a'], x))) AS BIGINT) * 1000)
-       |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS r3
+       |  ${clfR(dl, 1)} AS r1,
+       |  ${clfR(dl, 2)} AS r2,
+       |  ${clfR(dl, 3)} AS r3
        |FROM documents),
        |lbl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |               CAST(SUM(n_chars) AS BIGINT) AS sc FROM raw),
-       |raw2 AS (SELECT raw.*, CASE WHEN n_chars * n > sc
-       |  THEN CAST(1000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y1000
+       |raw2 AS (SELECT raw.*, $ClfLabel AS y1000
        |FROM raw, lbl),
-       |st1 AS (SELECT CAST(SUM(r1) AS BIGINT) // COUNT(*) AS m1,
-       |  CAST(SUM(r2) AS BIGINT) // COUNT(*) AS m2,
-       |  CAST(SUM(r3) AS BIGINT) // COUNT(*) AS m3 FROM raw2),
-       |st2 AS (SELECT ${stdExpr(1)} AS s1, ${stdExpr(2)} AS s2,
-       |  ${stdExpr(3)} AS s3 FROM raw2, st1),
-       |f AS MATERIALIZED (SELECT doc_id, doc_id % 5 < 4 AS is_train, y1000,
+       |st1 AS (SELECT ${clfMean(dl, 1)} AS m1,
+       |  ${clfMean(dl, 2)} AS m2,
+       |  ${clfMean(dl, 3)} AS m3 FROM raw2),
+       |st2 AS (SELECT ${clfStd(dl, 1)} AS s1, ${clfStd(dl, 2)} AS s2,
+       |  ${clfStd(dl, 3)} AS s3 FROM raw2, st1),
+       |f AS MATERIALIZED (SELECT doc_id, $ClfSplit AS is_train, y1000,
        |  CAST(1000 AS BIGINT) AS x0,
-       |  ((r1 - m1) * 1000) // s1 AS x1,
-       |  ((r2 - m2) * 1000) // s2 AS x2,
-       |  ((r3 - m3) * 1000) // s3 AS x3
+       |  ${clfZ(dl, 1)} AS x1,
+       |  ${clfZ(dl, 2)} AS x2,
+       |  ${clfZ(dl, 3)} AS x3
        |FROM raw2, st1, st2)""".stripMargin
   }
 

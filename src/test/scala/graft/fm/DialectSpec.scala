@@ -429,6 +429,17 @@ class DialectSpec extends AnyFunSuite {
     // FROM inside a string literal is data
     val s = "SELECT 'FROM t' AS x FROM u"
     assert(Dialect.rewriteFromFirst(s) == s)
+    // set-operation boundaries (review r9): the right operand's SELECT
+    // is NOT this statement's reordered projection...
+    assert(Dialect.rewriteFromFirst("FROM t UNION SELECT 1")
+      == "SELECT * FROM t UNION SELECT 1")
+    // ...and a FROM-first right operand desugars in place
+    assert(Dialect.rewriteFromFirst("FROM t UNION ALL FROM u")
+      == "SELECT * FROM t UNION ALL SELECT * FROM u")
+    assert(Dialect.rewriteFromFirst("FROM t UNION FROM u ORDER BY 1")
+      == "SELECT * FROM t UNION SELECT * FROM u ORDER BY 1")
+    assert(Dialect.rewriteFromFirst("SELECT 1 EXCEPT FROM u")
+      == "SELECT 1 EXCEPT SELECT * FROM u")
   }
 
   test("SIMILAR TO becomes an anchored RLIKE") {
@@ -539,6 +550,22 @@ class DialectSpec extends AnyFunSuite {
     val q = "SELECT x FROM a UNION SELECT x FROM b"
     assert(Dialect.rewriteUnionByName(q, provider) == q)
     assert(Dialect.rewriteUnionByName(out, provider) == out)
+  }
+
+  test("UNION BY NAME inside a CTE body probes with only prior CTEs (review r9)") {
+    def provider(probe: String): Seq[String] = {
+      // the probe must carry CTE `w` (referenced by the operands) but
+      // NOT the unrewritten BY NAME of the CTE being processed
+      assert(!probe.toUpperCase.contains("BY NAME"), s"probe: $probe")
+      assert(probe.startsWith("WITH w AS (SELECT 1 AS x)"), s"probe: $probe")
+      if (probe.contains("FROM w")) Seq("x", "n") else Seq("y")
+    }
+    val sql = "WITH w AS (SELECT 1 AS x), " +
+      "c AS (SELECT x, 1 AS n FROM w UNION ALL BY NAME SELECT 2 AS y) " +
+      "SELECT * FROM c ORDER BY 1"
+    val out = Dialect.rewriteUnionByName(sql, provider)
+    assert(!out.toUpperCase.contains("BY NAME"))
+    assert(out.contains("NULL AS `y`"))
   }
 
   test("DESCRIBE splices the DuckDB-shaped schema relation") {

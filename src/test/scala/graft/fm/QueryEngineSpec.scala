@@ -299,5 +299,9 @@ class QueryEngineSpec extends AnyFunSuite {
     // parser and fails loudly rather than silently doing nothing
     intercept[Exception](
       e.query("**/*.md", "COPY files FROM 'x.csv'"))
+    // an option this engine cannot honor fails loudly instead of
+    // writing a file DuckDB would not have written (review r9)
+    intercept[IllegalArgumentException](
+      e.query("**/*.md", "COPY files TO 'x.csv' (DELIMITER ';')"))
   }
 }
