@@ -147,7 +147,7 @@ object CurationQueries {
     Tables.memo(clfCache, (Tables.sessionKey(s), d))({
       val dl = ClfSpark
       val raw = Tables.load(s, d, "documents").select(
-        col("doc_id"), col("n_chars"),
+        col("doc_id"), col("source"), col("n_chars"),
         expr(clfR(dl, 1)).as("r1"),
         expr(clfR(dl, 2)).as("r2"),
         expr(clfR(dl, 3)).as("r3"))
@@ -165,7 +165,7 @@ object CurationQueries {
         expr(clfStd(dl, 1)).as("s1"), expr(clfStd(dl, 2)).as("s2"),
         expr(clfStd(dl, 3)).as("s3"))
       withM.crossJoin(broadcast(st2)).select(
-        col("doc_id"),
+        col("doc_id"), col("source"),
         expr(ClfSplit).as("is_train"),
         col("y1000"),
         expr("CAST(1000 AS BIGINT)").as("x0"),
@@ -181,7 +181,7 @@ object CurationQueries {
     */
   private def clfOracleFeatureCtes: String = {
     val dl = ClfDuck
-    s"""raw AS MATERIALIZED (SELECT doc_id, n_chars,
+    s"""raw AS MATERIALIZED (SELECT doc_id, source, n_chars,
        |  ${clfR(dl, 1)} AS r1,
        |  ${clfR(dl, 2)} AS r2,
        |  ${clfR(dl, 3)} AS r3
@@ -195,7 +195,7 @@ object CurationQueries {
        |  ${clfMean(dl, 3)} AS m3 FROM raw2),
        |st2 AS (SELECT ${clfStd(dl, 1)} AS s1, ${clfStd(dl, 2)} AS s2,
        |  ${clfStd(dl, 3)} AS s3 FROM raw2, st1),
-       |f AS MATERIALIZED (SELECT doc_id, $ClfSplit AS is_train, y1000,
+       |f AS MATERIALIZED (SELECT doc_id, source, $ClfSplit AS is_train, y1000,
        |  CAST(1000 AS BIGINT) AS x0,
        |  ${clfZ(dl, 1)} AS x1,
        |  ${clfZ(dl, 2)} AS x2,
@@ -209,7 +209,15 @@ object CurationQueries {
     * [[graft.ops.LinearClassifier.train]] exactly — same truncating
     * BIGINT grid, `//` == Spark `div` == Scala `/` (all toward zero).
     */
-  private def clfOracleSql: String = {
+  /** Drift alarm threshold for q_classifier_incremental (permille of
+    * high-quality rate difference between batch and corpus).
+    */
+  private[queries] val ClfDriftPermille = 100L
+
+  /** The unrolled training chain up to the final scored frame
+    * `p{ClfIters}` — the shared prefix of both classifier oracles.
+    */
+  private def clfOracleChain: String = {
     def pstage(k: Int): String =
       s"""p$k AS (SELECT f.*, w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2,
          |  w.w3 AS pw3,
@@ -230,13 +238,38 @@ object CurationQueries {
         "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)") ++
       (0 until ClfIters).flatMap(k => Seq(pstage(k), wstage(k + 1))) :+
       pstage(ClfIters)
-    s"""WITH ${ctes.mkString(",\n")}
+    ctes.mkString(",\n")
+  }
+
+  private def clfOracleSql: String =
+    s"""WITH $clfOracleChain
        |SELECT is_train, y1000 // 1000 AS y,
        |  CAST(CASE WHEN p >= 500 THEN 1 ELSE 0 END AS BIGINT) AS pred,
        |  COUNT(*) AS n, MAX(pw0) AS w0, MAX(pw1) AS w1, MAX(pw2) AS w2,
        |  MAX(pw3) AS w3
        |FROM p$ClfIters GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-  }
+
+  private def clfIncrementalOracleSql: String =
+    s"""WITH $clfOracleChain,
+       |sc AS (SELECT p$ClfIters.*,
+       |  ${duckH60("CAST(doc_id AS VARCHAR)")} % 10 = 7 AS in_batch
+       |FROM p$ClfIters),
+       |agg AS (SELECT source,
+       |  COUNT(CASE WHEN in_batch THEN 1 END) AS n_batch,
+       |  COUNT(CASE WHEN in_batch AND p >= 500 THEN 1 END) AS hi_batch,
+       |  COUNT(CASE WHEN NOT in_batch THEN 1 END) AS n_corpus,
+       |  COUNT(CASE WHEN NOT in_batch AND p >= 500 THEN 1 END) AS hi_corpus
+       |FROM sc GROUP BY source)
+       |SELECT source, n_batch,
+       |  (hi_batch * 1000) // NULLIF(n_batch, 0) AS hi_batch_permille,
+       |  n_corpus,
+       |  (hi_corpus * 1000) // NULLIF(n_corpus, 0) AS hi_corpus_permille,
+       |  abs((hi_batch * 1000) // NULLIF(n_batch, 0)
+       |      - (hi_corpus * 1000) // NULLIF(n_corpus, 0)) AS drift_permille,
+       |  abs((hi_batch * 1000) // NULLIF(n_batch, 0)
+       |      - (hi_corpus * 1000) // NULLIF(n_corpus, 0))
+       |    >= $ClfDriftPermille AS drifted
+       |FROM agg WHERE n_batch > 0 ORDER BY source""".stripMargin
 
   /** Train/test split moduli for the leakage audit. */
   private[queries] val LeakMod = 10
@@ -388,6 +421,45 @@ object CurationQueries {
         .withColumn("w0", lit(w(0))).withColumn("w1", lit(w(1)))
         .withColumn("w2", lit(w(2))).withColumn("w3", lit(w(3)))
         .orderBy("is_train", "y", "pred")
+    }),
+
+    // Incremental classifier application + score-drift monitor: the
+    // deterministic training replays to the SAME weights (partitioning-
+    // invariant integer grid), so "apply the stored model to a new
+    // batch" and "retrain and apply" are the same numbers. The batch is
+    // a HASH slice of doc ids (not a modulus — the testdata's doc_id
+    // stride aliases with source, and a drift monitor needs batch AND
+    // corpus rows in every source). Per-source high-quality rates of
+    // batch vs corpus and their absolute drift, the alarm that catches
+    // a crawl snapshot whose quality distribution shifted before it
+    // contaminates the mix. One scoring pass over the persisted feature
+    // frame + one hash aggregate; all rates on the exact permille grid.
+    "q_classifier_incremental" -> ((s, d) => {
+      val feats = clfFeaturesDF(s, d)
+      val cols = Seq("x0", "x1", "x2", "x3")
+      val w = graft.ops.LinearClassifier.train(
+        feats, cols, "y1000", "is_train", ClfIters, ClfLrNum, ClfLrDen)
+      val p = graft.ops.LinearClassifier.predictExpr(cols, w.toSeq)
+      val scored = feats.withColumn("p", expr(p))
+        .withColumn("in_batch",
+          expr(s"${h60("CAST(doc_id AS STRING)")} % 10 = 7"))
+      scored.groupBy("source").agg(
+          count(when(col("in_batch"), 1)).as("n_batch"),
+          count(when(col("in_batch") && col("p") >= 500, 1)).as("hi_batch"),
+          count(when(!col("in_batch"), 1)).as("n_corpus"),
+          count(when(!col("in_batch") && col("p") >= 500, 1)).as("hi_corpus"))
+        .filter(col("n_batch") > 0)
+        .select(col("source"), col("n_batch"),
+          expr("(hi_batch * 1000) div NULLIF(n_batch, 0)")
+            .as("hi_batch_permille"),
+          col("n_corpus"),
+          expr("(hi_corpus * 1000) div NULLIF(n_corpus, 0)")
+            .as("hi_corpus_permille"),
+          expr("abs((hi_batch * 1000) div NULLIF(n_batch, 0) " +
+            "- (hi_corpus * 1000) div NULLIF(n_corpus, 0))")
+            .as("drift_permille"))
+        .withColumn("drifted", col("drift_permille") >= ClfDriftPermille)
+        .orderBy("source")
     }),
 
     // Cross-split contamination audit: which held-out (test-split)
@@ -873,6 +945,7 @@ object CurationQueries {
          |  CAST(exp(CAST(total_unats AS DOUBLE) / n_bigrams / 1000000.0) AS REAL) AS ppl
          |FROM per ORDER BY doc_id""".stripMargin,
     "q_quality_classifier" -> clfOracleSql,
+    "q_classifier_incremental" -> clfIncrementalOracleSql,
     "q_token_budget_select" ->
       s"""WITH s AS (SELECT doc_id, lang,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

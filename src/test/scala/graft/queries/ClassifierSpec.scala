@@ -62,6 +62,23 @@ class ClassifierSpec extends AnyFunSuite {
       s"weights must not depend on partitioning: ${w1.toSeq} vs ${w17.toSeq}")
   }
 
+  test("incremental scoring: hash batch cuts across sources, drift is consistent") {
+    val rows = SparkEntry.queries("q_classifier_incremental")(spark, sf)
+      .collect()
+    // the hash slice must give a drift BASELINE: many sources with both
+    // batch and corpus rows (a modulus slice aliased with source and
+    // produced rows with no corpus side at all)
+    assert(rows.length >= 10, s"only ${rows.length} sources have batch rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_corpus") > 0,
+        s"source ${r.getAs[String]("source")} has no corpus baseline")
+      val d = r.getAs[Long]("drift_permille")
+      assert(d == math.abs(r.getAs[Long]("hi_batch_permille") -
+        r.getAs[Long]("hi_corpus_permille")))
+      assert(r.getAs[Boolean]("drifted") == (d >= 100L))
+    }
+  }
+
   test("split leakage audit only scores test docs, with consistent counts") {
     val rows = SparkEntry.queries("q_split_leakage")(spark, sf).collect()
     assert(rows.nonEmpty)
