@@ -59,6 +59,7 @@ object PlanAudit {
     "q_ann_pq" -> "PQ ADC scan: codegen graft_pq_codes assignment, 1024-row distance table broadcast, integer ADC sums over the compressed tier",
     "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort",
     "q_quality_classifier" -> "classifier scoring pass: persisted feature frame, weights inlined as plan constants (codegen), one hash agg — the per-iteration gradient job has the same shape",
+    "q_classifier_incremental" -> "incremental scoring + drift: same codegen weights-as-constants scan, hash-slice batch flag in the projection, ONE source hash agg for both slices",
     "q_split_leakage" -> "cross-split leakage: equi-join on gram hash vs the train side's deduplicated vocabulary (Catalyst broadcasts while it fits, shuffle join beyond — no forced broadcast), per-doc hash agg",
     "q_token_budget_select" -> "budget selection: distributed prefix sum (range partition + offsets, no single-partition window), scalar budget row broadcast back",
     "q_rag_retrieve" -> "RAG retrieval: narrow chunk explode, executor-local embed seam, query vector as plan constant, TakeOrderedAndProject top-5 (no global sort)",
