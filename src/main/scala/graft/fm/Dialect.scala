@@ -2290,16 +2290,25 @@ object Dialect {
           if (posOk && k < msk.length && msk.charAt(k) == '(') {
             val close = matchParen(msk, k)
             val arg = if (close > k) out.substring(k + 1, close).trim else ""
-            if (close > k && arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
+            // three DuckDB argument forms: a regex string literal
+            // (RE2-partial search), `*` (every column), and a name
+            // lambda `c -> <predicate over c>`
+            val matched0: Option[Seq[String]] =
+              if (close < 0) None
+              else if (arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
+                val re = java.util.regex.Pattern.compile(
+                  arg.substring(1, arg.length - 1).replace("''", "'"))
+                Some(columns.filter(c => re.matcher(c).find()))
+              } else if (arg == "*") Some(columns)
+              else evalColumnsLambda(arg, columns)
+            if (matched0.isDefined) {
               var t = close + 1
               while (t < msk.length && Character.isWhitespace(msk.charAt(t))) t += 1
               val tailOk = t >= msk.length || msk.charAt(t) == ',' ||
                 (t + 3 < msk.length && u.regionMatches(t, "FROM", 0, 4) &&
                   isKeywordAt(u, t + 3, "FROM"))
               if (tailOk) {
-                val re = java.util.regex.Pattern.compile(
-                  arg.substring(1, arg.length - 1).replace("''", "'"))
-                val matched = columns.filter(c => re.matcher(c).find())
+                val matched = matched0.get
                 if (matched.isEmpty) throw new IllegalArgumentException(
                   s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
                 out = out.substring(0, i) + matched.mkString(", ") +
@@ -2313,6 +2322,55 @@ object Dialect {
       }
     }
     out
+  }
+
+  /** DuckDB's COLUMNS lambda form evaluated over the column NAMES:
+    * `c -> c [NOT] LIKE 'pat'`, `c -> c [NOT] SIMILAR TO 'regex'`, and
+    * `c -> c = / != / <> 'lit'` — the shapes column selection actually
+    * uses. Anything else returns None and passes through to fail loudly
+    * at parse rather than guess predicate semantics.
+    */
+  private def evalColumnsLambda(
+      arg: String, columns: Seq[String]): Option[Seq[String]] = {
+    val head = "^([A-Za-z_][A-Za-z0-9_]*)\\s*->\\s*(.+)$".r
+      .findFirstMatchIn(arg.trim)
+    if (head.isEmpty) return None
+    val v = java.util.regex.Pattern.quote(head.get.group(1))
+    val pred = head.get.group(2).trim
+    val patForm =
+      ("(?i)^" + v + "\\s+(NOT\\s+)?(LIKE|SIMILAR\\s+TO)\\s+'((?:[^']|'')*)'$").r
+    val eqForm = ("^" + v + "\\s*(=|!=|<>)\\s*'((?:[^']|'')*)'$").r
+    patForm.findFirstMatchIn(pred) match {
+      case Some(g) =>
+        val neg = g.group(1) != null
+        val raw = g.group(3).replace("''", "'")
+        val re =
+          if (g.group(2).toUpperCase.startsWith("LIKE")) likeToRegex(raw)
+          else raw
+        val p = java.util.regex.Pattern.compile("^(?:" + re + ")$")
+        Some(columns.filter(c => p.matcher(c).matches() != neg))
+      case None =>
+        eqForm.findFirstMatchIn(pred).map { g =>
+          val lit = g.group(2).replace("''", "'")
+          val neg = g.group(1) != "="
+          columns.filter(c => (c == lit) != neg)
+        }
+    }
+  }
+
+  /** SQL LIKE pattern → Java regex (`%` any run, `_` any char, the rest
+    * literal), for the COLUMNS lambda's name matching.
+    */
+  private def likeToRegex(pat: String): String = {
+    val sb = new StringBuilder
+    pat.foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case ch if "\\.[]{}()<>*+-=!?^$|".indexOf(ch) >= 0 =>
+        sb.append('\\').append(ch)
+      case ch => sb.append(ch)
+    }
+    sb.toString
   }
 
   /** DuckDB simplified `PIVOT` statement → Spark SQL

@@ -219,6 +219,12 @@ object FrontmatterQueries {
       """SELECT COLUMNS('^(path|n_chars|category)$') FROM files
         |ORDER BY path LIMIT 25""".stripMargin),
 
+    // COLUMNS lambda form: the predicate runs over the column NAMES
+    // (Dialect.evalColumnsLambda — LIKE/SIMILAR TO/equality shapes).
+    "q_fm_columns_lambda" -> run(
+      """SELECT path, COLUMNS(c -> c LIKE 'c%') FROM files
+        |WHERE category IS NOT NULL ORDER BY path LIMIT 25""".stripMargin),
+
     // Long-tail dialect: the combined `* EXCLUDE (...) REPLACE (...)`
     // star-modifier spelling merges into one EXCEPT + re-projection
     // (Dialect.rewriteReplace's combined path).
@@ -592,6 +598,10 @@ object FrontmatterQueries {
       s"""$cte
          |SELECT COLUMNS('^(path|n_chars|category)$$') FROM files
          |ORDER BY path LIMIT 25""".stripMargin,
+    "q_fm_columns_lambda" ->
+      s"""$cte
+         |SELECT path, COLUMNS(c -> c LIKE 'c%') FROM files
+         |WHERE category IS NOT NULL ORDER BY path LIMIT 25""".stripMargin,
     "q_fm_exclude_replace" ->
       s"""$cte
          |SELECT * EXCLUDE (tags, score, source) REPLACE (upper(category) AS category)

@@ -609,5 +609,24 @@ class DialectSpec extends AnyFunSuite {
     // a regex matching nothing fails loudly, like DuckDB
     intercept[IllegalArgumentException](
       Dialect.rewriteColumns("SELECT COLUMNS('zzz') FROM t", Seq("a")))
+    // star form: every column
+    assert(Dialect.rewriteColumns("SELECT COLUMNS(*) FROM t", Seq("a", "b"))
+      == "SELECT a, b FROM t")
+    // lambda forms over the column NAMES
+    assert(Dialect.rewriteColumns(
+      "SELECT COLUMNS(c -> c LIKE 'a%') FROM t", Seq("ax", "ay", "bz"))
+      == "SELECT ax, ay FROM t")
+    assert(Dialect.rewriteColumns(
+      "SELECT COLUMNS(c -> c NOT LIKE 'a%') FROM t", Seq("ax", "bz"))
+      == "SELECT bz FROM t")
+    assert(Dialect.rewriteColumns(
+      "SELECT COLUMNS(x -> x SIMILAR TO '[ab]1') FROM t", Seq("a1", "b1", "c1"))
+      == "SELECT a1, b1 FROM t")
+    assert(Dialect.rewriteColumns(
+      "SELECT COLUMNS(c -> c != 'b') FROM t", Seq("a", "b", "c"))
+      == "SELECT a, c FROM t")
+    // an unsupported lambda predicate passes through to fail loudly
+    val hard = "SELECT COLUMNS(c -> len(c) > 2) FROM t"
+    assert(Dialect.rewriteColumns(hard, Seq("abc")) == hard)
   }
 }
