@@ -2287,33 +2287,59 @@ object Dialect {
             isKeywordAt(u, j, "SELECT") || isKeywordAt(u, j, "DISTINCT"))
           var k = i + "COLUMNS".length
           while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
-          if (posOk && k < msk.length && msk.charAt(k) == '(') {
+          def itemPosOk(at: Int): Boolean = {
+            var b = at - 1
+            while (b >= 0 && Character.isWhitespace(msk.charAt(b))) b -= 1
+            b >= 0 && (msk.charAt(b) == ',' ||
+              isKeywordAt(u, b, "SELECT") || isKeywordAt(u, b, "DISTINCT"))
+          }
+          def tailOkAt(from: Int): Boolean = {
+            var t = from
+            while (t < msk.length && Character.isWhitespace(msk.charAt(t))) t += 1
+            t >= msk.length || msk.charAt(t) == ',' ||
+              (t + 3 < msk.length && u.regionMatches(t, "FROM", 0, 4) &&
+                isKeywordAt(u, t + 3, "FROM"))
+          }
+          if (k < msk.length && msk.charAt(k) == '(') {
             val close = matchParen(msk, k)
             val arg = if (close > k) out.substring(k + 1, close).trim else ""
-            // three DuckDB argument forms: a regex string literal
-            // (RE2-partial search), `*` (every column), and a name
-            // lambda `c -> <predicate over c>`
-            val matched0: Option[Seq[String]] =
-              if (close < 0) None
-              else if (arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
-                val re = java.util.regex.Pattern.compile(
-                  arg.substring(1, arg.length - 1).replace("''", "'"))
-                Some(columns.filter(c => re.matcher(c).find()))
-              } else if (arg == "*") Some(columns)
-              else evalColumnsLambda(arg, columns)
+            val matched0 =
+              if (close < 0) None else columnsArg(arg, columns)
             if (matched0.isDefined) {
-              var t = close + 1
-              while (t < msk.length && Character.isWhitespace(msk.charAt(t))) t += 1
-              val tailOk = t >= msk.length || msk.charAt(t) == ',' ||
-                (t + 3 < msk.length && u.regionMatches(t, "FROM", 0, 4) &&
-                  isKeywordAt(u, t + 3, "FROM"))
-              if (tailOk) {
-                val matched = matched0.get
+              val matched = matched0.get
+              if (posOk && tailOkAt(close + 1)) {
+                // bare select-item position: expand in place
                 if (matched.isEmpty) throw new IllegalArgumentException(
                   s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
                 out = out.substring(0, i) + matched.mkString(", ") +
                   out.substring(close + 1)
                 changed = true
+              } else if (j >= 0 && msk.charAt(j) == '(') {
+                // one-arg function call position: fn(COLUMNS(...)) as a
+                // select item expands to fn(c1), fn(c2), ... — DuckDB's
+                // per-column aggregate idiom.
+                val fnOpen = j
+                var fe = fnOpen - 1
+                while (fe >= 0 && Character.isWhitespace(msk.charAt(fe))) fe -= 1
+                var fs = fe
+                while (fs >= 0 && (Character.isLetterOrDigit(msk.charAt(fs)) ||
+                  msk.charAt(fs) == '_')) fs -= 1
+                val fnClose = matchParen(msk, fnOpen)
+                var afterCols = close + 1
+                while (afterCols < msk.length &&
+                  Character.isWhitespace(msk.charAt(afterCols))) afterCols += 1
+                if (fs < fe && itemPosOk(fs + 1) && fnClose == afterCols &&
+                  tailOkAt(fnClose + 1)) {
+                  val fn = out.substring(fs + 1, fe + 1)
+                  if (matched.isEmpty) throw new IllegalArgumentException(
+                    s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
+                  // DuckDB names each expanded result after the COLUMN
+                  // (not `fn(col)`) — mirror that with explicit aliases
+                  out = out.substring(0, fs + 1) +
+                    matched.map(c => s"$fn($c) AS $c").mkString(", ") +
+                    out.substring(fnClose + 1)
+                  changed = true
+                }
               }
             }
           }
@@ -2323,6 +2349,30 @@ object Dialect {
     }
     out
   }
+
+  /** Resolve a COLUMNS(...) argument to the matched column list:
+    * regex string literal (RE2-partial search), `*`, `* EXCLUDE (...)`,
+    * or a name lambda; None when the shape is unsupported (the call
+    * passes through to fail loudly).
+    */
+  private def columnsArg(
+      arg: String, columns: Seq[String]): Option[Seq[String]] =
+    if (arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
+      val re = java.util.regex.Pattern.compile(
+        arg.substring(1, arg.length - 1).replace("''", "'"))
+      Some(columns.filter(c => re.matcher(c).find()))
+    } else if (arg == "*") Some(columns)
+    else {
+      val excl = "(?i)^\\*\\s+EXCLUDE\\s*\\(([^)]*)\\)$".r.findFirstMatchIn(arg)
+      if (excl.isDefined) {
+        val dropped = excl.get.group(1).split(",")
+          .map(_.trim).filter(_.nonEmpty).map(_.toLowerCase).toSet
+        val unknown = dropped -- columns.map(_.toLowerCase)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"COLUMNS($arg) excludes unknown columns: ${unknown.mkString(", ")}")
+        Some(columns.filterNot(c => dropped(c.toLowerCase)))
+      } else evalColumnsLambda(arg, columns)
+    }
 
   /** DuckDB's COLUMNS lambda form evaluated over the column NAMES:
     * `c -> c [NOT] LIKE 'pat'`, `c -> c [NOT] SIMILAR TO 'regex'`, and

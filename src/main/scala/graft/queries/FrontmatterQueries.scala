@@ -225,6 +225,16 @@ object FrontmatterQueries {
       """SELECT path, COLUMNS(c -> c LIKE 'c%') FROM files
         |WHERE category IS NOT NULL ORDER BY path LIMIT 25""".stripMargin),
 
+    // COLUMNS in one-arg function position — DuckDB's per-column
+    // aggregate idiom, expanded to one call per matched column. Both
+    // engines auto-name the result `min(col)`, so no aliases needed;
+    // the files view is all-strings, so min/max are lexicographic in
+    // both.
+    "q_fm_columns_agg" -> run(
+      """SELECT category, COUNT(*) AS n, min(COLUMNS('^(n_chars|id)$'))
+        |FROM files WHERE category IS NOT NULL
+        |GROUP BY category ORDER BY category""".stripMargin),
+
     // Long-tail dialect: the combined `* EXCLUDE (...) REPLACE (...)`
     // star-modifier spelling merges into one EXCEPT + re-projection
     // (Dialect.rewriteReplace's combined path).
@@ -602,6 +612,11 @@ object FrontmatterQueries {
       s"""$cte
          |SELECT path, COLUMNS(c -> c LIKE 'c%') FROM files
          |WHERE category IS NOT NULL ORDER BY path LIMIT 25""".stripMargin,
+    "q_fm_columns_agg" ->
+      s"""$cte
+         |SELECT category, COUNT(*) AS n, min(COLUMNS('^(n_chars|id)$$'))
+         |FROM files WHERE category IS NOT NULL
+         |GROUP BY category ORDER BY category""".stripMargin,
     "q_fm_exclude_replace" ->
       s"""$cte
          |SELECT * EXCLUDE (tags, score, source) REPLACE (upper(category) AS category)

@@ -603,9 +603,18 @@ class DialectSpec extends AnyFunSuite {
     // partial-match semantics like DuckDB's RE2 search
     assert(Dialect.rewriteColumns("SELECT COLUMNS('id') FROM t", Seq("doc_id", "x"))
       == "SELECT doc_id FROM t")
-    // non-bare position (inside an aggregate) stays untouched
-    val in2 = "SELECT max(COLUMNS('a')) FROM t"
-    assert(Dialect.rewriteColumns(in2, Seq("a")) == in2)
+    // one-arg function position: per-column expansion of the call
+    assert(Dialect.rewriteColumns("SELECT max(COLUMNS('a')) FROM t", Seq("a1", "a2", "b"))
+      == "SELECT max(a1) AS a1, max(a2) AS a2 FROM t")
+    assert(Dialect.rewriteColumns(
+      "SELECT g, min(COLUMNS(*)) FROM t GROUP BY g", Seq("x", "y"))
+      == "SELECT g, min(x) AS x, min(y) AS y FROM t GROUP BY g")
+    // star-exclude argument form
+    assert(Dialect.rewriteColumns(
+      "SELECT COLUMNS(* EXCLUDE (b)) FROM t", Seq("a", "b", "c"))
+      == "SELECT a, c FROM t")
+    intercept[IllegalArgumentException](Dialect.rewriteColumns(
+      "SELECT COLUMNS(* EXCLUDE (zzz)) FROM t", Seq("a")))
     // a regex matching nothing fails loudly, like DuckDB
     intercept[IllegalArgumentException](
       Dialect.rewriteColumns("SELECT COLUMNS('zzz') FROM t", Seq("a")))
