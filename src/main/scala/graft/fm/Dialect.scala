@@ -2256,16 +2256,20 @@ object Dialect {
     -1
   }
 
-  /** DuckDB `COLUMNS('regex')` star expansion, resolved against a known
+  /** DuckDB `COLUMNS(...)` star expansion, resolved against a known
     * column list — the engine passes the files view's schema at query
-    * time (the same resolution point DuckDB uses). Only the bare
-    * select-item position is expanded (preceded by SELECT/DISTINCT or a
-    * top-level comma, followed by a comma, FROM, or end of text);
-    * `agg(COLUMNS(...))` and other wrapped forms stay untouched and fail
-    * loudly at parse instead of silently aggregating a column list.
-    * DuckDB matches with RE2 partial-match semantics; `Matcher.find()`
+    * time (the same resolution point DuckDB uses). Argument forms: a
+    * regex string literal (RE2 partial-match semantics — `Matcher.find()`
     * mirrors that, and an anchored `^...$` pattern behaves identically
-    * in both. A regex matching NO column throws (DuckDB errors too).
+    * in both engines), `*`, `* EXCLUDE (...)`, and name lambdas
+    * (see [[evalColumnsLambda]]). Two positions are expanded: the bare
+    * select-item (preceded by SELECT/DISTINCT or a top-level comma,
+    * followed by a comma, FROM, or end of text) and the one-arg function
+    * call `fn(COLUMNS(...))` as a select item, which becomes one call
+    * per matched column aliased to the COLUMN name (DuckDB's naming).
+    * Other positions stay untouched and fail loudly at parse. An
+    * argument matching NO column throws (DuckDB errors too) — but only
+    * when the occurrence is in an expandable position.
     */
   def rewriteColumns(sql: String, columns: Seq[String]): String = {
     var out = sql
@@ -2280,13 +2284,6 @@ object Dialect {
       var i = u.indexOf("COLUMNS")
       while (i >= 0 && !changed) {
         if (!lit(i) && isKeywordAt(u, i + "COLUMNS".length - 1, "COLUMNS")) {
-          // select-item position: previous non-ws is ',' or SELECT/DISTINCT
-          var j = i - 1
-          while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
-          val posOk = j >= 0 && (msk.charAt(j) == ',' ||
-            isKeywordAt(u, j, "SELECT") || isKeywordAt(u, j, "DISTINCT"))
-          var k = i + "COLUMNS".length
-          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
           def itemPosOk(at: Int): Boolean = {
             var b = at - 1
             while (b >= 0 && Character.isWhitespace(msk.charAt(b))) b -= 1
@@ -2300,24 +2297,20 @@ object Dialect {
               (t + 3 < msk.length && u.regionMatches(t, "FROM", 0, 4) &&
                 isKeywordAt(u, t + 3, "FROM"))
           }
+          var j = i - 1
+          while (j >= 0 && Character.isWhitespace(msk.charAt(j))) j -= 1
+          var k = i + "COLUMNS".length
+          while (k < msk.length && Character.isWhitespace(msk.charAt(k))) k += 1
           if (k < msk.length && msk.charAt(k) == '(') {
             val close = matchParen(msk, k)
-            val arg = if (close > k) out.substring(k + 1, close).trim else ""
-            val matched0 =
-              if (close < 0) None else columnsArg(arg, columns)
-            if (matched0.isDefined) {
-              val matched = matched0.get
-              if (posOk && tailOkAt(close + 1)) {
-                // bare select-item position: expand in place
-                if (matched.isEmpty) throw new IllegalArgumentException(
-                  s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
-                out = out.substring(0, i) + matched.mkString(", ") +
-                  out.substring(close + 1)
-                changed = true
-              } else if (j >= 0 && msk.charAt(j) == '(') {
-                // one-arg function call position: fn(COLUMNS(...)) as a
-                // select item expands to fn(c1), fn(c2), ... — DuckDB's
-                // per-column aggregate idiom.
+            // Resolve the POSITION first: the argument is only evaluated
+            // (and may only throw) for an occurrence that will actually
+            // expand — a COLUMNS in an untouched position keeps the
+            // pass-through-to-fail-at-parse contract even for a bad arg.
+            val barePos = close > k && itemPosOk(i) && tailOkAt(close + 1)
+            // one-arg function call: fn(COLUMNS(...)) as a select item
+            val fnPos: Option[(Int, Int)] =
+              if (close > k && !barePos && j >= 0 && msk.charAt(j) == '(') {
                 val fnOpen = j
                 var fe = fnOpen - 1
                 while (fe >= 0 && Character.isWhitespace(msk.charAt(fe))) fe -= 1
@@ -2329,17 +2322,28 @@ object Dialect {
                 while (afterCols < msk.length &&
                   Character.isWhitespace(msk.charAt(afterCols))) afterCols += 1
                 if (fs < fe && itemPosOk(fs + 1) && fnClose == afterCols &&
-                  tailOkAt(fnClose + 1)) {
-                  val fn = out.substring(fs + 1, fe + 1)
-                  if (matched.isEmpty) throw new IllegalArgumentException(
-                    s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
+                  tailOkAt(fnClose + 1)) Some((fs, fnClose))
+                else None
+              } else None
+            if (barePos || fnPos.isDefined) {
+              val arg = out.substring(k + 1, close).trim
+              columnsArg(arg, columns).foreach { matched =>
+                if (matched.isEmpty) throw new IllegalArgumentException(
+                  s"COLUMNS($arg) matched no column of [${columns.mkString(", ")}]")
+                if (barePos) {
+                  out = out.substring(0, i) + matched.mkString(", ") +
+                    out.substring(close + 1)
+                } else {
+                  val (fs, fnClose) = fnPos.get
+                  val fn = out.substring(fs + 1, j)
                   // DuckDB names each expanded result after the COLUMN
-                  // (not `fn(col)`) — mirror that with explicit aliases
+                  // (not `fn(col)`) — mirror that with explicit aliases,
+                  // which the oracle compare depends on
                   out = out.substring(0, fs + 1) +
-                    matched.map(c => s"$fn($c) AS $c").mkString(", ") +
+                    matched.map(c => s"${fn.trim}($c) AS $c").mkString(", ") +
                     out.substring(fnClose + 1)
-                  changed = true
                 }
+                changed = true
               }
             }
           }

@@ -264,10 +264,12 @@ object CurationQueries {
        |  (hi_batch * 1000) // NULLIF(n_batch, 0) AS hi_batch_permille,
        |  n_corpus,
        |  (hi_corpus * 1000) // NULLIF(n_corpus, 0) AS hi_corpus_permille,
-       |  abs((hi_batch * 1000) // NULLIF(n_batch, 0)
-       |      - (hi_corpus * 1000) // NULLIF(n_corpus, 0)) AS drift_permille,
-       |  abs((hi_batch * 1000) // NULLIF(n_batch, 0)
-       |      - (hi_corpus * 1000) // NULLIF(n_corpus, 0))
+       |  CASE WHEN n_corpus = 0 THEN CAST(1000 AS BIGINT)
+       |    ELSE abs((hi_batch * 1000) // NULLIF(n_batch, 0)
+       |      - (hi_corpus * 1000) // NULLIF(n_corpus, 0)) END AS drift_permille,
+       |  CASE WHEN n_corpus = 0 THEN CAST(1000 AS BIGINT)
+       |    ELSE abs((hi_batch * 1000) // NULLIF(n_batch, 0)
+       |      - (hi_corpus * 1000) // NULLIF(n_corpus, 0)) END
        |    >= $ClfDriftPermille AS drifted
        |FROM agg WHERE n_batch > 0 ORDER BY source""".stripMargin
 
@@ -455,8 +457,12 @@ object CurationQueries {
           col("n_corpus"),
           expr("(hi_corpus * 1000) div NULLIF(n_corpus, 0)")
             .as("hi_corpus_permille"),
-          expr("abs((hi_batch * 1000) div NULLIF(n_batch, 0) " +
-            "- (hi_corpus * 1000) div NULLIF(n_corpus, 0))")
+          // a source with NO corpus baseline is the STRONGEST drift
+          // case (a brand-new source arriving in the batch) — maximal
+          // drift, never a silent NULL that downstream filters drop
+          expr("CASE WHEN n_corpus = 0 THEN CAST(1000 AS BIGINT) " +
+            "ELSE abs((hi_batch * 1000) div NULLIF(n_batch, 0) " +
+            "- (hi_corpus * 1000) div NULLIF(n_corpus, 0)) END")
             .as("drift_permille"))
         .withColumn("drifted", col("drift_permille") >= ClfDriftPermille)
         .orderBy("source")

@@ -226,10 +226,11 @@ object FrontmatterQueries {
         |WHERE category IS NOT NULL ORDER BY path LIMIT 25""".stripMargin),
 
     // COLUMNS in one-arg function position — DuckDB's per-column
-    // aggregate idiom, expanded to one call per matched column. Both
-    // engines auto-name the result `min(col)`, so no aliases needed;
-    // the files view is all-strings, so min/max are lexicographic in
-    // both.
+    // aggregate idiom, expanded to one call per matched column with an
+    // explicit `AS col` alias: DuckDB names the expansion after the
+    // bare COLUMN (n_chars, not min(n_chars)), and the rewrite must
+    // mirror that for the exact-name oracle compare. The files view is
+    // all-strings, so min/max are lexicographic in both engines.
     "q_fm_columns_agg" -> run(
       """SELECT category, COUNT(*) AS n, min(COLUMNS('^(n_chars|id)$'))
         |FROM files WHERE category IS NOT NULL

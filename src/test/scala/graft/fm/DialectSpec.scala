@@ -615,6 +615,10 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT a, c FROM t")
     intercept[IllegalArgumentException](Dialect.rewriteColumns(
       "SELECT COLUMNS(* EXCLUDE (zzz)) FROM t", Seq("a")))
+    // a bad argument in a NON-expandable position (two-arg call) still
+    // passes through — the argument is only evaluated where it expands
+    val wrapped = "SELECT coalesce(COLUMNS(* EXCLUDE (zzz)), x) FROM t"
+    assert(Dialect.rewriteColumns(wrapped, Seq("a", "x")) == wrapped)
     // a regex matching nothing fails loudly, like DuckDB
     intercept[IllegalArgumentException](
       Dialect.rewriteColumns("SELECT COLUMNS('zzz') FROM t", Seq("a")))

@@ -70,12 +70,16 @@ class ClassifierSpec extends AnyFunSuite {
     // produced rows with no corpus side at all)
     assert(rows.length >= 10, s"only ${rows.length} sources have batch rows")
     rows.foreach { r =>
-      assert(r.getAs[Long]("n_corpus") > 0,
-        s"source ${r.getAs[String]("source")} has no corpus baseline")
       val d = r.getAs[Long]("drift_permille")
-      assert(d == math.abs(r.getAs[Long]("hi_batch_permille") -
-        r.getAs[Long]("hi_corpus_permille")))
-      assert(r.getAs[Boolean]("drifted") == (d >= 100L))
+      if (r.getAs[Long]("n_corpus") == 0L)
+        // a brand-new source (no corpus baseline) is maximal drift by
+        // definition — never a silent NULL
+        assert(d == 1000L && r.getAs[Boolean]("drifted"))
+      else
+        assert(d == math.abs(r.getAs[Long]("hi_batch_permille") -
+          r.getAs[Long]("hi_corpus_permille")))
+      assert(r.getAs[Boolean]("drifted") ==
+        (d >= graft.queries.CurationQueries.ClfDriftPermille))
     }
   }
 
