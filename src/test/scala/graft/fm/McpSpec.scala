@@ -75,6 +75,31 @@ class McpSpec extends AnyFunSuite {
     assert(structured("row_count") == 2)
   }
 
+  test("tools/call query handles the statement surface: DESCRIBE and COPY TO") {
+    val (server, dir) = mkServer()
+    val d = rpc(server,
+      """{"jsonrpc":"2.0","id":14,"method":"tools/call","params":{"name":"query","arguments":{"glob":"**/*.md","sql":"SELECT column_name, column_type FROM (DESCRIBE files) ORDER BY column_name"}}}""")
+    val dres = d("result").asInstanceOf[Map[String, Any]]
+    assert(dres("isError") == false)
+    val dpay = Json.parse(dres("content").asInstanceOf[Seq[Map[String, Any]]]
+      .head("text").toString).asInstanceOf[Map[String, Any]]
+    assert(dpay("columns") == Seq("column_name", "column_type"))
+    val names = dpay("results").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("column_name"))
+    assert(names.contains("path") && names.contains("title"))
+
+    val c = rpc(server,
+      """{"jsonrpc":"2.0","id":15,"method":"tools/call","params":{"name":"query","arguments":{"glob":"**/*.md","sql":"COPY (SELECT path FROM files) TO 'export.csv' (HEADER)"}}}""")
+    val cres = c("result").asInstanceOf[Map[String, Any]]
+    assert(cres("isError") == false)
+    assert(Files.isRegularFile(dir.resolve("export.csv")))
+
+    // a sandbox escape through the transport is a tool error, not a crash
+    val esc = rpc(server,
+      """{"jsonrpc":"2.0","id":16,"method":"tools/call","params":{"name":"query","arguments":{"glob":"**/*.md","sql":"COPY files TO '../esc.csv'"}}}""")
+    assert(esc("result").asInstanceOf[Map[String, Any]]("isError") == true)
+  }
+
   test("tools/call update mutates the file and a follow-up query sees it") {
     val (server, dir) = mkServer()
     val up = rpc(server,
