@@ -963,20 +963,30 @@ object Dialect {
     val path = stmt.substring(p + 1, close).replace("''", "'")
     p = close + 1; skipWs()
     var format = ""
-    var header = false
+    var header: Option[Boolean] = None
     if (p < msk.length && msk.charAt(p) == '(') {
       val c2 = matchParen(msk, p)
       if (c2 < 0) return None
       // Every option must be recognized — an option this engine cannot
       // honor (DELIMITER, COMPRESSION, ...) would silently produce a
       // file DuckDB would not have written, so it fails loudly instead.
+      // DuckDB accepts the format bare or quoted (FORMAT CSV / 'csv')
+      // and HEADER with TRUE/FALSE/1/0/ON/OFF or no value at all.
+      val fmtRe = "^FORMAT\\s+(?:'([A-Z]+)'|\"([A-Z]+)\"|([A-Z]+))$".r
+      val hdrRe = "^HEADER(?:\\s+(TRUE|FALSE|1|0|ON|OFF))?$".r
       stmt.substring(p + 1, c2).split(",").map(_.trim).filter(_.nonEmpty)
         .foreach { opt =>
           val up = opt.toUpperCase
-          val fm = "^FORMAT\\s+([A-Z]+)$".r.findFirstMatchIn(up)
-          if (fm.isDefined) format = fm.get.group(1)
-          else if (up == "HEADER" || up == "HEADER TRUE") header = true
-          else if (up == "HEADER FALSE") header = false
+          val fm = fmtRe.findFirstMatchIn(up)
+          val hd = hdrRe.findFirstMatchIn(up)
+          if (fm.isDefined)
+            format = Seq(fm.get.group(1), fm.get.group(2), fm.get.group(3))
+              .find(_ != null).get
+          else if (hd.isDefined)
+            header = Some(hd.get.group(1) match {
+              case "FALSE" | "0" | "OFF" => false
+              case _ => true // bare HEADER, TRUE, 1, ON
+            })
           else throw new IllegalArgumentException(
             s"unsupported COPY option: $opt (supported: FORMAT, HEADER)")
         }
@@ -993,7 +1003,10 @@ object Dialect {
     }
     if (!Set("PARQUET", "CSV", "JSON")(format)) return None
     if (stmt.substring(p).trim.stripSuffix(";").trim.nonEmpty) return None
-    Some(CopyTo(source, path, format, header))
+    // DuckDB writes a header line for CSV unless HEADER FALSE is given;
+    // parquet/json have no header concept, so the default only matters
+    // for CSV and matches the reference engine's observed v1.0 behavior.
+    Some(CopyTo(source, path, format, header.getOrElse(format == "CSV")))
   }
 
   /** Spark type → DuckDB type spelling, for DESCRIBE parity. */

@@ -56,6 +56,32 @@ final class QueryEngine(
   Dialect.register(spark)
   semantic.foreach(_.registerFunctions(spark))
 
+  /** The dialect surface runs on a PRIVATE session clone: same
+    * SparkContext, shared cache manager (persisted corpus frames still
+    * hit), but its own parser conf and temp-view catalog. The
+    * raw-literal parser flag (DuckDB keeps backslashes in '\.md') is
+    * set once here and never touches the user's session, and the
+    * `files` view name can't collide with other engine instances or
+    * other threads using the shared session (advice r9).
+    */
+  private val sqlSession: SparkSession = {
+    val s = spark.newSession()
+    // newSession() re-derives SQLConf from the context conf; copy the
+    // two runtime settings results must agree on.
+    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
+      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    s.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    Dialect.register(s)
+    semantic.foreach(_.registerFunctions(s))
+    s
+  }
+
+  /** Instance-unique global-temp-view name bridging the corpus frame
+    * (built on the user's session) into [[sqlSession]]'s catalog.
+    */
+  private val bridgeView: String =
+    "graft_files_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
   private case class Cached(
       fingerprint: String,
       parsed: Dataset[ParsedFile],
@@ -128,10 +154,13 @@ final class QueryEngine(
       }
     }
     val lastRaw = stmts.lastOption.getOrElse(sql)
+    // A macro-only script is a success in DuckDB (DDL returns an empty
+    // result); register the macro and return zero rows rather than
+    // erroring after mutating session state.
     Dialect.parseCreateMacro(lastRaw).foreach { m =>
       macros.put(m.name.toLowerCase, m)
-      throw new IllegalArgumentException(
-        s"macro ${m.name} created; a script must end with a query to return results")
+      import spark.implicits._
+      return QueryResult(Seq.empty[Long].toDF("Count"), Seq("Count"), warnings)
     }
     val expanded = Dialect.expandMacros(
       lastRaw, macros.readOnlySnapshot().toMap)
@@ -151,24 +180,56 @@ final class QueryEngine(
   }
 
   /** The locked dialect-rewrite + analysis pipeline shared by the query
-    * and COPY paths (see the locking note on [[query]]). The lock is
-    * JVM-global, NOT per-instance: the `files` temp view name and the
-    * escapedStringLiterals parser flag are SparkSession-global state, so
-    * two engine instances sharing one session must serialize here — with
-    * per-instance locks their set/restore pairs could interleave and
-    * leave the session permanently in raw-literal mode.
+    * and COPY paths (see the locking note on [[query]]). Runs entirely
+    * on [[sqlSession]], so the lock is per-INSTANCE: it only serializes
+    * this engine's own `files` view replacement against its own
+    * in-flight analysis — other engine instances and other users of the
+    * shared session are unaffected by construction.
     */
-  private def runRewritten(files: DataFrame, expanded: String): DataFrame = {
-    val out = QueryEngine.sqlLock.synchronized {
-      files.createOrReplaceTempView("files")
-      // DuckDB string literals keep backslashes raw (`'\.md'` IS a
-      // backslash + dot); Spark's parser processes escapes by default.
-      // Flip the parser to raw-literal mode for this dialect surface only
-      // — scoped to the lock so no other session user sees it.
-      val escKey = "spark.sql.parser.escapedStringLiterals"
-      val escPrev = spark.conf.getOption(escKey)
-      spark.conf.set(escKey, "true")
-      try {
+  private val rewriteLock = new Object
+
+  /** Parent temp views currently mirrored into [[sqlSession]] (guarded
+    * by [[rewriteLock]]) — tracked so views DROPPED on the parent
+    * disappear from the clone too instead of resolving stale.
+    */
+  private var mirrored: Set[String] = Set.empty
+
+  private def runRewritten(files: DataFrame, expanded: String): DataFrame =
+    rewriteLock.synchronized {
+      // Bridge the corpus frame (a Dataset of the user's session) into
+      // the clone's catalog: global temp views are SharedState-scoped,
+      // so the clone sees it; the instance-unique name prevents
+      // cross-engine collisions. The local `files` alias captures the
+      // bridged plan at creation, so a later replacement cannot
+      // redirect an already-returned DataFrame.
+      files.createOrReplaceGlobalTempView(bridgeView)
+      sqlSession.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW files AS " +
+          s"SELECT * FROM global_temp.$bridgeView")
+      // A DuckDB connection sees every table registered on it, so user
+      // SQL may reference temp views the caller created on the PARENT
+      // session (q_fm_asof does). Mirror them through the same
+      // global-temp bridge; drop mirrors whose parent view is gone.
+      val parentViews = spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary &&
+          (t.namespace == null || t.namespace.isEmpty) && t.name != "files")
+        .map(_.name).toSet
+      for (v <- mirrored diff parentViews) {
+        sqlSession.catalog.dropTempView(v)
+        spark.catalog.dropGlobalTempView(s"${bridgeView}_$v")
+      }
+      for (v <- parentViews) {
+        spark.table(v).createOrReplaceGlobalTempView(s"${bridgeView}_$v")
+        // Drop-then-create, not OR REPLACE: the bridged plan carries a
+        // View marker named `v` (the parent view), and REPLACE's cyclic-
+        // view check would flag view `v` defined via View(`v`) as
+        // recursive even though the marker wraps an already-analyzed
+        // plan. A fresh CREATE has no existing view to cycle against.
+        sqlSession.catalog.dropTempView(v)
+        sqlSession.sql(s"CREATE TEMPORARY VIEW $v AS " +
+          s"SELECT * FROM global_temp.${bridgeView}_$v")
+      }
+      mirrored = parentViews
       // PIVOT value discovery runs first (it may query the just-registered
       // view for the DISTINCT pivot values — the same hidden pass DuckDB
       // makes, one bounded driver list); then COLUMNS('regex') expands
@@ -179,9 +240,10 @@ final class QueryEngine(
       // DESCRIBE resolves through a LIMIT-0 probe (analysis only) with
       // Spark types mapped to DuckDB spellings; the result splices in as
       // a VALUES relation so the statement and subquery forms both work.
-      val shown = Dialect.rewriteShow(expanded, Seq("files"))
+      val shown = Dialect.rewriteShow(expanded,
+        "files" +: parentViews.toSeq.sorted)
       val described = Dialect.rewriteDescribe(shown, frag => {
-        val probe = spark.sql(Dialect.rewrite(Dialect.rewriteColumns(
+        val probe = sqlSession.sql(Dialect.rewrite(Dialect.rewriteColumns(
           s"SELECT * FROM (\n$frag\n) __graft_desc_probe LIMIT 0",
           files.columns.toSeq)))
         probe.schema.fields.toSeq
@@ -190,7 +252,7 @@ final class QueryEngine(
       val summarized = Dialect.rewriteSummarize(described,
         files.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString))
       val pivoted = Dialect.rewritePivot(summarized, (tbl, c) => {
-        val rows = spark.sql(
+        val rows = sqlSession.sql(
           s"SELECT DISTINCT CAST(($c) AS STRING) AS v FROM $tbl " +
             s"WHERE ($c) IS NOT NULL ORDER BY v LIMIT 1001").collect()
         require(rows.length <= 1000,
@@ -201,25 +263,18 @@ final class QueryEngine(
       // ASOF JOIN desugars against the session catalog's schemas (both
       // sides must be registered tables/views).
       val asofed = Dialect.rewriteAsof(pivoted, tbl =>
-        spark.table(tbl).schema.fields.toSeq
+        sqlSession.table(tbl).schema.fields.toSeq
           .map(f => f.name -> f.dataType.simpleString))
       // UNION BY NAME aligns both sides' schemas; each side is probed
       // with a LIMIT-0 plan (analysis only, no execution) through the
       // full rewrite chain so dialect constructs inside the operands
       // resolve too.
       val unioned = Dialect.rewriteUnionByName(asofed, probe =>
-        spark.sql(Dialect.rewrite(
+        sqlSession.sql(Dialect.rewrite(
           Dialect.rewriteColumns(probe, files.columns.toSeq))).columns.toSeq)
-      spark.sql(Dialect.rewrite(Dialect.rewriteColumns(unioned, files.columns.toSeq)))
-      } finally {
-        escPrev match {
-          case Some(v) => spark.conf.set(escKey, v)
-          case None => spark.conf.unset(escKey)
-        }
-      }
+      sqlSession.sql(
+        Dialect.rewrite(Dialect.rewriteColumns(unioned, files.columns.toSeq)))
     }
-    out
-  }
 
   private val inspectCache =
     TrieMap.empty[String, (String, Long, DataFrame)]
@@ -254,11 +309,4 @@ final class QueryEngine(
     }
     (fileCount, withSem, entry.warnings)
   }
-}
-
-object QueryEngine {
-  /** See [[QueryEngine.runRewritten]]: guards SparkSession-global state
-    * (the `files` view registration + the parser raw-literal flag).
-    */
-  private val sqlLock = new Object
 }

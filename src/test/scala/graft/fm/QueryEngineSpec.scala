@@ -290,6 +290,33 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(lines.get(0).split(",").toSet.contains("path"))
   }
 
+  test("COPY TO csv writes a header by default, like DuckDB (advice r9)") {
+    val dir = corpus(threeDocs: _*)
+    val e = eng(dir)
+    // no options at all: DuckDB v1.0 writes a header line by default
+    e.query("**/*.md", "COPY (SELECT path FROM files) TO 'plain.csv'")
+    val plain = Files.readAllLines(dir.resolve("plain.csv"))
+    assert(plain.size == 4 && plain.get(0) == "path")
+    // DuckDB's numeric/quoted spellings are accepted: HEADER 0 disables,
+    // FORMAT 'csv' (quoted) selects the format
+    e.query("**/*.md",
+      "COPY (SELECT path FROM files) TO 'bare.out' (FORMAT 'csv', HEADER 0)")
+    val bare = Files.readAllLines(dir.resolve("bare.out"))
+    assert(bare.size == 3 && !bare.contains("path"))
+    e.query("**/*.md",
+      "COPY (SELECT path FROM files) TO 'on.csv' (HEADER 1)")
+    assert(Files.readAllLines(dir.resolve("on.csv")).get(0) == "path")
+  }
+
+  test("a macro-only script succeeds with an empty result (DuckDB DDL)") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md", "CREATE MACRO twice(x) AS x * 2")
+    assert(r.columns == Seq("Count") && r.results.collect().isEmpty)
+    // the macro really registered: usable in the next query
+    val r2 = e.query("**/*.md", "SELECT twice(21) AS v FROM files LIMIT 1")
+    assert(r2.results.collect().head.getInt(0) == 42)
+  }
+
   test("COPY TO is sandboxed and COPY FROM fails loudly") {
     val dir = corpus(threeDocs: _*)
     val e = eng(dir)
