@@ -47,12 +47,21 @@ object Tables {
     * memory across queries the same way, `files.py:19-49`). Bench and
     * repeated-query sessions call this once.
     */
-  def warm(spark: SparkSession, dir: String): Unit =
+  def warm(spark: SparkSession, dir: String): Unit = {
+    // Cache at the session's shuffle parallelism, not the file-split
+    // count: a sub-128MB table is ONE split, and a 1-partition cached
+    // relation serializes every downstream compute-heavy projection
+    // (text tokenization, hashing) on a single core no matter how many
+    // the box has. At cluster scale the scan has thousands of splits
+    // and this exchange is noise; locally it is the difference between
+    // 1-way and n-way map stages.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     names.foreach { n =>
-      val df = load(spark, dir, n).persist()
+      val df = load(spark, dir, n).repartition(parts).persist()
       df.count()
       cache.put((sessionKey(spark), dir, n), df)
     }
+  }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver regenerates the testdata between rounds and the parquet

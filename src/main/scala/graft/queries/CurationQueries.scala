@@ -506,19 +506,24 @@ object CurationQueries {
     // scalar aggregate row broadcast back; the keep rule is exact
     // integer arithmetic (cum_before + n_tokens <= budget).
     "q_token_budget_select" -> ((s, d) => {
-      val scored = Tables.load(s, d, "documents").select(
+      // Rides the shared persisted quality frame (TextQueries.qualityDF)
+      // instead of re-evaluating the three-lambda quality expression
+      // over the corpus — FLOOR over the same cached double is
+      // bit-identical to inlining the expression.
+      val scored = TextQueries.qualityDF(s, d).select(
         col("doc_id"), col("lang"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
-        expr(s"CAST(FLOOR((${TextQueries.QualityExpr}) * 1000) AS BIGINT)")
-          .as("qp"))
+        col("n_tokens").cast("long").as("n_tokens"),
+        expr("CAST(FLOOR(quality * 1000) AS BIGINT)").as("qp"))
         .withColumn("skey",
           expr("(1000 - qp) * 1099511627776 + doc_id"))
-      val budget = scored.agg(
-        expr("(CAST(SUM(n_tokens) AS BIGINT) * 6) div 10").as("budget"))
-      graft.ops.PrefixSum.runningBefore(scored, "skey", "n_tokens", 32)
-        .crossJoin(broadcast(budget))
+      // No separate budget pass: with the suffix sum from the SAME
+      // window pass, total = cb + nt + ca, and for positive integers
+      // a <= (6*total) div 10  <=>  10a <= 6*total, so
+      // kept <=> 10*(cb+nt) <= 6*(cb+nt+ca) <=> 2*(cb+nt) <= 3*ca —
+      // exact, and the grand total never has to be broadcast back.
+      graft.ops.PrefixSum.runningBeforeAfter(scored, "skey", "n_tokens")
         .withColumn("kept",
-          col("cum_before") + col("n_tokens") <= col("budget"))
+          expr("2 * (cum_before + n_tokens) <= 3 * cum_after"))
         .groupBy("lang").agg(
           count(lit(1)).as("n_total"),
           count(when(col("kept"), 1)).as("n_kept"),
@@ -674,7 +679,7 @@ object CurationQueries {
           expr(h60(s"concat('$ShuffleSeed:', CAST(doc_id AS STRING))")).as("hk"))
         .withColumn("_ord", struct(col("hk"), col("doc_id")))
         .withColumn("one", lit(1L))
-      graft.ops.PrefixSum.runningBefore(keyed, "_ord", "one", 32)
+      graft.ops.PrefixSum.runningBefore(keyed, "_ord", "one")
         .withColumn("pos", col("cum_before"))
         .groupBy(expr(s"pos DIV $ShuffleBlock").as("block"))
         .agg(count(lit(1)).as("n"),

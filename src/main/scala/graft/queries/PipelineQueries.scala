@@ -274,8 +274,7 @@ object PipelineQueries {
     "q_pack_sequences" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
-      graft.ops.PrefixSum.runningBefore(toks, "doc_id", "ntok",
-          partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      graft.ops.PrefixSum.runningBefore(toks, "doc_id", "ntok")
         .select(col("doc_id"), col("ntok"),
           expr("CAST(floor(cum_before / 2048.0) AS BIGINT)").as("bin"))
         .orderBy("doc_id")
@@ -308,8 +307,7 @@ object PipelineQueries {
       val sz = Tables.load(s, d, "documents")
         .select(col("doc_id"),
           expr("octet_length(encode(text, 'UTF-8'))").as("n_bytes"))
-      graft.ops.PrefixSum.runningBefore(sz, "doc_id", "n_bytes",
-          partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      graft.ops.PrefixSum.runningBefore(sz, "doc_id", "n_bytes")
         .select(col("doc_id"), col("n_bytes"),
           expr("CAST(floor(cum_before / 65536.0) AS BIGINT)").as("batch_id"))
         .groupBy("batch_id")
@@ -351,8 +349,7 @@ object PipelineQueries {
       val keepers = kept.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
       val toks = kept.join(keepers, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
-      graft.ops.PrefixSum.runningBefore(toks, "doc_id", "ntok",
-          partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      graft.ops.PrefixSum.runningBefore(toks, "doc_id", "ntok")
         .select(col("doc_id"), col("ntok"),
           expr("CAST(floor(cum_before / 2048.0) AS BIGINT)").as("bin"))
         .orderBy("doc_id")

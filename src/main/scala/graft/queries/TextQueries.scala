@@ -120,7 +120,7 @@ object TextQueries {
   private val qualityCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
 
-  private def qualityDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+  private[queries] def qualityDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(qualityCache, (Tables.sessionKey(s), d))({
       Tables.load(s, d, "documents")
         .selectExpr("doc_id", "lang", "source",
