@@ -127,14 +127,32 @@ object Curation {
   /** [[lmUnigramScore]] over a pre-built `(idCol, word)` frame — the
     * entry point for callers with a shared persisted word frame.
     */
-  def lmUnigramFromWords(w: DataFrame, idCol: String): DataFrame = {
-    val tot = w.agg(count(lit(1)).as("nt"))
-    val vocab = w.groupBy("word").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
+  def lmUnigramFromWords(w: DataFrame, idCol: String): DataFrame =
+    lmUnigramFromCounts(
+      w.groupBy(idCol, "word").agg(count(lit(1)).as("tf")), idCol)
+
+  /** [[lmUnigramFromWords]] over a pre-aggregated `(idCol, word, tf)`
+    * term-frequency frame — the entry point for callers that already
+    * persist one (the dedup/tf-idf family does). All model statistics
+    * fold out of the counts: occurrence totals are Σtf, so both the
+    * vocabulary aggregate and the per-document surprisal run over the
+    * (much smaller) distinct (doc, word) frame, and the per-occurrence
+    * sum Σ unats becomes the exact BIGINT product sum Σ tf·unats.
+    */
+  def lmUnigramFromCounts(wc: DataFrame, idCol: String): DataFrame = {
+    // The token total is the sum of the vocabulary counts — fold it out
+    // of the vocab aggregate with a whole-frame window instead of a
+    // second corpus-sized pass. The single-partition window is over the
+    // VOCABULARY (language-sized, the same bound that makes it
+    // broadcastable), never the corpus.
+    val vocab = wc.groupBy("word").agg(sum("tf").as("n"))
+      .withColumn("nt", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .select(col("word"), expr(unatsExpr("FLOAT")).as("unats"))
-    w.join(broadcast(vocab), Seq("word"))
+    wc.join(broadcast(vocab), Seq("word"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), sum("unats").as("total_unats"))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("unats")).as("total_unats"))
       .select(col(idCol), col("n_tokens"), col("total_unats"),
         expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS FLOAT)")
           .as("ppl"))

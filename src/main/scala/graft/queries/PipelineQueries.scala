@@ -103,6 +103,25 @@ object PipelineQueries {
     */
   private[queries] val ParaPack = 100000L
 
+  private val paraChunkCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  /** The paragraph fingerprint index — non-overlapping ChunkMax-token
+    * windows with md5 fingerprints and the packed first-occurrence key —
+    * persisted per (session, sf dir) like the dedup shingle frames: the
+    * dedup plan references it twice (keeper aggregate + join-back), and
+    * it is the corpus-side index an incremental paragraph dedup probes.
+    */
+  private def paraChunksDF(s: SparkSession, d: String): DataFrame =
+    Tables.memo(paraChunkCache, (Tables.sessionKey(s), d))({
+      graft.ops.Curation.chunkText(
+          Tables.load(s, d, "documents"), "doc_id", "text",
+          maxTokens = ChunkMax, overlap = 0)
+        .select(col("doc_id"), col("chunk_id"), col("fp"))
+        .withColumn("ck", expr(s"doc_id * $ParaPack + chunk_id"))
+        .persist()
+    })
+
   /** Arrival-jitter span for q_stream_late's simulated reordering:
     * events within LateJitter positions of each other may swap arrival
     * order. Shared with the oracle.
@@ -570,11 +589,7 @@ object PipelineQueries {
     // corpus); per-doc kept ratios are the curation signal. All exact
     // integer/md5 arithmetic.
     "q_para_dedup" -> ((s, d) => {
-      val chunks = graft.ops.Curation.chunkText(
-          Tables.load(s, d, "documents"), "doc_id", "text",
-          maxTokens = ChunkMax, overlap = 0)
-        .select(col("doc_id"), col("chunk_id"), col("fp"))
-        .withColumn("ck", expr(s"doc_id * $ParaPack + chunk_id"))
+      val chunks = paraChunksDF(s, d)
       val keep = chunks.groupBy("fp").agg(min("ck").as("mink"))
       chunks.join(keep, Seq("fp"))
         .groupBy("doc_id")

@@ -78,25 +78,35 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
-  test("q_train_shuffle broadcasts the partition offsets (prefix-sum shape)") {
-    // The offsets side is partitions-sized — it must come back as a
-    // broadcast, not a shuffled join against the data.
-    val p = plan("q_train_shuffle")
-    assert(p.contains("BroadcastHashJoin"), p.take(1200))
-    assert(!p.contains("SortMergeJoin"), p.take(1200))
-  }
-
-  test("q_token_budget_select uses the distributed prefix sum, no global-sort window") {
+  test("prefix-sum queries window by _pid, never a global-sort window") {
     // The DATA-sized cumulative window must be partitioned by the range
     // partition id (_pid) — an unpartitioned window over the corpus
-    // would serialize it on one task at 100 TB. (PrefixSum's OFFSETS
-    // window is legitimately single-partition: it runs over
-    // #partitions rows, not the data.) The scalar budget row comes back
-    // as a broadcast.
-    val p = plan("q_token_budget_select")
+    // would serialize it on one task at 100 TB. At spec SF the input is
+    // one scan split, so PrefixSum's auto-scaling legitimately plans
+    // parts=1 (no offsets join at all); the multi-partition offsets
+    // shape is pinned separately below.
+    Seq("q_train_shuffle", "q_token_budget_select").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q:") {
+        assert(p.contains("windowspecdefinition(_pid"), p.take(1500))
+        assert(!p.contains("SortMergeJoin"), p.take(1200))
+      }
+    }
+  }
+
+  test("multi-partition prefix sum broadcasts the offsets (scale shape)") {
+    // With partitions forced > 1, the partitions-sized offsets frame
+    // must come back as a broadcast, not a shuffled join against the
+    // data, and both cumulative directions must ride _pid-partitioned
+    // windows.
+    import org.apache.spark.sql.functions.col
+    val df = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val p = graft.ops.PrefixSum.runningBeforeAfter(df, "doc_id", "v", 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
     assert(p.contains("windowspecdefinition(_pid"), p.take(1500))
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
   test("q_stream_enrich never shuffles the event stream for the join") {

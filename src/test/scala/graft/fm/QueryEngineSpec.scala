@@ -259,8 +259,11 @@ class QueryEngineSpec extends AnyFunSuite {
 
   test("SHOW TABLES lists the files view; SHOW files describes it") {
     val e = eng(corpus(threeDocs: _*))
+    // contains, not equals: a DuckDB connection lists EVERY registered
+    // table, so views other suites registered on the shared session
+    // legitimately appear alongside `files` (view mirroring, advice r9)
     val t = e.query("**/*.md", "SHOW TABLES").results.collect()
-    assert(t.map(_.getString(0)).toSeq == Seq("files"))
+    assert(t.map(_.getString(0)).toSeq.contains("files"))
     val d = e.query("**/*.md", "SHOW files")
     assert(d.columns.take(2) == Seq("column_name", "column_type"))
     assert(d.results.collect().map(_.getString(0)).toSet.contains("title"))
