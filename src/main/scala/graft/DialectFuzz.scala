@@ -1,0 +1,433 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.FixtureCorpus
+import graft.fm.{QueryEngine, Settings}
+
+/** Differential dialect fuzzer (VERDICT r9 item 7): generates DuckDB-
+  * dialect statements per construct family, runs each through the FULL
+  * engine path (glob scan → parse → files view → dialect rewrite →
+  * Spark SQL) over the fixture corpus, and dumps results + an
+  * `oracle_sql.json` in exactly the format `tools/oracle_check.py`
+  * consumes — the oracle side replays the ORIGINAL statement natively
+  * in DuckDB over the reconstructed files table, so any semantic drift
+  * a rewrite introduces shows up as a row/column/hash mismatch the
+  * fixed q_fm_* rows can't catch.
+  *
+  * Usage:  runMain graft.DialectFuzz <sfDir> <outDir> [nPerFamily]
+  * then:   python3 tools/oracle_check.py <sfDir> <outDir>
+  *
+  * Generation is DETERMINISTIC: statement i of family f is a pure
+  * function of (f, i), so a failing case replays exactly and a green
+  * run is comparable across commits.
+  *
+  * Generator discipline (the parity rules every statement obeys):
+  *  - every computed column carries an explicit lowercase alias on both
+  *    sides (the compare keys on column names);
+  *  - ORDER BY on a nullable column always spells NULLS FIRST/LAST
+  *    (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST);
+  *  - LIMIT only ever follows a total order on `path` (unique,
+  *    non-null), so the kept prefix is deterministic;
+  *  - no floating-point REDUCTIONS (sum/avg over doubles) — casts and
+  *    single float ops are IEEE-identical, accumulation order is not;
+  *  - date_diff only over 'day' (complete-unit vs boundary-crossing
+  *    semantics coincide on midnight-aligned dates).
+  */
+object DialectFuzz {
+
+  final case class Stmt(engine: String, oracle: String)
+
+  private val cte = FixtureCorpus.filesCte
+
+  /** Statement text shared verbatim by both engines → oracle = CTE + it. */
+  private def shared(sql: String): Stmt = Stmt(sql, s"$cte\n$sql")
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+
+  // Low-cardinality group/partition keys (all nullable on %100==7 rows).
+  private val keyCols = Seq("lang", "source", "category", "published")
+  // Ordering/value columns disjoint from keyCols.
+  private val ordCols = Seq("n_chars", "created", "id", "path")
+  private val allCols = Seq("path", "id", "lang", "source", "n_chars",
+    "created", "tags", "published", "score", "category")
+
+  private def intExpr(r: Random): String = pick(r, Seq(
+    "TRY_CAST(n_chars AS BIGINT)", "TRY_CAST(id AS BIGINT)", "len(path)"))
+
+  private def predicate(r: Random): String = pick(r, Seq(
+    s"${pick(r, keyCols)} IS NOT NULL",
+    "lang IN ('en', 'fr')",
+    s"TRY_CAST(n_chars AS INT) > ${50 * (1 + r.nextInt(6))}",
+    "path LIKE '%doc%'",
+    "published = 'True'",
+    s"category = 'cat${r.nextInt(7)}'",
+    f"created >= '2025-${1 + r.nextInt(9)}%02d-01'",
+    "id IS NOT NULL"))
+
+  private def whereOpt(r: Random): String =
+    if (r.nextBoolean()) s" WHERE ${predicate(r)}" else ""
+
+  // ---- families ---------------------------------------------------------
+
+  private def qualify(r: Random): Stmt = {
+    val fn = pick(r, Seq("row_number()", "rank()", "dense_rank()"))
+    val part = pick(r, keyCols)
+    val ord = pick(r, ordCols)
+    val dir = pick(r, Seq("ASC", "DESC"))
+    val nulls = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
+    val cmp = pick(r, Seq("<=", "=", "<"))
+    val k = 1 + r.nextInt(3)
+    shared(
+      s"""SELECT path, $part AS p, $ord AS o FROM files${whereOpt(r)}
+         |QUALIFY $fn OVER (PARTITION BY $part ORDER BY $ord $dir $nulls, path) $cmp $k""".stripMargin)
+  }
+
+  private def brackets(r: Random): Stmt = {
+    def one(): String = pick(r, Seq(
+      s"string_split(path, '/')[${1 + r.nextInt(3)}]",
+      s"string_split(path, '_')[${1 + r.nextInt(3)}]",
+      { val i = 1 + r.nextInt(3); val j = i + r.nextInt(2)
+        s"array_to_string(string_split(path, '/')[$i:$j], '|')" },
+      s"array_to_string(string_split(path, '/')[${1 + r.nextInt(2)}:], '-')",
+      s"array_to_string(string_split(path, '/')[:${1 + r.nextInt(3)}], '-')",
+      { val xs = Seq.fill(2 + r.nextInt(3))(r.nextInt(90))
+        s"[${xs.mkString(", ")}][${1 + r.nextInt(4)}]" },
+      s"['a', lang, category][${1 + r.nextInt(3)}]",
+      "array_to_string(['x', 'y'] || [lang], ',')"))
+    shared(s"SELECT path, ${one()} AS x, ${one()} AS y FROM files${whereOpt(r)}")
+  }
+
+  private def listcomp(r: Random): Stmt = {
+    val src = pick(r, Seq(
+      "string_split(path, '/')", "string_split(path, '_')",
+      "from_json(tags, '[\"VARCHAR\"]')"))
+    val body = pick(r, Seq("upper(x)", "x || 's'", "len(x)", "substr(x, 1, 3)"))
+    val cond = pick(r, Seq("", " IF len(x) > 2", " IF x <> 'the'", " IF x LIKE '%a%'"))
+    shared(s"SELECT path, [$body FOR x IN $src$cond] AS xs FROM files${whereOpt(r)}")
+  }
+
+  private def distinctOn(r: Random): Stmt = {
+    val ks = r.shuffle(keyCols).take(1 + r.nextInt(2))
+    val (vc, vd) = pick(r, Seq(("n_chars", "DESC"), ("created", "ASC"), ("id", "DESC")))
+    val ordKeys = ks.map(k => s"$k NULLS FIRST").mkString(", ")
+    shared(
+      s"""SELECT DISTINCT ON (${ks.mkString(", ")}) ${ks.mkString(", ")}, path, n_chars
+         |FROM files${whereOpt(r)}
+         |ORDER BY $ordKeys, $vc $vd NULLS LAST, path""".stripMargin)
+  }
+
+  private def starMods(r: Random): Stmt = {
+    val lim = 10 + r.nextInt(40)
+    val repl = pick(r, Seq(
+      (c: String) => s"upper($c) AS $c",
+      (c: String) => s"$c || '!' AS $c",
+      (c: String) => s"coalesce($c, '?') AS $c",
+      (c: String) => s"substr($c, 1, 4) AS $c"))
+    r.nextInt(6) match {
+      case 0 =>
+        val ex = r.shuffle(allCols.filter(_ != "path")).take(2 + r.nextInt(2))
+        shared(s"SELECT * EXCLUDE (${ex.mkString(", ")}) FROM files ORDER BY path LIMIT $lim")
+      case 1 =>
+        val c = pick(r, Seq("lang", "source", "category", "created"))
+        shared(s"SELECT * REPLACE (${repl(c)}) FROM files ORDER BY path LIMIT $lim")
+      case 2 =>
+        val ex = r.shuffle(Seq("tags", "score", "id", "n_chars")).take(2)
+        val c = pick(r, Seq("lang", "source", "category"))
+        shared(s"SELECT * EXCLUDE (${ex.mkString(", ")}) REPLACE (${repl(c)}) FROM files ORDER BY path LIMIT $lim")
+      case 3 =>
+        val cs = r.shuffle(allCols.filter(_ != "path")).take(2)
+        shared(s"SELECT COLUMNS('^(path|${cs.mkString("|")})$$') FROM files ORDER BY path LIMIT $lim")
+      case 4 =>
+        // no pattern may match 'path': it is selected explicitly, and a
+        // duplicate output column cannot round-trip parquet (DuckDB
+        // itself tolerates duplicate names).
+        val pat = pick(r, Seq("c%", "s%", "%d", "%g%"))
+        shared(s"SELECT path, COLUMNS(c -> c LIKE '$pat') FROM files ORDER BY path LIMIT $lim")
+      case _ =>
+        val fn = pick(r, Seq("min", "max"))
+        val cs = r.shuffle(Seq("n_chars", "id", "created", "lang")).take(2)
+        val g = pick(r, Seq("category", "source"))
+        shared(
+          s"""SELECT $g, COUNT(*) AS n, $fn(COLUMNS('^(${cs.mkString("|")})$$'))
+             |FROM files WHERE $g IS NOT NULL GROUP BY $g""".stripMargin)
+    }
+  }
+
+  private def fromFirst(r: Random): Stmt = r.nextInt(4) match {
+    case 0 =>
+      val c = pick(r, allCols)
+      shared(s"FROM files SELECT path, $c WHERE ${predicate(r)} ORDER BY path LIMIT ${5 + r.nextInt(30)}")
+    case 1 =>
+      shared(s"FROM files WHERE ${predicate(r)}")
+    case 2 =>
+      val k = pick(r, keyCols)
+      shared(s"FROM files SELECT $k AS k, COUNT(*) AS n WHERE ${predicate(r)} GROUP BY $k")
+    case _ =>
+      shared(s"SELECT * FROM (FROM files WHERE ${predicate(r)}) q ORDER BY path LIMIT ${5 + r.nextInt(30)}")
+  }
+
+  private def semiAnti(r: Random): Stmt = {
+    val kind = pick(r, Seq("SEMI", "ANTI"))
+    val k = pick(r, keyCols)
+    // not `path`: f.path is already selected, and a duplicate output
+    // column name cannot be written to parquet (DuckDB tolerates it,
+    // the differential harness cannot).
+    val c = pick(r, allCols.filter(_ != "path"))
+    val second =
+      if (r.nextInt(3) == 0)
+        s"\n${pick(r, Seq("SEMI", "ANTI"))} JOIN (SELECT path AS q2 FROM files WHERE ${predicate(r)}) c2 ON f.path = c2.q2"
+      else ""
+    shared(
+      s"""SELECT f.path, f.$c FROM files f
+         |$kind JOIN (SELECT $k AS kk FROM files WHERE ${predicate(r)}) d ON f.$k = d.kk$second""".stripMargin)
+  }
+
+  private def mathOps(r: Random): Stmt = {
+    val ie = intExpr(r)
+    val parts = mutable.Buffer(
+      s"$ie // ${2 + r.nextInt(8)} AS fd",
+      s"($ie % ${2 + r.nextInt(9)}) ** ${r.nextInt(3)} AS pw")
+    if (r.nextBoolean()) parts += s"($ie % ${2 + r.nextInt(5)}) ^ 2 AS xr"
+    if (r.nextBoolean()) parts += s"-${1 + r.nextInt(3)} ** 2 AS ns"
+    shared(s"SELECT path, ${parts.mkString(", ")} FROM files${whereOpt(r)}")
+  }
+
+  private def patterns(r: Random): Stmt = {
+    def one(): String = pick(r, Seq(
+      "path SIMILAR TO 'src[0-9]/.*'",
+      "path SIMILAR TO '(web|src1)/.*'",
+      "path SIMILAR TO '.*doc_00[0-9]{2}\\.md'",
+      "path NOT SIMILAR TO '.*[13579]\\.md'",
+      "lang SIMILAR TO '(en|fr|de)'",
+      "path GLOB '*.md'",
+      "path GLOB 'src*/doc*'",
+      "path GLOB '*/doc_0*'",
+      // no NOT GLOB: DuckDB 1.0.0 has no NOT GLOB operator form
+      "NOT (path GLOB 'src1*')",
+      "path ILIKE '%DOC%'",
+      "category ILIKE 'CAT%'"))
+    val flag = pick(r, Seq(
+      "path SIMILAR TO 'src[0-4]/.*'", "path GLOB '*/doc_00[0-4]*'", "lang SIMILAR TO '(en|zh)'"))
+    shared(
+      s"""SELECT path, $flag AS b FROM files
+         |WHERE ${one()} AND ${one()} ORDER BY path LIMIT ${10 + r.nextInt(40)}""".stripMargin)
+  }
+
+  private def unionByName(r: Random): Stmt = {
+    val a = pick(r, keyCols)
+    val b = pick(r, keyCols.filter(_ != a))
+    val all = if (r.nextBoolean()) "ALL " else ""
+    val extra = if (r.nextBoolean()) ", 'k' AS kind" else ""
+    shared(
+      s"""SELECT $a AS x, COUNT(*) AS n FROM files WHERE $a IS NOT NULL GROUP BY $a
+         |UNION ${all}BY NAME
+         |SELECT COUNT(*) AS n, $b AS y$extra FROM files WHERE $b IS NOT NULL GROUP BY $b""".stripMargin)
+  }
+
+  /** Macro names are UNIQUE per statement: both the engine's macro map
+    * and the checker's DuckDB connection are statement-spanning.
+    */
+  private def macros(i: Int)(r: Random): Stmt = {
+    val n = s"fzm_$i"
+    val (ddl, call) = pick(r, Seq(
+      (s"CREATE MACRO $n(a) AS (a + 1)",
+        s"$n(TRY_CAST(n_chars AS BIGINT))"),
+      (s"CREATE MACRO $n(a) AS upper(a)", s"$n(coalesce(lang, '?'))"),
+      (s"CREATE MACRO $n(a, b) AS (a || '-' || b)",
+        s"$n(coalesce(source, 's'), coalesce(category, 'c'))"),
+      (s"CREATE MACRO $n(a) AS coalesce(a, 'none')", s"$n(category)"),
+      (s"CREATE MACRO $n(a) AS (len(a) * 2)", s"$n(path)")))
+    val body = s"SELECT path, $call AS m FROM files${whereOpt(r)}"
+    Stmt(s"$ddl;\n$body", s"$ddl;\n$cte\n$body")
+  }
+
+  /** Session-scoped table DDL (DuckDB connection model). Table names are
+    * UNIQUE per statement: the engine instance and the checker's DuckDB
+    * connection both span all statements.
+    */
+  private def ddl(i: Int)(r: Random): Stmt = {
+    val t = s"fzt_$i"
+    val k = pick(r, keyCols)
+    def select(pred: String) = s"SELECT path, $k AS k, n_chars FROM files WHERE $pred"
+    val p1 = predicate(r)
+    val p2 = predicate(r)
+    def o(sel: String) = s"($cte\n$sel)"
+    r.nextInt(6) match {
+      case 0 =>
+        val fin = s"SELECT k, COUNT(*) AS n FROM $t GROUP BY k"
+        Stmt(s"CREATE TABLE $t AS ${select(p1)};\n$fin",
+          s"CREATE TABLE $t AS ${o(select(p1))};\n$fin")
+      case 1 =>
+        val fin = s"SELECT COUNT(*) AS n, COUNT(DISTINCT path) AS d FROM $t"
+        Stmt(
+          s"CREATE TABLE $t AS ${select(p1)};\nINSERT INTO $t ${select(p2)};\n$fin",
+          s"CREATE TABLE $t AS ${o(select(p1))};\nINSERT INTO $t ${o(select(p2))};\n$fin")
+      case 2 =>
+        val fin = s"SELECT k, min(path) AS mn FROM $t GROUP BY k"
+        Stmt(
+          s"CREATE TABLE $t AS ${select(p1)};\nCREATE OR REPLACE TABLE $t AS ${select(p2)};\n$fin",
+          s"CREATE TABLE $t AS ${o(select(p1))};\nCREATE OR REPLACE TABLE $t AS ${o(select(p2))};\n$fin")
+      case 3 =>
+        Stmt(s"CREATE TABLE $t AS ${select(p1)}",
+          s"CREATE TABLE $t AS ${o(select(p1))}")
+      case 4 =>
+        Stmt(s"CREATE TABLE $t AS ${select(p1)};\nINSERT INTO $t ${select(p2)}",
+          s"CREATE TABLE $t AS ${o(select(p1))};\nINSERT INTO $t ${o(select(p2))}")
+      case _ =>
+        Stmt(s"CREATE TABLE $t AS ${select(p1)};\nDROP TABLE $t",
+          s"CREATE TABLE $t AS ${o(select(p1))};\nDROP TABLE $t")
+    }
+  }
+
+  private def dateFns(r: Random): Stmt = r.nextInt(4) match {
+    case 0 =>
+      val fmt = pick(r, Seq("%Y-%m", "%d/%m/%Y", "%j", "%Y%m%d", "%Y.%d"))
+      shared(s"SELECT path, strftime(CAST(created AS DATE), '$fmt') AS s FROM files WHERE created IS NOT NULL")
+    case 1 =>
+      shared(
+        """SELECT MIN(epoch_us(strptime(created, '%Y-%m-%d'))) AS a,
+          |  MAX(epoch_ms(strptime(created, '%Y-%m-%d'))) AS b,
+          |  COUNT(*) AS n FROM files WHERE created IS NOT NULL""".stripMargin)
+    case 2 =>
+      shared(
+        s"""SELECT ${pick(r, keyCols)} AS k,
+           |  date_diff('day', strptime(MIN(created), '%Y-%m-%d'),
+           |            strptime(MAX(created), '%Y-%m-%d')) AS span
+           |FROM files WHERE created IS NOT NULL GROUP BY 1""".stripMargin)
+    case _ =>
+      val fmt = pick(r, Seq("%Y/%m", "%Y-%m", "%m"))
+      shared(
+        s"""SELECT strftime(strptime(created, '%Y-%m-%d'), '$fmt') AS ym, COUNT(*) AS n
+           |FROM files WHERE created IS NOT NULL GROUP BY 1""".stripMargin)
+  }
+
+  private def pivot(r: Random): Stmt = {
+    val onc = pick(r, keyCols)
+    val g = pick(r, Seq("source", "lang", "category").filter(_ != onc))
+    val c = pick(r, Seq("id", "n_chars", "path", "created"))
+    val agg = pick(r, Seq(
+      "count(*)", s"count($c)", s"min($c)", s"max($c)",
+      "sum(TRY_CAST(n_chars AS BIGINT))", s"count(DISTINCT $c)"))
+    val alias = if (r.nextInt(3) == 0) " AS v" else ""
+    val in =
+      if (onc == "lang" && r.nextBoolean()) " IN ('en', 'fr', 'zh')" else ""
+    shared(s"PIVOT files ON $onc$in USING $agg$alias GROUP BY $g")
+  }
+
+  private def unpivot(r: Random): Stmt = {
+    val cs = r.shuffle(Seq("id", "lang", "source", "n_chars", "created",
+      "published", "score", "category")).take(2 + r.nextInt(3)).sorted
+    val lim = if (r.nextBoolean()) s" ORDER BY path, k LIMIT ${20 + r.nextInt(60)}" else ""
+    shared(s"UNPIVOT files ON ${cs.mkString(", ")} INTO NAME k VALUE v$lim")
+  }
+
+  private def orderedAgg(r: Random): Stmt = {
+    val g = pick(r, keyCols)
+    val c = pick(r, Seq("lang", "category", "created", "n_chars").filter(_ != g))
+    val sep = pick(r, Seq(",", "|", ";"))
+    val dir = pick(r, Seq("", " DESC"))
+    val distinct = if (r.nextBoolean()) "DISTINCT " else ""
+    val aggs = mutable.Buffer(
+      s"string_agg($distinct$c, '$sep' ORDER BY $c$dir) AS s", "COUNT(*) AS n")
+    if (r.nextBoolean()) aggs += "arg_max(path, path) AS am"
+    if (r.nextBoolean()) aggs += s"arg_min($c, path) AS an"
+    shared(s"SELECT $g AS g, ${aggs.mkString(", ")} FROM files${whereOpt(r)} GROUP BY $g")
+  }
+
+  // -----------------------------------------------------------------------
+
+  def families(i: Int): Seq[(String, Random => Stmt)] = Seq(
+    "qualify" -> qualify _,
+    "brackets" -> brackets _,
+    "listcomp" -> listcomp _,
+    "distinct_on" -> distinctOn _,
+    "star_mods" -> starMods _,
+    "fromfirst" -> fromFirst _,
+    "semianti" -> semiAnti _,
+    "mathops" -> mathOps _,
+    "patterns" -> patterns _,
+    "union_byname" -> unionByName _,
+    "macros" -> macros(i) _,
+    "ddl" -> ddl(i) _,
+    "datefns" -> dateFns _,
+    "pivot" -> pivot _,
+    "unpivot" -> unpivot _,
+    "ordered_agg" -> orderedAgg _)
+
+  /** Pure generation for spec use: statement i of family `fam`. */
+  def generate(fam: String, i: Int): Stmt = {
+    val gen = families(i).collectFirst { case (`fam`, g) => g }
+      .getOrElse(throw new IllegalArgumentException(s"unknown family: $fam"))
+    gen(new Random(fam.hashCode.toLong * 100003L + i))
+  }
+
+  def familyNames: Seq[String] = families(0).map(_._1)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val nPer = args.lift(2).map(_.toInt).getOrElse(120)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.registerSessionFunctions(spark)
+    new java.io.File(outDir).mkdirs()
+
+    val base = FixtureCorpus.ensure(spark, sfDir)
+    val engine = new QueryEngine(
+      spark, Settings(base.toString, enableSemantic = false, "", None))
+
+    val oracle = mutable.LinkedHashMap.empty[String, String]
+    val stmts = mutable.LinkedHashMap.empty[String, String]
+    val failed = mutable.LinkedHashMap.empty[String, String]
+    for (fam <- familyNames; i <- 0 until nPer) {
+      val name = f"fz_${fam}_$i%03d"
+      val st = generate(fam, i)
+      oracle(name) = st.oracle
+      stmts(name) = st.engine
+      try engine.query("**/*.md", st.engine).results
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        System.err.println(s"[fuzz] $name FAILED: $msg\n  stmt: ${st.engine}")
+        failed(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
+      }
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def dump(path: String, m: collection.Map[String, String]): Unit =
+      Files.writeString(Paths.get(path),
+        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    dump(s"$outDir/oracle_sql.json", oracle)
+    dump(s"$outDir/fuzz_stmts.json", stmts)
+    dump(s"$outDir/exec_errors.json", failed)
+    println(s"[fuzz] ${oracle.size} statements over ${familyNames.size} families, " +
+      s"${failed.size} engine-side failures → $outDir")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -40,9 +40,19 @@ object Dialect {
     reg.createOrReplaceTempFunction(
       "regexp_matches", exprs => RLike(exprs(0), exprs(1)), "built-in")
     // DuckDB list → string; Spark spells it array_join (both skip NULL
-    // elements when no null-replacement is given)
+    // elements when no null-replacement is given) — with one divergence
+    // the differential fuzzer caught: DuckDB's array_to_string has
+    // string_agg semantics, so a list with NO non-null elements yields
+    // NULL (verified on v1.0.0: array_to_string([], '|') IS NULL),
+    // where array_join yields ''. A list of empty strings still joins
+    // to '' in both.
     reg.createOrReplaceTempFunction(
-      "array_to_string", exprs => ArrayJoin(exprs(0), exprs(1), None), "built-in")
+      "array_to_string", exprs => {
+        val lv = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        val anyNonNull =
+          ArrayExists(exprs(0), LambdaFunction(IsNotNull(lv), Seq(lv)))
+        If(anyNonNull, ArrayJoin(exprs(0), exprs(1), None), Literal(null))
+      }, "built-in")
     // DuckDB list_* family → Spark higher-order/array functions. The
     // lambda-taking pair resolves fine through an alias: the parser
     // builds the LambdaFunction argument before function resolution, and
@@ -80,13 +90,24 @@ object Dialect {
         }
         new ParseToTimestamp(exprs(0), Literal(fmt))
       }, "built-in")
-    // DuckDB arg_max/arg_min are Spark's max_by/min_by (both skip rows
-    // with a NULL ordering value). Callers must keep the ordering key
-    // UNIQUE for a deterministic pick — true in both engines.
+    // DuckDB arg_max/arg_min are Spark's max_by/min_by with one twist:
+    // DuckDB also skips rows whose VALUE argument is NULL (verified on
+    // v1.0.0: arg_min over (NULL,1),('b',2) returns 'b'), while Spark's
+    // min_by returns the possibly-NULL value of the winning row. NULLing
+    // the ordering key where the value is NULL makes Spark skip those
+    // rows too (both engines ignore NULL ordering keys). Callers must
+    // keep the ordering key UNIQUE for a deterministic pick — true in
+    // both engines.
+    def skipNullValues(v: Expression, k: Expression): Expression =
+      If(IsNull(v), Literal(null), k)
     reg.createOrReplaceTempFunction(
-      "arg_max", exprs => aggregate.MaxBy(exprs(0), exprs(1)), "built-in")
+      "arg_max",
+      exprs => aggregate.MaxBy(exprs(0), skipNullValues(exprs(0), exprs(1))),
+      "built-in")
     reg.createOrReplaceTempFunction(
-      "arg_min", exprs => aggregate.MinBy(exprs(0), exprs(1)), "built-in")
+      "arg_min",
+      exprs => aggregate.MinBy(exprs(0), skipNullValues(exprs(0), exprs(1))),
+      "built-in")
     // DuckDB epoch_us/epoch_ms → Spark unix_micros/unix_millis.
     reg.createOrReplaceTempFunction(
       "epoch_us", exprs => UnixMicros(exprs(0)), "built-in")
@@ -452,6 +473,38 @@ object Dialect {
     val last = sql.substring(start)
     if (last.trim.nonEmpty) out += last
     out.result()
+  }
+
+  /** Session-scoped table DDL (the DuckDB connection model: a script
+    * may CREATE TABLE AS / INSERT INTO / DROP TABLE against
+    * connection-local tables; reference passthrough `query.py:72` grants
+    * all of it). Only the AS-query form is parsed — column-definition
+    * CREATE TABLE returns None and fails loudly at the caller.
+    */
+  final case class CreateTableAs(name: String, orReplace: Boolean, sourceSql: String)
+  final case class InsertIntoTable(name: String, sourceSql: String)
+
+  private val CtasRe =
+    "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(\\(?\\s*(?:SELECT|WITH|FROM|VALUES|PIVOT|UNPIVOT)\\b.*)$".r
+  private val InsertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(\\(?\\s*(?:SELECT|WITH|FROM|VALUES)\\b.*)$".r
+  private val DropRe =
+    "(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+
+  def parseCreateTableAs(stmt: String): Option[CreateTableAs] = stmt match {
+    case CtasRe(rep, name, src) => Some(CreateTableAs(name, rep != null, src))
+    case _ => None
+  }
+
+  def parseInsertInto(stmt: String): Option[InsertIntoTable] = stmt match {
+    case InsertRe(name, src) => Some(InsertIntoTable(name, src))
+    case _ => None
+  }
+
+  /** Returns (name, ifExists). */
+  def parseDropTable(stmt: String): Option[(String, Boolean)] = stmt match {
+    case DropRe(ifEx, name) => Some((name, ifEx != null))
+    case _ => None
   }
 
   /** Parse `CREATE [OR REPLACE] MACRO name(p1, p2) AS [TABLE] body`;
@@ -1909,18 +1962,58 @@ object Dialect {
                 val innerEnd = if (orderAt >= 0 && orderAt < blockEnd) orderAt else blockEnd
                 val fromPart = out.substring(fromAt, innerEnd)
                 val tail = out.substring(innerEnd, blockEnd)
-                val sort =
-                  if (orderAt >= 0 && orderAt < blockEnd) {
-                    // contents after "ORDER BY" up to LIMIT / block end
-                    val limAt = findTopKeyword(u, msk, lit, orderAt + 5, blockEnd, "LIMIT")
-                    val sortEnd = if (limAt >= 0) limAt else blockEnd
-                    val byAt = findTopKeyword(u, msk, lit, orderAt + 5, sortEnd, "BY")
-                    if (byAt >= 0) out.substring(byAt + 2, sortEnd).trim else keys
-                  } else keys
+                var sort = keys
+                var sortSpan: Option[(Int, Int)] = None // absolute [from,until) of the sort items
+                var limTail = ""
+                if (orderAt >= 0 && orderAt < blockEnd) {
+                  // contents after "ORDER BY" up to LIMIT / block end
+                  val limAt = findTopKeyword(u, msk, lit, orderAt + 5, blockEnd, "LIMIT")
+                  val sortEnd = if (limAt >= 0) limAt else blockEnd
+                  val byAt = findTopKeyword(u, msk, lit, orderAt + 5, sortEnd, "BY")
+                  if (byAt >= 0) {
+                    sort = out.substring(byAt + 2, sortEnd).trim
+                    sortSpan = Some((byAt + 2, sortEnd))
+                    limTail = out.substring(sortEnd, blockEnd)
+                  }
+                }
+                // DuckDB binds the trailing ORDER BY BEFORE projection, so
+                // sort expressions the select list drops still resolve; the
+                // wrapped Spark form orders AFTER projection. Hoist any such
+                // expression into a hidden helper column (computed inside,
+                // EXCEPTed outside) — ordinals and references to projected
+                // output names stay as-is.
+                val (outNames, hasStar) = selectOutputNames(selectList)
+                val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+                val rebuiltTail = sortSpan match {
+                  case None => tail
+                  case Some((sFrom, sUntil)) =>
+                    val items = splitTopCommas(msk, lit, sFrom, sUntil).map {
+                      case (a, b) =>
+                        val raw = out.substring(a, b).trim
+                        val (expr, suffix) = stripSortSuffix(raw)
+                        val bare = expr.substring(expr.lastIndexOf('.') + 1)
+                        val isOrdinal = expr.matches("[0-9]+")
+                        val isProjected =
+                          expr.matches("[A-Za-z_][A-Za-z0-9_.]*") &&
+                            (hasStar || outNames.contains(bare.toLowerCase))
+                        if (isOrdinal || isProjected) raw
+                        else {
+                          val h = s"__graft_ob_${helpers.length}"
+                          helpers += ((expr, h))
+                          s"$h$suffix"
+                        }
+                    }
+                    s"ORDER BY ${items.mkString(", ")}" +
+                      (if (limTail.trim.nonEmpty) " " + limTail.trim else "")
+                }
+                val helperCols =
+                  helpers.map { case (e, h) => s", $e AS $h" }.mkString
+                val exceptList =
+                  ("__graft_rn" +: helpers.map(_._2).toSeq).mkString(", ")
                 val replacement =
-                  s"SELECT * EXCEPT (__graft_rn) FROM ( SELECT $selectList, " +
+                  s"SELECT * EXCEPT ($exceptList) FROM ( SELECT $selectList$helperCols, " +
                     s"row_number() OVER (PARTITION BY $keys ORDER BY $sort) AS __graft_rn " +
-                    s"$fromPart) WHERE __graft_rn = 1 $tail"
+                    s"$fromPart) WHERE __graft_rn = 1 $rebuiltTail"
                 out = out.substring(0, selAt) + replacement + out.substring(blockEnd)
                 changed = true
               }
@@ -1931,6 +2024,63 @@ object Dialect {
       }
     }
     out
+  }
+
+  /** Output-column names of a SELECT list (lowercased, best effort):
+    * the alias after a top-level AS, else the trailing identifier of a
+    * plain (possibly qualified) reference; computed items contribute
+    * nothing. The boolean is true when the list contains `*` / `t.*`
+    * (every source column is then projected).
+    */
+  private def selectOutputNames(list: String): (Set[String], Boolean) = {
+    var star = false
+    val names = splitTopLevelArgs(list).flatMap { case (s0, e0) =>
+      val item = list.substring(s0, e0).trim
+      if (item == "*" || item.endsWith(".*")) { star = true; None }
+      else {
+        val u = item.toUpperCase
+        var depth = 0
+        var inS = false
+        var asPos = -1
+        var i = 0
+        while (i < item.length - 3) {
+          val c = item.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(' || c == '[') depth += 1
+          else if (c == ')' || c == ']') depth -= 1
+          else if (depth == 0 && u.regionMatches(i, " AS ", 0, 4)) asPos = i
+          i += 1
+        }
+        val cand = (if (asPos >= 0) item.substring(asPos + 4) else item).trim
+        val last = cand.substring(cand.lastIndexOf('.') + 1).trim
+        if (last.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(last.toLowerCase)
+        else if (last.length > 2 && last.head == '`' && last.last == '`')
+          Some(last.substring(1, last.length - 1).toLowerCase)
+        else None
+      }
+    }.toSet
+    (names, star)
+  }
+
+  /** Split a sort item into (expression, direction/NULLS suffix):
+    * `"n_chars DESC NULLS LAST"` → (`"n_chars"`, `" DESC NULLS LAST"`).
+    */
+  private def stripSortSuffix(item: String): (String, String) = {
+    var e = item.trim
+    val sb = new StringBuilder
+    def stripWord(w: String): Boolean = {
+      val u = e.toUpperCase
+      if (u.endsWith(w) && (e.length == w.length ||
+        Character.isWhitespace(e.charAt(e.length - w.length - 1)))) {
+        sb.insert(0, " " + e.substring(e.length - w.length))
+        e = e.substring(0, e.length - w.length).trim
+        true
+      } else false
+    }
+    if (stripWord("FIRST") || stripWord("LAST")) stripWord("NULLS")
+    val _ = stripWord("ASC") || stripWord("DESC")
+    (e, sb.toString)
   }
 
   /** DuckDB `USING SAMPLE n%` / `USING SAMPLE n [ROWS|PERCENT]` →
@@ -2101,8 +2251,10 @@ object Dialect {
     * exact 1-based semantics instead of the earlier fail-loud stance:
     *
     *   `[a, b, c]`  literal  → `array(a, b, c)`
-    *   `l[i]`       indexing → `element_at(l, i)` (both engines 1-based;
-    *                           negative i counts from the end in both)
+    *   `l[i]`       indexing → `try_element_at(l, i)` (both engines
+    *                           1-based; negative i counts from the end
+    *                           in both; out-of-range is NULL in both —
+    *                           plain element_at throws under ANSI mode)
     *   `l[a:b]`     slicing  → `slice(l, a, (b)-(a)+1)` (DuckDB slices
     *                           are 1-based and inclusive at both ends)
     *   `l[:b]` / `l[a:]`     → `slice(l, 1, b)` / `slice(l, a, size(l))`
@@ -2145,7 +2297,12 @@ object Dialect {
               val repl =
                 if (colonAt < 0) {
                   val idx = out.substring(i + 1, close).trim
-                  if (idx.isEmpty) null else s"element_at($base, $idx)"
+                  // try_element_at, not element_at: DuckDB returns NULL
+                  // for an out-of-range index, while Spark's element_at
+                  // throws under ANSI mode (the default). Index 0 still
+                  // fails loudly in Spark where DuckDB yields NULL —
+                  // kept loud (0 is always a caller bug in 1-based code).
+                  if (idx.isEmpty) null else s"try_element_at($base, $idx)"
                 } else {
                   val lo = out.substring(i + 1, colonAt).trim
                   val hi = out.substring(colonAt + 1, close).trim

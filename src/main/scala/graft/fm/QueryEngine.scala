@@ -149,20 +149,17 @@ final class QueryEngine(
     // statement is the query whose result is returned.
     val stmts = Dialect.splitStatements(sql)
     stmts.dropRight(1).foreach { st =>
-      Dialect.parseCreateMacro(st) match {
-        case Some(m) => macros.put(m.name.toLowerCase, m)
-        case None => throw new IllegalArgumentException(
-          "only CREATE MACRO statements may precede the final query: " + st.trim)
-      }
+      if (sideStatement(files, fp, st).isEmpty)
+        throw new IllegalArgumentException(
+          "only CREATE MACRO / CREATE TABLE AS / INSERT INTO / DROP TABLE " +
+            "statements may precede the final query: " + st.trim)
     }
     val lastRaw = stmts.lastOption.getOrElse(sql)
-    // A macro-only script is a success in DuckDB (DDL returns an empty
-    // result); register the macro and return zero rows rather than
-    // erroring after mutating session state.
-    Dialect.parseCreateMacro(lastRaw).foreach { m =>
-      macros.put(m.name.toLowerCase, m)
-      import spark.implicits._
-      return QueryResult(Seq.empty[Long].toDF("Count"), Seq("Count"), warnings)
+    // A script ENDING in DDL is a success in DuckDB; return its result
+    // shape (macro: zero rows; CTAS/INSERT: one-row Count; DROP:
+    // zero-row Success) rather than erroring after mutating state.
+    sideStatement(files, fp, lastRaw).foreach { df =>
+      return QueryResult(df, df.columns.toSeq, warnings)
     }
     val expanded = Dialect.expandMacros(
       lastRaw, macros.readOnlySnapshot().toMap)
@@ -179,6 +176,72 @@ final class QueryEngine(
         val out = runRewritten(files, expanded, fp)
         QueryResult(out, out.columns.toSeq, warnings)
     }
+  }
+
+  /** Session-scoped tables (DuckDB connection model: CREATE TABLE AS /
+    * INSERT INTO / DROP TABLE in user scripts, reference passthrough
+    * `query.py:72`). Each entry is a PERSISTED materialized snapshot —
+    * DuckDB's CTAS copies data, so a later corpus change must not leak
+    * into an existing table — plus its row count (INSERT's Count result
+    * is rows inserted, not the new total). Guarded by [[rewriteLock]].
+    */
+  private val sessionTables =
+    TrieMap.empty[String, (DataFrame, Long)]
+  private var tablesVersion = 0L
+  private var registeredTables: Set[String] = Set.empty
+  private var registeredTablesVersion = -1L
+
+  /** Execute a macro / table-DDL statement against the engine session;
+    * None when `st` is not DDL (the caller then treats it as a query).
+    * The returned frame is the statement's DuckDB-verified result shape.
+    */
+  private def sideStatement(
+      files: DataFrame, fp: String, st: String): Option[DataFrame] = {
+    import spark.implicits._
+    Dialect.parseCreateMacro(st).map { m =>
+      macros.put(m.name.toLowerCase, m)
+      Seq.empty[Long].toDF("Count")
+    }.orElse(Dialect.parseCreateTableAs(st).map { c =>
+      val lc = c.name.toLowerCase
+      require(lc != "files", "cannot shadow the files view with a session table")
+      val src = runRewritten(files,
+        Dialect.expandMacros(c.sourceSql, macros.readOnlySnapshot().toMap), fp)
+      rewriteLock.synchronized {
+        if (!c.orReplace && sessionTables.contains(lc))
+          throw new IllegalArgumentException(s"table ${c.name} already exists")
+        val snap = src.persist()
+        val n = snap.count()
+        sessionTables.put(lc, (snap, n)).foreach(_._1.unpersist())
+        tablesVersion += 1
+        Seq(n).toDF("Count")
+      }
+    }).orElse(Dialect.parseInsertInto(st).map { ins =>
+      val lc = ins.name.toLowerCase
+      val src = runRewritten(files,
+        Dialect.expandMacros(ins.sourceSql, macros.readOnlySnapshot().toMap), fp)
+      rewriteLock.synchronized {
+        val (old, oldN) = sessionTables.getOrElse(lc,
+          throw new IllegalArgumentException(s"table ${ins.name} does not exist"))
+        require(src.columns.length == old.columns.length,
+          s"INSERT INTO ${ins.name}: ${src.columns.length} columns, " +
+            s"table has ${old.columns.length}")
+        val snap = old.union(src).persist()
+        val n = snap.count()
+        sessionTables.put(lc, (snap, n))
+        old.unpersist()
+        tablesVersion += 1
+        Seq(n - oldN).toDF("Count")
+      }
+    }).orElse(Dialect.parseDropTable(st).map { case (name, ifExists) =>
+      rewriteLock.synchronized {
+        sessionTables.remove(name.toLowerCase) match {
+          case Some((df, _)) => df.unpersist(); tablesVersion += 1
+          case None => if (!ifExists)
+            throw new IllegalArgumentException(s"table $name does not exist")
+        }
+        Seq.empty[String].toDF("Success")
+      }
+    })
   }
 
   /** The locked dialect-rewrite + analysis pipeline shared by the query
@@ -248,6 +311,7 @@ final class QueryEngine(
         sqlSession.catalog.dropTempView(v)
         spark.catalog.dropGlobalTempView(s"${bridgeView}_$v")
       }
+      var remirrored = Set.empty[String]
       for (v <- parentViews) {
         // Re-mirror only when the parent view's definition actually
         // changed (createOrReplaceTempView swaps the stored plan
@@ -267,10 +331,30 @@ final class QueryEngine(
           sqlSession.sql(s"CREATE TEMPORARY VIEW $v AS " +
             s"SELECT * FROM global_temp.${bridgeView}_$v")
           mirroredPlans += v -> plan
+          remirrored += v
         }
       }
       mirrored = parentViews
       mirroredPlans = mirroredPlans.filter(kv => parentViews.contains(kv._1))
+      // Session-scoped tables (CREATE TABLE AS): the stored frames were
+      // built ON sqlSession, so plain temp views suffice. Registered
+      // AFTER the mirrors so a session table shadows a same-named
+      // parent view (DuckDB resolves its own tables first), and
+      // re-registered only when DDL advanced the version or a mirror
+      // just overwrote a table's view name.
+      if (registeredTablesVersion != tablesVersion ||
+        (registeredTables & remirrored).nonEmpty) {
+        for (v <- registeredTables diff sessionTables.keySet.toSet)
+          sqlSession.catalog.dropTempView(v)
+        for ((n, (df, _)) <- sessionTables) {
+          // Drop-then-create for the same cyclic-marker reason as the
+          // mirrors (an INSERT's union plan references view `n` itself).
+          sqlSession.catalog.dropTempView(n)
+          df.createTempView(n)
+        }
+        registeredTables = sessionTables.keySet.toSet
+        registeredTablesVersion = tablesVersion
+      }
       // PIVOT value discovery runs first (it may query the just-registered
       // view for the DISTINCT pivot values — the same hidden pass DuckDB
       // makes, one bounded driver list); then COLUMNS('regex') expands

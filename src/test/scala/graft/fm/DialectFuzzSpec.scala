@@ -1,0 +1,83 @@
+package graft.fm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.DialectFuzz
+
+/** Static properties of the differential fuzzer's generated statements
+  * (the differential run itself — engine vs DuckDB row-hash agreement —
+  * is `runMain graft.DialectFuzz` + `tools/oracle_check.py`; see the
+  * verify skill). These pin what must hold WITHOUT an oracle: the
+  * generator is deterministic (a failing case replays exactly), and
+  * every generated statement survives the rewrite pipeline's own
+  * invariants — idempotent, balanced, no DuckDB-only syntax left for
+  * Spark's parser to trip on.
+  */
+class DialectFuzzSpec extends AnyFunSuite {
+
+  private val N = 40
+
+  test("generation is deterministic per (family, index)") {
+    for (f <- DialectFuzz.familyNames; i <- 0 until N) {
+      val a = DialectFuzz.generate(f, i)
+      val b = DialectFuzz.generate(f, i)
+      assert(a == b, s"$f/$i not deterministic")
+    }
+  }
+
+  test("every oracle statement embeds the files CTE or defines macros first") {
+    for (f <- DialectFuzz.familyNames; i <- 0 until N) {
+      val st = DialectFuzz.generate(f, i)
+      assert(st.oracle.contains("WITH files AS"), s"$f/$i oracle lacks files CTE")
+      if (f == "macros")
+        assert(st.oracle.toUpperCase.indexOf("CREATE MACRO") <
+          st.oracle.indexOf("WITH files AS"), s"$f/$i macro DDL after CTE")
+    }
+  }
+
+  test("rewrite pipeline is idempotent and balanced on generated statements") {
+    def balance(s: String): (Int, Int) = {
+      var paren = 0; var bracket = 0; var inStr = false
+      s.foreach {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => paren += 1
+        case ')' if !inStr => paren -= 1
+        case '[' if !inStr => bracket += 1
+        case ']' if !inStr => bracket -= 1
+        case _ =>
+      }
+      (paren, bracket)
+    }
+    // The statement-level families (PIVOT/UNPIVOT/macros/FROM-first need
+    // engine-side schema or state) — here only the expression-level
+    // rewrite surface is checkable statically.
+    val exprFamilies = Seq("qualify", "brackets", "listcomp", "distinct_on",
+      "semianti", "mathops", "patterns", "ordered_agg")
+    for (f <- exprFamilies; i <- 0 until N) {
+      val sql = DialectFuzz.generate(f, i).engine
+      val once = Dialect.rewrite(sql)
+      assert(Dialect.rewrite(once) == once, s"$f/$i not idempotent:\n$sql\n→ $once")
+      assert(balance(once) == ((0, 0)), s"$f/$i unbalanced:\n$sql\n→ $once")
+      val scrub = once.toUpperCase
+        .replace("__GRAFT_QUALIFY", "").replace("__GRAFT_RN", "")
+        .replace("__GRAFT_OB", "")
+      assert(!scrub.contains("QUALIFY"), s"$f/$i QUALIFY survived: $once")
+      assert(!scrub.contains("DISTINCT ON"), s"$f/$i DISTINCT ON survived: $once")
+      assert(!scrub.contains("SIMILAR TO"), s"$f/$i SIMILAR TO survived: $once")
+      assert(!scrub.contains("GLOB"), s"$f/$i GLOB survived: $once")
+    }
+  }
+
+  test("DISTINCT ON hoists unprojected sort columns into helper columns") {
+    val in = "SELECT DISTINCT ON (lang) lang, path FROM files " +
+      "ORDER BY lang NULLS FIRST, created DESC NULLS LAST, path"
+    val out = Dialect.rewrite(in)
+    assert(out.contains("created AS __graft_ob_0"), out)
+    assert(out.contains("ORDER BY lang NULLS FIRST, __graft_ob_0 DESC NULLS LAST, path"), out)
+    assert(out.contains("EXCEPT (__graft_rn, __graft_ob_0)"), out)
+    // projected sort columns stay untouched — no helper emitted
+    val in2 = "SELECT DISTINCT ON (lang) lang, path, n_chars FROM files " +
+      "ORDER BY lang NULLS FIRST, n_chars DESC NULLS LAST, path"
+    assert(!Dialect.rewrite(in2).contains("__graft_ob_"), Dialect.rewrite(in2))
+  }
+}

@@ -225,13 +225,13 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("LATERAL VIEW explode(tags) x AS tag"))
   }
 
-  test("bracket literals → array(); 1-based indexing → element_at; slices → slice") {
+  test("bracket literals → array(); 1-based indexing → try_element_at; slices → slice") {
     assert(Dialect.rewriteBrackets("SELECT ['a','b'] FROM t")
       == "SELECT array('a','b') FROM t")
     assert(Dialect.rewriteBrackets("SELECT x[1] FROM t")
-      == "SELECT element_at(x, 1) FROM t")
+      == "SELECT try_element_at(x, 1) FROM t")
     assert(Dialect.rewriteBrackets("SELECT string_split(a, ' ')[2] FROM t")
-      == "SELECT element_at(string_split(a, ' '), 2) FROM t")
+      == "SELECT try_element_at(string_split(a, ' '), 2) FROM t")
     assert(Dialect.rewriteBrackets("SELECT x[1:3] FROM t")
       == "SELECT slice(x, (1), (3) - (1) + 1) FROM t")
     assert(Dialect.rewriteBrackets("SELECT x[2:] FROM t")
@@ -242,14 +242,14 @@ class DialectSpec extends AnyFunSuite {
 
   test("bracket chains, qualified bases, and operator-position literals") {
     assert(Dialect.rewriteBrackets("SELECT a.b[1][2] FROM t")
-      == "SELECT element_at(element_at(a.b, 1), 2) FROM t")
+      == "SELECT try_element_at(try_element_at(a.b, 1), 2) FROM t")
     assert(Dialect.rewriteBrackets("SELECT a || ['x'] FROM t")
       == "SELECT a || array('x') FROM t")
     assert(Dialect.rewriteBrackets("SELECT [[1,2],[3]] FROM t")
       == "SELECT array(array(1,2),array(3)) FROM t")
     // parens inside a string argument never confuse the base scan
     assert(Dialect.rewriteBrackets("SELECT split(a, '(')[1] FROM t")
-      == "SELECT element_at(split(a, '('), 1) FROM t")
+      == "SELECT try_element_at(split(a, '('), 1) FROM t")
     // bracketed content inside string literals is data
     assert(Dialect.rewriteBrackets("SELECT '[1]' FROM t") == "SELECT '[1]' FROM t")
     // idempotent on its own output

@@ -217,6 +217,44 @@ class QueryEngineSpec extends AnyFunSuite {
       e.query("**/*.md", "SELECT 1; SELECT 2"))
   }
 
+  test("session tables: CREATE TABLE AS / INSERT INTO / DROP TABLE") {
+    val e = eng(corpus(threeDocs: _*))
+    // CTAS returns DuckDB's one-row Count and registers the table
+    val r = e.query("**/*.md",
+      "CREATE TABLE st1 AS SELECT path, title FROM files WHERE title IS NOT NULL")
+    assert(r.columns == Seq("Count"))
+    assert(r.results.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(e.query("**/*.md", "SELECT COUNT(*) AS n FROM st1")
+      .results.collect().head.getLong(0) == 3L)
+    // INSERT returns rows INSERTED; a self-referential insert reads the
+    // pre-insert snapshot (DuckDB semantics)
+    val ins = e.query("**/*.md", "INSERT INTO st1 SELECT path, title FROM st1")
+    assert(ins.columns == Seq("Count") &&
+      ins.results.collect().head.getLong(0) == 3L)
+    assert(e.query("**/*.md", "SELECT COUNT(*) AS n FROM st1")
+      .results.collect().head.getLong(0) == 6L)
+    // plain CREATE on an existing name is rejected; OR REPLACE swaps
+    intercept[IllegalArgumentException](
+      e.query("**/*.md", "CREATE TABLE st1 AS SELECT 1 AS x"))
+    val rep = e.query("**/*.md",
+      "CREATE OR REPLACE TABLE st1 AS SELECT path FROM files; SELECT COUNT(*) AS n FROM st1")
+    assert(rep.results.collect().head.getLong(0) == 3L)
+    // the table is a SNAPSHOT: it joins like any relation in later SQL
+    val j = e.query("**/*.md",
+      "SELECT COUNT(*) AS n FROM files f SEMI JOIN st1 s ON f.path = s.path")
+    assert(j.results.collect().head.getLong(0) == 3L)
+    // DROP returns DuckDB's zero-row Success; the name is gone after
+    val d = e.query("**/*.md", "DROP TABLE st1")
+    assert(d.columns == Seq("Success") && d.results.count() == 0L)
+    intercept[Exception](
+      e.query("**/*.md", "SELECT COUNT(*) AS n FROM st1").results.collect())
+    intercept[IllegalArgumentException](e.query("**/*.md", "DROP TABLE st1"))
+    e.query("**/*.md", "DROP TABLE IF EXISTS st1") // no-op, no error
+    // the files view cannot be shadowed
+    intercept[IllegalArgumentException](
+      e.query("**/*.md", "CREATE TABLE files AS SELECT 1 AS x"))
+  }
+
   test("FROM-first, math operators, and SIMILAR TO work through the engine") {
     val e = eng(corpus(threeDocs: _*))
     val r = e.query("**/*.md", "FROM files WHERE title = 'Beta' SELECT path")
