@@ -327,6 +327,79 @@ object DialectFuzz {
     shared(s"UNPIVOT files ON ${cs.mkString(", ")} INTO NAME k VALUE v$lim")
   }
 
+  private def regexFns(r: Random): Stmt = {
+    def one(): String = pick(r, Seq(
+      // DuckDB default replaces the FIRST match only; 'g' all; 'i' folds
+      "regexp_replace(path, '[0-9]', 'N')",
+      "regexp_replace(path, '[0-9]', 'N', 'g')",
+      "regexp_replace(path, 'doc', 'D', 'i')",
+      "regexp_replace(path, '(doc)_', '\\1-', 'g')",
+      "regexp_replace(coalesce(category, 'none'), 'cat', '#', 'g')",
+      s"regexp_extract(path, 'doc_([0-9]+)', 1)",
+      "regexp_extract(path, '([a-z]+)/', 1)",
+      "regexp_matches(path, 'DOC_00[0-9]', 'i')",
+      "regexp_matches(path, 'src[0-9]+/')",
+      "regexp_matches(coalesce(lang, ''), '^(en|fr)$')"))
+    shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
+  }
+
+  private def scalarFns(r: Random): Stmt = {
+    def one(): String = pick(r, Seq(
+      s"split_part(path, '/', ${1 + r.nextInt(3)})",
+      s"split_part(path, '_', ${1 + r.nextInt(3)})",
+      s"lpad(coalesce(id, ''), ${4 + r.nextInt(4)}, '0')",
+      s"rpad(coalesce(lang, ''), ${3 + r.nextInt(4)}, '.')",
+      s"repeat(coalesce(lang, 'x'), ${1 + r.nextInt(3)})",
+      "reverse(path)",
+      "replace(path, '/', '|')",
+      "translate(path, '/_.', '-+ ')",
+      "strpos(path, 'doc')",
+      s"substr(path, ${1 + r.nextInt(6)}, ${2 + r.nextInt(6)})",
+      s"substr(path, -${2 + r.nextInt(5)})",
+      s"left(path, ${1 + r.nextInt(8)})",
+      s"right(path, ${1 + r.nextInt(8)})",
+      "upper(coalesce(category, '?')) || lower(source)",
+      "len(path) + len(coalesce(lang, ''))",
+      "md5(path)",
+      "contains(path, 'doc_0')",
+      "trim('  ' || path || '  ')"))
+    shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
+  }
+
+  private def window(r: Random): Stmt = {
+    val part = pick(r, keyCols)
+    val ord = "path" // unique, non-null: every frame is deterministic
+    val ie = intExpr(r)
+    def one(): String = pick(r, Seq(
+      s"lag($ie, 1) OVER (PARTITION BY $part ORDER BY $ord)",
+      s"lag($ie, ${1 + r.nextInt(2)}, -1) OVER (PARTITION BY $part ORDER BY $ord)",
+      s"lead(path, 1, '?') OVER (PARTITION BY $part ORDER BY $ord)",
+      s"sum($ie) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW)",
+      s"min($ie) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+      s"count(*) OVER (PARTITION BY $part)",
+      s"max(coalesce(lang, '')) OVER (PARTITION BY $part)",
+      s"ntile(${2 + r.nextInt(4)}) OVER (PARTITION BY $part ORDER BY $ord)",
+      s"first_value($ie) OVER (PARTITION BY $part ORDER BY $ord)",
+      s"row_number() OVER (ORDER BY $ord)"))
+    shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
+  }
+
+  private def groupSets(r: Random): Stmt = {
+    val a = pick(r, keyCols)
+    val b = pick(r, keyCols.filter(_ != a))
+    val agg = pick(r, Seq("COUNT(*)", "COUNT(id)",
+      "SUM(TRY_CAST(n_chars AS BIGINT))", "MIN(path)"))
+    val form = pick(r, Seq(
+      s"ROLLUP($a, $b)", s"CUBE($a, $b)",
+      s"GROUPING SETS (($a), ($b), ($a, $b), ())"))
+    // grouping() distinguishes a rolled-up NULL from a data NULL — the
+    // keys themselves are nullable, so the compare needs it on both
+    // sides (identical spelling in both engines).
+    shared(
+      s"""SELECT $a, $b, grouping($a) AS ga, grouping($b) AS gb, $agg AS v
+         |FROM files${whereOpt(r)} GROUP BY $form""".stripMargin)
+  }
+
   private def orderedAgg(r: Random): Stmt = {
     val g = pick(r, keyCols)
     val c = pick(r, Seq("lang", "category", "created", "n_chars").filter(_ != g))
@@ -355,6 +428,10 @@ object DialectFuzz {
     "union_byname" -> unionByName _,
     "macros" -> macros(i) _,
     "ddl" -> ddl(i) _,
+    "regex_fns" -> regexFns _,
+    "scalar_fns" -> scalarFns _,
+    "window" -> window _,
+    "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,
     "unpivot" -> unpivot _,

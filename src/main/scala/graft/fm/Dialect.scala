@@ -26,6 +26,7 @@ object Dialect {
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "list_contains", exprs => ArrayContains(exprs(0), exprs(1)), "built-in")
@@ -37,8 +38,32 @@ object Dialect {
     // JSON-encoded per ADR-0006), so character length is the right map.
     reg.createOrReplaceTempFunction(
       "len", exprs => Length(exprs(0)), "built-in")
+    // DuckDB regexp_matches is a PARTIAL match (find), like Spark's
+    // rlike; the optional third flags argument maps to an inline-flag
+    // prefix ('i' — 'g'/'c' are no-ops for a boolean match; anything
+    // else fails loudly).
+    def withInlineFlags(re: Expression, flags: Expression): Expression =
+      flags match {
+        case Literal(f, StringType) if f != null =>
+          f.toString.find(c => !"igc".contains(c)).foreach(c =>
+            throw new IllegalArgumentException(
+              s"unsupported regexp flag '$c' (supported: i, g, c)"))
+          if (f.toString.contains('i')) Concat(Seq(Literal("(?i)"), re)) else re
+        case other => throw new IllegalArgumentException(
+          s"regexp flags must be a string literal, got: $other")
+      }
     reg.createOrReplaceTempFunction(
-      "regexp_matches", exprs => RLike(exprs(0), exprs(1)), "built-in")
+      "regexp_matches", exprs =>
+        if (exprs.length >= 3) RLike(exprs(0), withInlineFlags(exprs(1), exprs(2)))
+        else RLike(exprs(0), exprs(1)), "built-in")
+    // DuckDB regexp_replace replaces only the FIRST match unless the
+    // 'g' flag is given; Spark's builtin always replaces all. Verified
+    // divergence (see DuckRegexExpressions) — the dialect sessions get
+    // DuckDB's semantics, the DataFrame API (functions.regexp_replace)
+    // keeps Spark's.
+    reg.createOrReplaceTempFunction(
+      "regexp_replace", exprs => DuckRegexpReplace(exprs(0), exprs(1), exprs(2),
+        if (exprs.length >= 4) exprs(3) else Literal("")), "built-in")
     // DuckDB list → string; Spark spells it array_join (both skip NULL
     // elements when no null-replacement is given) — with one divergence
     // the differential fuzzer caught: DuckDB's array_to_string has
@@ -119,6 +144,10 @@ object Dialect {
       "starts_with", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "ends_with", exprs => EndsWith(exprs(0), exprs(1)), "built-in")
+    // DuckDB strpos(s, sub) = 1-based position of the first occurrence,
+    // 0 when absent — exactly Spark's instr.
+    reg.createOrReplaceTempFunction(
+      "strpos", exprs => StringInstr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "prefix", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

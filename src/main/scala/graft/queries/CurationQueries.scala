@@ -303,10 +303,12 @@ object CurationQueries {
   /** The PII redaction chain over a string SQL expression, generated
     * from [[graft.ops.Curation.DefaultPatterns]] — the SINGLE source of
     * the patterns, so editing the library surface cannot drift from the
-    * oracle replay. `flags` is "" for Spark (regexp_replace replaces
-    * every match) and "g" for DuckDB (default is first-match-only).
+    * oracle replay. The 'g' flag is spelled explicitly: since the
+    * dialect registry implements DuckDB's regexp_replace semantics
+    * (first-match-only default), the SAME text now runs replace-all on
+    * both engines.
     */
-  private[queries] def redactChain(c: String, flags: String = ""): String = {
+  private[queries] def redactChain(c: String, flags: String = "g"): String = {
     val f = if (flags.isEmpty) "" else s", '$flags'"
     graft.ops.Curation.DefaultPatterns.foldLeft(c) { case (acc, (re, repl)) =>
       s"regexp_replace($acc, '$re', '$repl'$f)"

@@ -191,6 +191,10 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("redaction chain scrubs realistic PII and leaves clean text alone") {
+    // redactChain emits DuckDB-dialect SQL (explicit 'g' flag): it runs
+    // on DuckDB natively and on a DIALECT-REGISTERED Spark session,
+    // where regexp_replace has DuckDB's flag semantics.
+    graft.fm.Dialect.register(spark)
     def redact(s: String): String =
       spark.sql(s"SELECT ${CurationQueries.redactChain(s"'$s'")} AS r")
         .head().getString(0)
