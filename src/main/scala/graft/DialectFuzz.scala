@@ -384,6 +384,28 @@ object DialectFuzz {
     shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
   }
 
+  private def winExclude(r: Random): Stmt = {
+    val part = pick(r, keyCols)
+    val ie = intExpr(r)
+    val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)",
+      s"min($ie)", s"max($ie)", s"avg($ie)"))
+    val frame = pick(r, Seq(
+      s"${1 + r.nextInt(3)} PRECEDING AND ${1 + r.nextInt(3)} FOLLOWING",
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+      s"${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
+      s"CURRENT ROW AND ${1 + r.nextInt(4)} FOLLOWING",
+      // no frames that exclude the current row by construction (e.g.
+      // `UNBOUNDED PRECEDING AND 2 PRECEDING`): DuckDB 1.0.0 shifts the
+      // frame end there instead of treating EXCLUDE as the standard
+      // no-op — see rewriteWindowExclude's KNOWN DIVERGENCE note
+      "CURRENT ROW AND CURRENT ROW"))
+    val excl = pick(r, Seq("EXCLUDE CURRENT ROW", "EXCLUDE CURRENT ROW",
+      "EXCLUDE NO OTHERS"))
+    shared(
+      s"""SELECT path, $fn OVER (PARTITION BY $part ORDER BY path
+         |ROWS BETWEEN $frame $excl) AS a FROM files${whereOpt(r)}""".stripMargin)
+  }
+
   private def groupSets(r: Random): Stmt = {
     val a = pick(r, keyCols)
     val b = pick(r, keyCols.filter(_ != a))
@@ -431,6 +453,7 @@ object DialectFuzz {
     "regex_fns" -> regexFns _,
     "scalar_fns" -> scalarFns _,
     "window" -> window _,
+    "win_exclude" -> winExclude _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

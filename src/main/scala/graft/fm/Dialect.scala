@@ -191,12 +191,12 @@ object Dialect {
   }
 
   def rewrite(sql: String): String =
-    rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteExclude(
+    rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteWindowExclude(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
         rewriteStructLit(rewriteUsingSample(rewriteUnpivot(
           rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteFromFirst(sql))))))))))))))))))
+              rewriteFromFirst(sql)))))))))))))))))))
 
   /** DuckDB's FROM-first statement form: `FROM t [WHERE …]` selects `*`,
     * and `FROM t SELECT list …` reorders the clauses. Spark's parser is
@@ -1689,6 +1689,186 @@ object Dialect {
           }
         }
         if (!changed) i = u.indexOf("QUALIFY", i + 1)
+      }
+    }
+    out
+  }
+
+  /** DuckDB window-frame `EXCLUDE` — Spark frames have no exclusion, so
+    * the aggregate is recomputed over the two sub-frames AROUND the
+    * current row and recombined (all result shapes verified against
+    * DuckDB v1.0.0):
+    *
+    *   - `EXCLUDE NO OTHERS` — the default, stripped (no-op);
+    *   - `EXCLUDE CURRENT ROW` over `ROWS BETWEEN a AND b`:
+    *       sum   → NULL-aware addition (both sides empty → NULL),
+    *       count → plain addition (empty side counts 0),
+    *       min/max → least/greatest (NULL-skipping in both engines),
+    *       avg   → exact (sum_before + sum_after)/(count_before +
+    *               count_after) — one IEEE division of exact parts;
+    *     a side that cannot contain rows (frame edge at CURRENT ROW) is
+    *     dropped; a frame that never contains the current row makes the
+    *     exclusion a no-op; a frame that contains ONLY the current row
+    *     yields DuckDB's empty-frame result (NULL; count 0);
+    *     KNOWN DIVERGENCE: for a frame that never contains the current
+    *     row (e.g. `UNBOUNDED PRECEDING AND 2 PRECEDING`), DuckDB
+    *     v1.0.0 is NOT a no-op — it computes the frame as if the end
+    *     were 1 PRECEDING (measured: sum over (1..5) at row 5 returns
+    *     100, i.e. rows 1-4, not the declared 60 = rows 1-3). That
+    *     contradicts the SQL standard ("remove the current row from the
+    *     frame" — here it was never in it); this rewrite keeps the
+    *     standard no-op;
+    *   - `EXCLUDE GROUP` / `EXCLUDE TIES` and RANGE/GROUPS frames fail
+    *     loudly rather than silently diverging.
+    */
+  private[fm] def rewriteWindowExclude(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("EXCLUDE")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 6, "EXCLUDE")) {
+          var j = i + 7
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          val mode =
+            if (u.regionMatches(j, "CURRENT", 0, 7) && isKeywordAt(u, j + 6, "CURRENT")) "CURRENT"
+            else if (u.regionMatches(j, "NO", 0, 2) && isKeywordAt(u, j + 1, "NO")) "NO"
+            else if (u.regionMatches(j, "GROUP", 0, 5) && isKeywordAt(u, j + 4, "GROUP")) "GROUP"
+            else if (u.regionMatches(j, "TIES", 0, 4) && isKeywordAt(u, j + 3, "TIES")) "TIES"
+            else ""
+          // enclosing '(' — must be an OVER clause for this to be a
+          // window-frame EXCLUDE (the star modifier has no paren+OVER)
+          var depth = 0
+          var openAt = -1
+          var p = i - 1
+          while (p >= 0 && openAt < 0) {
+            val c = msk.charAt(p)
+            if (!lit(p)) {
+              if (c == ')') depth += 1
+              else if (c == '(') { if (depth == 0) openAt = p else depth -= 1 }
+            }
+            p -= 1
+          }
+          var q = openAt - 1
+          while (q >= 0 && msk.charAt(q).isWhitespace) q -= 1
+          val isOver = openAt >= 0 && q >= 3 &&
+            u.regionMatches(q - 3, "OVER", 0, 4) && isKeywordAt(u, q, "OVER")
+          if (mode.nonEmpty && isOver) {
+            require(mode == "CURRENT" || mode == "NO",
+              s"window frame EXCLUDE $mode is not supported (only CURRENT ROW / NO OTHERS)")
+            // end of the EXCLUDE clause
+            var k = j + (if (mode == "CURRENT") 7 else 2)
+            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+            val word = if (mode == "CURRENT") "ROW" else "OTHERS"
+            require(u.regionMatches(k, word, 0, word.length),
+              s"EXCLUDE ${if (mode == "CURRENT") "CURRENT" else "NO"} must be followed by $word")
+            val exclEnd = k + word.length
+            if (mode == "NO") {
+              // the default — strip the clause
+              out = out.substring(0, i).stripSuffix(" ") + out.substring(exclEnd)
+              changed = true
+            } else {
+              val closeAt = matchParen(msk, openAt)
+              require(closeAt > openAt, "unbalanced OVER clause")
+              // <fn>(args) immediately before OVER
+              val overStart = q - 3
+              var r0 = overStart - 1
+              while (r0 >= 0 && msk.charAt(r0).isWhitespace) r0 -= 1
+              require(r0 >= 0 && msk.charAt(r0) == ')',
+                "EXCLUDE CURRENT ROW: expected <aggregate>(args) OVER (...)")
+              var d2 = 0
+              var argOpen = -1
+              var s0 = r0
+              while (s0 >= 0 && argOpen < 0) {
+                val c = msk.charAt(s0)
+                if (!lit(s0)) {
+                  if (c == ')') d2 += 1
+                  else if (c == '(') { d2 -= 1; if (d2 == 0) argOpen = s0 }
+                }
+                s0 -= 1
+              }
+              require(argOpen > 0, "EXCLUDE CURRENT ROW: malformed aggregate call")
+              var f0 = argOpen - 1
+              while (f0 >= 0 && (Character.isLetterOrDigit(msk.charAt(f0)) ||
+                msk.charAt(f0) == '_')) f0 -= 1
+              val fnName = out.substring(f0 + 1, argOpen).trim
+              val args = out.substring(argOpen + 1, r0)
+              val fu = fnName.toUpperCase
+              require(Set("SUM", "COUNT", "MIN", "MAX", "AVG")(fu),
+                s"EXCLUDE CURRENT ROW is supported for sum/count/min/max/avg, not $fnName")
+              // frame bounds: ROWS BETWEEN <a> AND <b> EXCLUDE ...
+              val rowsAt = findTopKeyword(u, msk, lit, openAt + 1, i, "ROWS")
+              require(rowsAt >= 0,
+                "EXCLUDE CURRENT ROW requires an explicit ROWS BETWEEN frame " +
+                  "(RANGE/GROUPS exclusion is not supported)")
+              val betweenAt = findTopKeyword(u, msk, lit, rowsAt + 4, i, "BETWEEN")
+              require(betweenAt >= 0, "EXCLUDE: ROWS frame must use BETWEEN")
+              val andAt = findTopKeyword(u, msk, lit, betweenAt + 7, i, "AND")
+              require(andAt >= 0, "EXCLUDE: malformed ROWS BETWEEN frame")
+              val prefix = out.substring(openAt + 1, rowsAt).trim
+              val aTxt = out.substring(betweenAt + 7, andAt).trim
+              val bTxt = out.substring(andAt + 3, i).trim
+              def cls(t: String): (String, Long) = {
+                val tu = t.toUpperCase.replaceAll("\\s+", " ")
+                if (tu == "UNBOUNDED PRECEDING") ("UP", 0L)
+                else if (tu == "CURRENT ROW") ("CR", 0L)
+                else if (tu == "UNBOUNDED FOLLOWING") ("UF", 0L)
+                else if (tu.endsWith(" PRECEDING")) ("NP", tu.dropRight(10).trim.toLong)
+                else if (tu.endsWith(" FOLLOWING")) ("NF", tu.dropRight(10).trim.toLong)
+                else throw new IllegalArgumentException(s"unsupported frame bound: $t")
+              }
+              val (ak, an) = cls(aTxt)
+              val (bk, bn) = cls(bTxt)
+              val hasBefore = ak == "UP" || (ak == "NP" && an >= 1)
+              val hasAfter = bk == "UF" || (bk == "NF" && bn >= 1)
+              // frame entirely before/after the current row → no-op
+              val noop = (ak == "NF" && an >= 1) || (bk == "NP" && bn >= 1)
+              def w(fn2: String, lo: String, hi: String) =
+                s"$fn2($args) OVER ($prefix ROWS BETWEEN $lo AND $hi)"
+              val repl: String =
+                if (noop) s"$fnName($args) OVER ($prefix ROWS BETWEEN $aTxt AND $bTxt)"
+                else (hasBefore, hasAfter) match {
+                  case (true, true) =>
+                    lazy val wb = w(fnName, aTxt, "1 PRECEDING")
+                    lazy val wa = w(fnName, "1 FOLLOWING", bTxt)
+                    fu match {
+                      case "SUM" =>
+                        s"CASE WHEN $wb IS NULL AND $wa IS NULL THEN NULL " +
+                          s"ELSE coalesce($wb, 0) + coalesce($wa, 0) END"
+                      case "COUNT" => s"($wb + $wa)"
+                      case "MIN" => s"least($wb, $wa)"
+                      case "MAX" => s"greatest($wb, $wa)"
+                      case "AVG" =>
+                        val sb2 = w("sum", aTxt, "1 PRECEDING")
+                        val sa2 = w("sum", "1 FOLLOWING", bTxt)
+                        val cb2 = w("count", aTxt, "1 PRECEDING")
+                        val ca2 = w("count", "1 FOLLOWING", bTxt)
+                        s"CASE WHEN $cb2 + $ca2 = 0 THEN NULL " +
+                          s"ELSE (coalesce($sb2, 0) + coalesce($sa2, 0)) / ($cb2 + $ca2) END"
+                    }
+                  case (true, false) => w(fnName, aTxt, "1 PRECEDING")
+                  case (false, true) => w(fnName, "1 FOLLOWING", bTxt)
+                  case (false, false) =>
+                    // only the current row was in the frame — DuckDB's
+                    // empty-frame result, typed via a never-taken branch
+                    if (fu == "COUNT") "CAST(0 AS BIGINT)"
+                    else s"CASE WHEN 1 = 0 THEN " +
+                      s"$fnName($args) OVER ($prefix ROWS BETWEEN $aTxt AND $bTxt) " +
+                      "ELSE NULL END"
+                }
+              out = out.substring(0, f0 + 1) + "(" + repl + ")" +
+                out.substring(closeAt + 1)
+              changed = true
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("EXCLUDE", i + 1)
       }
     }
     out

@@ -68,6 +68,36 @@ class DialectFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("window-frame EXCLUDE desugars to split frames (DuckDB-pinned shapes)") {
+    def rw(s: String) = Dialect.rewrite(s)
+    // both sides present: sum recombines NULL-aware
+    val both = rw("SELECT sum(v) OVER (PARTITION BY p ORDER BY o " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM t")
+    assert(both.contains("ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING"), both)
+    assert(both.contains("ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING"), both)
+    assert(both.toUpperCase.contains("CASE WHEN"), both)
+    assert(!both.toUpperCase.contains("EXCLUDE"), both)
+    // one-sided frame: the same aggregate over the reduced frame
+    val before = rw("SELECT min(v) OVER (ORDER BY o " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM t")
+    assert(before.contains("ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING"), before)
+    assert(!before.toUpperCase.contains("LEAST"), before)
+    // current-row-only frame: DuckDB's empty-frame result
+    val only = rw("SELECT count(v) OVER (ORDER BY o " +
+      "ROWS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM t")
+    assert(only.contains("CAST(0 AS BIGINT)"), only)
+    // NO OTHERS is the default — stripped
+    val noOthers = rw("SELECT sum(v) OVER (ORDER BY o " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM t")
+    assert(!noOthers.toUpperCase.contains("EXCLUDE"), noOthers)
+    assert(noOthers.contains("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"), noOthers)
+    // GROUP/TIES and frameless EXCLUDE fail loudly
+    intercept[IllegalArgumentException](rw(
+      "SELECT sum(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
+    // the star modifier is untouched by the window pass
+    assert(rw("SELECT * EXCLUDE (a, b) FROM t").toUpperCase.contains("EXCEPT"))
+  }
+
   test("DISTINCT ON hoists unprojected sort columns into helper columns") {
     val in = "SELECT DISTINCT ON (lang) lang, path FROM files " +
       "ORDER BY lang NULLS FIRST, created DESC NULLS LAST, path"
