@@ -384,6 +384,28 @@ object DialectFuzz {
     shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
   }
 
+  /** Map/struct function family. Lookups (m['k'], map_extract,
+    * element_at) are NOT in the differential set: DuckDB 1.0 (the
+    * checker) returns a one-element LIST where 1.1+ and the engine
+    * return the scalar — the engine follows modern semantics (unit
+    * specs cover lookups).
+    */
+  private def mapFns(r: Random): Stmt = {
+    val k1 = pick(r, Seq("lang", "source"))
+    val k2 = pick(r, Seq("category", "created", "n_chars"))
+    val m = s"MAP {'a': $k1, 'b': $k2}"
+    val st = s"{'x': $k2, 'y': $k1}"
+    def one(): String = pick(r, Seq(
+      s"map_keys($m)",
+      s"map_values($m)",
+      s"cardinality($m)",
+      s"map_entries($m)",
+      s"struct_extract($st, 'y')",
+      s"($st).x",
+      s"map_keys(MAP {'only': path})"))
+    shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
+  }
+
   private def winExclude(r: Random): Stmt = {
     val part = pick(r, keyCols)
     val ie = intExpr(r)
@@ -454,6 +476,7 @@ object DialectFuzz {
     "scalar_fns" -> scalarFns _,
     "window" -> window _,
     "win_exclude" -> winExclude _,
+    "map_fns" -> mapFns _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

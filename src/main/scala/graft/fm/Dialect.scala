@@ -148,6 +148,20 @@ object Dialect {
     // 0 when absent — exactly Spark's instr.
     reg.createOrReplaceTempFunction(
       "strpos", exprs => StringInstr(exprs(0), exprs(1)), "built-in")
+    // Map/struct manipulation family. Lookup functions use MODERN DuckDB
+    // semantics (scalar value, NULL when absent — DuckDB 1.1+ and Spark
+    // agree); DuckDB 1.0 returned a single-element LIST from map
+    // indexing/map_extract/element_at, a wart later versions removed —
+    // that historical shape is NOT replicated. map_keys/map_values/
+    // map_entries/cardinality need no alias (same names natively).
+    reg.createOrReplaceTempFunction(
+      "map_extract", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "element_at", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "struct_extract", exprs =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "prefix", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -2379,9 +2393,22 @@ object Dialect {
           if (close > i) {
             val pairs = splitStructPairs(out, msk, lit, i + 1, close)
             if (pairs != null && pairs.nonEmpty) {
-              val repl = "named_struct(" + pairs
-                .map { case (k, v) => s"$k, $v" }.mkString(", ") + ")"
-              out = out.substring(0, i) + repl + out.substring(close + 1)
+              // `MAP {'k': v, …}` (DuckDB map literal) → map(k, v, …);
+              // a bare brace literal → named_struct. The keyword scan
+              // must see MAP directly before the brace.
+              var b = i - 1
+              while (b >= 0 && msk.charAt(b).isWhitespace) b -= 1
+              val u = msk.toUpperCase
+              val isMap = b >= 2 && u.regionMatches(b - 2, "MAP", 0, 3) &&
+                isKeywordAt(u, b, "MAP")
+              val args = pairs.map { case (k, v) => s"$k, $v" }.mkString(", ")
+              if (isMap) {
+                out = out.substring(0, b - 2) + s"map($args)" +
+                  out.substring(close + 1)
+              } else {
+                out = out.substring(0, i) + s"named_struct($args)" +
+                  out.substring(close + 1)
+              }
               changed = true
             }
           }

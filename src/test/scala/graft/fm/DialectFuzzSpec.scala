@@ -98,6 +98,19 @@ class DialectFuzzSpec extends AnyFunSuite {
     assert(rw("SELECT * EXCLUDE (a, b) FROM t").toUpperCase.contains("EXCEPT"))
   }
 
+  test("MAP literals rewrite to map(); bare braces stay named_struct") {
+    assert(Dialect.rewrite("SELECT MAP {'a': x, 'b': y} FROM t")
+      == "SELECT map('a', x, 'b', y) FROM t")
+    assert(Dialect.rewrite("SELECT {'a': x} FROM t")
+      == "SELECT named_struct('a', x) FROM t")
+    // nested: a map value that is a struct
+    val nested = Dialect.rewrite("SELECT MAP {'p': {'q': z}} FROM t")
+    assert(nested == "SELECT map('p', named_struct('q', z)) FROM t", nested)
+    // an identifier ending in ...map is not the MAP keyword
+    assert(Dialect.rewrite("SELECT heatmap {'a': x} FROM t")
+      .contains("named_struct"))
+  }
+
   test("DISTINCT ON hoists unprojected sort columns into helper columns") {
     val in = "SELECT DISTINCT ON (lang) lang, path FROM files " +
       "ORDER BY lang NULLS FIRST, created DESC NULLS LAST, path"

@@ -255,6 +255,24 @@ class QueryEngineSpec extends AnyFunSuite {
       e.query("**/*.md", "CREATE TABLE files AS SELECT 1 AS x"))
   }
 
+  test("MAP literals and map/struct functions (modern scalar lookups)") {
+    val e = eng(corpus(threeDocs: _*))
+    val r = e.query("**/*.md",
+      """SELECT path,
+        |  MAP {'t': title}['t'] AS t1,
+        |  map_extract(MAP {'t': title}, 'zz') AS missing,
+        |  cardinality(MAP {'a': 1, 'b': 2}) AS n,
+        |  struct_extract({'u': title, 'v': path}, 'u') AS u,
+        |  array_to_string(map_keys(MAP {'a': 1, 'b': 2}), ',') AS ks
+        |FROM files ORDER BY path""".stripMargin)
+    val rows = r.results.collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("Alpha", "Beta", "Gamma"))
+    assert(rows.forall(_.isNullAt(2)), "missing key must be NULL (modern DuckDB)")
+    assert(rows.head.getInt(3) == 2)
+    assert(rows.map(_.getString(4)).toSeq == Seq("Alpha", "Beta", "Gamma"))
+    assert(rows.head.getString(5) == "a,b")
+  }
+
   test("FROM-first, math operators, and SIMILAR TO work through the engine") {
     val e = eng(corpus(threeDocs: _*))
     val r = e.query("**/*.md", "FROM files WHERE title = 'Beta' SELECT path")
