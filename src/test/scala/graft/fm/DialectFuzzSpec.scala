@@ -52,7 +52,8 @@ class DialectFuzzSpec extends AnyFunSuite {
     // engine-side schema or state) — here only the expression-level
     // rewrite surface is checkable statically.
     val exprFamilies = Seq("qualify", "brackets", "listcomp", "distinct_on",
-      "semianti", "mathops", "patterns", "ordered_agg")
+      "semianti", "mathops", "patterns", "ordered_agg", "regex_fns",
+      "scalar_fns", "window", "win_exclude", "map_fns", "group_sets")
     for (f <- exprFamilies; i <- 0 until N) {
       val sql = DialectFuzz.generate(f, i).engine
       val once = Dialect.rewrite(sql)
