@@ -457,6 +457,39 @@ object DialectFuzz {
     shared(s"SELECT $g AS g, ${aggs.mkString(", ")} FROM files${whereOpt(r)} GROUP BY $g")
   }
 
+  /** Compositional family: a statement from another family wrapped in a
+    * CTE, a subquery, or a self-UNION — the string rewrites are
+    * position- and depth-sensitive scans, and composition is where they
+    * historically break (QUALIFY inside a WITH body, DISTINCT ON inside
+    * parens, …). Inner statements come from the expression-level
+    * families only (statement-level forms — PIVOT/UNPIVOT/DDL/macros —
+    * cannot nest).
+    */
+  private val composable = Seq("qualify", "brackets", "listcomp",
+    "distinct_on", "semianti", "mathops", "patterns", "scalar_fns",
+    "regex_fns", "window", "win_exclude", "map_fns", "ordered_agg",
+    "group_sets", "union_byname")
+
+  private def composed(r: Random): Stmt = {
+    val fam = composable(r.nextInt(composable.length))
+    val inner = generate(fam, r.nextInt(200))
+    // every composable family is built via shared(): its oracle is
+    // exactly cte + "\n" + engine, which the wrappers below rely on
+    r.nextInt(3) match {
+      case 0 => Stmt(
+        s"WITH gc AS (\n${inner.engine}\n) SELECT * FROM gc",
+        s"WITH gc AS (\n${inner.oracle}\n) SELECT * FROM gc")
+      case 1 => Stmt(
+        s"SELECT * FROM (\n${inner.engine}\n) gq",
+        s"SELECT * FROM (\n${inner.oracle}\n) gq")
+      case _ => Stmt(
+        s"SELECT * FROM (\n${inner.engine}\n) u1 UNION ALL " +
+          s"SELECT * FROM (\n${inner.engine}\n) u2",
+        s"$cte\nSELECT * FROM (\n${inner.engine}\n) u1 UNION ALL " +
+          s"SELECT * FROM (\n${inner.engine}\n) u2")
+    }
+  }
+
   // -----------------------------------------------------------------------
 
   def families(i: Int): Seq[(String, Random => Stmt)] = Seq(
@@ -477,6 +510,7 @@ object DialectFuzz {
     "window" -> window _,
     "win_exclude" -> winExclude _,
     "map_fns" -> mapFns _,
+    "composed" -> composed _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

@@ -307,6 +307,32 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(Await.result(Future.sequence(futures), 120.seconds).forall(_ == 3L))
   }
 
+  test("concurrent DDL and queries don't corrupt engine state") {
+    val e = eng(corpus(threeDocs: _*))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // interleave session-table DDL scripts, plain reads, and
+    // rewrite-heavy reads on ONE engine; every path reports 3 rows
+    val futures = (1 to 12).map { i =>
+      Future {
+        (i % 3) match {
+          case 0 => e.query("**/*.md",
+            s"CREATE OR REPLACE TABLE ct$i AS SELECT path FROM files; " +
+              s"SELECT COUNT(*) AS n FROM ct$i").results.collect()(0).getLong(0)
+          case 1 => e.query("**/*.md",
+            "SELECT COUNT(*) AS n FROM files").results.collect()(0).getLong(0)
+          case _ => e.query("**/*.md",
+            """SELECT COUNT(*) AS n FROM (
+              |  SELECT path FROM files
+              |  QUALIFY row_number() OVER (ORDER BY path) <= 3
+              |) q""".stripMargin).results.collect()(0).getLong(0)
+        }
+      }
+    }
+    assert(Await.result(Future.sequence(futures), 120.seconds).forall(_ == 3L))
+  }
+
   test("path sandbox rejects escapes (server.py:60-84)") {
     val dir = corpus("a.md" -> "x")
     intercept[IllegalArgumentException](FileScan.resolve(dir, "../escape.md"))
