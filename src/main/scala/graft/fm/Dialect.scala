@@ -56,14 +56,6 @@ object Dialect {
       "regexp_matches", exprs =>
         if (exprs.length >= 3) RLike(exprs(0), withInlineFlags(exprs(1), exprs(2)))
         else RLike(exprs(0), exprs(1)), "built-in")
-    // DuckDB regexp_replace replaces only the FIRST match unless the
-    // 'g' flag is given; Spark's builtin always replaces all. Verified
-    // divergence (see DuckRegexExpressions) — the dialect sessions get
-    // DuckDB's semantics, the DataFrame API (functions.regexp_replace)
-    // keeps Spark's.
-    reg.createOrReplaceTempFunction(
-      "regexp_replace", exprs => DuckRegexpReplace(exprs(0), exprs(1), exprs(2),
-        if (exprs.length >= 4) exprs(3) else Literal("")), "built-in")
     // DuckDB list → string; Spark spells it array_join (both skip NULL
     // elements when no null-replacement is given) — with one divergence
     // the differential fuzzer caught: DuckDB's array_to_string has
@@ -153,11 +145,11 @@ object Dialect {
     // agree); DuckDB 1.0 returned a single-element LIST from map
     // indexing/map_extract/element_at, a wart later versions removed —
     // that historical shape is NOT replicated. map_keys/map_values/
-    // map_entries/cardinality need no alias (same names natively).
+    // map_entries/cardinality need no alias (same names natively);
+    // element_at's DuckDB try-semantics override lives in
+    // [[registerOverrides]] (it collides with a Spark builtin).
     reg.createOrReplaceTempFunction(
       "map_extract", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
-    reg.createOrReplaceTempFunction(
-      "element_at", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
     reg.createOrReplaceTempFunction(
       "struct_extract", exprs =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
@@ -166,6 +158,34 @@ object Dialect {
       "prefix", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "suffix", exprs => EndsWith(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** DuckDB-semantics OVERRIDES of names that exist in Spark with
+    * DIFFERENT behavior — kept separate from [[register]] (which only
+    * ADDS names) so that constructing an engine never silently changes
+    * what plain Spark SQL means on the caller's own session. The
+    * engine's private dialect session is the only place these install
+    * by default; a cluster user who wants the full DuckDB surface on a
+    * session calls this explicitly.
+    *
+    *  - `regexp_replace`: DuckDB replaces only the FIRST match unless
+    *    the 'g' flag is given; Spark's builtin always replaces all and
+    *    takes a position 4th argument (see [[DuckRegexpReplace]]);
+    *  - `element_at`: DuckDB returns NULL out of range / for a missing
+    *    map key; Spark's builtin throws under ANSI mode.
+    */
+  def registerOverrides(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "regexp_replace", exprs => {
+        require(exprs.length == 3 || exprs.length == 4,
+          s"regexp_replace takes 3 or 4 arguments, got ${exprs.length}")
+        DuckRegexpReplace(exprs(0), exprs(1), exprs(2),
+          if (exprs.length >= 4) exprs(3) else Literal(""))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "element_at", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
   }
 
   /** Translate a C/DuckDB strftime format to a java DateTimeFormatter
@@ -2303,7 +2323,9 @@ object Dialect {
     }
     if (stripWord("FIRST") || stripWord("LAST")) stripWord("NULLS")
     val _ = stripWord("ASC") || stripWord("DESC")
-    (e, sb.toString)
+    // a sort item that IS one of the keywords (a column literally named
+    // `last`, `desc`, …) must survive whole, not strip to emptiness
+    if (e.isEmpty) (item.trim, "") else (e, sb.toString)
   }
 
   /** DuckDB `USING SAMPLE n%` / `USING SAMPLE n [ROWS|PERCENT]` →

@@ -22,7 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DuckRegexOps {
 
+  /** Compiled-pattern cache. BOUNDED: a non-literal regexp argument
+    * (pattern taken from a column) would otherwise retain one compiled
+    * Pattern per distinct row value forever on every executor JVM; at
+    * the bound the cache resets wholesale — recompilation is cheap
+    * relative to an unbounded heap (review r10).
+    */
   private val patterns = new ConcurrentHashMap[String, Pattern]()
+  private val MaxPatterns = 1024
 
   private def flagBits(flags: String): Int = {
     var bits = 0
@@ -37,7 +44,15 @@ object DuckRegexOps {
 
   private def pattern(re: String, flags: String): Pattern = {
     val bits = flagBits(flags)
-    patterns.computeIfAbsent(s"$bits:$re", _ => Pattern.compile(re, bits))
+    val key = s"$bits:$re"
+    val hit = patterns.get(key)
+    if (hit != null) hit
+    else {
+      val p = Pattern.compile(re, bits)
+      if (patterns.size >= MaxPatterns) patterns.clear()
+      patterns.put(key, p)
+      p
+    }
   }
 
   /** RE2 replacement string → Java Matcher replacement: `\N` backrefs

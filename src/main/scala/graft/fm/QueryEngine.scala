@@ -72,6 +72,11 @@ final class QueryEngine(
       spark.conf.getOption(k).foreach(s.conf.set(k, _))
     s.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     Dialect.register(s)
+    // Builtin-name overrides (regexp_replace, element_at) install ONLY
+    // here: the user's session keeps Spark's own semantics (review r10
+    // finding — an engine construction must not silently change what
+    // plain Spark SQL means elsewhere in the application).
+    Dialect.registerOverrides(s)
     semantic.foreach(_.registerFunctions(s))
     s
   }
@@ -234,8 +239,19 @@ final class QueryEngine(
       }
     }).orElse(Dialect.parseDropTable(st).map { case (name, ifExists) =>
       rewriteLock.synchronized {
-        sessionTables.remove(name.toLowerCase) match {
-          case Some((df, _)) => df.unpersist(); tablesVersion += 1
+        val lc = name.toLowerCase
+        sessionTables.remove(lc) match {
+          case Some((df, _)) =>
+            df.unpersist()
+            tablesVersion += 1
+            // drop the table's view NOW and reset the mirror bookkeeping
+            // for a same-named parent view: the identity check would
+            // otherwise see "unchanged" and never re-mirror, leaving the
+            // still-existing parent view unresolvable (review r10).
+            sqlSession.catalog.dropTempView(lc)
+            registeredTables -= lc
+            mirrored -= lc
+            mirroredPlans -= lc
           case None => if (!ifExists)
             throw new IllegalArgumentException(s"table $name does not exist")
         }
@@ -308,7 +324,10 @@ final class QueryEngine(
       val parentViews = spark.sessionState.catalog.listLocalTempViews("*")
         .map(_.table).filter(_ != "files").toSet
       for (v <- mirrored diff parentViews) {
-        sqlSession.catalog.dropTempView(v)
+        // a session table with this name owns the clone's temp view —
+        // cleaning up the dropped PARENT view must not take the table's
+        // registration with it (review r10)
+        if (!sessionTables.contains(v)) sqlSession.catalog.dropTempView(v)
         spark.catalog.dropGlobalTempView(s"${bridgeView}_$v")
       }
       var remirrored = Set.empty[String]
@@ -365,8 +384,11 @@ final class QueryEngine(
       // DESCRIBE resolves through a LIMIT-0 probe (analysis only) with
       // Spark types mapped to DuckDB spellings; the result splices in as
       // a VALUES relation so the statement and subquery forms both work.
+      // SHOW TABLES lists the files view, parent-session views, AND
+      // session-scoped tables — a DuckDB connection lists everything it
+      // registered, including tables the script just created.
       val shown = Dialect.rewriteShow(expanded,
-        "files" +: parentViews.toSeq.sorted)
+        "files" +: (parentViews ++ sessionTables.keySet).toSeq.distinct.sorted)
       val described = Dialect.rewriteDescribe(shown, frag => {
         val probe = sqlSession.sql(Dialect.rewrite(Dialect.rewriteColumns(
           s"SELECT * FROM (\n$frag\n) __graft_desc_probe LIMIT 0",
@@ -388,9 +410,13 @@ final class QueryEngine(
         }
         // The hidden DISTINCT pass over an unchanged `files` corpus is
         // memoized by fingerprint; pivots over parent views always
-        // re-discover (their contents aren't fingerprinted).
+        // re-discover (their contents aren't fingerprinted). Pruning
+        // keeps every LIVE glob's fingerprint — keying the prune on the
+        // current query's fingerprint alone would make two alternating
+        // globs evict each other's entries (review r10).
         if (tbl.equalsIgnoreCase("files")) {
-          pivotValues.filterInPlace { case ((f, _, _), _) => f == fingerprint }
+          val live = cache.values.map(_.fingerprint).toSet
+          pivotValues.filterInPlace { case ((f, _, _), _) => live.contains(f) }
           pivotValues.getOrElseUpdate((fingerprint, "files", c), discover())
         } else discover()
       })

@@ -57,7 +57,20 @@ object PrefixSum {
       alsoAfter: Boolean): DataFrame = {
     val parts =
       if (partitions > 0) partitions
-      else math.min(4096, math.max(1, df.rdd.getNumPartitions))
+      else {
+        // Under AQE (the Spark default; Verify runs with it on),
+        // Dataset.rdd materializes the adaptive plan — submitting every
+        // upstream shuffle stage just to READ a partition count, work
+        // the repartitionByRange below then redoes from scratch. The
+        // conf's shuffle parallelism is the same order of magnitude and
+        // costs nothing; the exact physical count only matters without
+        // AQE, where .rdd is a lazy DAG build.
+        val conf = df.sparkSession.sessionState.conf
+        val n =
+          if (conf.adaptiveExecutionEnabled) conf.numShufflePartitions
+          else df.rdd.getNumPartitions
+        math.min(4096, math.max(1, n))
+      }
     // Materialize the ranged frame ONCE (eager local checkpoint): both
     // passes below must observe the same partition assignment, and range
     // boundaries come from runtime sampling — two independent executions

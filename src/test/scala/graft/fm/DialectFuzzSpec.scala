@@ -123,5 +123,11 @@ class DialectFuzzSpec extends AnyFunSuite {
     val in2 = "SELECT DISTINCT ON (lang) lang, path, n_chars FROM files " +
       "ORDER BY lang NULLS FIRST, n_chars DESC NULLS LAST, path"
     assert(!Dialect.rewrite(in2).contains("__graft_ob_"), Dialect.rewrite(in2))
+    // a sort column literally NAMED like a direction keyword survives
+    // whole (review r10: stripSortSuffix must not strip `last` to "")
+    val in3 = "SELECT DISTINCT ON (id) id, v FROM people ORDER BY id, last"
+    val out3 = Dialect.rewrite(in3)
+    assert(out3.contains("last AS __graft_ob_0"), out3)
+    assert(!out3.contains(", AS "), out3)
   }
 }

@@ -307,6 +307,52 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(Await.result(Future.sequence(futures), 120.seconds).forall(_ == 3L))
   }
 
+  test("session tables shadow and un-shadow same-named parent views") {
+    val e = eng(corpus(threeDocs: _*))
+    spark.range(5).selectExpr("CAST(id AS STRING) AS path")
+      .createOrReplaceTempView("shad")
+    try {
+      // the parent view resolves through the engine (mirrored)
+      assert(e.query("**/*.md", "SELECT COUNT(*) AS n FROM shad")
+        .results.collect()(0).getLong(0) == 5L)
+      // a session table with the same name shadows it (DuckDB resolves
+      // its own tables first)
+      e.query("**/*.md", "CREATE TABLE shad AS SELECT path FROM files")
+      assert(e.query("**/*.md", "SELECT COUNT(*) AS n FROM shad")
+        .results.collect()(0).getLong(0) == 3L)
+      // SHOW TABLES lists the session table
+      assert(e.query("**/*.md", "SHOW TABLES").results.collect()
+        .map(_.getString(0)).contains("shad"))
+      // DROP TABLE un-shadows: the parent view resolves again
+      e.query("**/*.md", "DROP TABLE shad")
+      assert(e.query("**/*.md", "SELECT COUNT(*) AS n FROM shad")
+        .results.collect()(0).getLong(0) == 5L)
+      // dropping the parent view while a same-named table exists keeps
+      // the table resolvable
+      e.query("**/*.md", "CREATE TABLE shad AS SELECT path FROM files")
+      spark.catalog.dropTempView("shad")
+      assert(e.query("**/*.md", "SELECT COUNT(*) AS n FROM shad")
+        .results.collect()(0).getLong(0) == 3L)
+      e.query("**/*.md", "DROP TABLE shad")
+    } finally spark.catalog.dropTempView("shad")
+  }
+
+  test("engine construction leaves the user session's builtins untouched") {
+    // a FRESH session (other suites may have installed overrides on the
+    // shared one): constructing an engine on it must not change what
+    // plain Spark SQL means there
+    val s2 = spark.newSession()
+    val e2 = new QueryEngine(
+      s2, Settings(corpus(threeDocs: _*).toString, enableSemantic = false, "", None))
+    // Spark's regexp_replace (replace ALL) on the USER session
+    assert(s2.sql("SELECT regexp_replace('a1b2', '[0-9]', 'N') AS r")
+      .head().getString(0) == "aNbN")
+    // DuckDB's (first match only) on the engine's dialect surface
+    assert(e2.query("**/*.md",
+      "SELECT regexp_replace('a1b2', '[0-9]', 'N') AS r FROM files LIMIT 1")
+      .results.head().getString(0) == "aNb2")
+  }
+
   test("concurrent DDL and queries don't corrupt engine state") {
     val e = eng(corpus(threeDocs: _*))
     import scala.concurrent.{Await, Future}

@@ -192,9 +192,9 @@ class CurationSpec extends AnyFunSuite {
 
   test("redaction chain scrubs realistic PII and leaves clean text alone") {
     // redactChain emits DuckDB-dialect SQL (explicit 'g' flag): it runs
-    // on DuckDB natively and on a DIALECT-REGISTERED Spark session,
-    // where regexp_replace has DuckDB's flag semantics.
-    graft.fm.Dialect.register(spark)
+    // on DuckDB natively and on a session with the dialect OVERRIDES
+    // installed, where regexp_replace has DuckDB's flag semantics.
+    graft.fm.Dialect.registerOverrides(spark)
     def redact(s: String): String =
       spark.sql(s"SELECT ${CurationQueries.redactChain(s"'$s'")} AS r")
         .head().getString(0)
