@@ -96,6 +96,23 @@ object Bench {
     }
     val thirdRuns = timed.count(_._5 > 2)
 
+    // Isolation pass (VERDICT r10 item 3): the full-catalog numbers
+    // charge shared-frame builds, eviction churn and GC to whichever
+    // query happens to trigger them — r10's record charged 2.4 s to a
+    // query that runs in 0.17 s alone. After the catalog pass, the
+    // top-10 most expensive queries are re-timed back-to-back with
+    // nothing else in flight and every shared frame already built: the
+    // steady-state per-query cost. Both numbers are recorded; perf
+    // triage reads `isolated` first and treats the catalog number as
+    // the contended upper bound.
+    val isoPass = timed.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (n, _, _, _, _) =>
+      val fn = SparkEntry.queries(n)
+      def once(): Double = {
+        val t0 = System.nanoTime(); materialize(n, fn); (System.nanoTime() - t0) / 1e9
+      }
+      n -> math.min(once(), once())
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -121,12 +138,14 @@ object Bench {
     // a compact line that always fits.
     val allQs = timed.map { case (k, v, _, _, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val allSpreads = timed.map { case (k, _, _, sp, _) => s"${jstr(k)}:${fmt(sp)}" }.mkString("{", ",", "}")
+    val isoJson = isoPass.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val allErrs = errsMap.toSeq.sortBy(_._1)
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"sf":${jstr(sfDir)},""" +
         s""""n_queries":${timed.length},"n_failed":$nFailed,"tables_cached":true,""" +
-        s""""runs_per_query":2,"third_runs":$thirdRuns,"noise_floor_sec":${fmt(noiseMed)},"run_spread":$allSpreads,"errors":$allErrs}"""
+        s""""runs_per_query":2,"third_runs":$thirdRuns,"noise_floor_sec":${fmt(noiseMed)},""" +
+        s""""isolated":$isoJson,"run_spread":$allSpreads,"errors":$allErrs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
@@ -148,6 +167,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
         s""""n_queries":${timed.length},"n_failed":$nFailed,"tables_cached":true,""" +
         s""""runs_per_query":2,"third_runs":$thirdRuns,"noise_floor_sec":${fmt(noiseMed)},""" +
+        s""""isolated":$isoJson,""" +
         s""""full":${jstr(outPath)},"errors":$errsCompact,"queries":{"""
     val reserve = 40 // for the closing `},"queries_omitted":NNN}`
     var remaining = budget - prefix.length - reserve

@@ -409,23 +409,47 @@ object DialectFuzz {
   private def winExclude(r: Random): Stmt = {
     val part = pick(r, keyCols)
     val ie = intExpr(r)
-    val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)",
-      s"min($ie)", s"max($ie)", s"avg($ie)"))
-    val frame = pick(r, Seq(
-      s"${1 + r.nextInt(3)} PRECEDING AND ${1 + r.nextInt(3)} FOLLOWING",
-      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
-      s"${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
-      s"CURRENT ROW AND ${1 + r.nextInt(4)} FOLLOWING",
-      // no frames that exclude the current row by construction (e.g.
-      // `UNBOUNDED PRECEDING AND 2 PRECEDING`): DuckDB 1.0.0 shifts the
-      // frame end there instead of treating EXCLUDE as the standard
-      // no-op — see rewriteWindowExclude's KNOWN DIVERGENCE note
-      "CURRENT ROW AND CURRENT ROW"))
-    val excl = pick(r, Seq("EXCLUDE CURRENT ROW", "EXCLUDE CURRENT ROW",
-      "EXCLUDE NO OTHERS"))
-    shared(
-      s"""SELECT path, $fn OVER (PARTITION BY $part ORDER BY path
-         |ROWS BETWEEN $frame $excl) AS a FROM files${whereOpt(r)}""".stripMargin)
+    if (r.nextInt(3) < 2) {
+      // CURRENT ROW / NO OTHERS over a UNIQUE order key (every frame
+      // deterministic)
+      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)",
+        s"min($ie)", s"max($ie)", s"avg($ie)"))
+      val frame = pick(r, Seq(
+        s"${1 + r.nextInt(3)} PRECEDING AND ${1 + r.nextInt(3)} FOLLOWING",
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        s"${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
+        s"CURRENT ROW AND ${1 + r.nextInt(4)} FOLLOWING",
+        // no frames that exclude the current row by construction (e.g.
+        // `UNBOUNDED PRECEDING AND 2 PRECEDING`): DuckDB 1.0.0 shifts the
+        // frame end there instead of treating EXCLUDE as the standard
+        // no-op — see rewriteWindowExclude's KNOWN DIVERGENCE note
+        "CURRENT ROW AND CURRENT ROW"))
+      val excl = pick(r, Seq("EXCLUDE CURRENT ROW", "EXCLUDE CURRENT ROW",
+        "EXCLUDE NO OTHERS"))
+      shared(
+        s"""SELECT path, $fn OVER (PARTITION BY $part ORDER BY path
+           |ROWS BETWEEN $frame $excl) AS a FROM files${whereOpt(r)}""".stripMargin)
+    } else {
+      // GROUP / TIES need a TIED order key (peers = ORDER BY ties), and
+      // ties make bounded-offset ROWS frames nondeterministic in BOTH
+      // engines (the current row's intra-group position depends on tie
+      // order) — only frames whose row sets are functions of the key
+      // ordering alone are differentially testable: full partition,
+      // group-prefix, group-suffix. Those still exercise both sides of
+      // the rewrite's tighter-interval picks.
+      val ordKey = pick(r, Seq("lang", "category", "source",
+        "TRY_CAST(n_chars AS BIGINT) % 5"))
+      val nulls = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
+      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)", s"avg($ie)"))
+      val frame = pick(r, Seq(
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        "UNBOUNDED PRECEDING AND CURRENT ROW",
+        "CURRENT ROW AND UNBOUNDED FOLLOWING"))
+      val mode = if (r.nextBoolean()) "GROUP" else "TIES"
+      shared(
+        s"""SELECT path, $fn OVER (PARTITION BY $part ORDER BY $ordKey $nulls
+           |ROWS BETWEEN $frame EXCLUDE $mode) AS a FROM files${whereOpt(r)}""".stripMargin)
+    }
   }
 
   private def groupSets(r: Random): Stmt = {
@@ -490,6 +514,53 @@ object DialectFuzz {
     }
   }
 
+  /** Depth-2 composition (VERDICT r10 item 6): a [[composed]] statement
+    * wrapped ONCE MORE — the rewrites' historical breakage is at depth
+    * boundaries, and depth 2 puts a boundary inside a boundary (QUALIFY
+    * in a CTE in a subquery, …). Wrapper names are depth-suffixed so
+    * nested CTEs never rely on shadowing.
+    */
+  private def composed2(r: Random): Stmt = {
+    val inner = composed(r)
+    r.nextInt(3) match {
+      case 0 => Stmt(
+        s"WITH gd2 AS (\n${inner.engine}\n) SELECT * FROM gd2",
+        s"WITH gd2 AS (\n${inner.oracle}\n) SELECT * FROM gd2")
+      case 1 => Stmt(
+        s"SELECT * FROM (\n${inner.engine}\n) gq2",
+        s"SELECT * FROM (\n${inner.oracle}\n) gq2")
+      case _ => Stmt(
+        s"WITH gd2 AS (\n${inner.engine}\n) " +
+          "SELECT * FROM gd2 u1 UNION ALL SELECT * FROM gd2 u2",
+        s"WITH gd2 AS (\n${inner.oracle}\n) " +
+          "SELECT * FROM gd2 u1 UNION ALL SELECT * FROM gd2 u2")
+    }
+  }
+
+  /** Session-DDL-prefix composition (VERDICT r10 item 6): CREATE TABLE t
+    * AS <family statement>; query over t — the dialect rewrites run
+    * inside a CTAS source here, and the final query resolves against the
+    * session-table registration path instead of the files view. Inner
+    * families are restricted to composables that emit a `path` column so
+    * the follow-up query is schema-independent. Table names are UNIQUE
+    * per statement (engine instance and checker connection both span all
+    * statements).
+    */
+  private val ddlComposable = composable.filter(f =>
+    !Set("union_byname", "group_sets", "ordered_agg").contains(f))
+
+  private def composedDdl(i: Int)(r: Random): Stmt = {
+    val t = s"fzc_$i"
+    val fam = ddlComposable(r.nextInt(ddlComposable.length))
+    val inner = generate(fam, r.nextInt(200))
+    val fin = pick(r, Seq(
+      s"SELECT COUNT(*) AS n, COUNT(DISTINCT path) AS d, min(path) AS mn FROM $t",
+      s"SELECT COUNT(*) AS n, max(path) AS mx FROM $t WHERE path LIKE '%doc%'"))
+    Stmt(
+      s"CREATE TABLE $t AS ${inner.engine};\n$fin",
+      s"CREATE TABLE $t AS (\n${inner.oracle}\n);\n$fin")
+  }
+
   // -----------------------------------------------------------------------
 
   def families(i: Int): Seq[(String, Random => Stmt)] = Seq(
@@ -511,6 +582,8 @@ object DialectFuzz {
     "win_exclude" -> winExclude _,
     "map_fns" -> mapFns _,
     "composed" -> composed _,
+    "composed2" -> composed2 _,
+    "composed_ddl" -> composedDdl(i) _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

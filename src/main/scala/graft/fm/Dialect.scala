@@ -1752,8 +1752,25 @@ object Dialect {
     *     contradicts the SQL standard ("remove the current row from the
     *     frame" — here it was never in it); this rewrite keeps the
     *     standard no-op;
-    *   - `EXCLUDE GROUP` / `EXCLUDE TIES` and RANGE/GROUPS frames fail
-    *     loudly rather than silently diverging.
+    *   - `EXCLUDE GROUP` / `EXCLUDE TIES` (peers = rows with the same
+    *     ORDER BY key) for sum/count/avg over a ROWS frame containing
+    *     the current row: the excluded set is frame ∩ peer-group =
+    *     [max(gs,rs)..cur] ∪ [cur+1..min(ge,re)] where gs/ge are the
+    *     peer-group edges and rs/re the ROWS-frame edges. Each CANDIDATE
+    *     interval is a constant-bound window — [rs..cur] and [cur+1..re]
+    *     directly as ROWS frames; [gs..cur] = cum − (gcum − gall) and
+    *     [cur+1..ge] = gcum − cum, where cum = ROWS(∞ PRECEDING..CUR),
+    *     gcum = RANGE(∞ PRECEDING..CUR) (ends at the peer-group END),
+    *     gall = RANGE(CUR..CUR) (exactly the peer group) — and the
+    *     tighter candidate is picked by comparing COUNT(*) windows over
+    *     the same intervals: both candidates share the current-row
+    *     endpoint, so the smaller row count IS the later start/earlier
+    *     end. TIES adds the current row's own value back. min/max stay
+    *     a loud failure: a minimum over frame-minus-peers is not
+    *     decomposable into constant-bound windows (prefix minima can't
+    *     be subtracted), unlike the additive aggregates;
+    *   - RANGE/GROUPS frame exclusion fails loudly rather than silently
+    *     diverging.
     */
   private[fm] def rewriteWindowExclude(sql: String): String = {
     var out = sql
@@ -1794,15 +1811,18 @@ object Dialect {
           val isOver = openAt >= 0 && q >= 3 &&
             u.regionMatches(q - 3, "OVER", 0, 4) && isKeywordAt(u, q, "OVER")
           if (mode.nonEmpty && isOver) {
-            require(mode == "CURRENT" || mode == "NO",
-              s"window frame EXCLUDE $mode is not supported (only CURRENT ROW / NO OTHERS)")
-            // end of the EXCLUDE clause
-            var k = j + (if (mode == "CURRENT") 7 else 2)
-            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
-            val word = if (mode == "CURRENT") "ROW" else "OTHERS"
-            require(u.regionMatches(k, word, 0, word.length),
-              s"EXCLUDE ${if (mode == "CURRENT") "CURRENT" else "NO"} must be followed by $word")
-            val exclEnd = k + word.length
+            // end of the EXCLUDE clause: CURRENT ROW / NO OTHERS are
+            // two words, GROUP / TIES one
+            var k = j + (mode match {
+              case "CURRENT" => 7; case "NO" => 2; case "GROUP" => 5; case _ => 4 })
+            val exclEnd =
+              if (mode == "CURRENT" || mode == "NO") {
+                while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+                val word = if (mode == "CURRENT") "ROW" else "OTHERS"
+                require(u.regionMatches(k, word, 0, word.length),
+                  s"EXCLUDE ${if (mode == "CURRENT") "CURRENT" else "NO"} must be followed by $word")
+                k + word.length
+              } else k
             if (mode == "NO") {
               // the default — strip the clause
               out = out.substring(0, i).stripSuffix(" ") + out.substring(exclEnd)
@@ -1834,12 +1854,18 @@ object Dialect {
               val fnName = out.substring(f0 + 1, argOpen).trim
               val args = out.substring(argOpen + 1, r0)
               val fu = fnName.toUpperCase
-              require(Set("SUM", "COUNT", "MIN", "MAX", "AVG")(fu),
-                s"EXCLUDE CURRENT ROW is supported for sum/count/min/max/avg, not $fnName")
+              if (mode == "CURRENT")
+                require(Set("SUM", "COUNT", "MIN", "MAX", "AVG")(fu),
+                  s"EXCLUDE CURRENT ROW is supported for sum/count/min/max/avg, not $fnName")
+              else
+                require(Set("SUM", "COUNT", "AVG")(fu),
+                  s"EXCLUDE $mode is supported for sum/count/avg, not $fnName " +
+                    "(a min/max over a peer-excluded frame is not decomposable " +
+                    "into constant-bound windows)")
               // frame bounds: ROWS BETWEEN <a> AND <b> EXCLUDE ...
               val rowsAt = findTopKeyword(u, msk, lit, openAt + 1, i, "ROWS")
               require(rowsAt >= 0,
-                "EXCLUDE CURRENT ROW requires an explicit ROWS BETWEEN frame " +
+                s"EXCLUDE $mode requires an explicit ROWS BETWEEN frame " +
                   "(RANGE/GROUPS exclusion is not supported)")
               val betweenAt = findTopKeyword(u, msk, lit, rowsAt + 4, i, "BETWEEN")
               require(betweenAt >= 0, "EXCLUDE: ROWS frame must use BETWEEN")
@@ -1866,7 +1892,10 @@ object Dialect {
               def w(fn2: String, lo: String, hi: String) =
                 s"$fn2($args) OVER ($prefix ROWS BETWEEN $lo AND $hi)"
               val repl: String =
-                if (noop) s"$fnName($args) OVER ($prefix ROWS BETWEEN $aTxt AND $bTxt)"
+                if (mode != "CURRENT") rewriteExcludePeers(
+                  mode, fu, args, prefix, aTxt, bTxt, ak, bk,
+                  u, msk, lit, openAt, rowsAt)
+                else if (noop) s"$fnName($args) OVER ($prefix ROWS BETWEEN $aTxt AND $bTxt)"
                 else (hasBefore, hasAfter) match {
                   case (true, true) =>
                     lazy val wb = w(fnName, aTxt, "1 PRECEDING")
@@ -1906,6 +1935,93 @@ object Dialect {
       }
     }
     out
+  }
+
+  /** Build the replacement expression for `EXCLUDE GROUP` / `EXCLUDE
+    * TIES` — see [[rewriteWindowExclude]]'s scaladoc for the interval
+    * algebra. `fu` is the upper-cased aggregate (SUM/COUNT/AVG),
+    * `prefix` the OVER-clause text before ROWS, `aTxt`/`bTxt` the
+    * declared frame bounds and `ak`/`bk` their classified kinds.
+    * All result shapes differentially fuzzed against DuckDB v1.0.0
+    * (win_exclude family, all four modes). Float caveat: SUM/AVG
+    * recombine by subtraction, which is exact for integral/decimal
+    * inputs but can differ from DuckDB in the last ulp for DOUBLE
+    * columns — same class of caveat as the CURRENT ROW path's
+    * addition order.
+    */
+  private def rewriteExcludePeers(
+      mode: String, fu: String, args: String, prefix: String,
+      aTxt: String, bTxt: String, ak: String, bk: String,
+      u: String, msk: String, lit: Array[Boolean],
+      openAt: Int, rowsAt: Int): String = {
+    require(ak != "NF" && bk != "NP",
+      s"EXCLUDE $mode requires a frame containing the current row")
+    require(findTopKeyword(u, msk, lit, openAt + 1, rowsAt, "ORDER") >= 0,
+      s"EXCLUDE $mode requires an ORDER BY in the window (peers are the " +
+        "current row's ORDER BY ties)")
+    val UPB = "UNBOUNDED PRECEDING"
+    val CR = "CURRENT ROW"
+    def ro(g: String, lo: String, hi: String) =
+      s"$g OVER ($prefix ROWS BETWEEN $lo AND $hi)"
+    def ra(g: String, lo: String, hi: String) =
+      s"$g OVER ($prefix RANGE BETWEEN $lo AND $hi)"
+    // Interval pieces for an inner aggregate g. Sums pass z =
+    // coalesce-to-0 (an empty/all-NULL side must not poison the
+    // arithmetic); counts pass identity. RANGE frames with only
+    // UNBOUNDED/CURRENT bounds are peer-group-aligned in both engines,
+    // whatever the ORDER BY column types.
+    def pieces(g: String, z: String => String): (String, String, String, String) = {
+      val cum = z(ro(g, UPB, CR))   // [1..cur]
+      val gcum = z(ra(g, UPB, CR))  // [1..ge]: RANGE end = peer-group end
+      val gall = z(ra(g, CR, CR))   // [gs..ge]: exactly the peer group
+      val rsCur = z(ro(g, aTxt, CR))                 // [rs..cur]
+      val gsCur = s"($cum - ($gcum - $gall))"        // [gs..cur]
+      val cur1Re = if (bk == "CR") "0" else z(ro(g, "1 FOLLOWING", bTxt)) // [cur+1..re]
+      val cur1Ge = s"($gcum - $cum)"                 // [cur+1..ge]
+      (rsCur, gsCur, cur1Re, cur1Ge)
+    }
+    val id = (s: String) => s
+    val z0 = (s: String) => s"coalesce($s, 0)"
+    // Structural comparisons via COUNT(*) windows: both candidates for
+    // a side share the current-row endpoint, so the smaller row count
+    // IS the tighter interval (the true intersection bound).
+    val (cRs, cGs, cRe, cGe) = pieces("COUNT(*)", id)
+    def excluded(g: String, z: String => String): String = {
+      val (rs, gs, re, ge) = pieces(g, z)
+      val left = s"(CASE WHEN $cRs <= $cGs THEN $rs ELSE $gs END)"
+      val right =
+        if (bk == "CR") "0"
+        else s"(CASE WHEN $cRe <= $cGe THEN $re ELSE $ge END)"
+      s"($left + $right)"
+    }
+    def frameW(g: String, z: String => String) = z(ro(g, aTxt, bTxt))
+    val isStar = args.trim == "*"
+    val cntArg = s"COUNT($args)"
+    // Residual count of rows the aggregate actually sees (COUNT(expr)
+    // skips NULLs, COUNT(*) doesn't — matching each result's semantics).
+    def resCnt(g: String) = s"(${frameW(g, id)} - ${excluded(g, id)})"
+    val curNonNull =
+      if (isStar) "1" else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+    fu match {
+      case "COUNT" =>
+        val base = resCnt(cntArg)
+        if (mode == "GROUP") base else s"($base + $curNonNull)"
+      case "SUM" =>
+        val sumR = s"(${frameW(s"SUM($args)", z0)} - ${excluded(s"SUM($args)", z0)})"
+        if (mode == "GROUP")
+          s"(CASE WHEN ${resCnt(cntArg)} = 0 THEN NULL ELSE $sumR END)"
+        else
+          s"(CASE WHEN ${resCnt(cntArg)} + $curNonNull = 0 THEN NULL " +
+            s"ELSE $sumR + coalesce(($args), 0) END)"
+      case "AVG" =>
+        val sumR = s"(${frameW(s"SUM($args)", z0)} - ${excluded(s"SUM($args)", z0)})"
+        val cntR = resCnt(cntArg)
+        if (mode == "GROUP")
+          s"(CASE WHEN $cntR = 0 THEN NULL ELSE $sumR / $cntR END)"
+        else
+          s"(CASE WHEN $cntR + $curNonNull = 0 THEN NULL " +
+            s"ELSE ($sumR + coalesce(($args), 0)) / ($cntR + $curNonNull) END)"
+    }
   }
 
   /** Heuristic: walking backwards from position `j`, the nearest governing

@@ -49,40 +49,63 @@ object DuckRegexOps {
     if (hit != null) hit
     else {
       val p = Pattern.compile(re, bits)
-      if (patterns.size >= MaxPatterns) patterns.clear()
-      patterns.put(key, p)
+      // At the bound, compile-without-storing: clearing would evict the
+      // hot literal patterns every running query uses exactly when a
+      // column-sourced pattern floods the cache. putIfAbsent keeps the
+      // overshoot to the handful of threads racing one size check.
+      if (patterns.size < MaxPatterns) patterns.putIfAbsent(key, p)
       p
     }
   }
 
-  /** RE2 replacement string → Java Matcher replacement: `\N` backrefs
-    * become `$N`, a literal `$` is escaped, a lone or doubled backslash
-    * stays a literal backslash.
+  /** Append the RE2-style replacement for one match. Group references
+    * are `\N` with EXACTLY one digit (RE2's rewrite grammar — `\10`
+    * is group 1 followed by a literal '0', never group 10, which is
+    * why this can't be delegated to Java's `Matcher` replacement
+    * parser: `$10` there greedily resolves to group 10 when the
+    * pattern has one). `\\` is a literal backslash; an unmatched
+    * optional group substitutes empty; a reference past the pattern's
+    * group count fails loudly, as RE2's rewrite check does.
     */
-  private[fm] def javaReplacement(r: String): String = {
-    val sb = new StringBuilder
+  private def appendReplacement(m: java.util.regex.Matcher, repl: String,
+      sb: java.lang.StringBuilder): Unit = {
     var i = 0
-    while (i < r.length) {
-      val c = r.charAt(i)
-      if (c == '\\' && i + 1 < r.length && Character.isDigit(r.charAt(i + 1))) {
-        sb.append('$').append(r.charAt(i + 1)); i += 2
-      } else if (c == '\\' && i + 1 < r.length && r.charAt(i + 1) == '\\') {
-        sb.append("\\\\"); i += 2
-      } else if (c == '\\') { sb.append("\\\\"); i += 1 }
-      else if (c == '$') { sb.append("\\$"); i += 1 }
-      else { sb.append(c); i += 1 }
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '\\' && i + 1 < repl.length && Character.isDigit(repl.charAt(i + 1))) {
+        val g = repl.charAt(i + 1) - '0'
+        if (g > m.groupCount) throw new IllegalArgumentException(
+          s"invalid group \\$g in regexp_replace replacement (pattern has ${m.groupCount})")
+        val v = m.group(g)
+        if (v != null) sb.append(v)
+        i += 2
+      } else if (c == '\\' && i + 1 < repl.length && repl.charAt(i + 1) == '\\') {
+        sb.append('\\'); i += 2
+      } else { sb.append(c); i += 1 }
     }
-    sb.toString
   }
 
   def replace(s: UTF8String, re: UTF8String, repl: UTF8String,
       flags: UTF8String): UTF8String = {
     val f = flags.toString
-    val m = pattern(re.toString, f).matcher(s.toString)
-    val out =
-      if (f.indexOf('g') >= 0) m.replaceAll(javaReplacement(repl.toString))
-      else m.replaceFirst(javaReplacement(repl.toString))
-    UTF8String.fromString(out)
+    val input = s.toString
+    val r = repl.toString
+    val m = pattern(re.toString, f).matcher(input)
+    val global = f.indexOf('g') >= 0
+    // java.lang.StringBuilder, NOT scala's: the 3-arg region append
+    // below would silently auto-tuple through scala's append(Any)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    var found = m.find()
+    while (found) {
+      sb.append(input, last, m.start())
+      appendReplacement(m, r, sb)
+      last = m.end()
+      // Matcher.find() self-advances past zero-width matches.
+      found = global && m.find()
+    }
+    sb.append(input, last, input.length)
+    UTF8String.fromString(sb.toString)
   }
 }
 

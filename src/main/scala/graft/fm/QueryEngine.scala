@@ -153,12 +153,18 @@ final class QueryEngine(
     // CREATE MACRO (recorded, connection-scoped like DuckDB's); the last
     // statement is the query whose result is returned.
     val stmts = Dialect.splitStatements(sql)
+    // Classification runs as a parse-only pass over the WHOLE script
+    // before any side effect executes: DuckDB parses a multi-statement
+    // script up front, so a script rejected for an invalid middle
+    // statement must not have already registered the earlier statements'
+    // macros/tables (advice r10).
     stmts.dropRight(1).foreach { st =>
-      if (sideStatement(files, fp, st).isEmpty)
+      if (!isSideStatement(st))
         throw new IllegalArgumentException(
           "only CREATE MACRO / CREATE TABLE AS / INSERT INTO / DROP TABLE " +
             "statements may precede the final query: " + st.trim)
     }
+    stmts.dropRight(1).foreach(st => sideStatement(files, fp, st))
     val lastRaw = stmts.lastOption.getOrElse(sql)
     // A script ENDING in DDL is a success in DuckDB; return its result
     // shape (macro: zero rows; CTAS/INSERT: one-row Count; DROP:
@@ -185,16 +191,48 @@ final class QueryEngine(
 
   /** Session-scoped tables (DuckDB connection model: CREATE TABLE AS /
     * INSERT INTO / DROP TABLE in user scripts, reference passthrough
-    * `query.py:72`). Each entry is a PERSISTED materialized snapshot —
-    * DuckDB's CTAS copies data, so a later corpus change must not leak
-    * into an existing table — plus its row count (INSERT's Count result
-    * is rows inserted, not the new total). Guarded by [[rewriteLock]].
+    * `query.py:72`). Each entry is an eagerly CHECKPOINTED snapshot
+    * (see [[materialize]]) — DuckDB's CTAS copies data, so a later
+    * corpus change must not leak into an existing table — plus its row
+    * count (INSERT's Count result is rows inserted, not the new total).
+    * Guarded by [[rewriteLock]].
     */
   private val sessionTables =
     TrieMap.empty[String, (DataFrame, Long)]
   private var tablesVersion = 0L
   private var registeredTables: Set[String] = Set.empty
   private var registeredTablesVersion = -1L
+
+  /** Parse-only classification of [[sideStatement]]'s surface — no
+    * side effects, used to validate a whole script before executing any
+    * of it.
+    */
+  private def isSideStatement(st: String): Boolean =
+    Dialect.parseCreateMacro(st).isDefined ||
+      Dialect.parseCreateTableAs(st).isDefined ||
+      Dialect.parseInsertInto(st).isDefined ||
+      Dialect.parseDropTable(st).isDefined
+
+  /** Materialize a session-table snapshot. An EAGER localCheckpoint, not
+    * persist(): DuckDB's CTAS copies data, and a merely-persisted frame
+    * is only cache-durable — evicted blocks recompute through lineage
+    * back to the corpus source files, silently leaking a LATER corpus
+    * state into an existing table (advice r10). The checkpoint job runs
+    * OUTSIDE rewriteLock (callers must not hold it): it is a full Spark
+    * job, and holding the lock for it would stall every concurrent
+    * query's rewrite/analysis on this engine.
+    */
+  private def materialize(src: DataFrame): (DataFrame, Long) = {
+    val snap = src.localCheckpoint(true)
+    (snap, snap.count())
+  }
+
+  /** Best-effort release of a replaced/dropped snapshot. The checkpoint
+    * blocks belong to the snapshot's internal RDD; once the frame is
+    * unreferenced the ContextCleaner frees them on GC — unpersist()
+    * handles the CacheManager side for pre-checkpoint-era frames.
+    */
+  private def releaseTable(df: DataFrame): Unit = df.unpersist()
 
   /** Execute a macro / table-DDL statement against the engine session;
     * None when `st` is not DDL (the caller then treats it as a query).
@@ -209,34 +247,55 @@ final class QueryEngine(
     }.orElse(Dialect.parseCreateTableAs(st).map { c =>
       val lc = c.name.toLowerCase
       require(lc != "files", "cannot shadow the files view with a session table")
+      // Fail fast before doing any work; re-checked under the lock at
+      // swap time (the materialize job runs lock-free).
+      if (!c.orReplace && sessionTables.contains(lc))
+        throw new IllegalArgumentException(s"table ${c.name} already exists")
       val src = runRewritten(files,
         Dialect.expandMacros(c.sourceSql, macros.readOnlySnapshot().toMap), fp)
+      val (snap, n) = materialize(src)
       rewriteLock.synchronized {
-        if (!c.orReplace && sessionTables.contains(lc))
+        if (!c.orReplace && sessionTables.contains(lc)) {
+          releaseTable(snap)
           throw new IllegalArgumentException(s"table ${c.name} already exists")
-        val snap = src.persist()
-        val n = snap.count()
-        sessionTables.put(lc, (snap, n)).foreach(_._1.unpersist())
+        }
+        sessionTables.put(lc, (snap, n)).foreach(t => releaseTable(t._1))
         tablesVersion += 1
-        Seq(n).toDF("Count")
       }
+      Seq(n).toDF("Count")
     }).orElse(Dialect.parseInsertInto(st).map { ins =>
       val lc = ins.name.toLowerCase
       val src = runRewritten(files,
         Dialect.expandMacros(ins.sourceSql, macros.readOnlySnapshot().toMap), fp)
-      rewriteLock.synchronized {
-        val (old, oldN) = sessionTables.getOrElse(lc,
-          throw new IllegalArgumentException(s"table ${ins.name} does not exist"))
+      // Snapshot the current table, materialize the union OUTSIDE the
+      // lock, then swap only if the table is still that same snapshot;
+      // losing a race to a concurrent INSERT/CTAS on the same name
+      // retries against the new snapshot (bounded by contention).
+      var inserted = -1L
+      while (inserted < 0) {
+        val (old, oldN) = rewriteLock.synchronized {
+          sessionTables.getOrElse(lc,
+            throw new IllegalArgumentException(s"table ${ins.name} does not exist"))
+        }
         require(src.columns.length == old.columns.length,
           s"INSERT INTO ${ins.name}: ${src.columns.length} columns, " +
             s"table has ${old.columns.length}")
-        val snap = old.union(src).persist()
-        val n = snap.count()
-        sessionTables.put(lc, (snap, n))
-        old.unpersist()
-        tablesVersion += 1
-        Seq(n - oldN).toDF("Count")
+        val (snap, n) = materialize(old.union(src))
+        rewriteLock.synchronized {
+          sessionTables.get(lc) match {
+            case Some((cur, _)) if cur eq old =>
+              sessionTables.put(lc, (snap, n))
+              releaseTable(old)
+              tablesVersion += 1
+              inserted = n - oldN
+            case Some(_) => releaseTable(snap) // raced; retry on the new snapshot
+            case None =>
+              releaseTable(snap)
+              throw new IllegalArgumentException(s"table ${ins.name} does not exist")
+          }
+        }
       }
+      Seq(inserted).toDF("Count")
     }).orElse(Dialect.parseDropTable(st).map { case (name, ifExists) =>
       rewriteLock.synchronized {
         val lc = name.toLowerCase

@@ -321,6 +321,72 @@ object FrontmatterQueries {
         |FROM files f JOIN in_cat('cat0') t ON t.cpath = f.path
         |ORDER BY f.path""".stripMargin),
 
+    // Window-frame EXCLUDE — all three non-default modes in one
+    // statement (rewriteWindowExclude + rewriteExcludePeers): CURRENT
+    // ROW over a bounded frame with a unique order key; GROUP and TIES
+    // over tied order keys with peer-group-aligned frames (the only
+    // frames deterministic under ties in EITHER engine — see the fuzz
+    // family note). Pinned here so the driver's CORRECTNESS artifact
+    // covers the construct, not just the fuzzer (VERDICT r10 item 1).
+    "q_fm_win_exclude" -> run(
+      """SELECT path,
+        |  sum(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY path
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_excl,
+        |  count(*) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS n_grp,
+        |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS a_ties
+        |FROM files ORDER BY path""".stripMargin),
+
+    // MAP literals + the map/struct function family
+    // (rewriteMapLiteral/rewriteStructLit + registered aliases); lookup
+    // forms are deliberately absent — DuckDB 1.0 (the checker) returns
+    // one-element lists where the engine follows modern scalar
+    // semantics (documented divergence, unit-spec covered).
+    "q_fm_map_fns" -> run(
+      """SELECT path,
+        |  map_keys(MAP {'lang': lang, 'cat': category}) AS mkeys,
+        |  map_values(MAP {'lang': lang, 'cat': category}) AS mvals,
+        |  cardinality(MAP {'lang': lang, 'cat': category}) AS mcard,
+        |  ({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}).len2 AS slen,
+        |  struct_extract({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}, 'cat2') AS scat
+        |FROM files WHERE category IS NOT NULL ORDER BY path LIMIT 40""".stripMargin),
+
+    // DuckDB-semantics regexp_replace (graft.fm.DuckRegexpReplace):
+    // first-match-only default, 'g' global, 'i' fold, RE2 single-digit
+    // backreference spelling.
+    "q_fm_regexp_replace" -> run(
+      """SELECT path,
+        |  regexp_replace(path, '[0-9]', 'N') AS first_only,
+        |  regexp_replace(path, '[0-9]', 'N', 'g') AS all_digits,
+        |  regexp_replace(path, '(doc)_([0-9]+)', '\2-\1', 'g') AS swapped,
+        |  regexp_replace(path, 'SRC', 'S#', 'i') AS folded
+        |FROM files ORDER BY path LIMIT 40""".stripMargin),
+
+    // Session-scoped table DDL in a user script (CTAS + INSERT INTO +
+    // query over the table — the DuckDB connection model). CREATE OR
+    // REPLACE keeps the script idempotent across the bench's repeated
+    // passes over one engine instance.
+    "q_fm_session_ddl" -> run(
+      """CREATE OR REPLACE TABLE fm_sess AS
+        |  SELECT path, category, TRY_CAST(n_chars AS BIGINT) AS len
+        |  FROM files WHERE category IN ('cat0', 'cat1');
+        |INSERT INTO fm_sess
+        |  SELECT path, category, TRY_CAST(n_chars AS BIGINT) AS len
+        |  FROM files WHERE category = 'cat2';
+        |SELECT category, COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS chars
+        |FROM fm_sess GROUP BY category ORDER BY category""".stripMargin),
+
+    // GROUPING SETS + grouping() through the passthrough surface —
+    // grouping() distinguishes rolled-up NULLs from the data NULLs the
+    // nullable keys produce (identical spelling both engines).
+    "q_fm_grouping_sets" -> run(
+      """SELECT lang, category, grouping(lang) AS gl, grouping(category) AS gc,
+        |  COUNT(*) AS n
+        |FROM files
+        |GROUP BY GROUPING SETS ((lang), (category), (lang, category), ())
+        |ORDER BY gl, gc, lang NULLS FIRST, category NULLS FIRST""".stripMargin),
+
     // In-aggregate ORDER BY (DuckDB) → WITHIN GROUP (Spark listagg) —
     // Dialect.rewriteOrderedAgg; DISTINCT composes in both engines.
     "q_fm_stringagg" -> run(
@@ -676,6 +742,51 @@ object FrontmatterQueries {
          |  CAST(FLOOR(char_share(f.id, f.n_chars) * 1000) AS BIGINT) AS permille
          |FROM files f JOIN in_cat('cat0') t ON t.cpath = f.path
          |ORDER BY f.path""".stripMargin,
+    "q_fm_win_exclude" ->
+      s"""$cte
+         |SELECT path,
+         |  sum(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY path
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_excl,
+         |  count(*) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS n_grp,
+         |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS a_ties
+         |FROM files ORDER BY path""".stripMargin,
+    "q_fm_map_fns" ->
+      s"""$cte
+         |SELECT path,
+         |  map_keys(MAP {'lang': lang, 'cat': category}) AS mkeys,
+         |  map_values(MAP {'lang': lang, 'cat': category}) AS mvals,
+         |  cardinality(MAP {'lang': lang, 'cat': category}) AS mcard,
+         |  ({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}).len2 AS slen,
+         |  struct_extract({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}, 'cat2') AS scat
+         |FROM files WHERE category IS NOT NULL ORDER BY path LIMIT 40""".stripMargin,
+    "q_fm_regexp_replace" ->
+      s"""$cte
+         |SELECT path,
+         |  regexp_replace(path, '[0-9]', 'N') AS first_only,
+         |  regexp_replace(path, '[0-9]', 'N', 'g') AS all_digits,
+         |  regexp_replace(path, '(doc)_([0-9]+)', '\\2-\\1', 'g') AS swapped,
+         |  regexp_replace(path, 'SRC', 'S#', 'i') AS folded
+         |FROM files ORDER BY path LIMIT 40""".stripMargin,
+    "q_fm_session_ddl" ->
+      s"""CREATE OR REPLACE TABLE fm_sess AS (
+         |$cte
+         |  SELECT path, category, TRY_CAST(n_chars AS BIGINT) AS len
+         |  FROM files WHERE category IN ('cat0', 'cat1'));
+         |INSERT INTO fm_sess (
+         |$cte
+         |  SELECT path, category, TRY_CAST(n_chars AS BIGINT) AS len
+         |  FROM files WHERE category = 'cat2');
+         |SELECT category, COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS chars
+         |FROM fm_sess GROUP BY category ORDER BY category""".stripMargin,
+    "q_fm_grouping_sets" ->
+      s"""$cte
+         |SELECT lang, category, grouping(lang) AS gl, grouping(category) AS gc,
+         |  COUNT(*) AS n
+         |FROM files
+         |GROUP BY GROUPING SETS ((lang), (category), (lang, category), ())
+         |ORDER BY gl, gc, lang NULLS FIRST, category NULLS FIRST""".stripMargin,
     "q_fm_stringagg" ->
       s"""$cte
          |SELECT category,

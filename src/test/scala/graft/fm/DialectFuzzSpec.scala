@@ -92,9 +92,23 @@ class DialectFuzzSpec extends AnyFunSuite {
       "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM t")
     assert(!noOthers.toUpperCase.contains("EXCLUDE"), noOthers)
     assert(noOthers.contains("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"), noOthers)
-    // GROUP/TIES and frameless EXCLUDE fail loudly
+    // GROUP/TIES desugar for the additive aggregates: RANGE helper
+    // windows (peer-group algebra) appear, EXCLUDE disappears
+    val grp = rw("SELECT sum(v) OVER (PARTITION BY p ORDER BY k " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s FROM t")
+    assert(!grp.toUpperCase.contains("EXCLUDE"), grp)
+    assert(grp.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"), grp)
+    assert(grp.toUpperCase.contains("CASE WHEN"), grp)
+    val ties = rw("SELECT count(*) OVER (ORDER BY k " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s FROM t")
+    assert(!ties.toUpperCase.contains("EXCLUDE"), ties)
+    assert(ties.contains("+ 1"), ties)
+    // min/max over GROUP/TIES are not window-decomposable — loud failure
     intercept[IllegalArgumentException](rw(
-      "SELECT sum(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
+      "SELECT min(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
+    // GROUP without an ORDER BY fails loudly (peers are undefined)
+    intercept[IllegalArgumentException](rw(
+      "SELECT sum(v) OVER (PARTITION BY p ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t"))
     // the star modifier is untouched by the window pass
     assert(rw("SELECT * EXCLUDE (a, b) FROM t").toUpperCase.contains("EXCEPT"))
   }

@@ -36,10 +36,19 @@ class DuckRegexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](rep("a", "a", "b", "z"))
   }
 
-  test("javaReplacement translation table") {
-    assert(DuckRegexOps.javaReplacement("\\1-\\2") == "$1-$2")
-    assert(DuckRegexOps.javaReplacement("x$y") == "x\\$y")
-    assert(DuckRegexOps.javaReplacement("a\\\\b") == "a\\\\b")
-    assert(DuckRegexOps.javaReplacement("lone\\") == "lone\\\\")
+  test("RE2 group refs are single-digit: \\10 is group 1 + literal '0'") {
+    // Java's Matcher replacement would greedily read $10 as group 10
+    // here — RE2 (and DuckDB) always read one digit (advice r10).
+    assert(rep("abcdefghij",
+      "(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)", "\\10") == "a0")
+  }
+
+  test("unmatched optional group substitutes empty; bad group fails") {
+    assert(rep("b", "(a)?(b)", "[\\1][\\2]") == "[][b]")
+    intercept[IllegalArgumentException](rep("a", "(a)", "\\2"))
+  }
+
+  test("trailing lone backslash stays literal") {
+    assert(rep("a", "a", "x\\") == "x\\")
   }
 }
