@@ -409,7 +409,29 @@ object DialectFuzz {
   private def winExclude(r: Random): Stmt = {
     val part = pick(r, keyCols)
     val ie = intExpr(r)
-    if (r.nextInt(3) < 2) {
+    if (r.nextInt(4) == 3) {
+      // RANGE frames: peer-aligned by construction, so EVERY mode is
+      // deterministic under tied keys; value-offset frames additionally
+      // exercise the numeric-key path. The frame must straddle the
+      // current row (the supported surface — see rewriteExcludeRange).
+      val ordKey = pick(r, Seq("lang", "category",
+        "TRY_CAST(n_chars AS BIGINT) % 7"))
+      val numeric = ordKey.startsWith("TRY_CAST")
+      val nulls = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
+      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)", s"avg($ie)"))
+      val frame =
+        if (numeric && r.nextBoolean())
+          s"${1 + r.nextInt(3)} PRECEDING AND ${1 + r.nextInt(3)} FOLLOWING"
+        else pick(r, Seq(
+          "UNBOUNDED PRECEDING AND CURRENT ROW",
+          "CURRENT ROW AND UNBOUNDED FOLLOWING",
+          "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+          "CURRENT ROW AND CURRENT ROW"))
+      val mode = pick(r, Seq("CURRENT ROW", "GROUP", "TIES"))
+      shared(
+        s"""SELECT path, $fn OVER (PARTITION BY $part ORDER BY $ordKey $nulls
+           |RANGE BETWEEN $frame EXCLUDE $mode) AS a FROM files${whereOpt(r)}""".stripMargin)
+    } else if (r.nextInt(3) < 2) {
       // CURRENT ROW / NO OTHERS over a UNIQUE order key (every frame
       // deterministic)
       val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)",
@@ -603,6 +625,9 @@ object DialectFuzz {
     val sfDir = args(0)
     val outDir = args(1)
     val nPer = args.lift(2).map(_.toInt).getOrElse(120)
+    // Optional family filter (comma-separated) for reproducing one
+    // family's statements in isolation — the full run stays the gate.
+    val famFilter = args.lift(3).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -610,7 +635,8 @@ object DialectFuzz {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
     SparkEntry.registerSessionFunctions(spark)
     new java.io.File(outDir).mkdirs()
 
@@ -621,8 +647,11 @@ object DialectFuzz {
     val oracle = mutable.LinkedHashMap.empty[String, String]
     val stmts = mutable.LinkedHashMap.empty[String, String]
     val failed = mutable.LinkedHashMap.empty[String, String]
-    for (fam <- familyNames; i <- 0 until nPer) {
+    for (fam <- familyNames.filter(f => famFilter.forall(_.contains(f)));
+         i <- 0 until nPer) {
       val name = f"fz_${fam}_$i%03d"
+      if (sys.env.contains("SPARK_GRAFT_FUZZ_TRACE"))
+        System.err.println(s"[fuzz] running $name")
       val st = generate(fam, i)
       oracle(name) = st.oracle
       stmts(name) = st.engine

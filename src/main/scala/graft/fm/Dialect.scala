@@ -148,8 +148,14 @@ object Dialect {
     // map_entries/cardinality need no alias (same names natively);
     // element_at's DuckDB try-semantics override lives in
     // [[registerOverrides]] (it collides with a Spark builtin).
+    // NullabilityGuard on the collection operand: ElementAt over a
+    // literal CreateArray with a constant in-bounds index mis-computes
+    // nullable=false while its codegen still assigns ev.isNull — the
+    // generated class fails to compile and every row silently pays the
+    // interpreted-projection fallback (see GuardExpressions.scala).
     reg.createOrReplaceTempFunction(
-      "map_extract", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
+      "map_extract", exprs =>
+        ElementAt(NullabilityGuard(exprs(0)), exprs(1), None, false), "built-in")
     reg.createOrReplaceTempFunction(
       "struct_extract", exprs =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
@@ -184,8 +190,16 @@ object Dialect {
         DuckRegexpReplace(exprs(0), exprs(1), exprs(2),
           if (exprs.length >= 4) exprs(3) else Literal(""))
       }, "built-in")
+    // Same NullabilityGuard rationale as map_extract in [[register]].
     reg.createOrReplaceTempFunction(
-      "element_at", exprs => ElementAt(exprs(0), exprs(1), None, false), "built-in")
+      "element_at", exprs =>
+        ElementAt(NullabilityGuard(exprs(0)), exprs(1), None, false), "built-in")
+    // Spark's builtin try_element_at (what bracket indexing desugars
+    // to) builds the same mis-nullability ElementAt shape — override
+    // with the guarded form; semantics are identical.
+    reg.createOrReplaceTempFunction(
+      "try_element_at", exprs =>
+        ElementAt(NullabilityGuard(exprs(0)), exprs(1), None, false), "built-in")
   }
 
   /** Translate a C/DuckDB strftime format to a java DateTimeFormatter
@@ -1769,8 +1783,12 @@ object Dialect {
     *     a loud failure: a minimum over frame-minus-peers is not
     *     decomposable into constant-bound windows (prefix minima can't
     *     be subtracted), unlike the additive aggregates;
-    *   - RANGE/GROUPS frame exclusion fails loudly rather than silently
-    *     diverging.
+    *   - all three modes over a RANGE frame straddling the current row,
+    *     for the additive aggregates — see [[rewriteExcludeRange]] (the
+    *     peer group is always fully inside such a frame, so no
+    *     intersection pick is needed);
+    *   - GROUPS frame exclusion fails loudly rather than silently
+    *     diverging (Spark has no GROUPS frames to decompose into).
     */
   private[fm] def rewriteWindowExclude(sql: String): String = {
     var out = sql
@@ -1854,24 +1872,31 @@ object Dialect {
               val fnName = out.substring(f0 + 1, argOpen).trim
               val args = out.substring(argOpen + 1, r0)
               val fu = fnName.toUpperCase
-              if (mode == "CURRENT")
+              // frame bounds: ROWS|RANGE BETWEEN <a> AND <b> EXCLUDE ...
+              val rowsAt = findTopKeyword(u, msk, lit, openAt + 1, i, "ROWS")
+              val rangeAt =
+                if (rowsAt >= 0) -1
+                else findTopKeyword(u, msk, lit, openAt + 1, i, "RANGE")
+              val isRange = rangeAt >= 0
+              require(rowsAt >= 0 || rangeAt >= 0,
+                s"EXCLUDE $mode requires an explicit ROWS or RANGE BETWEEN " +
+                  "frame (GROUPS exclusion is not supported)")
+              if (mode == "CURRENT" && !isRange)
                 require(Set("SUM", "COUNT", "MIN", "MAX", "AVG")(fu),
                   s"EXCLUDE CURRENT ROW is supported for sum/count/min/max/avg, not $fnName")
               else
                 require(Set("SUM", "COUNT", "AVG")(fu),
-                  s"EXCLUDE $mode is supported for sum/count/avg, not $fnName " +
-                    "(a min/max over a peer-excluded frame is not decomposable " +
+                  s"EXCLUDE $mode over a ${if (isRange) "RANGE" else "ROWS"} " +
+                    s"frame is supported for sum/count/avg, not $fnName " +
+                    "(a min/max over this excluded frame is not decomposable " +
                     "into constant-bound windows)")
-              // frame bounds: ROWS BETWEEN <a> AND <b> EXCLUDE ...
-              val rowsAt = findTopKeyword(u, msk, lit, openAt + 1, i, "ROWS")
-              require(rowsAt >= 0,
-                s"EXCLUDE $mode requires an explicit ROWS BETWEEN frame " +
-                  "(RANGE/GROUPS exclusion is not supported)")
-              val betweenAt = findTopKeyword(u, msk, lit, rowsAt + 4, i, "BETWEEN")
-              require(betweenAt >= 0, "EXCLUDE: ROWS frame must use BETWEEN")
+              val frameKwAt = if (isRange) rangeAt else rowsAt
+              val frameKwLen = if (isRange) 5 else 4
+              val betweenAt = findTopKeyword(u, msk, lit, frameKwAt + frameKwLen, i, "BETWEEN")
+              require(betweenAt >= 0, "EXCLUDE: the window frame must use BETWEEN")
               val andAt = findTopKeyword(u, msk, lit, betweenAt + 7, i, "AND")
-              require(andAt >= 0, "EXCLUDE: malformed ROWS BETWEEN frame")
-              val prefix = out.substring(openAt + 1, rowsAt).trim
+              require(andAt >= 0, "EXCLUDE: malformed window frame")
+              val prefix = out.substring(openAt + 1, frameKwAt).trim
               val aTxt = out.substring(betweenAt + 7, andAt).trim
               val bTxt = out.substring(andAt + 3, i).trim
               def cls(t: String): (String, Long) = {
@@ -1892,7 +1917,10 @@ object Dialect {
               def w(fn2: String, lo: String, hi: String) =
                 s"$fn2($args) OVER ($prefix ROWS BETWEEN $lo AND $hi)"
               val repl: String =
-                if (mode != "CURRENT") rewriteExcludePeers(
+                if (isRange) rewriteExcludeRange(
+                  mode, fu, args, prefix, aTxt, bTxt, ak, bk,
+                  u, msk, lit, openAt, rangeAt)
+                else if (mode != "CURRENT") rewriteExcludePeers(
                   mode, fu, args, prefix, aTxt, bTxt, ak, bk,
                   u, msk, lit, openAt, rowsAt)
                 else if (noop) s"$fnName($args) OVER ($prefix ROWS BETWEEN $aTxt AND $bTxt)"
@@ -2021,6 +2049,59 @@ object Dialect {
         else
           s"(CASE WHEN $cntR + $curNonNull = 0 THEN NULL " +
             s"ELSE ($sumR + coalesce(($args), 0)) / ($cntR + $curNonNull) END)"
+    }
+  }
+
+  /** Replacement for EXCLUDE over a RANGE frame (all three non-default
+    * modes, additive aggregates). Far simpler algebra than the ROWS
+    * case: a RANGE frame's edges are value intervals around the current
+    * row's ORDER BY key, so any frame whose bounds straddle the current
+    * row (lo PRECEDING/CURRENT, hi CURRENT/FOLLOWING) contains the FULL
+    * peer group — frame ∩ peers = peers, no tighter-interval pick
+    * needed:
+    *   - GROUP   = frame − peers        (peers = RANGE CURRENT..CURRENT)
+    *   - TIES    = frame − peers + cur
+    *   - CURRENT = frame − cur
+    * NULL semantics match [[rewriteExcludePeers]]: sums recombine over
+    * coalesced-to-0 windows with a residual COUNT guard restoring the
+    * all-NULL → NULL result; COUNT(expr) subtracts only non-NULL rows.
+    * A frame that does NOT straddle the current row fails loudly (same
+    * DuckDB 1.0 frame-shift divergence zone the ROWS path documents).
+    */
+  private def rewriteExcludeRange(
+      mode: String, fu: String, args: String, prefix: String,
+      aTxt: String, bTxt: String, ak: String, bk: String,
+      u: String, msk: String, lit: Array[Boolean],
+      openAt: Int, rangeAt: Int): String = {
+    require(ak != "NF" && bk != "NP",
+      s"EXCLUDE $mode over RANGE requires a frame containing the current row")
+    require(findTopKeyword(u, msk, lit, openAt + 1, rangeAt, "ORDER") >= 0,
+      s"EXCLUDE $mode requires an ORDER BY in the window")
+    def fw(g: String) = s"$g OVER ($prefix RANGE BETWEEN $aTxt AND $bTxt)"
+    def pw(g: String) = s"$g OVER ($prefix RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+    def z0(s: String) = s"coalesce($s, 0)"
+    val isStar = args.trim == "*"
+    val cntArg = s"COUNT($args)"
+    val curNonNull =
+      if (isStar) "1" else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+    // Count of rows the recombined aggregate actually sees.
+    val resCnt = mode match {
+      case "CURRENT" => s"(${fw(cntArg)} - $curNonNull)"
+      case "GROUP" => s"(${fw(cntArg)} - ${pw(cntArg)})"
+      case _ => s"(${fw(cntArg)} - ${pw(cntArg)} + $curNonNull)"
+    }
+    def sumR(g: String) = mode match {
+      case "CURRENT" => s"(${z0(fw(g))} - coalesce(($args), 0))"
+      case "GROUP" => s"(${z0(fw(g))} - ${z0(pw(g))})"
+      case _ => s"(${z0(fw(g))} - ${z0(pw(g))} + coalesce(($args), 0))"
+    }
+    fu match {
+      case "COUNT" => resCnt
+      case "SUM" =>
+        s"(CASE WHEN $resCnt = 0 THEN NULL ELSE ${sumR(s"SUM($args)")} END)"
+      case "AVG" =>
+        s"(CASE WHEN $resCnt = 0 THEN NULL " +
+          s"ELSE ${sumR(s"SUM($args)")} / $resCnt END)"
     }
   }
 

@@ -139,16 +139,9 @@ object Curation {
     * (much smaller) distinct (doc, word) frame, and the per-occurrence
     * sum Σ unats becomes the exact BIGINT product sum Σ tf·unats.
     */
-  def lmUnigramFromCounts(wc: DataFrame, idCol: String): DataFrame = {
-    // The token total is the sum of the vocabulary counts — fold it out
-    // of the vocab aggregate with a whole-frame window instead of a
-    // second corpus-sized pass. The single-partition window is over the
-    // VOCABULARY (language-sized, the same bound that makes it
-    // broadcastable), never the corpus.
-    val vocab = wc.groupBy("word").agg(sum("tf").as("n"))
-      .withColumn("nt", sum("n").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-      .select(col("word"), expr(unatsExpr("FLOAT")).as("unats"))
+  def lmUnigramFromCounts(wc: DataFrame, idCol: String,
+      scoredVocab: Option[DataFrame] = None): DataFrame = {
+    val vocab = scoredVocab.getOrElse(lmUnigramVocab(wc))
     wc.join(broadcast(vocab), Seq("word"))
       .groupBy(idCol)
       .agg(sum("tf").as("n_tokens"),
@@ -157,6 +150,21 @@ object Curation {
         expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_tokens / 1000000.0) AS FLOAT)")
           .as("ppl"))
   }
+
+  /** The trained unigram LM `(word, unats)` — the scoring artifact
+    * [[lmUnigramFromCounts]] broadcasts. Exposed separately so callers
+    * can train ONCE per corpus (persist/memoize this frame) and score
+    * any number of frames against it — the classifier-weights
+    * discipline. The token total folds out of the vocab aggregate with
+    * a whole-frame window instead of a second corpus-sized pass; the
+    * single-partition window is over the VOCABULARY (language-sized,
+    * the same bound that makes it broadcastable), never the corpus.
+    */
+  def lmUnigramVocab(wc: DataFrame): DataFrame =
+    wc.groupBy("word").agg(sum("tf").as("n"))
+      .withColumn("nt", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("word"), expr(unatsExpr("FLOAT")).as("unats"))
 
   /** Micro-nat surprisal of one ADD-ONE-SMOOTHED bigram probability
     * P(w2|w1) = (c12 + 1) / (c1 + v): c12 the bigram count, c1 the
@@ -193,26 +201,40 @@ object Curation {
     * NOT assumed broadcast-safe.
     */
   def lmBigramFromCounts(bc: DataFrame, idCol: String,
-      nVocab: DataFrame, vocabCounts: Option[DataFrame] = None): DataFrame = {
-    // Callers that already persist the corpus vocabulary `(bigram, c12)`
-    // (one aggregate shared across queries) pass it in; otherwise it is
-    // derived here with one vocab-sized shuffle.
-    val c12 = vocabCounts.getOrElse(
-      bc.groupBy("bigram").agg(sum("n").as("c12")))
-    val c1 = c12
-      .select(expr("element_at(split(bigram, ' '), 1)").as("w1"), col("c12"))
-      .groupBy("w1").agg(sum("c12").as("c1"))
-    val scored = c12
-      .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(nVocab))
-      .select(col("bigram"), expr(bigramUnatsExpr("FLOAT")).as("unats"))
+      nVocab: DataFrame, vocabCounts: Option[DataFrame] = None,
+      scoredTable: Option[DataFrame] = None): DataFrame = {
+    // Callers that already persist the trained `(bigram, unats)` table
+    // pass it in (train-once discipline); otherwise it derives here
+    // from the `(bigram, c12)` vocabulary (itself passed in by callers
+    // that share that aggregate).
+    val scored = scoredTable.getOrElse(lmBigramScored(
+      vocabCounts.getOrElse(bc.groupBy("bigram").agg(sum("n").as("c12"))),
+      nVocab))
     bc.join(scored, Seq("bigram"))
       .groupBy(idCol)
       .agg(sum("n").as("n_bigrams"), sum(col("n") * col("unats")).as("total_unats"))
       .select(col(idCol), col("n_bigrams"), col("total_unats"),
         expr("CAST(exp(CAST(total_unats AS DOUBLE) / n_bigrams / 1000000.0) AS FLOAT)")
           .as("ppl"))
+  }
+
+  /** The trained bigram LM `(bigram, unats)` over a `(bigram, c12)`
+    * vocabulary — [[lmBigramFromCounts]]'s scoring artifact, exposed so
+    * callers can train once and persist it. Prefix counts and the
+    * vocabulary scalar broadcast (both language-sized); the result
+    * keeps growing with corpus size, so unlike the unigram table it is
+    * NOT assumed broadcast-safe — callers join it back with a plain
+    * equi-join.
+    */
+  def lmBigramScored(c12: DataFrame, nVocab: DataFrame): DataFrame = {
+    val c1 = c12
+      .select(expr("element_at(split(bigram, ' '), 1)").as("w1"), col("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    c12
+      .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(nVocab))
+      .select(col("bigram"), expr(bigramUnatsExpr("FLOAT")).as("unats"))
   }
 
   /** Per-group keep rates reaching `targets` (groupValue -> target

@@ -193,6 +193,35 @@ object CurationQueries {
         "y1000", "is_train", ClfIters, ClfLrNum, ClfLrDen)
     })
 
+  private val lmUniVocabCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+  private val lmBiScoredCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  /** Trained unigram LM `(word, unats)`, persisted once per (session,
+    * sf dir) — the clfTrainedWeights discipline for the LM family:
+    * training (vocab aggregate + token-total window) runs once per
+    * corpus; every scoring invocation only broadcasts the persisted
+    * language-sized table and aggregates per document.
+    */
+  private def lmUniVocab(s: SparkSession, d: String): DataFrame =
+    Tables.memo(lmUniVocabCache, (Tables.sessionKey(s), d))({
+      graft.ops.Curation.lmUnigramVocab(
+        DedupQueries.docWordCounts(s, d)).persist()
+    })
+
+  /** Trained bigram LM `(bigram, unats)`, persisted once per (session,
+    * sf dir). Bigram-vocab-sized (grows with the corpus, not
+    * broadcast-assumed) — scoring joins it back with a plain equi-join.
+    */
+  private def lmBiScored(s: SparkSession, d: String): DataFrame =
+    Tables.memo(lmBiScoredCache, (Tables.sessionKey(s), d))({
+      val nVocab = DedupQueries.docWordCounts(s, d).select("word").distinct()
+        .agg(count(lit(1)).as("v"))
+      graft.ops.Curation.lmBigramScored(
+        TextQueries.bigramCounts(s, d), nVocab).persist()
+    })
+
   /** The same feature/label/standardization pipeline as
     * [[clfFeaturesDF]], instantiated from the SAME template in the
     * oracle dialect as a WITH-chain prefix (`raw2`, `st1`, `st2`, `f`).
@@ -411,7 +440,8 @@ object CurationQueries {
         .agg(count(lit(1)).as("v"))
       graft.ops.Curation.lmBigramFromCounts(
           TextQueries.docBigramCounts(s, d), "doc_id", nVocab,
-          vocabCounts = Some(TextQueries.bigramCounts(s, d)))
+          vocabCounts = Some(TextQueries.bigramCounts(s, d)),
+          scoredTable = Some(lmBiScored(s, d)))
         .orderBy("doc_id")
     }),
 
@@ -644,7 +674,8 @@ object CurationQueries {
       // maintains for this sf dir — both LM passes then run over
       // distinct (doc, word) rows instead of raw occurrences.
       graft.ops.Curation.lmUnigramFromCounts(
-          DedupQueries.docWordCounts(s, d), "doc_id")
+          DedupQueries.docWordCounts(s, d), "doc_id",
+          scoredVocab = Some(lmUniVocab(s, d)))
         .orderBy("doc_id")
     }),
 

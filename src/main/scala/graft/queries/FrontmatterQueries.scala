@@ -338,6 +338,19 @@ object FrontmatterQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS a_ties
         |FROM files ORDER BY path""".stripMargin),
 
+    // RANGE-frame EXCLUDE (rewriteExcludeRange): peer-aligned frames
+    // make every mode deterministic under tied order keys, and the
+    // value-offset frame exercises the numeric-key path.
+    "q_fm_win_exclude_range" -> run(
+      """SELECT path,
+        |  sum(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s_grp,
+        |  count(*) OVER (PARTITION BY category ORDER BY TRY_CAST(n_chars AS BIGINT) % 7 NULLS LAST
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS n_ties,
+        |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS a_cur
+        |FROM files ORDER BY path""".stripMargin),
+
     // MAP literals + the map/struct function family
     // (rewriteMapLiteral/rewriteStructLit + registered aliases); lookup
     // forms are deliberately absent — DuckDB 1.0 (the checker) returns
@@ -751,6 +764,16 @@ object FrontmatterQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS n_grp,
          |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS a_ties
+         |FROM files ORDER BY path""".stripMargin,
+    "q_fm_win_exclude_range" ->
+      s"""$cte
+         |SELECT path,
+         |  sum(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s_grp,
+         |  count(*) OVER (PARTITION BY category ORDER BY TRY_CAST(n_chars AS BIGINT) % 7 NULLS LAST
+         |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS n_ties,
+         |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS a_cur
          |FROM files ORDER BY path""".stripMargin,
     "q_fm_map_fns" ->
       s"""$cte

@@ -308,14 +308,23 @@ object MiningQueries {
         .join(prefix.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
         .filter(col("ia") < col("ib"))
         .select("ia", "ib").distinct()
-      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("m"))
-      val inter = cand
-        .join(tok.select(col("doc_id").as("ia"), col("sh")), Seq("ia"))
-        .join(tok.select(col("doc_id").as("ib"), col("sh")), Seq("ib", "sh"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("ia"), col("m").as("ma")), Seq("ia"))
-        .join(sz.select(col("doc_id").as("ib"), col("m").as("mb")), Seq("ib"))
+      // Verification by sorted-array intersection instead of the
+      // explode-join-reaggregate shape: one doc-sized aggregate packs
+      // each doc's (already distinct) shingles into an array, the
+      // candidate pairs fetch both docs' arrays with two equi-joins,
+      // and array_intersect counts the overlap in one codegen pass —
+      // the exchange that re-aggregated candidate x shingle rows is
+      // gone. Array payloads shuffle the same bytes the exploded rows
+      // did, bounded per row by document length.
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("m"),
+        sort_array(collect_list("sh")).as("shs"))
+      cand
+        .join(sz.select(col("doc_id").as("ia"), col("m").as("ma"),
+          col("shs").as("sa")), Seq("ia"))
+        .join(sz.select(col("doc_id").as("ib"), col("m").as("mb"),
+          col("shs").as("sb")), Seq("ib"))
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni", col("ma") + col("mb") - col("inter"))
         .filter(col("inter") * JacDen >= col("uni") * JacNum)
         .select(col("ia"), col("ib"), col("inter"), col("uni"),

@@ -589,12 +589,20 @@ object PipelineQueries {
     // corpus); per-doc kept ratios are the curation signal. All exact
     // integer/md5 arithmetic.
     "q_para_dedup" -> ((s, d) => {
+      // The keeper's doc_id folds out of the packed key (ck = doc ·
+      // ParaPack + chunk), so the corpus-sized chunk frame never joins
+      // back: one fp aggregate + one doc aggregate, two exchanges
+      // instead of three (the join-back shape re-shuffled the chunk
+      // frame a second time). A doc whose every chunk lost to an
+      // earlier doc has NO keeper row — the left join restores its 0.
       val chunks = paraChunksDF(s, d)
-      val keep = chunks.groupBy("fp").agg(min("ck").as("mink"))
-      chunks.join(keep, Seq("fp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum((col("ck") === col("mink")).cast("long")).as("n_kept"))
+      val kept = chunks.groupBy("fp").agg(min("ck").as("mink"))
+        .select(expr(s"mink DIV $ParaPack").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("k"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("k"), lit(0L)).as("n_kept"))
         .withColumn("kept_ratio",
           expr("CAST(n_kept AS DOUBLE) / CAST(n_chunks AS DOUBLE)"))
         .orderBy("doc_id")

@@ -103,6 +103,21 @@ class DialectFuzzSpec extends AnyFunSuite {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s FROM t")
     assert(!ties.toUpperCase.contains("EXCLUDE"), ties)
     assert(ties.contains("+ 1"), ties)
+    // RANGE frames desugar through the simpler peers-inside-frame
+    // algebra: the peer-group window appears, EXCLUDE disappears
+    val rng = rw("SELECT sum(v) OVER (PARTITION BY p ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s FROM t")
+    assert(!rng.toUpperCase.contains("EXCLUDE"), rng)
+    assert(rng.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"), rng)
+    val rngCur = rw("SELECT avg(v) OVER (ORDER BY k " +
+      "RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM t")
+    assert(!rngCur.toUpperCase.contains("EXCLUDE"), rngCur)
+    // a RANGE frame that can't contain the current row fails loudly
+    intercept[IllegalArgumentException](rw(
+      "SELECT sum(v) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t"))
+    // GROUPS frames have no Spark decomposition target — loud failure
+    intercept[IllegalArgumentException](rw(
+      "SELECT sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t"))
     // min/max over GROUP/TIES are not window-decomposable — loud failure
     intercept[IllegalArgumentException](rw(
       "SELECT min(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
