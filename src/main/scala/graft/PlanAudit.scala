@@ -40,7 +40,7 @@ object PlanAudit {
     "q_embed_project" -> "JL projection: codegen graft_project expression, single scan, no UDF node",
     "q_pii_redact" -> "map-only regex scrub: one scan, codegen projection, no exchange except the final sort",
     "q_boilerplate" -> "top-K frequent bigrams: K-row broadcast joined back over the shared bigram frame",
-    "q_lm_unigram" -> "unigram LM: vocab aggregate broadcast back over the word frame, exact BIGINT per-doc sum",
+    "q_lm_unigram" -> "unigram LM: trained (word,unats) vocab persisted once per corpus, broadcast back over the word frame, exact BIGINT per-doc sum",
     "q_shard_plan" -> "shard audit: one hash aggregate on the computed shard key",
     "q_stream_join" -> "stream-stream interval join planned as equi-join on user_id + range filter, NO nested loop",
     "q_winnow_crossdup" -> "duplicate spans: local codegen fingerprinting, df cutoff BEFORE the self-join bounds fan-out",
@@ -54,7 +54,7 @@ object PlanAudit {
     "q_sketch_hll" -> "HLL sketch: fixed 64-register hash aggregate per group, exact BIGINT harmonic sum, no state growth",
     "q_quantile_hist" -> "histogram quantiles: one scan + bucket hash aggregate; window runs over the HISTOGRAM, never sorts the data",
     "q_bloom_decontam" -> "bloom decontamination: <=4096-row bit-position relation broadcast to the gram scan, corpus never shuffles before the agg",
-    "q_lm_bigram" -> "bigram LM: prefix counts + vocab scalar broadcast, scored bigrams equi-joined back over the shared bigram frame",
+    "q_lm_bigram" -> "bigram LM: trained (bigram,unats) table persisted once per corpus (NOT broadcast-assumed), equi-joined back over the shared bigram frame",
     "q_pagerank" -> "iterative PageRank: per-iteration edge/rank equi-join + dst hash aggregate, degree frame persisted, no driver state",
     "q_ann_pq" -> "PQ ADC scan: codegen graft_pq_codes assignment, 1024-row distance table broadcast, integer ADC sums over the compressed tier",
     "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort",
@@ -69,7 +69,7 @@ object PlanAudit {
     "q_bpe_tokenize" -> "tokenizer application: fixed merge-fold chain as codegen column rewrites over distinct words, one vocab hash agg",
     "q_graph_triangles" -> "degree-ordered wedge join: persisted oriented edges, three hash joins + one agg, wedge fan-out bounded by sqrt(m)",
     "q_graph_kcore" -> "fixed-round peel: degree agg + two survivor equi-joins per round, lineage localCheckpoint-cut each round",
-    "q_jaccard_prefix" -> "prefix-filter similarity join: per-doc rarity window (doc-partitioned, no global sort), candidates only from RARE prefix keys, exact verify",
+    "q_jaccard_prefix" -> "prefix-filter similarity join: per-doc rarity window (doc-partitioned, no global sort), candidates only from RARE prefix keys, verify by sorted-array intersection (no explode-join-reaggregate)",
     "q_semantic_decontam" -> "semantic decontamination: eval split broadcast over the corpus scan, bounded top-1 agg, corpus never shuffles",
     "q_mmr_rerank" -> "greedy MMR: per-step argmax = one candidate scan with picked vectors as plan constants + TakeOrdered(1), O(k) driver state",
     "q_mix_temperature" -> "temperature mix: two broadcast-sized aggregates, ppm rate table broadcast back over the corpus scan, no corpus shuffle",
@@ -85,7 +85,7 @@ object PlanAudit {
     "q_skew_audit" -> "skew diagnostics: per-key hash agg + bounded graft_top_k hitters + one totals row — NO global sort, state O(k)",
     "q_curriculum" -> "curriculum phasing: cumulative over the ≤1001-row histogram only, threshold row broadcast back, corpus never sorted",
     "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count",
-    "q_para_dedup" -> "paragraph dedup: chunk fingerprints -> ONE hash aggregate keeper + equi-join back — no self-join, no corpus window",
+    "q_para_dedup" -> "paragraph dedup: keeper doc folds out of the packed chunk key — fp aggregate + doc aggregate only, the chunk frame NEVER joins back",
     "q_text_entropy" -> "lexical entropy: explode + two hash aggs, FLOAT-collapsed micro-nat terms — no window, no sort before output",
     "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order",
     "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
