@@ -28,6 +28,15 @@ object PipelineQueries {
   /** Output raster length for q_multimodal_resize; shared with the oracle. */
   private[queries] val ResizeOut = 256
 
+  /** Perceptual-hash geometry for q_multimodal_phash: a PhPix-pixel
+    * sampled raster becomes a PhPix-bit hash (bit j = pixel j strictly
+    * above the raster mean, integer-exact as px*PhPix > sum), banded
+    * 4 x PhBandBits like the text SimHash — pigeonhole-complete for
+    * hamming <= 3. Shared with the oracle.
+    */
+  private[queries] val PhPix = 60
+  private[queries] val PhBandBits = 15
+
   /** Count-Min Sketch geometry and probe words, shared with the oracle.
     * Width is fixed at 256: row r's bucket is byte r of the 60-bit
     * md5-prefix hash, counting from the LOW end — `(h >> 8r) & 255`,
@@ -102,6 +111,38 @@ object PipelineQueries {
     * of the synthetic docs top out far below it); shared with the oracle.
     */
   private[queries] val ParaPack = 100000L
+
+  private val phashCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  /** Persisted (doc_id, phash) perceptual-signature frame over the
+    * media payload tier — the image analogue of the text SimHash
+    * signature frame. The "decode" is the same deterministic stub
+    * sampling q_multimodal_resize uses (a real codec would replace
+    * only the pixel source); the hash build is pure codegen
+    * higher-order functions, integer-exact, shared verbatim with the
+    * oracle. One small row per doc; sits on both sides of the band
+    * join.
+    */
+  private def phashDF(s: SparkSession, d: String): DataFrame =
+    Tables.memo(phashCache, (Tables.sessionKey(s), d))({
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .where(length(col("text")) > 0)
+        .withColumn("nc", length(col("text")).cast("long"))
+        .withColumn("px", expr(
+          s"transform(sequence(0, ${PhPix - 1}), " +
+            s"j -> CAST(ascii(substr(text, CAST((j * nc) DIV $PhPix AS INT) + 1, 1)) AS BIGINT))"))
+        .withColumn("ps", expr(
+          "aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("phash", expr(
+          s"aggregate(transform(sequence(0, ${PhPix - 1}), " +
+            s"j -> CASE WHEN element_at(px, CAST(j AS INT) + 1) * $PhPix > ps " +
+            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .select("doc_id", "phash")
+        .persist()
+    })
 
   private val paraChunkCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String), DataFrame]
@@ -178,6 +219,39 @@ object PipelineQueries {
     // replace only the stub sampling). Geometry shared with the oracle.
     "q_multimodal_resize" -> ((s, d) => {
       Multimodal.resizeMedia(s, Tables.load(s, d, "documents"), outLen = ResizeOut)
+        .orderBy("doc_id")
+    }),
+
+    // Image near-duplicate search over the media payload tier:
+    // perceptual hash (pixel-above-mean bits over the stub-decoded
+    // raster) -> 4 x 15-bit band buckets -> exact hamming verify on
+    // the candidates only — the text SimHash's candidate discipline on
+    // the image tier. Each image reports its NEAREST bucket-mate and
+    // how many candidates its buckets produced (the per-item-bounded
+    // output q_semdedup uses; a pair list thresholded at the banding's
+    // completeness bound of hamming<=3 is one filter away). At 100 TB
+    // the signature frame is one small row per image and candidates
+    // come only from shared 15-bit buckets — never an all-pairs
+    // product; a real decoder swaps in under the same hash.
+    "q_multimodal_phash" -> ((s, d) => {
+      val sig = phashDF(s, d)
+      val bands = sig.select(col("doc_id"), col("phash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bsig",
+          expr(s"(phash >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1}"))
+      val cand = bands.select(col("doc_id").as("ia"), col("phash").as("ha"),
+          col("band"), col("bsig"))
+        .join(bands.select(col("doc_id").as("ib"), col("phash").as("hb"),
+          col("band"), col("bsig")), Seq("band", "bsig"))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .distinct()
+      cand.groupBy("ia")
+        .agg(count(lit(1)).as("n_cands"),
+          min(struct(col("hamming"), col("ib"))).as("best"))
+        .select(col("ia").as("doc_id"), col("best.ib").as("nearest"),
+          col("best.hamming").as("hamming"), col("n_cands"))
         .orderBy("doc_id")
     }),
 
@@ -775,6 +849,40 @@ object PipelineQueries {
          |    j -> unicode(substr(text, CAST(j AS INT), 1))), 'sum') AS INT) AS checksum
          |FROM f WHERE frame_id % $FrameStride = 0
          |ORDER BY doc_id, frame_id""".stripMargin,
+    // The oracle reproduces the same candidate set (bucket-mates) and
+    // per-image nearest pick; the argmin is spelled as a two-step
+    // (min hamming, then min ib at that hamming) — identical values to
+    // the engine's lexicographic struct-min.
+    "q_multimodal_phash" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nc
+         |           FROM documents WHERE length(text) > 0),
+         |px AS (SELECT doc_id,
+         |    list_transform(range(0, $PhPix),
+         |      j -> CAST(unicode(substr(text, CAST((j * nc) // $PhPix AS INT) + 1, 1)) AS BIGINT)) AS pxs
+         |  FROM d),
+         |st AS (SELECT doc_id, pxs, list_aggregate(pxs, 'sum') AS ps FROM px),
+         |sig AS (SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, $PhPix),
+         |      j -> CASE WHEN pxs[CAST(j AS INT) + 1] * $PhPix > ps
+         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+         |      'sum') AS phash
+         |  FROM st),
+         |bands AS (SELECT doc_id, phash, b,
+         |    (phash >> (CAST(b AS INT) * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS bsig
+         |  FROM sig, UNNEST(range(0, 4)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+         |    AND a.doc_id <> b.doc_id),
+         |g AS (SELECT ia, COUNT(*) AS n_cands, MIN(hamming) AS best_h
+         |  FROM cand GROUP BY ia),
+         |best AS (SELECT c.ia, MIN(c.ib) AS nearest
+         |  FROM cand c JOIN g ON c.ia = g.ia AND c.hamming = g.best_h
+         |  GROUP BY c.ia)
+         |SELECT g.ia AS doc_id, best.nearest, g.best_h AS hamming, g.n_cands
+         |FROM g JOIN best ON g.ia = best.ia
+         |ORDER BY doc_id""".stripMargin,
+
     "q_stream_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS window_start_us,
         |  event_type, COUNT(*) AS n,
