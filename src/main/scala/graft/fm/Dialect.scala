@@ -1787,8 +1787,10 @@ object Dialect {
     *     for the additive aggregates — see [[rewriteExcludeRange]] (the
     *     peer group is always fully inside such a frame, so no
     *     intersection pick is needed);
-    *   - GROUPS frame exclusion fails loudly rather than silently
-    *     diverging (Spark has no GROUPS frames to decompose into).
+    *   - GROUPS frames fail loudly — which is exact PARITY, not a gap:
+    *     DuckDB v1.0.0 (the reference's engine, the oracle) itself
+    *     rejects them with "GROUPS mode for window functions is not
+    *     implemented yet", so no passthrough query can contain one.
     */
   private[fm] def rewriteWindowExclude(sql: String): String = {
     var out = sql

@@ -115,7 +115,8 @@ class DialectFuzzSpec extends AnyFunSuite {
     // a RANGE frame that can't contain the current row fails loudly
     intercept[IllegalArgumentException](rw(
       "SELECT sum(v) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t"))
-    // GROUPS frames have no Spark decomposition target — loud failure
+    // GROUPS frames: loud failure = parity (DuckDB 1.0.0 itself rejects
+    // them — "GROUPS mode ... not implemented yet")
     intercept[IllegalArgumentException](rw(
       "SELECT sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t"))
     // min/max over GROUP/TIES are not window-decomposable — loud failure

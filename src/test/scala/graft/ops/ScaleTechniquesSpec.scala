@@ -84,6 +84,28 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"q_pii_redact must stay map-only plus one sort exchange:\n${pii.take(1500)}")
   }
 
+  test("q_multimodal_phash band join survives with broadcast disabled") {
+    // The toy-scale plan broadcasts the band frame's build side by size
+    // estimation; at 100 TB both sides are corpus-sized, so the shape
+    // must also plan (and agree) as a plain shuffled equi-join on
+    // (band, bsig) — never a cartesian/nested-loop product.
+    val sf = "/root/testdata/sf0.001"
+    val broadcastOn = graft.SparkEntry.queries("q_multimodal_phash")(spark, sf)
+      .collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q_multimodal_phash")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on (band, bsig):\n${plan.take(1500)}")
+      assert(df.collect().toSeq == broadcastOn.toSeq,
+        "band-join results must not depend on the join strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hot-shingle df cutoff excludes a planted stop-shingle from candidates") {
     import spark.implicits._
     // shingle 100 is "hot": present in all 5 docs (df = 5); shingle 200
