@@ -90,6 +90,7 @@ object PlanAudit {
     "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order",
     "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
     "q_multimodal_phash" -> "image near-dup: codegen perceptual hash (one small row per image, persisted), 4x15-bit band-bucket self-join candidates only, bounded per-image nearest — no all-pairs",
+    "q_multimodal_phash_incremental" -> "media ingest probe: batch signatures join the corpus band index bucket-to-bucket, never batch x corpus; LEFT join keeps clean images visible",
     "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",
     "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan",
     "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort",

@@ -112,6 +112,28 @@ object PipelineQueries {
     */
   private[queries] val ParaPack = 100000L
 
+  /** Shared oracle CTE text building (sig, bands) for the perceptual-
+    * hash queries — interpolated into BOTH phash oracles so the hash
+    * and banding cannot drift between them.
+    */
+  private def phashOracleCte: String =
+    s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nc
+       |           FROM documents WHERE length(text) > 0),
+       |px AS (SELECT doc_id,
+       |    list_transform(range(0, $PhPix),
+       |      j -> CAST(unicode(substr(text, CAST((j * nc) // $PhPix AS INT) + 1, 1)) AS BIGINT)) AS pxs
+       |  FROM d),
+       |st AS (SELECT doc_id, pxs, list_aggregate(pxs, 'sum') AS ps FROM px),
+       |sig AS (SELECT doc_id,
+       |    list_aggregate(list_transform(range(0, $PhPix),
+       |      j -> CASE WHEN pxs[CAST(j AS INT) + 1] * $PhPix > ps
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+       |      'sum') AS phash
+       |  FROM st),
+       |bands AS (SELECT doc_id, phash, b,
+       |    (phash >> (CAST(b AS INT) * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS bsig
+       |  FROM sig, UNNEST(range(0, 4)) AS t(b))""".stripMargin
+
   private val phashCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String), DataFrame]
 
@@ -252,6 +274,41 @@ object PipelineQueries {
           min(struct(col("hamming"), col("ib"))).as("best"))
         .select(col("ia").as("doc_id"), col("best.ib").as("nearest"),
           col("best.hamming").as("hamming"), col("n_cands"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental media ingest: the newly-arrived image batch (every
+    // IncrMod-th doc) probed against the existing corpus signature
+    // index through the same band buckets — the continuous-ingest
+    // shape the text SimHash / LSH / IVF families already follow, on
+    // the media tier. Every batch image gets a row: a clean image
+    // reads as n_cands = 0 instead of vanishing. At 100 TB the corpus
+    // side is a band-partitioned pre-built index; the batch joins
+    // bucket-to-bucket, never batch x corpus.
+    "q_multimodal_phash_incremental" -> ((s, d) => {
+      val sig = phashDF(s, d)
+      val bands = sig.select(col("doc_id"), col("phash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bsig",
+          expr(s"(phash >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1}"))
+      val cand = bands.filter(col("doc_id") % DedupQueries.IncrMod === 0)
+        .select(col("doc_id").as("ia"), col("phash").as("ha"),
+          col("band"), col("bsig"))
+        .join(bands.filter(col("doc_id") % DedupQueries.IncrMod =!= 0)
+          .select(col("doc_id").as("ib"), col("phash").as("hb"),
+            col("band"), col("bsig")), Seq("band", "bsig"))
+        .select(col("ia"), col("ib"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .distinct()
+      val agg = cand.groupBy("ia")
+        .agg(count(lit(1)).as("n_cands"),
+          min(struct(col("hamming"), col("ib"))).as("best"))
+      sig.filter(col("doc_id") % DedupQueries.IncrMod === 0)
+        .select(col("doc_id").as("ia"))
+        .join(agg, Seq("ia"), "left")
+        .select(col("ia").as("doc_id"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          col("best.ib").as("nearest"), col("best.hamming").as("hamming"))
         .orderBy("doc_id")
     }),
 
@@ -854,22 +911,7 @@ object PipelineQueries {
     // (min hamming, then min ib at that hamming) — identical values to
     // the engine's lexicographic struct-min.
     "q_multimodal_phash" ->
-      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nc
-         |           FROM documents WHERE length(text) > 0),
-         |px AS (SELECT doc_id,
-         |    list_transform(range(0, $PhPix),
-         |      j -> CAST(unicode(substr(text, CAST((j * nc) // $PhPix AS INT) + 1, 1)) AS BIGINT)) AS pxs
-         |  FROM d),
-         |st AS (SELECT doc_id, pxs, list_aggregate(pxs, 'sum') AS ps FROM px),
-         |sig AS (SELECT doc_id,
-         |    list_aggregate(list_transform(range(0, $PhPix),
-         |      j -> CASE WHEN pxs[CAST(j AS INT) + 1] * $PhPix > ps
-         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
-         |      'sum') AS phash
-         |  FROM st),
-         |bands AS (SELECT doc_id, phash, b,
-         |    (phash >> (CAST(b AS INT) * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS bsig
-         |  FROM sig, UNNEST(range(0, 4)) AS t(b)),
+      s"""WITH $phashOracleCte,
          |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
          |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
@@ -881,6 +923,27 @@ object PipelineQueries {
          |  GROUP BY c.ia)
          |SELECT g.ia AS doc_id, best.nearest, g.best_h AS hamming, g.n_cands
          |FROM g JOIN best ON g.ia = best.ia
+         |ORDER BY doc_id""".stripMargin,
+
+    // Ingest probe: every batch image gets a row (LEFT join), so a
+    // clean batch reads as n_cands = 0 rather than vanishing.
+    "q_multimodal_phash_incremental" ->
+      s"""WITH $phashOracleCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+         |   AND a.doc_id % ${DedupQueries.IncrMod} = 0
+         |   AND b.doc_id % ${DedupQueries.IncrMod} <> 0),
+         |g AS (SELECT ia, COUNT(*) AS n_cands, MIN(hamming) AS best_h
+         |  FROM cand GROUP BY ia),
+         |best AS (SELECT c.ia, MIN(c.ib) AS nearest
+         |  FROM cand c JOIN g ON c.ia = g.ia AND c.hamming = g.best_h
+         |  GROUP BY c.ia)
+         |SELECT sig.doc_id, COALESCE(g.n_cands, 0) AS n_cands,
+         |  best.nearest, g.best_h AS hamming
+         |FROM sig LEFT JOIN g ON sig.doc_id = g.ia
+         |  LEFT JOIN best ON sig.doc_id = best.ia
+         |WHERE sig.doc_id % ${DedupQueries.IncrMod} = 0
          |ORDER BY doc_id""".stripMargin,
 
     "q_stream_window" ->
