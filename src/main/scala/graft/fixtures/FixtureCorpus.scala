@@ -2,6 +2,8 @@ package graft.fixtures
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Deterministic Markdown corpus derived from the driver's
@@ -25,7 +27,7 @@ object FixtureCorpus {
   /** Bump when generation rules change: the version is part of the corpus
     * directory name, so stale corpora from older code are never reused.
     */
-  private val Version = "v2"
+  private val Version = "v3"
 
   def ensure(spark: SparkSession, sfDir: String): Path = synchronized {
     val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -47,8 +49,43 @@ object FixtureCorpus {
       Files.createDirectories(out.getParent)
       Files.write(out, render(docId, text, lang, source, nChars).getBytes("UTF-8"))
     }
+    writeDataExports(spark, sfDir, dest)
     Files.write(marker, Version.getBytes("UTF-8"))
     dest
+  }
+
+  /** Sidecar data files under `data/` for the file-reading table
+    * functions (q_fm_read_*): the same (doc_id, lang, n_chars)
+    * projection of `documents` as CSV, NDJSON, and a single parquet
+    * file, doc_id-sorted, so the DuckDB oracle can reproduce every
+    * query directly from the `documents` view.
+    */
+  private def writeDataExports(
+      spark: SparkSession, sfDir: String, dest: Path): Unit = {
+    val dataDir = dest.resolve("data")
+    Files.createDirectories(dataDir)
+    val rows = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+      .collect()
+      .sortBy(_.getLong(0))
+    val csv = new StringBuilder("doc_id,lang,n_chars\n")
+    rows.foreach(r => csv ++= s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}\n")
+    Files.write(dataDir.resolve("export.csv"), csv.toString.getBytes("UTF-8"))
+    val json = new StringBuilder
+    rows.foreach(r => json ++=
+      s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}\n""")
+    Files.write(dataDir.resolve("export.json"), json.toString.getBytes("UTF-8"))
+    val tmp = Files.createTempDirectory("graft_fixture_pq")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no parquet part written"))
+    Files.move(part, dataDir.resolve("export.parquet"))
   }
 
   private[fixtures] def render(

@@ -713,7 +713,7 @@ object Dialect {
     * (doubling-aware: `''` inside is an escaped quote, not an end); -1 if
     * unterminated.
     */
-  private def literalEnd(msk: String, open: Int): Int = {
+  private[fm] def literalEnd(msk: String, open: Int): Int = {
     var i = open + 1
     while (i < msk.length) {
       if (msk.charAt(i) == '\'') {
@@ -1632,7 +1632,7 @@ object Dialect {
   /** Per-index "inside a single-quoted literal" flags over MASKED text
     * (the opening/closing quotes themselves read as inside).
     */
-  private def literalMask(msk: String): Array[Boolean] = {
+  private[fm] def literalMask(msk: String): Array[Boolean] = {
     val in = new Array[Boolean](msk.length)
     var i = 0
     var s = false
@@ -2110,7 +2110,7 @@ object Dialect {
   /** Heuristic: walking backwards from position `j`, the nearest governing
     * clause keyword at the same paren depth is FROM (not SELECT/WHERE/…).
     */
-  private def fromContext(upper: String, j: Int): Boolean = {
+  private[fm] def fromContext(upper: String, j: Int): Boolean = {
     var depth = 0
     var i = j
     while (i >= 0) {
@@ -2125,7 +2125,7 @@ object Dialect {
     false
   }
 
-  private def isKeywordAt(upper: String, endIdx: Int, kw: String): Boolean = {
+  private[fm] def isKeywordAt(upper: String, endIdx: Int, kw: String): Boolean = {
     // '_' is an identifier character, not a word boundary: without it the
     // QUALIFY inside this rewriter's own __graft_qualify helper matches as
     // a keyword on the next scan pass and the rewrite re-wraps its output
@@ -2138,7 +2138,7 @@ object Dialect {
     (endIdx == upper.length - 1 || !isIdentChar(upper.charAt(endIdx + 1)))
   }
 
-  private def matchParen(s: String, open: Int): Int = {
+  private[fm] def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     var inStr = false
@@ -2641,7 +2641,7 @@ object Dialect {
   }
 
   /** Matching `}` for the `{` at `open`, skipping string literals. */
-  private def matchBrace(s: String, open: Int): Int = {
+  private[fm] def matchBrace(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     var inStr = false

@@ -356,7 +356,43 @@ final class QueryEngine(
     */
   private val pivotValues = TrieMap.empty[(String, String, String), Seq[String]]
 
-  private def runRewritten(files: DataFrame, expanded: String, fingerprint: String): DataFrame =
+  /** File-reading table functions (read_parquet/read_csv/read_json/glob):
+    * each distinct call registers a temp view on [[sqlSession]] backed by
+    * the matching `spark.read`, memoized by the call's canonical form and
+    * re-registered only when the matched files' (path, mtime, size)
+    * listing changes — DuckDB re-reads files per query; the fingerprint
+    * gives the same freshness without re-inferring schemas for unchanged
+    * data (the A4 mtime-cache discipline). Runs OUTSIDE [[rewriteLock]]:
+    * CSV/JSON schema inference is a Spark job, and holding the rewrite
+    * lock for it would stall every concurrent query (the CTAS advice-r10
+    * lesson); the dedicated monitor below only serializes registrations.
+    */
+  private val tableFnViews = TrieMap.empty[String, (String, String)]
+  private val tableFnCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  private def resolveTableFn(call: TableFunctions.Call): String =
+    tableFnViews.synchronized {
+      val matches = TableFunctions.expandAll(settings.baseDir, call)
+      val fp = TableFunctions.fingerprint(matches)
+      val key = call.canonical
+      tableFnViews.get(key) match {
+        case Some((f, v)) if f == fp => v
+        case prev =>
+          val df = TableFunctions.frame(sqlSession, settings.baseDir, call, matches)
+          val name = prev.map(_._2).getOrElse(
+            "graft_tf_" + tableFnCounter.incrementAndGet())
+          df.createOrReplaceTempView(name)
+          tableFnViews.put(key, (fp, name))
+          name
+      }
+    }
+
+  private def runRewritten(files: DataFrame, expanded: String, fingerprint: String): DataFrame = {
+    val tfed = TableFunctions.rewrite(expanded, resolveTableFn)
+    runRewrittenLocked(files, tfed, fingerprint)
+  }
+
+  private def runRewrittenLocked(files: DataFrame, expanded: String, fingerprint: String): DataFrame =
     rewriteLock.synchronized {
       // Bridge the corpus frame (a Dataset of the user's session) into
       // the clone's catalog: global temp views are SharedState-scoped,

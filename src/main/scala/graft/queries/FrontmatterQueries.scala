@@ -515,7 +515,48 @@ object FrontmatterQueries {
       val e = new QueryEngine(s, Settings(work.toString, enableSemantic = false, "", None))
       e.query("**/*.md",
         "SELECT path, status, n_chars FROM files ORDER BY path").results
-    })
+    }),
+
+    // DuckDB file-reading table functions (TableFunctions rewrite):
+    // passthrough SQL can read external parquet/csv/json next to the
+    // corpus — the reference's DuckDB connection grants exactly this.
+    // The fixture's data/ exports are the (doc_id, lang, n_chars)
+    // projection of `documents`, so the oracle reproduces each query
+    // from the documents view directly. Types are pinned with columns=
+    // where inference could diverge (DuckDB BIGINT vs Spark INT
+    // stringify the same, but explicit is sturdier).
+    "q_fm_read_csv" -> run(
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total
+        |FROM read_csv('data/export.csv',
+        |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'})
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "q_fm_read_parquet" -> run(
+      """SELECT doc_id, lang, n_chars
+        |FROM read_parquet('data/export.parquet')
+        |WHERE n_chars % 10 = 3 ORDER BY doc_id LIMIT 40""".stripMargin),
+
+    "q_fm_read_json" -> run(
+      """SELECT lang, MAX(n_chars) AS mx, MIN(doc_id) AS mn, COUNT(*) AS n
+        |FROM read_json('data/export.json')
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // glob() table function: one .md per document row, so the match
+    // count equals the documents count.
+    "q_fm_glob_fn" -> run(
+      "SELECT COUNT(*) AS n FROM glob('**/*.md')"),
+
+    // external file joined against the parsed corpus view — the
+    // switch-over story in one statement (files is markdown-derived,
+    // the CSV is lake-side metadata).
+    "q_fm_read_join" -> run(
+      """SELECT c.lang, COUNT(*) AS n
+        |FROM files f
+        |JOIN read_csv('data/export.csv',
+        |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'}) c
+        |  ON TRY_CAST(f.id AS BIGINT) = c.doc_id
+        |WHERE f.published = 'True'
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin)
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -877,7 +918,33 @@ object FrontmatterQueries {
         |    CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(n_chars AS VARCHAR) END AS n_chars
         |  FROM documents WHERE source = 'src0'
         |)
-        |SELECT path, status, n_chars FROM files ORDER BY path""".stripMargin
+        |SELECT path, status, n_chars FROM files ORDER BY path""".stripMargin,
+
+    // Table-function rows: the data/ exports are exactly the
+    // (doc_id, lang, n_chars) projection of `documents` (FixtureCorpus
+    // .writeDataExports), so the oracle queries the view directly.
+    "q_fm_read_csv" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_fm_read_parquet" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars % 10 = 3 ORDER BY doc_id LIMIT 40""".stripMargin,
+
+    "q_fm_read_json" ->
+      """SELECT lang, MAX(n_chars) AS mx, MIN(doc_id) AS mn, COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_fm_glob_fn" ->
+      "SELECT COUNT(*) AS n FROM documents",
+
+    "q_fm_read_join" ->
+      s"""$cte
+         |SELECT c.lang, COUNT(*) AS n
+         |FROM files f
+         |JOIN documents c ON TRY_CAST(f.id AS BIGINT) = c.doc_id
+         |WHERE f.published = 'True'
+         |GROUP BY c.lang ORDER BY c.lang""".stripMargin
   )
 }
 
