@@ -366,6 +366,89 @@ object DialectFuzz {
     shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
   }
 
+  /** File-reading table functions (read_csv/read_json/read_parquet/glob)
+    * over a deterministic sidecar dataset at a FIXED absolute path — the
+    * statement text is identical on both sides, so DuckDB natively reads
+    * the very same files the engine reads. Parity rules: never headerless
+    * auto reads (DuckDB names columns `column0`, Spark `_c0`), never an
+    * auto read of a non-comma delimiter (DuckDB sniffs the delimiter,
+    * Spark does not), integers only (no float reductions).
+    */
+  private val FuzzDataDir = "/tmp/graft_fuzz_data_v1"
+
+  /** Write the sidecar files [[readFns]] statements reference; content is
+    * a pure function of the row index, so re-runs are byte-identical.
+    */
+  def ensureFuzzData(spark: SparkSession): Unit = {
+    val d = Paths.get(FuzzDataDir)
+    if (Files.exists(d.resolve(".complete"))) return
+    Files.createDirectories(d)
+    val rows = (0 until 60).map(i => (i.toLong, s"c${i % 5}", (i * 37L) % 500))
+    def write(name: String, body: String): Unit =
+      Files.write(d.resolve(name), body.getBytes("UTF-8"))
+    write("rf.csv", "id,cat,n\n" +
+      rows.map { case (i, c, n) => s"$i,$c,$n" }.mkString("\n") + "\n")
+    write("rf_pipe.csv",
+      rows.map { case (i, c, n) => s"$i|$c|$n" }.mkString("\n") + "\n")
+    write("rf_skip.csv", "junk line one\njunk line two\nid,cat,n\n" +
+      rows.map { case (i, c, n) => s"$i,$c,$n" }.mkString("\n") + "\n")
+    write("rf_na.csv", "id,cat,n\n" +
+      rows.map { case (i, c, n) =>
+        s"$i,$c,${if (i % 7 == 0) "NA" else n.toString}" }.mkString("\n") + "\n")
+    write("rf.json",
+      rows.map { case (i, c, n) =>
+        s"""{"id":$i,"cat":"$c","n":$n}""" }.mkString("\n") + "\n")
+    write("rf_arr.json",
+      rows.map { case (i, c, n) =>
+        s"""{"id":$i,"cat":"$c","n":$n}""" }.mkString("[", ",", "]"))
+    import spark.implicits._
+    for ((name, slice) <- Seq("rf1" -> rows.take(30), "rf2" -> rows.drop(30))) {
+      val tmp = Files.createTempDirectory("graft_fuzz_pq")
+      slice.toDF("id", "cat", "n").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val found = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no parquet part"))
+      Files.move(found, d.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(d.resolve(".complete"), "v1".getBytes("UTF-8"))
+  }
+
+  private def readFns(r: Random): Stmt = {
+    val D = FuzzDataDir
+    val typedCols = "columns={'id': 'BIGINT', 'cat': 'VARCHAR', 'n': 'BIGINT'}"
+    shared(pick(r, Seq(
+      s"SELECT cat, COUNT(*) AS n_rows, SUM(n) AS total FROM read_csv('$D/rf.csv') " +
+        s"GROUP BY cat ORDER BY cat",
+      s"SELECT id, cat, n FROM read_csv('$D/rf_pipe.csv', delim='|', $typedCols) " +
+        s"WHERE n > ${50 * (1 + r.nextInt(8))} ORDER BY id",
+      s"SELECT id, n FROM read_csv('$D/rf_skip.csv', skip=2) " +
+        s"ORDER BY id LIMIT ${10 + r.nextInt(30)}",
+      s"SELECT COUNT(*) AS total, COUNT(n) AS with_n, SUM(n) AS s " +
+        s"FROM read_csv('$D/rf_na.csv', nullstr='NA')",
+      s"SELECT cat, MAX(n) AS mx, MIN(id) AS mn FROM read_json('$D/rf.json') " +
+        s"GROUP BY cat ORDER BY cat",
+      s"SELECT id, cat FROM read_json_auto('$D/rf_arr.json') " +
+        s"WHERE id % ${2 + r.nextInt(3)} = 0 ORDER BY id",
+      s"SELECT COUNT(*) AS n_rows, SUM(id) AS id_sum " +
+        s"FROM read_parquet(['$D/rf1.parquet', '$D/rf2.parquet'])",
+      s"SELECT cat, COUNT(*) AS c FROM parquet_scan('$D/rf*.parquet') " +
+        s"GROUP BY cat ORDER BY cat",
+      s"SELECT file FROM glob('$D/*.csv') ORDER BY file",
+      s"SELECT id, filename FROM read_csv('$D/rf.csv', filename=true) " +
+        s"WHERE id < ${5 + r.nextInt(20)} ORDER BY id",
+      s"SELECT a.cat, COUNT(*) AS n FROM read_csv('$D/rf.csv') a " +
+        s"JOIN read_json('$D/rf.json') b ON a.id = b.id " +
+        s"GROUP BY a.cat ORDER BY a.cat",
+      s"SELECT c.cat, COUNT(*) AS n FROM files f " +
+        s"JOIN read_csv('$D/rf.csv') c ON TRY_CAST(f.id AS BIGINT) % 60 = c.id " +
+        s"GROUP BY c.cat ORDER BY c.cat",
+      s"SELECT t.cat, t.n FROM (SELECT cat, SUM(n) AS n " +
+        s"FROM read_parquet('$D/rf1.parquet') GROUP BY cat) t ORDER BY t.cat")))
+  }
+
   private def window(r: Random): Stmt = {
     val part = pick(r, keyCols)
     val ord = "path" // unique, non-null: every frame is deterministic
@@ -606,6 +689,7 @@ object DialectFuzz {
     "composed" -> composed _,
     "composed2" -> composed2 _,
     "composed_ddl" -> composedDdl(i) _,
+    "read_fns" -> readFns _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,
@@ -641,6 +725,7 @@ object DialectFuzz {
     new java.io.File(outDir).mkdirs()
 
     val base = FixtureCorpus.ensure(spark, sfDir)
+    ensureFuzzData(spark)
     val engine = new QueryEngine(
       spark, Settings(base.toString, enableSemantic = false, "", None))
 
