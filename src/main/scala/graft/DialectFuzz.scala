@@ -586,6 +586,164 @@ object DialectFuzz {
     shared(s"SELECT $g AS g, ${aggs.mkString(", ")} FROM files${whereOpt(r)} GROUP BY $g")
   }
 
+  /** Distributional aggregates. Determinism discipline on top of the
+    * global rules: quantile fractions are eighths/quarters only for
+    * quantile_CONT (position q*(n-1) and the interpolation products stay
+    * integer-exact in a double for any n, so both engines' formulas
+    * agree bit-for-bit; an arbitrary fraction like 0.3 can land a ULP
+    * apart and interpolate a visibly different value), while
+    * quantile_DISC takes any fraction (ranks are integers); mode runs
+    * unfiltered over a CASE whose hot value structurally dominates (a
+    * filtered group could tie at count 1, where each engine picks its
+    * own scan-order winner); product multiplies powers of two only
+    * (float multiplication is order-sensitive, powers of two are exact).
+    */
+  private def distAgg(r: Random): Stmt = {
+    val ie = intExpr(r)
+    val qCont = pick(r, Seq("0.0", "0.125", "0.25", "0.5", "0.75", "0.875",
+      "1.0", "-0.25", "-0.5", "-0.75"))
+    val qDisc = pick(r, Seq("0.0", "0.1", "0.3", "0.5", "0.7", "0.9", "1.0",
+      "-0.3", "-0.5", "-0.9", "0.25", "0.75"))
+    val g = pick(r, keyCols)
+    r.nextInt(6) match {
+      case 0 => shared(
+        s"""SELECT $g AS g, quantile_cont($ie, $qCont) AS qc, COUNT(*) AS n
+           |FROM files${whereOpt(r)} GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)
+      case 1 => shared(
+        s"""SELECT $g AS g, quantile_disc($ie, $qDisc) AS qd, quantile($ie, $qDisc) AS q2
+           |FROM files GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)
+      case 2 => shared(
+        s"""SELECT $g AS g, quantile_disc(path, $qDisc) AS qs, median(path) AS ms
+           |FROM files${whereOpt(r)} GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)
+      case 3 =>
+        // DuckDB rejects mixed-sign quantile lists ("consistent signs")
+        val q2 = if (qDisc.startsWith("-")) "-0.5" else "0.5"
+        shared(
+          s"""SELECT quantile_cont($ie, [0.25, 0.5, 0.75]) AS qa,
+             |  quantile_disc($ie, [$qDisc, $q2]) AS qb,
+             |  median(TRY_CAST(created AS DATE)) AS md
+             |FROM files${whereOpt(r)}""".stripMargin)
+      case 4 =>
+        // keys/values as LISTS: the gate's canonical form stringifies a
+        // MAP differently per engine, lists identically — and my
+        // histogram sorts keys, so the projection is deterministic
+        val h = s"histogram($ie % ${2 + r.nextInt(5)})"
+        shared(
+          s"""SELECT $g AS g, map_keys(histogram(lang)) AS hk,
+             |  map_values(histogram(lang)) AS hv,
+             |  map_keys($h) AS nk, map_values($h) AS nv
+             |FROM files GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)
+      case _ =>
+        // mode's hot arm must be structurally NON-EMPTY and dominant:
+        // `id IS NOT NULL` holds on ~59 of 60 docs, every ELSE value is
+        // a unique path (count 1) — a modulus arm can miss entirely
+        // (len(path) % 4 is never 0 on this corpus), leaving all counts
+        // at 1 and each engine picking its own scan-order winner
+        shared(
+          s"""SELECT product(CASE WHEN $ie % ${2 + r.nextInt(4)} = 0 THEN 2.0 ELSE ${pick(r, Seq("1.0", "0.5"))} END) AS pr,
+             |  mode(CASE WHEN id IS NOT NULL THEN 'hot' ELSE ${pick(r, Seq("path", "upper(path)"))} END) AS mo,
+             |  median($ie) AS me
+             |FROM files""".stripMargin)
+    }
+  }
+
+  /** Series table/scalar functions: FROM-position (rewritten to an
+    * explode subquery), SELECT-position lists, descending/strided/
+    * unreachable bounds, and DATE bounds with INTERVAL steps.
+    */
+  private def seriesFns(r: Random): Stmt = {
+    val fn = pick(r, Seq("generate_series", "range"))
+    r.nextInt(5) match {
+      case 0 =>
+        val a = r.nextInt(5); val b = a + r.nextInt(9)
+        shared(s"SELECT gs.$fn AS n, gs.$fn * 2 AS d FROM $fn($a, $b) gs ORDER BY n")
+      case 1 =>
+        val a = 1 + r.nextInt(8); val b = a + r.nextInt(14); val s = 1 + r.nextInt(4)
+        val (lo, hi, st) = if (r.nextBoolean()) (a, b, s.toString) else (b, a, s"-$s")
+        shared(s"SELECT t.$fn AS n FROM $fn($lo, $hi, $st) t ORDER BY n")
+      case 2 =>
+        shared(
+          s"""SELECT f.path AS p, gs.generate_series AS n
+             |FROM files f CROSS JOIN generate_series(1, ${1 + r.nextInt(3)}) gs${whereOpt(r)}
+             |ORDER BY p, n LIMIT ${20 + r.nextInt(50)}""".stripMargin)
+      case 3 =>
+        val k = 2 + r.nextInt(5)
+        shared(
+          s"""SELECT path, $fn(1, 1 + (${intExpr(r)} % $k)) AS xs,
+             |  len($fn(0, ${r.nextInt(5)})) AS ln
+             |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case _ =>
+        val m = 1 + r.nextInt(8)
+        val d1 = 1 + r.nextInt(20); val d2 = d1 + r.nextInt(9)
+        val step = 1 + r.nextInt(3)
+        shared(
+          f"""SELECT d.$fn AS ts FROM $fn(DATE '2025-$m%02d-$d1%02d',
+             |  DATE '2025-$m%02d-$d2%02d', INTERVAL $step DAY) d ORDER BY ts""".stripMargin)
+    }
+  }
+
+  /** Recursive CTEs (UNION ALL — Spark executes these natively as
+    * UnionLoop): counters, accumulator strings, per-row fan-out seeded
+    * from the corpus, and a recursive CTE joined against a plain one.
+    * The oracle side can't prepend the files CTE as a separate WITH —
+    * the statement owns one — so its definition merges INTO the
+    * statement's own RECURSIVE list (RECURSIVE marks the whole list and
+    * is harmless on the non-recursive member).
+    */
+  private def recShared(sql: String): Stmt = {
+    val body = sql.trim.stripPrefix("WITH RECURSIVE ")
+    Stmt(sql,
+      cte.replaceFirst("WITH files AS", "WITH RECURSIVE files AS") + ",\n" + body)
+  }
+
+  private def recursive(r: Random): Stmt = r.nextInt(6) match {
+    case 4 =>
+      // UNION (distinct) recursion — a CYCLE that only the
+      // dedup-until-fixpoint semantics terminate (engine: the
+      // QueryEngine.recursiveUnionView semi-naive loop; DuckDB: native)
+      val m = 3 + r.nextInt(9)
+      val st = 1 + r.nextInt(m - 1)
+      recShared(
+        s"""WITH RECURSIVE t(n) AS (SELECT ${r.nextInt(m)} UNION
+           |  SELECT (n + $st) % $m FROM t)
+           |SELECT n FROM t ORDER BY n""".stripMargin)
+    case 5 =>
+      // UNION recursion seeded from the corpus, with a preceding plain
+      // CTE the base and step both read through
+      val m = 4 + r.nextInt(6)
+      recShared(
+        s"""WITH RECURSIVE base AS (
+           |  SELECT TRY_CAST(n_chars AS BIGINT) % $m AS v FROM files WHERE ${predicate(r)}),
+           |walk(v) AS (
+           |  SELECT v FROM base WHERE v IS NOT NULL
+           |  UNION SELECT (w.v + ${1 + r.nextInt(3)}) % $m FROM walk w)
+           |SELECT v, COUNT(*) AS c FROM walk GROUP BY v ORDER BY v""".stripMargin)
+    case 0 =>
+      val k = 1 + r.nextInt(3); val m = 5 + r.nextInt(20)
+      recShared(
+        s"""WITH RECURSIVE t(n) AS (SELECT ${1 + r.nextInt(3)} UNION ALL
+           |  SELECT n + $k FROM t WHERE n < $m)
+           |SELECT CAST(sum(n) AS BIGINT) AS s, count(*) AS c, max(n) AS mx FROM t""".stripMargin)
+    case 1 =>
+      val stop = 3 + r.nextInt(6)
+      recShared(
+        s"""WITH RECURSIVE t(n, s) AS (SELECT 1, '${pick(r, Seq("a", "x"))}' UNION ALL
+           |  SELECT n + 1, s || '${pick(r, Seq("b", "yz"))}' FROM t WHERE n < $stop)
+           |SELECT n, s FROM t ORDER BY n""".stripMargin)
+    case 2 =>
+      recShared(
+        s"""WITH RECURSIVE t(p, i) AS (
+           |  SELECT path, 0 FROM files WHERE ${predicate(r)}
+           |  UNION ALL SELECT p, i + 1 FROM t WHERE i < ${1 + r.nextInt(3)})
+           |SELECT p, i FROM t ORDER BY p, i LIMIT ${30 + r.nextInt(40)}""".stripMargin)
+    case _ =>
+      recShared(
+        s"""WITH RECURSIVE nums(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM nums WHERE n < ${3 + r.nextInt(5)}),
+           |base AS (SELECT path, ${pick(r, keyCols)} AS k FROM files${whereOpt(r)})
+           |SELECT b.path AS p, b.k AS k, nums.n AS n FROM base b CROSS JOIN nums
+           |ORDER BY p, n LIMIT ${40 + r.nextInt(40)}""".stripMargin)
+  }
+
   /** Compositional family: a statement from another family wrapped in a
     * CTE, a subquery, or a self-UNION — the string rewrites are
     * position- and depth-sensitive scans, and composition is where they
@@ -690,6 +848,9 @@ object DialectFuzz {
     "composed2" -> composed2 _,
     "composed_ddl" -> composedDdl(i) _,
     "read_fns" -> readFns _,
+    "dist_agg" -> distAgg _,
+    "series_fns" -> seriesFns _,
+    "recursive" -> recursive _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

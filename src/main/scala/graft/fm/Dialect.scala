@@ -34,10 +34,12 @@ object Dialect {
     // literal. Identical for the plain separators the reference exercises.
     reg.createOrReplaceTempFunction(
       "string_split", exprs => StringSplit(exprs(0), exprs(1), Literal(-1)), "built-in")
-    // DuckDB's len() over the files table always sees strings (arrays are
-    // JSON-encoded per ADR-0006), so character length is the right map.
+    // DuckDB's len(): LIST element count, character length otherwise —
+    // type-branched after resolution (the files table's own arrays are
+    // JSON-encoded strings per ADR-0006; real LISTs reach len() via the
+    // series functions and split results).
     reg.createOrReplaceTempFunction(
-      "len", exprs => Length(exprs(0)), "built-in")
+      "len", exprs => DuckLen(exprs(0)), "built-in")
     // DuckDB regexp_matches is a PARTIAL match (find), like Spark's
     // rlike; the optional third flags argument maps to an inline-flag
     // prefix ('i' — 'g'/'c' are no-ops for a boolean match; anything
@@ -164,6 +166,24 @@ object Dialect {
       "prefix", exprs => StartsWith(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "suffix", exprs => EndsWith(exprs(0), exprs(1)), "built-in")
+    // Distributional aggregates + series generators (DuckDB names Spark
+    // lacks — `mode` needs no alias, Spark's builtin has DuckDB's
+    // semantics modulo the scan-order tie-break both engines leave
+    // unspecified; `median` is an OVERRIDE, see [[registerOverrides]]).
+    reg.createOrReplaceTempFunction(
+      "quantile_cont", exprs => DuckQuantileCont(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantile_disc", exprs => DuckQuantileDisc(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantile", exprs => DuckQuantileDisc(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "histogram", exprs => DuckHistogram(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "product", exprs => DuckProduct(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "generate_series", exprs => DuckSeries(exprs, exclusive = false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "range", exprs => DuckSeries(exprs, exclusive = true), "built-in")
   }
 
   /** DuckDB-semantics OVERRIDES of names that exist in Spark with
@@ -200,6 +220,11 @@ object Dialect {
     reg.createOrReplaceTempFunction(
       "try_element_at", exprs =>
         ElementAt(NullabilityGuard(exprs(0)), exprs(1), None, false), "built-in")
+    // Spark's builtin median is numeric-only; DuckDB's also takes
+    // strings (lower middle element) and dates/timestamps (interpolated
+    // midpoint). Same result where both engines accept the input.
+    reg.createOrReplaceTempFunction(
+      "median", exprs => DuckMedian(exprs(0)), "built-in")
   }
 
   /** Translate a C/DuckDB strftime format to a java DateTimeFormatter
@@ -244,7 +269,53 @@ object Dialect {
         rewriteStructLit(rewriteUsingSample(rewriteUnpivot(
           rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteFromFirst(sql)))))))))))))))))))
+              rewriteSeriesFrom(rewriteFromFirst(sql))))))))))))))))))))
+
+  /** DuckDB's `generate_series` / `range` TABLE functions: a
+    * FROM-position call becomes a one-column relation named after the
+    * function (`FROM generate_series(1, 4) gs` yields column
+    * `generate_series`). Spark's `range` table function names its
+    * column `id` and is end-exclusive only, so both spellings desugar
+    * to an explode of the matching SCALAR function (registered in
+    * [[register]]), which already carries the inclusive/exclusive and
+    * empty-on-unreachable semantics. Arguments pass through verbatim —
+    * DuckDB 1.0.0 rejects lateral column references in these calls, so
+    * literal-expression arguments are the whole surface.
+    */
+  private[fm] def rewriteSeriesFrom(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 100) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      for (fn <- Seq("GENERATE_SERIES", "RANGE") if !changed) {
+        var i = u.indexOf(fn)
+        while (i >= 0 && !changed) {
+          if (!lit(i) && isKeywordAt(u, i + fn.length - 1, fn) &&
+            fromContext(u, i - 1)) {
+            var k = i + fn.length
+            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+            if (k < msk.length && msk.charAt(k) == '(') {
+              val close = matchParen(msk, k)
+              require(close > k, s"unbalanced parens in ${fn.toLowerCase}(…)")
+              val lower = fn.toLowerCase
+              val call = out.substring(i, close + 1)
+              out = out.substring(0, i) +
+                s"(SELECT explode($call) AS $lower)" +
+                out.substring(close + 1)
+              changed = true
+            }
+          }
+          if (!changed) i = u.indexOf(fn, i + 1)
+        }
+      }
+    }
+    out
+  }
 
   /** DuckDB's FROM-first statement form: `FROM t [WHERE …]` selects `*`,
     * and `FROM t SELECT list …` reorders the clauses. Spark's parser is
@@ -2169,6 +2240,191 @@ object Dialect {
       i -= 1
     }
     -1
+  }
+
+  /** One member of a statement-level WITH list. `body` excludes the
+    * wrapping parens; `bodyStart`/`bodyEnd` are its offsets in the
+    * original text (start inclusive, end exclusive).
+    */
+  private[fm] final case class CteDef(
+      name: String,
+      columns: Option[Seq[String]],
+      body: String,
+      nameStart: Int,
+      bodyStart: Int,
+      bodyEnd: Int)
+
+  /** Parse a statement-level `WITH [RECURSIVE] name [(cols)] AS (…) [,…]`
+    * list: (recursive?, members, index of the main query). None when the
+    * statement has no top-level WITH or the list is malformed.
+    */
+  private[fm] def parseWithList(sql: String): Option[(Boolean, Seq[CteDef], Int)] = {
+    val msk = maskComments(sql)
+    val u = msk.toUpperCase
+    var p = 0
+    while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    if (p >= msk.length ||
+      !(u.regionMatches(p, "WITH", 0, 4) && isKeywordAt(u, p + 3, "WITH")))
+      return None
+    p += 4
+    def skipWs(): Unit = while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+    skipWs()
+    val recursive =
+      u.regionMatches(p, "RECURSIVE", 0, 9) && isKeywordAt(u, p + 8, "RECURSIVE")
+    if (recursive) { p += 9; skipWs() }
+    val members = Seq.newBuilder[CteDef]
+    var more = true
+    while (more) {
+      val nameStart = p
+      val nameEnd = identEndAt(msk, p)
+      if (nameEnd == p) return None
+      val name = sql.substring(p, nameEnd)
+      p = nameEnd; skipWs()
+      var cols: Option[Seq[String]] = None
+      if (p < msk.length && msk.charAt(p) == '(') {
+        val c = matchParen(msk, p); if (c < 0) return None
+        cols = Some(sql.substring(p + 1, c).split(',').map(_.trim).toSeq)
+        p = c + 1; skipWs()
+      }
+      if (!(u.regionMatches(p, "AS", 0, 2) && isKeywordAt(u, p + 1, "AS"))) return None
+      p += 2; skipWs()
+      if (p >= msk.length || msk.charAt(p) != '(') return None
+      val c = matchParen(msk, p); if (c < 0) return None
+      members += CteDef(name, cols, sql.substring(p + 1, c), nameStart, p + 1, c)
+      p = c + 1; skipWs()
+      if (p < msk.length && msk.charAt(p) == ',') { p += 1; skipWs() }
+      else more = false
+    }
+    Some((recursive, members.result(), p))
+  }
+
+  /** Does `body` reference `name` as a standalone identifier (outside
+    * literals/comments, not a qualified-field tail like `x.name`)?
+    */
+  private[fm] def referencesName(body: String, name: String): Boolean = {
+    val msk = maskComments(body)
+    val u = msk.toUpperCase
+    val lit = literalMask(msk)
+    val un = name.toUpperCase
+    var i = u.indexOf(un)
+    while (i >= 0) {
+      if (!lit(i) && isKeywordAt(u, i + un.length - 1, un) &&
+        (i == 0 || msk.charAt(i - 1) != '.')) return true
+      i = u.indexOf(un, i + 1)
+    }
+    false
+  }
+
+  /** Split `body` at top-level UNION [ALL] boundaries →
+    * (segments, isAll flags between them). INTERSECT/EXCEPT at top level
+    * return None (out of the recursion rewrite's scope).
+    */
+  private[fm] def splitUnions(body: String): Option[(Seq[String], Seq[Boolean])] = {
+    val msk = maskComments(body)
+    val u = msk.toUpperCase
+    val lit = literalMask(msk)
+    val segs = Seq.newBuilder[String]
+    val alls = Seq.newBuilder[Boolean]
+    var depth = 0
+    var segStart = 0
+    var i = 0
+    while (i < msk.length) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          if ((u.regionMatches(i, "INTERSECT", 0, 9) && isKeywordAt(u, i + 8, "INTERSECT")) ||
+            (u.regionMatches(i, "EXCEPT", 0, 6) && isKeywordAt(u, i + 5, "EXCEPT")))
+            return None
+          if (u.regionMatches(i, "UNION", 0, 5) && isKeywordAt(u, i + 4, "UNION")) {
+            segs += body.substring(segStart, i)
+            var j = i + 5
+            while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+            var all = false
+            if (u.regionMatches(j, "ALL", 0, 3) && isKeywordAt(u, j + 2, "ALL")) {
+              all = true; j += 3
+            } else if (u.regionMatches(j, "DISTINCT", 0, 8) &&
+              isKeywordAt(u, j + 7, "DISTINCT")) {
+              j += 8
+            }
+            alls += all
+            segStart = j
+            i = j - 1
+          }
+        }
+      }
+      i += 1
+    }
+    segs += body.substring(segStart)
+    Some((segs.result(), alls.result()))
+  }
+
+  /** A UNION-distinct recursive CTE's split. DuckDB (SQL-standard,
+    * left-associative) splits at the LAST top-level UNION: its right
+    * operand is the recursive term, everything left the base — a
+    * self-reference in the base is a binder error there, so only the
+    * last segment is checked. None when the member isn't one the
+    * fixpoint executes: no self-reference in the last segment (plain
+    * CTE, or base-side circularity both engines reject loudly), a
+    * UNION ALL top operator (Spark runs that natively as UnionLoop),
+    * or INTERSECT/EXCEPT shapes (left in place for Spark's loud error).
+    */
+  private[fm] def recursiveUnionSplit(cte: CteDef): Option[(String, String)] = {
+    splitUnions(cte.body).flatMap { case (segs, alls) =>
+      if (segs.length < 2 || alls.last) None
+      else if (!referencesName(segs.last, cte.name)) None
+      else if (segs.init.exists(s => referencesName(s, cte.name))) None
+      else {
+        def join(parts: Seq[String], ops: Seq[Boolean]): String =
+          parts.head + parts.tail.zip(ops).map { case (s, all) =>
+            (if (all) " UNION ALL " else " UNION ") + s
+          }.mkString
+        Some((join(segs.init, alls.init), segs.last))
+      }
+    }
+  }
+
+  /** Execute UNION-distinct recursive CTEs through a caller-supplied
+    * fixpoint and splice the materialized view back in. Spark 4 runs
+    * UNION ALL recursion natively (UnionLoop) but rejects UNION —
+    * DuckDB's dedup-until-fixpoint form (reference passthrough surface,
+    * `query.py:72`) — so each such member becomes a driver-paced
+    * distributed loop: `materialize(precedingCtes, name, cols, base,
+    * step)` runs it and returns a view name, and the member's body
+    * becomes `SELECT * FROM <view>`. Only statement-level WITH lists are
+    * handled; a nested recursive-union subquery still fails loudly.
+    */
+  def rewriteRecursiveUnion(
+      sql: String,
+      materialize: (String, String, Option[Seq[String]], String, String) => String): String = {
+    val parsed = parseWithList(sql) match {
+      case Some((true, members, _)) => members
+      case _ => return sql
+    }
+    var out = sql
+    // Left-to-right with a running offset shift, so a LATER member whose
+    // base/step references an EARLIER recursive-union member sees that
+    // member's already-materialized (executable) body in its preceding
+    // CTE text, never the raw UNION form Spark would reject.
+    var shift = 0
+    val firstNameStart = parsed.head.nameStart
+    for (cte <- parsed) {
+      recursiveUnionSplit(cte) match {
+        case Some((base, step)) =>
+          // prior members as they now read (WITH/RECURSIVE header excluded)
+          val precedingText = out
+            .substring(firstNameStart, cte.nameStart + shift)
+            .trim.stripSuffix(",").trim
+          val view = materialize(precedingText, cte.name, cte.columns, base, step)
+          val replacement = s"SELECT * FROM $view"
+          out = out.substring(0, cte.bodyStart + shift) +
+            replacement + out.substring(cte.bodyEnd + shift)
+          shift += replacement.length - (cte.bodyEnd - cte.bodyStart)
+        case None => ()
+      }
+    }
+    out
   }
 
   private def identEndAt(s: String, start: Int): Int = {

@@ -440,6 +440,77 @@ object FrontmatterQueries {
         |ORDER BY kind NULLS FIRST, lang NULLS FIRST,
         |  category NULLS FIRST, n""".stripMargin),
 
+    // Distributional aggregates (DuckDB names Spark lacks): exact
+    // grouped quantiles — interpolated (DOUBLE out), discrete over a
+    // BIGINT and over strings (type-generic CountsAggregate) — plus the
+    // quantile alias and median. Fractions stay on quarters so the
+    // interpolation products are integer-exact in a double (see
+    // DistributionalExpressions); the `dist_agg` fuzz family covers the
+    // wider fraction/shape space.
+    "q_fm_quantiles" -> run(
+      """SELECT lang,
+        |  quantile_cont(TRY_CAST(n_chars AS BIGINT), 0.25) AS qc,
+        |  quantile_disc(TRY_CAST(n_chars AS BIGINT), 0.3) AS qd,
+        |  quantile(path, 0.5) AS qp,
+        |  median(TRY_CAST(n_chars AS BIGINT)) AS med,
+        |  COUNT(*) AS n
+        |FROM files WHERE lang IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Quantile LISTS (list in → list out), negative from-the-end
+    // fractions, and median over DATEs (interpolated TIMESTAMP out).
+    "q_fm_quantile_list" -> run(
+      """SELECT
+        |  quantile_cont(TRY_CAST(n_chars AS BIGINT), [0.25, 0.5, 0.75]) AS qs,
+        |  quantile_disc(TRY_CAST(n_chars AS BIGINT), [-0.75, -0.25]) AS qn,
+        |  quantile_disc(TRY_CAST(n_chars AS BIGINT), -0.25) AS qneg,
+        |  median(TRY_CAST(created AS DATE)) AS mdate
+        |FROM files""".stripMargin),
+
+    // histogram(): exact value→count MAP with ascending keys, projected
+    // through map_keys/map_values (the gate's canonical row form
+    // stringifies a raw MAP differently per engine, lists identically).
+    "q_fm_histogram" -> run(
+      """SELECT source,
+        |  map_keys(histogram(lang)) AS langs,
+        |  map_values(histogram(lang)) AS lang_counts,
+        |  map_keys(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mods,
+        |  map_values(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mod_counts
+        |FROM files WHERE source IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    // mode() (Spark's builtin, DuckDB semantics; the CASE keeps the max
+    // structurally unique — a tie's winner is scan-order in both
+    // engines) and product() (DOUBLE; powers of two stay order-exact).
+    "q_fm_mode_product" -> run(
+      """SELECT
+        |  mode(CASE WHEN TRY_CAST(n_chars AS BIGINT) % 2 = 0 THEN 'even' ELSE path END) AS mo,
+        |  product(CASE WHEN TRY_CAST(n_chars AS BIGINT) % 7 = 0 THEN 2.0 ELSE 1.0 END) AS pr,
+        |  product(CASE WHEN id IS NULL THEN NULL ELSE 0.5 END) AS ph
+        |FROM files""".stripMargin),
+
+    // generate_series/range as TABLE functions (FROM position →
+    // Dialect.rewriteSeriesFrom explode subquery) and as SCALAR list
+    // functions, inclusive vs exclusive ends, len() over a real LIST.
+    "q_fm_series" -> run(
+      """SELECT f.path AS p, gs.generate_series AS n,
+        |  range(1, 1 + gs.generate_series) AS r,
+        |  len(range(0, gs.generate_series)) AS ln
+        |FROM files f CROSS JOIN generate_series(1, 3) gs
+        |WHERE f.category IS NOT NULL
+        |ORDER BY p, n LIMIT 60""".stripMargin),
+
+    // WITH RECURSIVE joined on a COMPUTED key (modulo bucket) — the
+    // existing q_fm_recursive covers the bare construct; this one makes
+    // the recursion's output a join key derived from corpus data.
+    "q_fm_recursive_seq" -> run(
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8)
+        |SELECT seq.n AS n, COUNT(f.path) AS docs
+        |FROM seq LEFT JOIN files f
+        |  ON TRY_CAST(f.n_chars AS BIGINT) % 8 + 1 = seq.n
+        |GROUP BY seq.n ORDER BY seq.n""".stripMargin),
+
     // DuckDB's DESCRIBE statement (subquery table-function form, with a
     // deterministic ORDER BY per the gate contract) —
     // Dialect.rewriteDescribe resolves the files view's schema through a
@@ -579,6 +650,58 @@ object FrontmatterQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_fm_quantiles" ->
+      s"""$cte
+         |SELECT lang,
+         |  quantile_cont(TRY_CAST(n_chars AS BIGINT), 0.25) AS qc,
+         |  quantile_disc(TRY_CAST(n_chars AS BIGINT), 0.3) AS qd,
+         |  quantile(path, 0.5) AS qp,
+         |  median(TRY_CAST(n_chars AS BIGINT)) AS med,
+         |  COUNT(*) AS n
+         |FROM files WHERE lang IS NOT NULL
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fm_quantile_list" ->
+      s"""$cte
+         |SELECT
+         |  quantile_cont(TRY_CAST(n_chars AS BIGINT), [0.25, 0.5, 0.75]) AS qs,
+         |  quantile_disc(TRY_CAST(n_chars AS BIGINT), [-0.75, -0.25]) AS qn,
+         |  quantile_disc(TRY_CAST(n_chars AS BIGINT), -0.25) AS qneg,
+         |  median(TRY_CAST(created AS DATE)) AS mdate
+         |FROM files""".stripMargin,
+    "q_fm_histogram" ->
+      s"""$cte
+         |SELECT source,
+         |  map_keys(histogram(lang)) AS langs,
+         |  map_values(histogram(lang)) AS lang_counts,
+         |  map_keys(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mods,
+         |  map_values(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mod_counts
+         |FROM files WHERE source IS NOT NULL
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_fm_mode_product" ->
+      s"""$cte
+         |SELECT
+         |  mode(CASE WHEN TRY_CAST(n_chars AS BIGINT) % 2 = 0 THEN 'even' ELSE path END) AS mo,
+         |  product(CASE WHEN TRY_CAST(n_chars AS BIGINT) % 7 = 0 THEN 2.0 ELSE 1.0 END) AS pr,
+         |  product(CASE WHEN id IS NULL THEN NULL ELSE 0.5 END) AS ph
+         |FROM files""".stripMargin,
+    "q_fm_series" ->
+      s"""$cte
+         |SELECT f.path AS p, gs.generate_series AS n,
+         |  range(1, 1 + gs.generate_series) AS r,
+         |  len(range(0, gs.generate_series)) AS ln
+         |FROM files f CROSS JOIN generate_series(1, 3) gs
+         |WHERE f.category IS NOT NULL
+         |ORDER BY p, n LIMIT 60""".stripMargin,
+    // the statement owns a WITH, so the files CTE merges into its
+    // RECURSIVE list rather than prepending a second WITH
+    "q_fm_recursive_seq" ->
+      s"""${cte.replaceFirst("WITH files AS", "WITH RECURSIVE files AS")},
+         |seq(n) AS (
+         |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8)
+         |SELECT seq.n AS n, COUNT(f.path) AS docs
+         |FROM seq LEFT JOIN files f
+         |  ON TRY_CAST(f.n_chars AS BIGINT) % 8 + 1 = seq.n
+         |GROUP BY seq.n ORDER BY seq.n""".stripMargin,
     "q_fm_flagship" ->
       s"""$cte
          |SELECT path, created FROM files

@@ -44,7 +44,8 @@ class ContractSpec extends AnyFunSuite {
 
   // Single-row global aggregates: ordering is vacuous.
   private val singleRowExempt =
-    Set("q_count_star", "q_fm_count", "q_theta_setops")
+    Set("q_count_star", "q_fm_count", "q_theta_setops",
+      "q_fm_quantile_list", "q_fm_mode_product", "q_fm_glob_fn")
 
   /** True iff the SQL has an ORDER BY at paren depth 0 — a window
     * function's `OVER (ORDER BY ...)` or a subquery's ordering does NOT

@@ -28,7 +28,11 @@ class DialectFuzzSpec extends AnyFunSuite {
   test("every oracle statement embeds the files CTE or defines macros first") {
     for (f <- DialectFuzz.familyNames; i <- 0 until N) {
       val st = DialectFuzz.generate(f, i)
-      assert(st.oracle.contains("WITH files AS"), s"$f/$i oracle lacks files CTE")
+      // the recursive family merges the CTE into the statement's own
+      // RECURSIVE list rather than prepending a second WITH
+      assert(st.oracle.contains("WITH files AS") ||
+        st.oracle.contains("WITH RECURSIVE files AS"),
+        s"$f/$i oracle lacks files CTE")
       if (f == "macros")
         assert(st.oracle.toUpperCase.indexOf("CREATE MACRO") <
           st.oracle.indexOf("WITH files AS"), s"$f/$i macro DDL after CTE")
