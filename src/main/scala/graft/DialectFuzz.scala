@@ -682,6 +682,108 @@ object DialectFuzz {
     }
   }
 
+  /** String-similarity functions over corpus strings. Integer-valued
+    * distances (levenshtein/editdist3/damerau/hamming) compare raw;
+    * similarity DOUBLES go through round(x, 9) on BOTH sides — the
+    * engines agree on the standard formulas but may sum the three Jaro
+    * terms in a different order, and the gate compares doubles by bit
+    * pattern (a 1-ulp difference would be a false alarm, a real formula
+    * divergence survives 9 digits).
+    */
+  private def strDist(r: Random): Stmt = {
+    val sa = pick(r, Seq("path", "source || '-x'", "substr(path, 1, 8)",
+      "coalesce(lang, 'xx')", "coalesce(category, 'cat9')"))
+    val sb = pick(r, Seq("reverse(path)", "substr(path, 2, 8)",
+      "'target-string'", "coalesce(lang, 'yy') || 'q'", "upper(path)"))
+    r.nextInt(4) match {
+      case 0 => shared(
+        s"""SELECT path, levenshtein($sa, $sb) AS lv, editdist3($sa, $sb) AS ed,
+           |  damerau_levenshtein($sa, $sb) AS dl
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 1 => shared(
+        s"""SELECT path, round(jaccard($sa, $sb), 9) AS jc
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 2 => shared(
+        s"""SELECT path, round(jaro_similarity($sa, $sb), 9) AS js,
+           |  round(jaro_winkler_similarity($sa, $sb), 9) AS jw
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case _ => shared(
+        s"""SELECT path, hamming(substr(path, 1, 6), substr(upper(path), 1, 6)) AS hm,
+           |  mismatches(substr(path, 1, 5), substr(reverse(path), 1, 5)) AS mm
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+    }
+  }
+
+  /** list_* reductions and list_aggregate over real lists (split paths,
+    * JSON tag arrays, generated series).
+    */
+  private def listFns(r: Random): Stmt = {
+    val intList = pick(r, Seq(
+      s"generate_series(1, 1 + (${intExpr(r)} % ${3 + r.nextInt(4)}))",
+      s"[len(path), ${intExpr(r)} % 7, 3]"))
+    val strList = pick(r, Seq(
+      "string_split(path, '/')", "from_json(tags, '[\"VARCHAR\"]')"))
+    r.nextInt(3) match {
+      case 0 => shared(
+        s"""SELECT path, list_sum($intList) AS s, list_count($intList) AS c,
+           |  list_min($intList) AS mn, list_max($intList) AS mx
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 1 => shared(
+        s"""SELECT path, round(list_avg($intList), 9) AS av,
+           |  list_aggregate($intList, 'sum') AS ls
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case _ => shared(
+        s"""SELECT path, list_aggregate($strList, 'string_agg', '${pick(r, Seq("|", "-"))}') AS sa,
+           |  list_aggregate($strList, 'min') AS mn, list_count($strList) AS c
+           |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+    }
+  }
+
+  /** LATERAL correlated subqueries and VALUES relations — native in
+    * both engines (Spark 3.2+ lateral joins); the family proves the
+    * passthrough and its interaction with the rewrite pipeline.
+    */
+  private def lateralValues(r: Random): Stmt = r.nextInt(4) match {
+    case 0 => shared(
+      s"""SELECT f.path AS p, l.w AS w
+         |FROM files f, LATERAL (SELECT upper(f.lang) || '-${r.nextInt(9)}' AS w) l
+         |WHERE f.lang IS NOT NULL ORDER BY p LIMIT ${20 + r.nextInt(40)}""".stripMargin)
+    case 1 =>
+      val pairs = Seq("('en', 1)", "('fr', 2)", "('es', 3)").take(1 + r.nextInt(3))
+      shared(
+        s"""SELECT t.v AS v, t.k AS k, COUNT(f.path) AS n
+           |FROM (VALUES ${pairs.mkString(", ")}) t(v, k)
+           |LEFT JOIN files f ON f.lang = t.v
+           |GROUP BY t.v, t.k ORDER BY t.k""".stripMargin)
+    case 2 => shared(
+      s"""SELECT f.path AS p, l.c AS c
+         |FROM files f LEFT JOIN LATERAL (
+         |  SELECT TRY_CAST(f.n_chars AS BIGINT) % ${2 + r.nextInt(5)} AS c
+         |  WHERE f.n_chars IS NOT NULL) l ON true
+         |ORDER BY p LIMIT ${20 + r.nextInt(40)}""".stripMargin)
+    case _ => shared(
+      s"""SELECT t.a AS a, t.b AS b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z${r.nextInt(50)}')) t(a, b)
+         |ORDER BY a""".stripMargin)
+  }
+
+  /** POSITIONAL JOIN over two ORDER BY'd subqueries (the only shape
+    * with a deterministic row order in BOTH engines — DuckDB's
+    * insertion order has no distributed equivalent), equal and unequal
+    * lengths so the NULL padding is exercised.
+    */
+  private def positional(r: Random): Stmt = {
+    val n1 = 3 + r.nextInt(10)
+    val n2 = if (r.nextBoolean()) n1 else 3 + r.nextInt(10)
+    val c1 = pick(r, Seq("path", "n_chars", "created"))
+    val c2 = pick(r, Seq("lang", "source", "id"))
+    shared(
+      s"""SELECT * FROM
+         |  (SELECT $c1 AS a FROM files ORDER BY path LIMIT $n1)
+         |POSITIONAL JOIN
+         |  (SELECT $c2 AS b FROM files ORDER BY path DESC LIMIT $n2)
+         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin)
+  }
+
   /** Recursive CTEs (UNION ALL — Spark executes these natively as
     * UnionLoop): counters, accumulator strings, per-row fan-out seeded
     * from the corpus, and a recursive CTE joined against a plain one.
@@ -851,6 +953,10 @@ object DialectFuzz {
     "dist_agg" -> distAgg _,
     "series_fns" -> seriesFns _,
     "recursive" -> recursive _,
+    "strdist" -> strDist _,
+    "list_fns" -> listFns _,
+    "lateral_values" -> lateralValues _,
+    "positional" -> positional _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

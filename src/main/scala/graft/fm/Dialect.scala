@@ -26,7 +26,7 @@ object Dialect {
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "list_contains", exprs => ArrayContains(exprs(0), exprs(1)), "built-in")
@@ -184,6 +184,89 @@ object Dialect {
       "generate_series", exprs => DuckSeries(exprs, exclusive = false), "built-in")
     reg.createOrReplaceTempFunction(
       "range", exprs => DuckSeries(exprs, exclusive = true), "built-in")
+    // DuckDB string-similarity family (Spark ships only levenshtein;
+    // editdist3 is its DuckDB alias). See StringDistanceExpressions.
+    reg.createOrReplaceTempFunction(
+      "jaccard", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaro_similarity", exprs => JaroSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaro_winkler_similarity",
+      exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      exprs => DamerauLevenshtein(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hamming", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mismatches", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "editdist3", exprs => Levenshtein(exprs(0), exprs(1)), "built-in")
+    // DuckDB list_* reductions: a left fold over the (null-compacted)
+    // list — sequential within the row in BOTH engines, so even double
+    // sums are order-identical. Empty / all-null lists yield NULL
+    // (list_count yields 0), DuckDB-pinned. Built from unresolved
+    // lambdas like array_to_string above: registry output runs through
+    // full analysis, so coercion picks the fold's accumulator type.
+    def foldSum(e: Expression): Expression = {
+      val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+      val compact = ArrayCompact(e)
+      If(EqualTo(Size(compact), Literal(0)), Literal(null),
+        ArrayAggregate(compact, Cast(Literal(0), LongType),
+          LambdaFunction(Add(acc, x), Seq(acc, x)),
+          { val id = UnresolvedNamedLambdaVariable(Seq("__graft_id"))
+            LambdaFunction(id, Seq(id)) }))
+    }
+    def foldCount(e: Expression): Expression = Size(ArrayCompact(e))
+    reg.createOrReplaceTempFunction("list_sum", exprs => foldSum(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_count", exprs => foldCount(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_avg", exprs => {
+        val cnt = foldCount(exprs(0))
+        If(EqualTo(cnt, Literal(0)), Literal(null),
+          Divide(Cast(foldSum(exprs(0)), DoubleType), Cast(cnt, DoubleType)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_min", exprs => ArrayMin(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_max", exprs => ArrayMax(exprs(0)), "built-in")
+    // list_aggregate(l, 'name'[, arg]) (alias list_aggr): DuckDB binds
+    // the NAMED aggregate over the list's elements. The name must be a
+    // literal (it always is); the supported set covers the reductions
+    // above plus string_agg — anything else fails loudly with the list
+    // of supported names.
+    def listAggregate(exprs: Seq[Expression]): Expression = {
+      val fname = exprs(1) match {
+        case Literal(s, StringType) if s != null => s.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate function name must be a string literal, got: $other")
+      }
+      fname match {
+        case "sum" => foldSum(exprs(0))
+        case "count" => foldCount(exprs(0))
+        case "avg" | "mean" =>
+          val cnt = foldCount(exprs(0))
+          If(EqualTo(cnt, Literal(0)), Literal(null),
+            Divide(Cast(foldSum(exprs(0)), DoubleType), Cast(cnt, DoubleType)))
+        case "min" => ArrayMin(exprs(0))
+        case "max" => ArrayMax(exprs(0))
+        case "string_agg" | "listagg" =>
+          val sep = if (exprs.length >= 3) exprs(2) else Literal(",")
+          val lv = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          val anyNonNull =
+            ArrayExists(exprs(0), LambdaFunction(IsNotNull(lv), Seq(lv)))
+          If(anyNonNull, ArrayJoin(exprs(0), sep, None), Literal(null))
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: unsupported function '$other' " +
+            "(supported: sum, count, avg, min, max, string_agg)")
+      }
+    }
+    reg.createOrReplaceTempFunction(
+      "list_aggregate", listAggregate _, "built-in")
+    reg.createOrReplaceTempFunction(
+      "list_aggr", listAggregate _, "built-in")
   }
 
   /** DuckDB-semantics OVERRIDES of names that exist in Spark with
@@ -2422,6 +2505,86 @@ object Dialect {
             replacement + out.substring(cte.bodyEnd + shift)
           shift += replacement.length - (cte.bodyEnd - cte.bodyStart)
         case None => ()
+      }
+    }
+    out
+  }
+
+  /** DuckDB `POSITIONAL JOIN`: align two relations row-by-row, padding
+    * the shorter side with NULLs. Spark has no ordinal join, so the
+    * caller materializes both sides with a zipWithIndex full-outer join
+    * (`materialize(leftSql, rightSql)` returns a view name) and the
+    * two-relation region is replaced by that view. Scope: each side is
+    * a parenthesized subquery or a bare identifier (optionally an
+    * identifier(...) table-function remnant) with NO alias — DuckDB's
+    * own documented usage reads files side by side unaliased; an
+    * aliased side is left untouched for Spark's loud parse error.
+    * Row order is the side plans' output order: deterministic when the
+    * sides are ORDER BY'd (the same total-order discipline every gate
+    * query already obeys; DuckDB's "insertion order" has no distributed
+    * equivalent).
+    */
+  def rewritePositionalJoin(
+      sql: String, materialize: (String, String) => String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("POSITIONAL")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 9, "POSITIONAL")) {
+          var j = i + 10
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (u.regionMatches(j, "JOIN", 0, 4) && isKeywordAt(u, j + 3, "JOIN")) {
+            // left boundary: subquery or identifier ending right before i
+            var le = i - 1
+            while (le >= 0 && msk.charAt(le).isWhitespace) le -= 1
+            val (ls, leftText) =
+              if (le >= 0 && msk.charAt(le) == ')') {
+                var depth = 0
+                var k = le
+                var open = -1
+                while (k >= 0 && open < 0) {
+                  val c = msk.charAt(k)
+                  if (c == ')') depth += 1
+                  else if (c == '(') { depth -= 1; if (depth == 0) open = k }
+                  k -= 1
+                }
+                require(open >= 0, "unbalanced parens before POSITIONAL JOIN")
+                (open, out.substring(open + 1, le))
+              } else {
+                var k = le
+                while (k >= 0 && (Character.isLetterOrDigit(msk.charAt(k)) ||
+                  msk.charAt(k) == '_')) k -= 1
+                (k + 1, s"SELECT * FROM ${out.substring(k + 1, le + 1)}")
+              }
+            // right side: after JOIN
+            var rs = j + 4
+            while (rs < msk.length && msk.charAt(rs).isWhitespace) rs += 1
+            val (re, rightText) =
+              if (rs < msk.length && msk.charAt(rs) == '(') {
+                val close = matchParen(msk, rs)
+                require(close > rs, "unbalanced parens after POSITIONAL JOIN")
+                (close, out.substring(rs + 1, close))
+              } else {
+                var k = identEndAt(msk, rs)
+                require(k > rs, "expected a relation after POSITIONAL JOIN")
+                if (k < msk.length && msk.charAt(k) == '(') {
+                  val close = matchParen(msk, k)
+                  (close, s"SELECT * FROM ${out.substring(rs, close + 1)}")
+                } else (k - 1, s"SELECT * FROM ${out.substring(rs, k)}")
+              }
+            val view = materialize(leftText.trim, rightText.trim)
+            out = out.substring(0, ls) + view + out.substring(re + 1)
+            changed = true
+          }
+        }
+        if (!changed) i = u.indexOf("POSITIONAL", i + 1)
       }
     }
     out

@@ -533,9 +533,53 @@ final class QueryEngine(
       val fixpointed = Dialect.rewriteRecursiveUnion(unioned,
         (preceding, name, cols, base, step) =>
           recursiveUnionView(files, fingerprint, preceding, name, cols, base, step))
+      // POSITIONAL JOIN: ordinal alignment has no Spark operator, so
+      // both sides materialize through a zipWithIndex full-outer join.
+      val positioned = Dialect.rewritePositionalJoin(fixpointed,
+        (l, r) => positionalJoinView(files, fingerprint, l, r))
       sqlSession.sql(
-        Dialect.rewrite(Dialect.rewriteColumns(fixpointed, files.columns.toSeq)))
+        Dialect.rewrite(Dialect.rewriteColumns(positioned, files.columns.toSeq)))
     }
+
+  private val positionalViews = TrieMap.empty[String, String]
+
+  /** Materialize `left POSITIONAL JOIN right`: each side runs through
+    * the full rewrite pipeline, gains a partition-ordered ordinal
+    * (zipWithIndex preserves the side plan's output order — ORDER BY'd
+    * sides are globally deterministic), and the sides full-outer join
+    * on the ordinal (DuckDB pads the shorter side with NULLs). The
+    * ordinal column is dropped inside the view, so `SELECT *` sees
+    * exactly the two sides' columns. Memoized like the recursive
+    * fixpoint views: same (corpus, tables, sides) key → same view.
+    */
+  private def positionalJoinView(
+      files: DataFrame, fingerprint: String, left: String, right: String): String = {
+    val key = s"$fingerprint|$tablesVersion|$left|POS|$right"
+    positionalViews.get(key) match {
+      case Some(v) => v
+      case None =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.LongType
+        def exec(frag: String): DataFrame =
+          sqlSession.sql(Dialect.rewrite(
+            Dialect.rewriteColumns(frag, files.columns.toSeq)))
+        def ordinal(df: DataFrame, col: String): DataFrame = {
+          val schema = df.schema.add(col, LongType, nullable = false)
+          val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
+            Row.fromSeq(row.toSeq :+ i)
+          }
+          sqlSession.createDataFrame(rdd, schema)
+        }
+        val l = ordinal(exec(left), "__graft_pos")
+        val r = ordinal(exec(right), "__graft_pos")
+        val joined = l.join(r, Seq("__graft_pos"), "full_outer")
+          .sort("__graft_pos").drop("__graft_pos")
+        val view = s"graft_pos_${recursiveCounter.incrementAndGet()}"
+        joined.createOrReplaceTempView(view)
+        positionalViews.put(key, view)
+        view
+    }
+  }
 
   /** Memoized materializations of UNION-distinct recursive CTEs, keyed
     * by (corpus fingerprint, tables version, the member's full text) —

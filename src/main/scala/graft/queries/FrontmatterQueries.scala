@@ -511,6 +511,52 @@ object FrontmatterQueries {
         |  ON TRY_CAST(f.n_chars AS BIGINT) % 8 + 1 = seq.n
         |GROUP BY seq.n ORDER BY seq.n""".stripMargin),
 
+    // String-similarity family (codegen'd kernels; Spark ships only
+    // levenshtein). Similarity DOUBLES round to 9 digits on both sides:
+    // the engines agree on the standard formulas but may order the Jaro
+    // term sum differently, and the gate compares bits.
+    "q_fm_strdist" -> run(
+      """SELECT path,
+        |  levenshtein(path, reverse(path)) AS lv,
+        |  editdist3(substr(path, 1, 8), 'src-doc!') AS ed,
+        |  damerau_levenshtein(coalesce(lang, 'xx'), 'end') AS dl,
+        |  round(jaccard(path, 'source/dmc.0123456789'), 9) AS jc,
+        |  round(jaro_similarity(path, upper(path)), 9) AS js,
+        |  round(jaro_winkler_similarity(path, substr(path, 1, 10)), 9) AS jw,
+        |  hamming(substr(path, 1, 6), substr(upper(path), 1, 6)) AS hm
+        |FROM files ORDER BY path LIMIT 50""".stripMargin),
+
+    // list_* reductions: a sequential left fold inside each row, so
+    // even fractional averages are order-identical across engines.
+    "q_fm_list_fns" -> run(
+      """SELECT path,
+        |  list_sum(generate_series(1, 1 + (len(path) % 5))) AS ls,
+        |  list_count(from_json(tags, '["VARCHAR"]')) AS lc,
+        |  list_min(string_split(path, '/')) AS lmin,
+        |  list_aggregate(from_json(tags, '["VARCHAR"]'), 'string_agg', '|') AS lsa,
+        |  round(list_avg([len(path), TRY_CAST(n_chars AS BIGINT) % 7, 3]), 9) AS lav
+        |FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40""".stripMargin),
+
+    // LATERAL correlated subqueries + VALUES relations (native both
+    // engines; proves the passthrough composes with the rewrites).
+    "q_fm_lateral_values" -> run(
+      """SELECT t.v AS v, t.k AS k, COUNT(f.path) AS n, l.tag AS tag
+        |FROM (VALUES ('en', 1), ('fr', 2), ('zz', 3)) t(v, k)
+        |LEFT JOIN files f ON f.lang = t.v
+        |LEFT JOIN LATERAL (SELECT t.v || '-' || CAST(t.k AS STRING) AS tag) l ON true
+        |GROUP BY t.v, t.k, l.tag ORDER BY t.k""".stripMargin),
+
+    // POSITIONAL JOIN (DuckDB ordinal alignment; no Spark operator) —
+    // both sides materialize through a zipWithIndex full-outer join on
+    // the ordinal, shorter side NULL-padded. Sides are ORDER BY'd: the
+    // only row order that exists in both engines.
+    "q_fm_positional" -> run(
+      """SELECT * FROM
+        |  (SELECT path AS p, n_chars AS nc FROM files ORDER BY path LIMIT 8)
+        |POSITIONAL JOIN
+        |  (SELECT path AS q, lang AS lg FROM files ORDER BY path DESC LIMIT 5)
+        |ORDER BY p NULLS FIRST""".stripMargin),
+
     // DuckDB's DESCRIBE statement (subquery table-function form, with a
     // deterministic ORDER BY per the gate contract) —
     // Dialect.rewriteDescribe resolves the files view's schema through a
@@ -650,6 +696,40 @@ object FrontmatterQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_fm_positional" ->
+      s"""$cte
+         |SELECT * FROM
+         |  (SELECT path AS p, n_chars AS nc FROM files ORDER BY path LIMIT 8)
+         |POSITIONAL JOIN
+         |  (SELECT path AS q, lang AS lg FROM files ORDER BY path DESC LIMIT 5)
+         |ORDER BY p NULLS FIRST""".stripMargin,
+    "q_fm_strdist" ->
+      s"""$cte
+         |SELECT path,
+         |  levenshtein(path, reverse(path)) AS lv,
+         |  editdist3(substr(path, 1, 8), 'src-doc!') AS ed,
+         |  damerau_levenshtein(coalesce(lang, 'xx'), 'end') AS dl,
+         |  round(jaccard(path, 'source/dmc.0123456789'), 9) AS jc,
+         |  round(jaro_similarity(path, upper(path)), 9) AS js,
+         |  round(jaro_winkler_similarity(path, substr(path, 1, 10)), 9) AS jw,
+         |  hamming(substr(path, 1, 6), substr(upper(path), 1, 6)) AS hm
+         |FROM files ORDER BY path LIMIT 50""".stripMargin,
+    "q_fm_list_fns" ->
+      s"""$cte
+         |SELECT path,
+         |  list_sum(generate_series(1, 1 + (len(path) % 5))) AS ls,
+         |  list_count(from_json(tags, '["VARCHAR"]')) AS lc,
+         |  list_min(string_split(path, '/')) AS lmin,
+         |  list_aggregate(from_json(tags, '["VARCHAR"]'), 'string_agg', '|') AS lsa,
+         |  round(list_avg([len(path), TRY_CAST(n_chars AS BIGINT) % 7, 3]), 9) AS lav
+         |FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40""".stripMargin,
+    "q_fm_lateral_values" ->
+      s"""$cte
+         |SELECT t.v AS v, t.k AS k, COUNT(f.path) AS n, l.tag AS tag
+         |FROM (VALUES ('en', 1), ('fr', 2), ('zz', 3)) t(v, k)
+         |LEFT JOIN files f ON f.lang = t.v
+         |LEFT JOIN LATERAL (SELECT t.v || '-' || CAST(t.k AS STRING) AS tag) l ON true
+         |GROUP BY t.v, t.k, l.tag ORDER BY t.k""".stripMargin,
     "q_fm_quantiles" ->
       s"""$cte
          |SELECT lang,
