@@ -857,7 +857,12 @@ object DialectFuzz {
   private val composable = Seq("qualify", "brackets", "listcomp",
     "distinct_on", "semianti", "mathops", "patterns", "scalar_fns",
     "regex_fns", "window", "win_exclude", "map_fns", "ordered_agg",
-    "group_sets", "union_byname")
+    "group_sets", "union_byname",
+    // round-11 expression-level families (all shared()-built; the
+    // recursive family is excluded — its statements own a WITH and
+    // cannot nest inside the wrappers' CTE form)
+    "dist_agg", "series_fns", "strdist", "list_fns", "lateral_values",
+    "positional")
 
   private def composed(r: Random): Stmt = {
     val fam = composable(r.nextInt(composable.length))
@@ -911,8 +916,11 @@ object DialectFuzz {
     * per statement (engine instance and checker connection both span all
     * statements).
     */
+  // only families whose statements keep a `path` output column — the
+  // follow-up query over the created table selects it
   private val ddlComposable = composable.filter(f =>
-    !Set("union_byname", "group_sets", "ordered_agg").contains(f))
+    !Set("union_byname", "group_sets", "ordered_agg",
+      "dist_agg", "series_fns", "lateral_values", "positional").contains(f))
 
   private def composedDdl(i: Int)(r: Random): Stmt = {
     val t = s"fzc_$i"

@@ -639,7 +639,11 @@ final class QueryEngine(
         }
         def withPreceding(frag: String, extra: String = ""): String = {
           val ctes = Seq(preceding, extra).filter(_.nonEmpty).mkString(", ")
-          if (ctes.isEmpty) frag else s"WITH $ctes\n$frag"
+          // RECURSIVE always: a preceding member may be a NATIVE
+          // UNION ALL recursive CTE (Spark rejects its self-reference
+          // without the keyword), and the keyword is harmless on a
+          // plain list.
+          if (ctes.isEmpty) frag else s"WITH RECURSIVE $ctes\n$frag"
         }
         val limit = sqlSession.conf
           .getOption("spark.sql.cteRecursionLevelLimit").map(_.toInt).getOrElse(100)

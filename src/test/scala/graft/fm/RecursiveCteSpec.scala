@@ -81,6 +81,17 @@ class RecursiveCteSpec extends AnyFunSuite {
         "SELECT CAST(sum(n) AS BIGINT) AS s FROM t") == Seq(Seq(10L)))
   }
 
+  test("a preceding NATIVE UNION ALL recursive CTE feeds a fixpoint member") {
+    // the fragment execution must keep the RECURSIVE keyword for the
+    // preceding member's own self-reference
+    assert(rows(
+      """WITH RECURSIVE nat(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM nat WHERE n < 4),
+        |walk(v) AS (SELECT n FROM nat WHERE n % 2 = 0
+        |  UNION SELECT (w.v + 3) % 6 FROM walk w)
+        |SELECT v FROM walk ORDER BY v""".stripMargin) ==
+      Seq(Seq(1), Seq(2), Seq(4), Seq(5)))
+  }
+
   test("a repeated statement reuses the memoized fixpoint view") {
     val sql = "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n + 3) % 7 FROM t) " +
       "SELECT count(*) AS c FROM t"
