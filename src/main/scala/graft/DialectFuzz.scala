@@ -766,6 +766,58 @@ object DialectFuzz {
          |ORDER BY a""".stripMargin)
   }
 
+  /** Scalar parity batch: fmt-style format, printf (common C verbs),
+    * strip_accents/unicode/ord, to_base, format_bytes, dayname/
+    * monthname, time_bucket, negative-n left/right. Fractional format
+    * inputs stay on exact quarters so `.2f` rounding never sits on a
+    * representation boundary.
+    */
+  private def fmtFns(r: Random): Stmt = {
+    val ie = intExpr(r)
+    r.nextInt(5) match {
+      case 0 =>
+        val spec = pick(r, Seq("{:05d}", "{:>8}", "{:<8}", "{:x}", "{:X}", "{:,}"))
+        shared(
+          s"""SELECT path, format('$spec', $ie % ${100 + r.nextInt(900)}) AS f1,
+             |  format('{}-{}', substr(path, 1, ${2 + r.nextInt(5)}), $ie % 9) AS f2,
+             |  format('{:.2f}', ($ie % 64) / 4.0) AS f3
+             |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 1 =>
+        // DuckDB's printf is STRICTLY typed (%s rejects an int) — each
+        // verb pairs with arguments of exactly its type
+        val (verb, args) = pick(r, Seq(
+          ("%s=%d", s"substr(path, 1, 6), $ie % ${50 + r.nextInt(200)}"),
+          ("%05d", s"$ie % ${50 + r.nextInt(200)}"),
+          ("%x", s"$ie % ${50 + r.nextInt(200)}"),
+          ("%s|%s", s"substr(path, 1, 6), upper(substr(path, 2, 4))")))
+        shared(
+          s"""SELECT path, printf('$verb', $args) AS p1
+             |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 2 =>
+        shared(
+          s"""SELECT path, unicode(path) AS uc, ord(substr(path, ${1 + r.nextInt(4)})) AS oc,
+             |  to_base($ie % ${500 + r.nextInt(500)}, ${pick(r, Seq(2, 8, 16))}, ${r.nextInt(8)}) AS tb,
+             |  format_bytes($ie * ${1 + r.nextInt(5000)}) AS fb,
+             |  strip_accents(path) AS sa
+             |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 3 =>
+        val w = pick(r, Seq("15 MINUTE", "2 HOUR", "1 DAY", "4 DAY", "1 WEEK"))
+        shared(
+          s"""SELECT path, dayname(TRY_CAST(created AS DATE)) AS dn,
+             |  monthname(TRY_CAST(created AS DATE)) AS mn,
+             |  time_bucket(INTERVAL $w, TRY_CAST(created AS TIMESTAMP)) AS tb
+             |FROM files WHERE created IS NOT NULL ORDER BY path LIMIT 40""".stripMargin)
+      case _ =>
+        val w = pick(r, Seq("1 MONTH", "3 MONTH", "1 YEAR"))
+        val n = 1 + r.nextInt(6)
+        shared(
+          s"""SELECT path, time_bucket(INTERVAL $w, TRY_CAST(created AS DATE)) AS tbm,
+             |  left(path, ${-4 + r.nextInt(12)}) AS lf, right(path, ${-4 + r.nextInt(12)}) AS rt,
+             |  left(path, $n) AS lf2
+             |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+    }
+  }
+
   /** POSITIONAL JOIN over two ORDER BY'd subqueries (the only shape
     * with a deterministic row order in BOTH engines — DuckDB's
     * insertion order has no distributed equivalent), equal and unequal
@@ -965,6 +1017,7 @@ object DialectFuzz {
     "list_fns" -> listFns _,
     "lateral_values" -> lateralValues _,
     "positional" -> positional _,
+    "fmt_fns" -> fmtFns _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

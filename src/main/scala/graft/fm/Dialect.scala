@@ -267,6 +267,29 @@ object Dialect {
       "list_aggregate", listAggregate _, "built-in")
     reg.createOrReplaceTempFunction(
       "list_aggr", listAggregate _, "built-in")
+    // Scalar parity batch: fmt-style format, accent stripping, first
+    // codepoint (ord alias), radix rendering, byte sizes, English
+    // day/month names, and origin-aligned time_bucket. See
+    // ScalarParityExpressions for the DuckDB-pinned semantics.
+    reg.createOrReplaceTempFunction(
+      "format", exprs => DuckFormat(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "strip_accents", exprs => StripAccents(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "unicode", exprs => UnicodeCodepoint(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ord", exprs => UnicodeCodepoint(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "to_base", exprs => ToBase(exprs(0), exprs(1),
+        if (exprs.length >= 3) exprs(2) else Literal(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "format_bytes", exprs => FormatBytes(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dayname", exprs => DateFormatClass(exprs(0), Literal("EEEE")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "monthname", exprs => DateFormatClass(exprs(0), Literal("MMMM")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "time_bucket", exprs => DuckTimeBucket(exprs(0), exprs(1)), "built-in")
   }
 
   /** DuckDB-semantics OVERRIDES of names that exist in Spark with
@@ -308,6 +331,34 @@ object Dialect {
     // midpoint). Same result where both engines accept the input.
     reg.createOrReplaceTempFunction(
       "median", exprs => DuckMedian(exprs(0)), "built-in")
+    // printf: DuckDB yields NULL when ANY argument is NULL; Spark's
+    // builtin renders "null" (or throws for numeric verbs).
+    reg.createOrReplaceTempFunction(
+      "printf", exprs => {
+        val anyNull = exprs.tail.map(IsNull(_): Expression)
+          .reduceOption(Or).getOrElse(Literal(false))
+        If(anyNull, Literal.create(null, org.apache.spark.sql.types.StringType),
+          FormatString(exprs: _*))
+      }, "built-in")
+    // left/right with NEGATIVE n trim |n| from the OTHER end in DuckDB;
+    // Spark's builtins return ''.
+    reg.createOrReplaceTempFunction(
+      "left", exprs => {
+        val s = exprs(0)
+        val n = Cast(exprs(1), org.apache.spark.sql.types.IntegerType)
+        If(GreaterThanOrEqual(n, Literal(0)),
+          Substring(s, Literal(1), n),
+          Substring(s, Literal(1),
+            Greatest(Seq(Literal(0), Add(Length(s), n)))))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "right", exprs => {
+        val s = exprs(0)
+        val n = Cast(exprs(1), org.apache.spark.sql.types.IntegerType)
+        If(GreaterThanOrEqual(n, Literal(0)),
+          Substring(s, Subtract(Literal(0), n), n),
+          Substring(s, Subtract(Literal(1), n), Literal(Int.MaxValue)))
+      }, "built-in")
   }
 
   /** Translate a C/DuckDB strftime format to a java DateTimeFormatter

@@ -546,6 +546,28 @@ object FrontmatterQueries {
         |LEFT JOIN LATERAL (SELECT t.v || '-' || CAST(t.k AS STRING) AS tag) l ON true
         |GROUP BY t.v, t.k, l.tag ORDER BY t.k""".stripMargin),
 
+    // Scalar parity batch: fmt-style format + strictly-typed printf
+    // (NULL anywhere → NULL), strip_accents, unicode/ord, to_base
+    // (uppercase, zero-padded), format_bytes (truncated decimal),
+    // dayname/monthname, origin-aligned time_bucket, negative-n
+    // left/right.
+    "q_fm_scalar_parity" -> run(
+      """SELECT path,
+        |  format('{:05d}|{:>4}|{:,}', TRY_CAST(n_chars AS BIGINT) % 431,
+        |         substr(path, 1, 3), len(path) * 123456) AS f1,
+        |  format('{:.2f}', (TRY_CAST(n_chars AS BIGINT) % 64) / 4.0) AS f2,
+        |  printf('%s=%x', substr(path, 1, 6), len(path)) AS p1,
+        |  printf('%d', TRY_CAST(id AS BIGINT)) AS p2,
+        |  strip_accents(path) AS sa, unicode(path) AS uc,
+        |  to_base(len(path), 16, 4) AS tb,
+        |  format_bytes(TRY_CAST(n_chars AS BIGINT) * 797) AS fb,
+        |  dayname(TRY_CAST(created AS DATE)) AS dn,
+        |  monthname(TRY_CAST(created AS DATE)) AS mn,
+        |  time_bucket(INTERVAL 1 WEEK, TRY_CAST(created AS DATE)) AS tw,
+        |  time_bucket(INTERVAL 3 MONTH, TRY_CAST(created AS DATE)) AS tm,
+        |  left(path, -8) AS lf, right(path, -8) AS rt
+        |FROM files ORDER BY path LIMIT 50""".stripMargin),
+
     // POSITIONAL JOIN (DuckDB ordinal alignment; no Spark operator) —
     // both sides materialize through a zipWithIndex full-outer join on
     // the ordinal, shorter side NULL-padded. Sides are ORDER BY'd: the
@@ -696,6 +718,23 @@ object FrontmatterQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_fm_scalar_parity" ->
+      s"""$cte
+         |SELECT path,
+         |  format('{:05d}|{:>4}|{:,}', TRY_CAST(n_chars AS BIGINT) % 431,
+         |         substr(path, 1, 3), len(path) * 123456) AS f1,
+         |  format('{:.2f}', (TRY_CAST(n_chars AS BIGINT) % 64) / 4.0) AS f2,
+         |  printf('%s=%x', substr(path, 1, 6), len(path)) AS p1,
+         |  printf('%d', TRY_CAST(id AS BIGINT)) AS p2,
+         |  strip_accents(path) AS sa, unicode(path) AS uc,
+         |  to_base(len(path), 16, 4) AS tb,
+         |  format_bytes(TRY_CAST(n_chars AS BIGINT) * 797) AS fb,
+         |  dayname(TRY_CAST(created AS DATE)) AS dn,
+         |  monthname(TRY_CAST(created AS DATE)) AS mn,
+         |  time_bucket(INTERVAL 1 WEEK, TRY_CAST(created AS DATE)) AS tw,
+         |  time_bucket(INTERVAL 3 MONTH, TRY_CAST(created AS DATE)) AS tm,
+         |  left(path, -8) AS lf, right(path, -8) AS rt
+         |FROM files ORDER BY path LIMIT 50""".stripMargin,
     "q_fm_positional" ->
       s"""$cte
          |SELECT * FROM
