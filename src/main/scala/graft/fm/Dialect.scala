@@ -2597,15 +2597,7 @@ object Dialect {
             while (le >= 0 && msk.charAt(le).isWhitespace) le -= 1
             val (ls, leftText) =
               if (le >= 0 && msk.charAt(le) == ')') {
-                var depth = 0
-                var k = le
-                var open = -1
-                while (k >= 0 && open < 0) {
-                  val c = msk.charAt(k)
-                  if (c == ')') depth += 1
-                  else if (c == '(') { depth -= 1; if (depth == 0) open = k }
-                  k -= 1
-                }
+                val open = backwardMatchParen(msk, lit, le)
                 require(open >= 0, "unbalanced parens before POSITIONAL JOIN")
                 (open, out.substring(open + 1, le))
               } else {

@@ -328,15 +328,21 @@ object FrontmatterQueries {
     // frames deterministic under ties in EITHER engine — see the fuzz
     // family note). Pinned here so the driver's CORRECTNESS artifact
     // covers the construct, not just the fuzzer (VERDICT r10 item 1).
+    // The window sum projects through CAST(... AS BIGINT) in an outer
+    // select: DuckDB's sum(BIGINT) is HUGEINT, which the driver's gate
+    // materializes as float64 against Spark's int64 — equal values,
+    // dtype-sensitive hash mismatch (verdict r11). The outer wrap keeps
+    // the EXCLUDE rewrite's input window call textually untouched.
     "q_fm_win_exclude" -> run(
-      """SELECT path,
+      """SELECT path, CAST(s_excl AS BIGINT) AS s_excl, n_grp, a_ties FROM (
+        |SELECT path,
         |  sum(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY path
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_excl,
         |  count(*) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS n_grp,
         |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS a_ties
-        |FROM files ORDER BY path""".stripMargin),
+        |FROM files) ORDER BY path""".stripMargin),
 
     // RANGE-frame EXCLUDE (rewriteExcludeRange): peer-aligned frames
     // make every mode deterministic under tied order keys, and the
@@ -356,10 +362,15 @@ object FrontmatterQueries {
     // forms are deliberately absent — DuckDB 1.0 (the checker) returns
     // one-element lists where the engine follows modern scalar
     // semantics (documented divergence, unit-spec covered).
+    // List outputs project through array_to_string: the driver's gate
+    // cannot sort LIST-valued result cells (pandas "unhashable
+    // numpy.ndarray", verdict r11), and both engines' array_to_string
+    // shares string_agg semantics (NULL elements skipped, all-NULL →
+    // NULL), so the joined form is value-identical.
     "q_fm_map_fns" -> run(
       """SELECT path,
-        |  map_keys(MAP {'lang': lang, 'cat': category}) AS mkeys,
-        |  map_values(MAP {'lang': lang, 'cat': category}) AS mvals,
+        |  array_to_string(map_keys(MAP {'lang': lang, 'cat': category}), ',') AS mkeys,
+        |  array_to_string(map_values(MAP {'lang': lang, 'cat': category}), ',') AS mvals,
         |  cardinality(MAP {'lang': lang, 'cat': category}) AS mcard,
         |  ({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}).len2 AS slen,
         |  struct_extract({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}, 'cat2') AS scat
@@ -459,23 +470,31 @@ object FrontmatterQueries {
 
     // Quantile LISTS (list in → list out), negative from-the-end
     // fractions, and median over DATEs (interpolated TIMESTAMP out).
+    // The list-typed quantiles stay under test in the inner select; the
+    // outer select indexes them back to scalars (1-based brackets on
+    // both engines) because the driver's gate cannot sort LIST cells.
     "q_fm_quantile_list" -> run(
-      """SELECT
+      """SELECT qs[1] AS q1, qs[2] AS q2, qs[3] AS q3,
+        |  qn[1] AS qn1, qn[2] AS qn2, qneg, mdate FROM (
+        |SELECT
         |  quantile_cont(TRY_CAST(n_chars AS BIGINT), [0.25, 0.5, 0.75]) AS qs,
         |  quantile_disc(TRY_CAST(n_chars AS BIGINT), [-0.75, -0.25]) AS qn,
         |  quantile_disc(TRY_CAST(n_chars AS BIGINT), -0.25) AS qneg,
         |  median(TRY_CAST(created AS DATE)) AS mdate
-        |FROM files""".stripMargin),
+        |FROM files)""".stripMargin),
 
     // histogram(): exact value→count MAP with ascending keys, projected
     // through map_keys/map_values (the gate's canonical row form
     // stringifies a raw MAP differently per engine, lists identically).
+    // (the ascending-key lists then join to strings for the driver's
+    // gate, which cannot sort LIST cells — order is deterministic, so
+    // the joined form is a faithful canonical projection).
     "q_fm_histogram" -> run(
       """SELECT source,
-        |  map_keys(histogram(lang)) AS langs,
-        |  map_values(histogram(lang)) AS lang_counts,
-        |  map_keys(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mods,
-        |  map_values(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mod_counts
+        |  array_to_string(map_keys(histogram(lang)), ',') AS langs,
+        |  array_to_string(map_values(histogram(lang)), ',') AS lang_counts,
+        |  array_to_string(map_keys(histogram(TRY_CAST(n_chars AS BIGINT) % 5)), ',') AS mods,
+        |  array_to_string(map_values(histogram(TRY_CAST(n_chars AS BIGINT) % 5)), ',') AS mod_counts
         |FROM files WHERE source IS NOT NULL
         |GROUP BY source ORDER BY source""".stripMargin),
 
@@ -492,9 +511,11 @@ object FrontmatterQueries {
     // generate_series/range as TABLE functions (FROM position →
     // Dialect.rewriteSeriesFrom explode subquery) and as SCALAR list
     // functions, inclusive vs exclusive ends, len() over a real LIST.
+    // (the scalar range() list joins to a string for the driver's gate,
+    // which cannot sort LIST cells; the list construct stays under test.)
     "q_fm_series" -> run(
       """SELECT f.path AS p, gs.generate_series AS n,
-        |  range(1, 1 + gs.generate_series) AS r,
+        |  array_to_string(range(1, 1 + gs.generate_series), ',') AS r,
         |  len(range(0, gs.generate_series)) AS ln
         |FROM files f CROSS JOIN generate_series(1, 3) gs
         |WHERE f.category IS NOT NULL
@@ -528,9 +549,12 @@ object FrontmatterQueries {
 
     // list_* reductions: a sequential left fold inside each row, so
     // even fractional averages are order-identical across engines.
+    // list_sum casts to BIGINT: DuckDB's fold yields HUGEINT, which the
+    // driver's gate float64-materializes against Spark's int64 (equal
+    // values, dtype-sensitive hash — the q_fm_session_ddl convention).
     "q_fm_list_fns" -> run(
       """SELECT path,
-        |  list_sum(generate_series(1, 1 + (len(path) % 5))) AS ls,
+        |  CAST(list_sum(generate_series(1, 1 + (len(path) % 5))) AS BIGINT) AS ls,
         |  list_count(from_json(tags, '["VARCHAR"]')) AS lc,
         |  list_min(string_split(path, '/')) AS lmin,
         |  list_aggregate(from_json(tags, '["VARCHAR"]'), 'string_agg', '|') AS lsa,
@@ -665,7 +689,7 @@ object FrontmatterQueries {
     // where inference could diverge (DuckDB BIGINT vs Spark INT
     // stringify the same, but explicit is sturdier).
     "q_fm_read_csv" -> run(
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total
         |FROM read_csv('data/export.csv',
         |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'})
         |GROUP BY lang ORDER BY lang""".stripMargin),
@@ -756,7 +780,7 @@ object FrontmatterQueries {
     "q_fm_list_fns" ->
       s"""$cte
          |SELECT path,
-         |  list_sum(generate_series(1, 1 + (len(path) % 5))) AS ls,
+         |  CAST(list_sum(generate_series(1, 1 + (len(path) % 5))) AS BIGINT) AS ls,
          |  list_count(from_json(tags, '["VARCHAR"]')) AS lc,
          |  list_min(string_split(path, '/')) AS lmin,
          |  list_aggregate(from_json(tags, '["VARCHAR"]'), 'string_agg', '|') AS lsa,
@@ -781,19 +805,21 @@ object FrontmatterQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_fm_quantile_list" ->
       s"""$cte
+         |SELECT qs[1] AS q1, qs[2] AS q2, qs[3] AS q3,
+         |  qn[1] AS qn1, qn[2] AS qn2, qneg, mdate FROM (
          |SELECT
          |  quantile_cont(TRY_CAST(n_chars AS BIGINT), [0.25, 0.5, 0.75]) AS qs,
          |  quantile_disc(TRY_CAST(n_chars AS BIGINT), [-0.75, -0.25]) AS qn,
          |  quantile_disc(TRY_CAST(n_chars AS BIGINT), -0.25) AS qneg,
          |  median(TRY_CAST(created AS DATE)) AS mdate
-         |FROM files""".stripMargin,
+         |FROM files)""".stripMargin,
     "q_fm_histogram" ->
       s"""$cte
          |SELECT source,
-         |  map_keys(histogram(lang)) AS langs,
-         |  map_values(histogram(lang)) AS lang_counts,
-         |  map_keys(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mods,
-         |  map_values(histogram(TRY_CAST(n_chars AS BIGINT) % 5)) AS mod_counts
+         |  array_to_string(map_keys(histogram(lang)), ',') AS langs,
+         |  array_to_string(map_values(histogram(lang)), ',') AS lang_counts,
+         |  array_to_string(map_keys(histogram(TRY_CAST(n_chars AS BIGINT) % 5)), ',') AS mods,
+         |  array_to_string(map_values(histogram(TRY_CAST(n_chars AS BIGINT) % 5)), ',') AS mod_counts
          |FROM files WHERE source IS NOT NULL
          |GROUP BY source ORDER BY source""".stripMargin,
     "q_fm_mode_product" ->
@@ -806,7 +832,7 @@ object FrontmatterQueries {
     "q_fm_series" ->
       s"""$cte
          |SELECT f.path AS p, gs.generate_series AS n,
-         |  range(1, 1 + gs.generate_series) AS r,
+         |  array_to_string(range(1, 1 + gs.generate_series), ',') AS r,
          |  len(range(0, gs.generate_series)) AS ln
          |FROM files f CROSS JOIN generate_series(1, 3) gs
          |WHERE f.category IS NOT NULL
@@ -1040,6 +1066,7 @@ object FrontmatterQueries {
          |ORDER BY f.path""".stripMargin,
     "q_fm_win_exclude" ->
       s"""$cte
+         |SELECT path, CAST(s_excl AS BIGINT) AS s_excl, n_grp, a_ties FROM (
          |SELECT path,
          |  sum(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY path
          |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s_excl,
@@ -1047,7 +1074,7 @@ object FrontmatterQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS n_grp,
          |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS a_ties
-         |FROM files ORDER BY path""".stripMargin,
+         |FROM files) ORDER BY path""".stripMargin,
     "q_fm_win_exclude_range" ->
       s"""$cte
          |SELECT path,
@@ -1061,8 +1088,8 @@ object FrontmatterQueries {
     "q_fm_map_fns" ->
       s"""$cte
          |SELECT path,
-         |  map_keys(MAP {'lang': lang, 'cat': category}) AS mkeys,
-         |  map_values(MAP {'lang': lang, 'cat': category}) AS mvals,
+         |  array_to_string(map_keys(MAP {'lang': lang, 'cat': category}), ',') AS mkeys,
+         |  array_to_string(map_values(MAP {'lang': lang, 'cat': category}), ',') AS mvals,
          |  cardinality(MAP {'lang': lang, 'cat': category}) AS mcard,
          |  ({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}).len2 AS slen,
          |  struct_extract({'cat2': category, 'len2': TRY_CAST(n_chars AS INT)}, 'cat2') AS scat
@@ -1166,7 +1193,7 @@ object FrontmatterQueries {
     // (doc_id, lang, n_chars) projection of `documents` (FixtureCorpus
     // .writeDataExports), so the oracle queries the view directly.
     "q_fm_read_csv" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_fm_read_parquet" ->
