@@ -501,9 +501,13 @@ object DialectFuzz {
         "TRY_CAST(n_chars AS BIGINT) % 7"))
       val numeric = ordKey.startsWith("TRY_CAST")
       val nulls = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
-      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)", s"avg($ie)"))
+      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)", s"avg($ie)",
+        s"min($ie)", s"max($ie)"))
+      val isExtreme = fn.startsWith("min") || fn.startsWith("max")
+      // min/max support peer-aligned bounds only (the two-layer
+      // restructure — offset bounds make its group pieces row-dependent)
       val frame =
-        if (numeric && r.nextBoolean())
+        if (numeric && !isExtreme && r.nextBoolean())
           s"${1 + r.nextInt(3)} PRECEDING AND ${1 + r.nextInt(3)} FOLLOWING"
         else pick(r, Seq(
           "UNBOUNDED PRECEDING AND CURRENT ROW",
@@ -545,7 +549,8 @@ object DialectFuzz {
       val ordKey = pick(r, Seq("lang", "category", "source",
         "TRY_CAST(n_chars AS BIGINT) % 5"))
       val nulls = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
-      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)", s"avg($ie)"))
+      val fn = pick(r, Seq(s"sum($ie)", s"count($ie)", "count(*)", s"avg($ie)",
+        s"min($ie)", s"max($ie)"))
       val frame = pick(r, Seq(
         "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
         "UNBOUNDED PRECEDING AND CURRENT ROW",

@@ -2092,11 +2092,9 @@ object Dialect {
                 require(Set("SUM", "COUNT", "MIN", "MAX", "AVG")(fu),
                   s"EXCLUDE CURRENT ROW is supported for sum/count/min/max/avg, not $fnName")
               else
-                require(Set("SUM", "COUNT", "AVG")(fu),
+                require(Set("SUM", "COUNT", "AVG", "MIN", "MAX")(fu),
                   s"EXCLUDE $mode over a ${if (isRange) "RANGE" else "ROWS"} " +
-                    s"frame is supported for sum/count/avg, not $fnName " +
-                    "(a min/max over this excluded frame is not decomposable " +
-                    "into constant-bound windows)")
+                    s"frame is supported for sum/count/avg/min/max, not $fnName")
               val frameKwAt = if (isRange) rangeAt else rowsAt
               val frameKwLen = if (isRange) 5 else 4
               val betweenAt = findTopKeyword(u, msk, lit, frameKwAt + frameKwLen, i, "BETWEEN")
@@ -2123,6 +2121,20 @@ object Dialect {
               val noop = (ak == "NF" && an >= 1) || (bk == "NP" && bn >= 1)
               def w(fn2: String, lo: String, hi: String) =
                 s"$fn2($args) OVER ($prefix ROWS BETWEEN $lo AND $hi)"
+              val minMaxTwoLayer = (fu == "MIN" || fu == "MAX") &&
+                (mode == "GROUP" || mode == "TIES" || isRange)
+              if (minMaxTwoLayer) {
+                // min/max aren't subtraction-decomposable, so GROUP/TIES
+                // (and RANGE CURRENT ROW) restructure the enclosing
+                // SELECT into two window layers instead of replacing the
+                // expression in place — see restructureMinMaxExclude.
+                require(findTopKeyword(u, msk, lit, openAt + 1, frameKwAt, "ORDER") >= 0,
+                  s"EXCLUDE $mode requires an ORDER BY in the window")
+                out = restructureMinMaxExclude(
+                  out, msk, u, lit, f0 + 1, closeAt + 1,
+                  fu, args, prefix, mode, ak, bk)
+                changed = true
+              } else {
               val repl: String =
                 if (isRange) rewriteExcludeRange(
                   mode, fu, args, prefix, aTxt, bTxt, ak, bk,
@@ -2163,6 +2175,7 @@ object Dialect {
               out = out.substring(0, f0 + 1) + "(" + repl + ")" +
                 out.substring(closeAt + 1)
               changed = true
+              }
             }
           }
         }
@@ -2170,6 +2183,193 @@ object Dialect {
       }
     }
     out
+  }
+
+  /** Two-layer rewrite for `min`/`max` with `EXCLUDE GROUP`/`TIES`
+    * (ROWS or RANGE) and `EXCLUDE CURRENT ROW` over a RANGE frame —
+    * the cases a single window layer cannot express (extremes don't
+    * recombine by subtraction the way sums do). The enclosing SELECT
+    * block restructures into
+    *
+    *   SELECT … <combined> … FROM (SELECT *, <helpers> FROM rel …) rel …
+    *
+    * where the INNER layer computes per-row helper windows over the
+    * original rows and the OUTER layer combines them with peer-group
+    * windows:
+    *
+    *   - before-group piece (frame start UNBOUNDED PRECEDING): the
+    *     running min/max over `ROWS UNBOUNDED PRECEDING AND 1
+    *     PRECEDING`, PICKED at the peer group's physically-first row
+    *     (row_number = rank — exactly one per group) and broadcast to
+    *     the group via max(CASE …) OVER (RANGE CURRENT..CURRENT). The
+    *     picked value covers [partition start .. group start − 1] and
+    *     is tie-order-invariant even though row_number isn't.
+    *   - after-group piece (frame end UNBOUNDED FOLLOWING): mirrored
+    *     with the suffix window picked at the group's last row
+    *     (row_number = cumulative peer count).
+    *   - peers-minus-current piece (CURRENT ROW mode only): the group
+    *     extreme `gm` is group-constant, so the OUTER layer can count
+    *     how many peers attain it and take the second-distinct extreme
+    *     — if the current row's value isn't the extreme (or attains it
+    *     with multiplicity ≥ 2) the answer is `gm`, else the runner-up.
+    *   - TIES adds the current row's own value back.
+    *
+    * The pieces combine with least/greatest (NULL-skipping in Spark,
+    * matching the empty-side semantics). Supported envelope: frame
+    * bounds must be UNBOUNDED or CURRENT ROW (peer-aligned — the only
+    * frames deterministic under ties; a numeric-offset bound makes the
+    * before/after pieces row-dependent and fails loudly), and the FROM
+    * must be a single base relation (the inner SELECT * passthrough
+    * re-exposes it under the same alias, keeping qualified references
+    * valid). All shapes differentially fuzzed against DuckDB v1.0.0
+    * (win_exclude family min/max members).
+    */
+  private def restructureMinMaxExclude(
+      out: String, msk: String, u: String, lit: Array[Boolean],
+      exprStart: Int, exprEnd: Int,
+      fu: String, args: String, prefix: String,
+      mode: String, ak: String, bk: String): String = {
+    require(ak == "UP" || ak == "CR",
+      s"min/max EXCLUDE $mode: the frame start must be UNBOUNDED " +
+        "PRECEDING or CURRENT ROW (an offset start makes the " +
+        "before-group piece row-dependent)")
+    require(bk == "UF" || bk == "CR",
+      s"min/max EXCLUDE $mode: the frame end must be UNBOUNDED " +
+        "FOLLOWING or CURRENT ROW (an offset end makes the " +
+        "after-group piece row-dependent)")
+    // enclosing SELECT: nearest same-depth SELECT walking backwards
+    var blockStart = -1
+    var depth = 0
+    var j = exprStart - 1
+    while (j >= 0 && blockStart < 0) {
+      val c = msk.charAt(j)
+      if (lit(j)) ()
+      else if (c == ')') depth += 1
+      else if (c == '(') depth -= 1
+      else if (depth == 0 && u.charAt(j) == 'T' && j >= 5 &&
+        isKeywordAt(u, j, "SELECT")) blockStart = j - 5
+      j -= 1
+    }
+    require(blockStart >= 0, s"min/max EXCLUDE $mode: no enclosing SELECT")
+    require(!u.regionMatches(blockStart + 7, "DISTINCT", 0, 8),
+      s"min/max EXCLUDE $mode over SELECT DISTINCT is not supported")
+    // top-level FROM of the block
+    var fromAt = -1
+    var d2 = 0
+    var p = blockStart + 6
+    while (p < msk.length && fromAt < 0) {
+      val c = msk.charAt(p)
+      if (lit(p)) ()
+      else if (c == '(') d2 += 1
+      else if (c == ')') { require(d2 > 0, s"min/max EXCLUDE $mode: no FROM in block"); d2 -= 1 }
+      else if (d2 == 0 && isKeywordAt(u, p + 3, "FROM") &&
+        u.regionMatches(p, "FROM", 0, 4)) fromAt = p
+      if (fromAt < 0) p += 1
+    }
+    require(fromAt > exprEnd,
+      s"min/max EXCLUDE $mode: the window must sit in the SELECT list")
+    // relation zone: FROM … up to the first same-depth trailing clause
+    val stoppers = Seq("GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+      "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+    var zoneEnd = -1
+    var stopKw = ""
+    var d3 = 0
+    var q2 = fromAt + 4
+    while (q2 < msk.length && zoneEnd < 0) {
+      val c = msk.charAt(q2)
+      if (lit(q2)) ()
+      else if (c == '(') d3 += 1
+      else if (c == ')') { if (d3 == 0) zoneEnd = q2 else d3 -= 1 }
+      else if (d3 == 0) stoppers.find(kw =>
+        u.regionMatches(q2, kw, 0, kw.length) &&
+          isKeywordAt(u, q2 + kw.length - 1, kw)) match {
+        case Some(kw) => stopKw = kw; zoneEnd = q2
+        case None => ()
+      }
+      if (zoneEnd < 0) q2 += 1
+    }
+    if (zoneEnd < 0) zoneEnd = msk.length
+    require(stopKw != "GROUP" && stopKw != "HAVING",
+      s"min/max EXCLUDE $mode in a grouped SELECT is not supported")
+    // single base relation (optional alias): the inner SELECT * wrap
+    // re-exposes it under the same name
+    val whereAt = findTopKeyword(u, msk, lit, fromAt + 4, zoneEnd, "WHERE")
+    val relEnd = if (whereAt >= 0) whereAt else zoneEnd
+    var relStart = fromAt + 4
+    while (relStart < relEnd && msk.charAt(relStart).isWhitespace) relStart += 1
+    val aliasName =
+      if (relStart < relEnd && msk.charAt(relStart) == '(') {
+        // parenthesized subquery + mandatory alias (the shape a previous
+        // min/max-EXCLUDE pass in the same block leaves behind)
+        val close = matchParen(msk, relStart)
+        require(close > relStart && close < relEnd,
+          s"min/max EXCLUDE $mode: malformed subquery relation")
+        val toks = out.substring(close + 1, relEnd).trim
+          .split("\\s+").filter(t => t.nonEmpty && !t.equalsIgnoreCase("AS"))
+        require(toks.length == 1 && toks(0).matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"min/max EXCLUDE $mode requires an aliased single-relation FROM " +
+            s"(got: ${out.substring(relStart, relEnd).trim})")
+        toks(0)
+      } else {
+        val relToks = out.substring(relStart, relEnd).trim
+          .split("\\s+").filter(t => t.nonEmpty && !t.equalsIgnoreCase("AS"))
+        require(relToks.length >= 1 && relToks.length <= 2 &&
+          relToks.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+          s"min/max EXCLUDE $mode is supported over a single-relation FROM " +
+            s"(got: ${out.substring(relStart, relEnd).trim})")
+        relToks.last
+      }
+    val h = s"__graft_mm${out.sliding(10).count(_ == "__graft_mm")}_"
+    val grpW = s"OVER ($prefix RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+    val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (ak == "UP") {
+      helpers += (s"${h}rn" -> s"row_number() OVER ($prefix)")
+      helpers += (s"${h}rk" -> s"rank() OVER ($prefix)")
+      helpers += (s"${h}bg" ->
+        s"$fu($args) OVER ($prefix ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+      pieces += s"max(CASE WHEN ${h}rn = ${h}rk THEN ${h}bg END) $grpW"
+    }
+    if (bk == "UF") {
+      if (!helpers.exists(_._1 == s"${h}rn"))
+        helpers += (s"${h}rn" -> s"row_number() OVER ($prefix)")
+      helpers += (s"${h}cc" ->
+        s"count(*) OVER ($prefix RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+      helpers += (s"${h}ag" ->
+        s"$fu($args) OVER ($prefix ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
+      pieces += s"max(CASE WHEN ${h}rn = ${h}cc THEN ${h}ag END) $grpW"
+    }
+    if (mode == "TIES" || mode == "CURRENT")
+      helpers += (s"${h}x" -> s"($args)")
+    if (mode == "TIES") pieces += s"${h}x"
+    if (mode == "CURRENT") {
+      helpers += (s"${h}gm" ->
+        s"$fu($args) OVER ($prefix RANGE BETWEEN CURRENT ROW AND CURRENT ROW)")
+      val cmp = if (fu == "MIN") ">" else "<"
+      val cntEq = s"count(CASE WHEN ${h}x = ${h}gm THEN 1 END) $grpW"
+      val runnerUp = s"$fu(CASE WHEN ${h}x $cmp ${h}gm THEN ${h}x END) $grpW"
+      pieces += s"(CASE WHEN ${h}x IS NULL THEN ${h}gm " +
+        s"WHEN ${h}x <> ${h}gm THEN ${h}gm " +
+        s"WHEN ($cntEq) >= 2 THEN ${h}gm ELSE ($runnerUp) END)"
+    }
+    val combined =
+      if (pieces.isEmpty) s"CASE WHEN 1 = 0 THEN $fu($args) OVER ($prefix) ELSE NULL END"
+      else if (pieces.length == 1) pieces.head
+      else {
+        val comb = if (fu == "MIN") "least" else "greatest"
+        s"$comb(${pieces.mkString(", ")})"
+      }
+    if (helpers.isEmpty)
+      // empty excluded-frame result (e.g. GROUP over CURRENT..CURRENT):
+      // a typed NULL needs no inner layer — plain expression splice
+      return out.substring(0, exprStart) + "(" + combined + ")" +
+        out.substring(exprEnd)
+    val inner = "SELECT *, " +
+      helpers.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+      " " + out.substring(fromAt, zoneEnd).trim
+    out.substring(0, exprStart) + "(" + combined + ")" +
+      out.substring(exprEnd, fromAt) +
+      s"FROM ( $inner ) $aliasName " + out.substring(zoneEnd)
   }
 
   /** Build the replacement expression for `EXCLUDE GROUP` / `EXCLUDE

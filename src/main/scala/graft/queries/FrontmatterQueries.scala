@@ -357,6 +357,21 @@ object FrontmatterQueries {
         |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS a_cur
         |FROM files ORDER BY path""".stripMargin),
 
+    // min/max over EXCLUDE GROUP/TIES and RANGE EXCLUDE CURRENT ROW —
+    // the two-layer restructure (Dialect.restructureMinMaxExclude):
+    // extremes don't recombine by subtraction, so the enclosing SELECT
+    // gains an inner helper-window layer. Peer-aligned frames keep
+    // every column deterministic under tied order keys.
+    "q_fm_win_exclude_minmax" -> run(
+      """SELECT path,
+        |  min(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mn_grp,
+        |  max(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS mx_ties,
+        |  min(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mn_cur
+        |FROM files ORDER BY path""".stripMargin),
+
     // MAP literals + the map/struct function family
     // (rewriteMapLiteral/rewriteStructLit + registered aliases); lookup
     // forms are deliberately absent — DuckDB 1.0 (the checker) returns
@@ -1084,6 +1099,16 @@ object FrontmatterQueries {
          |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS n_ties,
          |  avg(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
          |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS a_cur
+         |FROM files ORDER BY path""".stripMargin,
+    "q_fm_win_exclude_minmax" ->
+      s"""$cte
+         |SELECT path,
+         |  min(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mn_grp,
+         |  max(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS mx_ties,
+         |  min(TRY_CAST(n_chars AS BIGINT)) OVER (PARTITION BY category ORDER BY lang NULLS FIRST
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mn_cur
          |FROM files ORDER BY path""".stripMargin,
     "q_fm_map_fns" ->
       s"""$cte
