@@ -392,8 +392,8 @@ final class QueryEngine(
     runRewrittenLocked(files, tfed, fingerprint)
   }
 
-  private def runRewrittenLocked(files: DataFrame, expanded: String, fingerprint: String): DataFrame =
-    rewriteLock.synchronized {
+  private def runRewrittenLocked(files: DataFrame, expanded: String, fingerprint: String): DataFrame = {
+    val unioned = rewriteLock.synchronized {
       // Bridge the corpus frame (a Dataset of the user's session) into
       // the clone's catalog: global temp views are SharedState-scoped,
       // so the clone sees it; the instance-unique name prevents
@@ -524,9 +524,19 @@ final class QueryEngine(
       // with a LIMIT-0 plan (analysis only, no execution) through the
       // full rewrite chain so dialect constructs inside the operands
       // resolve too.
-      val unioned = Dialect.rewriteUnionByName(asofed, probe =>
+      Dialect.rewriteUnionByName(asofed, probe =>
         sqlSession.sql(Dialect.rewrite(
           Dialect.rewriteColumns(probe, files.columns.toSeq))).columns.toSeq)
+    }
+    // The fixpoint / ordinal materializations below are FULL Spark jobs
+    // (per-round distributed loops, zipWithIndex round-trips). They run
+    // OUTSIDE rewriteLock — the same lesson as CTAS materialization and
+    // table-function registration (advice r10/r11): holding the rewrite
+    // lock for a long job stalls every concurrent query's rewrite and
+    // analysis. fixpointLock serializes only these materializations, so
+    // two identical concurrent queries still share one run.
+    val positioned = fixpointLock.synchronized {
+      pruneMaterializedViews(fingerprint)
       // UNION-distinct recursive CTEs (DuckDB's dedup-until-fixpoint
       // form; Spark only runs UNION ALL recursion natively) execute as a
       // driver-paced distributed loop and splice back as a view.
@@ -535,13 +545,37 @@ final class QueryEngine(
           recursiveUnionView(files, fingerprint, preceding, name, cols, base, step))
       // POSITIONAL JOIN: ordinal alignment has no Spark operator, so
       // both sides materialize through a zipWithIndex full-outer join.
-      val positioned = Dialect.rewritePositionalJoin(fixpointed,
+      Dialect.rewritePositionalJoin(fixpointed,
         (l, r) => positionalJoinView(files, fingerprint, l, r))
+    }
+    rewriteLock.synchronized {
       sqlSession.sql(
         Dialect.rewrite(Dialect.rewriteColumns(positioned, files.columns.toSeq)))
     }
+  }
 
+  private val fixpointLock = new Object
   private val positionalViews = TrieMap.empty[String, String]
+
+  /** Evict memoized recursive/positional materializations whose key no
+    * longer matches a LIVE corpus fingerprint (any cached glob's — two
+    * alternating globs must not evict each other, the pivotValues
+    * lesson) and the CURRENT session-table version. A superseded entry's
+    * temp view is dropped; the checkpointed frame behind it becomes
+    * unreferenced and the ContextCleaner reclaims its blocks — without
+    * this, every corpus or DDL change stranded the previous fixpoints
+    * for the engine's lifetime (advice r11).
+    */
+  private def pruneMaterializedViews(fingerprint: String): Unit = {
+    val live = cache.values.map(_.fingerprint).toSet + fingerprint
+    val prefixes = live.map(f => s"$f|$tablesVersion|")
+    for (m <- Seq(recursiveViews, positionalViews);
+         (k, v) <- m if !prefixes.exists(k.startsWith)) {
+      m.remove(k)
+      try sqlSession.catalog.dropTempView(v)
+      catch { case _: Exception => () }
+    }
+  }
 
   /** Materialize `left POSITIONAL JOIN right`: each side runs through
     * the full rewrite pipeline, gains a partition-ordered ordinal
