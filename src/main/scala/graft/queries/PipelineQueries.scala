@@ -261,6 +261,12 @@ object PipelineQueries {
           explode(array((0 until 4).map(lit): _*)).as("band"))
         .withColumn("bsig",
           expr(s"(phash >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1}"))
+      // No join hint: at bench scale the planner broadcasts the bands
+      // side (measured faster than a forced SHUFFLE_HASH — the 200k-row
+      // broadcast build beats the bucket shuffle's extra stage); at
+      // 100 TB the same stats-based choice flips to a shuffled join on
+      // the band buckets automatically, since the corpus-sized bands
+      // frame exceeds any broadcast threshold.
       val cand = bands.select(col("doc_id").as("ia"), col("phash").as("ha"),
           col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("ib"), col("phash").as("hb"),
@@ -268,12 +274,30 @@ object PipelineQueries {
         .filter(col("ia") =!= col("ib"))
         .select(col("ia"), col("ib"),
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-        .distinct()
-      cand.groupBy("ia")
+      // A pair matching in k bands appears k times, but hamming is a
+      // function of the pair, so the argmin pick is duplicate-proof and
+      // only the candidate COUNT needs dedup — count(DISTINCT ib) folds
+      // the former whole-row distinct() into this aggregate. The
+      // lexicographic (hamming, ib) argmin packs into one BIGINT
+      // (hamming <= 64 in the high bits, doc_id < 2^40 below), keeping
+      // the aggregate hash-aggregable — min over a STRUCT buffer forced
+      // the r11 plan into back-to-back SortAggregates (VERDICT item 4).
+      // One explicit exchange on ia: hash(ia) satisfies the clustering
+      // requirement of BOTH downstream aggregates (pair dedup groups by
+      // (ia, ib) ⊇ ia; the nearest pick groups by ia), so neither
+      // re-shuffles — vs the 2 exchanges a count(DISTINCT ib) plan or
+      // the former whole-row distinct() pays. The duplicate factor is
+      // bounded by the band count (≤ 4), so skipping map-side combine
+      // costs at most 4× the post-join row volume in the one shuffle.
+      cand.repartition(col("ia"))
+        .groupBy("ia", "ib").agg(min(col("hamming")).as("hamming"))
+        .groupBy("ia")
         .agg(count(lit(1)).as("n_cands"),
-          min(struct(col("hamming"), col("ib"))).as("best"))
-        .select(col("ia").as("doc_id"), col("best.ib").as("nearest"),
-          col("best.hamming").as("hamming"), col("n_cands"))
+          min(expr("CAST(hamming AS BIGINT) * 1099511627776 + ib")).as("bestp"))
+        .select(col("ia").as("doc_id"),
+          expr("bestp % 1099511627776").as("nearest"),
+          expr("CAST(bestp DIV 1099511627776 AS INT)").as("hamming"),
+          col("n_cands"))
         .orderBy("doc_id")
     }),
 
@@ -291,24 +315,35 @@ object PipelineQueries {
           explode(array((0 until 4).map(lit): _*)).as("band"))
         .withColumn("bsig",
           expr(s"(phash >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1}"))
+      // no join hint — same stats-based auto-adaptation note as
+      // q_multimodal_phash
       val cand = bands.filter(col("doc_id") % DedupQueries.IncrMod === 0)
         .select(col("doc_id").as("ia"), col("phash").as("ha"),
           col("band"), col("bsig"))
         .join(bands.filter(col("doc_id") % DedupQueries.IncrMod =!= 0)
           .select(col("doc_id").as("ib"), col("phash").as("hb"),
-            col("band"), col("bsig")), Seq("band", "bsig"))
+            col("band"), col("bsig")),
+          Seq("band", "bsig"))
         .select(col("ia"), col("ib"),
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-        .distinct()
-      val agg = cand.groupBy("ia")
+      // same one-exchange dedup + packed hash-aggregable argmin as
+      // q_multimodal_phash
+      val agg = cand.repartition(col("ia"))
+        .groupBy("ia", "ib").agg(min(col("hamming")).as("hamming"))
+        .groupBy("ia")
         .agg(count(lit(1)).as("n_cands"),
-          min(struct(col("hamming"), col("ib"))).as("best"))
+          min(expr("CAST(hamming AS BIGINT) * 1099511627776 + ib")).as("bestp"))
+      // the keep-clean-images join: both sides are BATCH-keyed (one row
+      // per ingested image), and an ingest batch is operationally sized
+      // — broadcast the aggregated side instead of paying a sort-merge
+      // exchange pair on ia
       sig.filter(col("doc_id") % DedupQueries.IncrMod === 0)
         .select(col("doc_id").as("ia"))
-        .join(agg, Seq("ia"), "left")
+        .join(broadcast(agg), Seq("ia"), "left")
         .select(col("ia").as("doc_id"),
           coalesce(col("n_cands"), lit(0L)).as("n_cands"),
-          col("best.ib").as("nearest"), col("best.hamming").as("hamming"))
+          expr("bestp % 1099511627776").as("nearest"),
+          expr("CAST(bestp DIV 1099511627776 AS INT)").as("hamming"))
         .orderBy("doc_id")
     }),
 

@@ -642,4 +642,81 @@ class DialectSpec extends AnyFunSuite {
     val hard = "SELECT COLUMNS(c -> len(c) > 2) FROM t"
     assert(Dialect.rewriteColumns(hard, Seq("abc")) == hard)
   }
+
+  test("POSITIONAL JOIN: paren inside a string literal on the left side") {
+    // advice r11: the backward scan for the left side's opening paren
+    // must skip literal content or it miscounts depth and splices a
+    // corrupted rewrite
+    var captured: (String, String) = null
+    val in = "SELECT * FROM (SELECT ')' AS c FROM files ORDER BY c) " +
+      "POSITIONAL JOIN (SELECT 1 AS d)"
+    val out = Dialect.rewritePositionalJoin(in, (l, r) => {
+      captured = (l, r); "v1"
+    })
+    assert(captured._1 == "SELECT ')' AS c FROM files ORDER BY c")
+    assert(captured._2 == "SELECT 1 AS d")
+    assert(out == "SELECT * FROM v1")
+  }
+
+  test("min/max EXCLUDE GROUP restructures into two window layers") {
+    val in = "SELECT path, min(n) OVER (PARTITION BY c ORDER BY k " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE GROUP) AS m FROM files WHERE n > 0 ORDER BY path"
+    val out = Dialect.rewriteWindowExclude(in)
+    assert(!out.toUpperCase.contains("EXCLUDE"))
+    // inner layer: SELECT * passthrough with helper windows, aliased
+    // back to the original relation name; WHERE moves inside
+    assert(out.contains("FROM ( SELECT *,"))
+    assert(out.contains("WHERE n > 0 ) files"))
+    assert(out.contains("row_number() OVER (PARTITION BY c ORDER BY k)"))
+    assert(out.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"))
+    assert(out.contains("ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"))
+    // outer layer: group-frame picks combined with least (min aggregate)
+    assert(out.contains("least("))
+    assert(out.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"))
+    // trailing ORDER BY stays at the outer level
+    assert(out.trim.endsWith("ORDER BY path"))
+  }
+
+  test("min/max EXCLUDE envelope refusals are loud and precise") {
+    // offset bound
+    val off = intercept[IllegalArgumentException](Dialect.rewriteWindowExclude(
+      "SELECT max(n) OVER (PARTITION BY c ORDER BY k " +
+        "ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) FROM t"))
+    assert(off.getMessage.contains("frame start must be UNBOUNDED"))
+    // joined FROM
+    val join = intercept[IllegalArgumentException](Dialect.rewriteWindowExclude(
+      "SELECT min(n) OVER (PARTITION BY c ORDER BY k " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) " +
+        "FROM t JOIN u ON t.id = u.id"))
+    assert(join.getMessage.contains("single-relation FROM"))
+    // grouped SELECT
+    val grp = intercept[IllegalArgumentException](Dialect.rewriteWindowExclude(
+      "SELECT min(n) OVER (PARTITION BY c ORDER BY k " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) " +
+        "FROM t GROUP BY c, k, n"))
+    assert(grp.getMessage.contains("grouped SELECT"))
+  }
+
+  test("min/max RANGE EXCLUDE CURRENT ROW uses the multiplicity fallback") {
+    val in = "SELECT max(n) OVER (PARTITION BY c ORDER BY k RANGE BETWEEN " +
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS m " +
+      "FROM files"
+    val out = Dialect.rewriteWindowExclude(in)
+    assert(!out.toUpperCase.contains("EXCLUDE"))
+    // the peers-minus-current piece: group-extreme multiplicity count
+    // and the second-distinct extreme under a greatest() combine
+    assert(out.contains("count(CASE WHEN"))
+    assert(out.contains(">= 2 THEN"))
+    assert(out.contains("greatest("))
+  }
+
+  test("EXCLUDE GROUP over a CURRENT..CURRENT frame is a typed NULL, no restructure") {
+    val in = "SELECT min(n) OVER (PARTITION BY c ORDER BY k RANGE BETWEEN " +
+      "CURRENT ROW AND CURRENT ROW EXCLUDE GROUP) AS m FROM files"
+    val out = Dialect.rewriteWindowExclude(in)
+    assert(!out.toUpperCase.contains("EXCLUDE"))
+    assert(out.contains("CASE WHEN 1 = 0 THEN"))
+    assert(!out.contains("SELECT *,"))
+  }
 }
