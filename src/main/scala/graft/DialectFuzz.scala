@@ -343,6 +343,94 @@ object DialectFuzz {
     shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
   }
 
+  /** r12 breadth-parity family: the function surface the gap probe
+    * (tools/fn_gap_exprs.txt) closed — math kernels, DuckDB-order trim,
+    * BIGINT date extraction, boundary-counting date_diff vs
+    * complete-counting date_sub across ALL units (the old "day only"
+    * discipline retired with the graft_date_diff truncate-then-diff
+    * registration), DATE-preserving date_trunc, the list long tail
+    * (slices with negative bounds, NULLS-LAST sorts, resize/reduce/
+    * unique), struct_pack, and constant_or_null. Transcendentals round
+    * to 9 digits (libm last-ulp divergence); everything else compares
+    * exactly.
+    */
+  private def fnParity(r: Random): Stmt = {
+    val ie = intExpr(r)
+    val dt = "TRY_CAST(created AS DATE)"
+    val ts = "TRY_CAST(created AS TIMESTAMP)"
+    val unit = pick(r, Seq("year", "quarter", "month", "week", "day",
+      "hour", "minute", "second"))
+    val l = "string_split(path, '/')"
+    val body = r.nextInt(8) match {
+      case 0 => // integer math kernels
+        s"""gcd($ie + 24, ${2 + r.nextInt(40)}) AS a,
+           |lcm($ie % 7, ${1 + r.nextInt(9)}) AS b,
+           |xor($ie, ${r.nextInt(64)}) AS c,
+           |sign($ie - ${30 + r.nextInt(40)}) AS d,
+           |even(($ie % 19) / 4.0) AS e,
+           |constant_or_null(${1 + r.nextInt(99)}, nullif($ie % 7, ${r.nextInt(7)})) AS f""".stripMargin
+      case 1 => // floor-division pair, trunc, logs, gamma
+        // the trunc operand divides by a DOUBLE: a DECIMAL divisor gives
+        // each engine its own decimal-division result scale
+        s"""fdiv($ie - 50, ${2 + r.nextInt(9)}) AS a,
+           |fmod($ie - 50, ${2 + r.nextInt(9)}) AS b,
+           |trunc(($ie - 50) / CAST(4.0 AS DOUBLE)) AS c,
+           |round(log($ie + 2), 9) AS d,
+           |round(log2($ie + 2), 9) AS e,
+           |round(gamma(1 + ($ie % 8)), 9) AS f,
+           |round(lgamma(2 + ($ie % 6) + 0.25), 9) AS g""".stripMargin
+      case 2 => // double edges: nextafter/signbit/isfinite/isinf.
+        // nextafter's input coalesces: DuckDB 1.0's VECTORIZED nextafter
+        // kernel renders a NULL input as NaN (the scalar path returns
+        // NULL) — we propagate NULL properly and don't mirror the bug
+        s"""nextafter(CAST(coalesce($ie, 3) AS DOUBLE), ${if (r.nextBoolean()) "1e9" else "-1e9"}) AS a,
+           |signbit(CAST($ie - 50 AS DOUBLE)) AS b,
+           |isfinite(CAST($ie AS DOUBLE) / 4) AS c,
+           |isinf(CAST('${if (r.nextBoolean()) "inf" else "-inf"}' AS DOUBLE) * ($ie + 1)) AS d,
+           |isnan(CAST($ie AS DOUBLE)) AS e""".stripMargin
+      case 3 => // DuckDB-order trim family, byte length, hex, full match
+        s"""strlen(path) AS a,
+           |to_hex(len(path) * ${1 + r.nextInt(200)}) AS b,
+           |ltrim(path, '${pick(r, Seq("src/", "s", "rs"))}') AS c,
+           |rtrim(path, '${pick(r, Seq(".md", "dm.", "d"))}') AS d,
+           |trim(path, 'srcd/.m') AS e,
+           |from_hex(substr(md5(path), 1, ${2 * (4 + r.nextInt(5))})) AS f,
+           |regexp_full_match(path, '${if (r.nextBoolean()) "[a-z0-9_/.]+" else "doc.*"}') AS g,
+           |nfc_normalize(path || 'e' || chr(769)) AS h""".stripMargin
+      case 4 => // BIGINT date extraction + DATE-preserving trunc
+        s"""century($dt) AS a, isodow($dt) AS b, isoyear($dt) AS c,
+           |week($dt) AS d, yearweek($dt) AS e,
+           |dayofweek($dt) AS f, weekday($dt) AS g,
+           |date_trunc('${pick(r, Seq("year", "quarter", "month", "week"))}', $dt) AS h""".stripMargin
+      case 5 => // boundary vs complete part counting, every unit
+        s"""date_diff('$unit', $dt, DATE '2025-0${1 + r.nextInt(9)}-${10 + r.nextInt(18)}') AS a,
+           |date_sub('$unit', $dt, DATE '2025-0${1 + r.nextInt(9)}-${10 + r.nextInt(18)}') AS b,
+           |date_diff('$unit', $ts, TIMESTAMP '2025-03-01 12:30:00') AS c,
+           |date_sub('$unit', $ts, TIMESTAMP '2025-03-01 12:30:00') AS d,
+           |millisecond($ts) AS e, microsecond($ts) AS f,
+           |epoch($ts) AS g, timezone($ts) AS h""".stripMargin
+      case 6 => // list long tail over a real split list
+        s"""list_slice($l, -2, -1) AS a,
+           |($l)[${if (r.nextBoolean()) "2:" else ":2"}] AS b,
+           |list_sort([TRY_CAST(n_chars AS BIGINT) % 5, NULL, 3, 1]${
+             pick(r, Seq("", ", 'ASC'", ", 'DESC'", ", 'ASC', 'NULLS FIRST'"))}) AS c,
+           |list_reverse_sort([$ie % 9, NULL, 2]) AS d,
+           |list_unique([$ie % 3, 1, NULL, 1]) AS e,
+           |flatten([$l, ['x${r.nextInt(5)}']]) AS f""".stripMargin
+        // (list_resize is NOT fuzzable: DuckDB 1.0's vectorized kernel
+        // dies with std::bad_array_new_length over the corpus strings —
+        // the engine-side semantics stay pinned by tools/fn_gap_exprs.txt)
+      case _ => // positional list ops, fold, struct_pack
+        s"""list_position($l, '${pick(r, Seq("src", "docs"))}') AS a,
+           |list_extract($l, ${if (r.nextBoolean()) "-1" else "2"}) AS b,
+           |list_reduce($l, (x, y) -> x || '-' || y) AS c,
+           |list_append(list_prepend('h', $l), 't') AS d,
+           |list_concat($l, ['z']) AS e,
+           |(struct_pack(a := len(path), b := upper(path))).${pick(r, Seq("a", "b"))} AS f""".stripMargin
+    }
+    shared(s"SELECT path, ${body.replace('\n', ' ')} FROM files${whereOpt(r)}")
+  }
+
   private def scalarFns(r: Random): Stmt = {
     def one(): String = pick(r, Seq(
       s"split_part(path, '/', ${1 + r.nextInt(3)})",
@@ -919,7 +1007,9 @@ object DialectFuzz {
     // recursive family is excluded — its statements own a WITH and
     // cannot nest inside the wrappers' CTE form)
     "dist_agg", "series_fns", "strdist", "list_fns", "lateral_values",
-    "positional")
+    "positional",
+    // r12 breadth-parity family (shared()-built, expression-level)
+    "fn_parity")
 
   private def composed(r: Random): Stmt = {
     val fam = composable(r.nextInt(composable.length))
@@ -1023,6 +1113,7 @@ object DialectFuzz {
     "lateral_values" -> lateralValues _,
     "positional" -> positional _,
     "fmt_fns" -> fmtFns _,
+    "fn_parity" -> fnParity _,
     "group_sets" -> groupSets _,
     "datefns" -> dateFns _,
     "pivot" -> pivot _,

@@ -30,10 +30,11 @@ object Dialect {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "list_contains", exprs => ArrayContains(exprs(0), exprs(1)), "built-in")
-    // Note: Spark's split() takes a Java regex; DuckDB's separator is a
-    // literal. Identical for the plain separators the reference exercises.
+    // DuckDB's separator is a LITERAL; Spark's split() takes a regex —
+    // literal separators are Pattern.quote'd (r12; '.' and '|' now split
+    // correctly), non-literal ones keep regex behavior.
     reg.createOrReplaceTempFunction(
-      "string_split", exprs => StringSplit(exprs(0), exprs(1), Literal(-1)), "built-in")
+      "string_split", exprs => duckStringSplit(exprs), "built-in")
     // DuckDB's len(): LIST element count, character length otherwise —
     // type-branched after resolution (the files table's own arrays are
     // JSON-encoded strings per ADR-0006; real LISTs reach len() via the
@@ -83,8 +84,8 @@ object Dialect {
       "list_filter", exprs => ArrayFilter(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "list_distinct", exprs => ArrayDistinct(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "list_sort", exprs => new SortArray(exprs(0)), "built-in")
+    // list_sort lives in registerFnParity (NULLS-LAST default + the
+    // 2/3-argument order forms, r12)
     // DuckDB strftime(ts, fmt) → date_format with the %-codes translated
     // to a java pattern at resolution time. The format must be a literal
     // (it always is in real queries); a non-literal or an unsupported
@@ -290,6 +291,252 @@ object Dialect {
       "monthname", exprs => DateFormatClass(exprs(0), Literal("MMMM")), "built-in")
     reg.createOrReplaceTempFunction(
       "time_bucket", exprs => DuckTimeBucket(exprs(0), exprs(1)), "built-in")
+    registerFnParity(reg)
+  }
+
+  /** Round-12 breadth-parity aliases: the DuckDB-1.0 names the function
+    * gap probe (tools/fn_gap_exprs.txt differentially vs
+    * tools/fn_gap_duck.py) found missing. Spark-builtin compositions
+    * where one exists; FnParityExpressions kernels otherwise. Semantics
+    * pinned empirically against DuckDB v1.0.0 — see each group's note.
+    */
+  private def registerFnParity(
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    def f(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    def litStr(e: Expression, what: String): String = e match {
+      case Literal(s, _) if s != null => s.toString
+      case other =>
+        throw new IllegalArgumentException(s"$what must be a string literal, got: $other")
+    }
+    // ---- strings ----
+    f("to_hex")(e => Hex(e(0)))
+    f("from_hex")(e => Unhex(e(0)))
+    // DuckDB strlen = BYTE length (strlen('héllo') = 6)
+    f("strlen")(e => OctetLength(e(0)))
+    f("string_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
+    f("regexp_split_to_array")(e => StringSplit(e(0), e(1), Literal(-1)))
+    f("regexp_full_match")(e =>
+      RLike(e(0), Concat(Seq(Literal("^(?:"), e(1), Literal(")$")))))
+    f("nfc_normalize")(e => NfcNormalize(e(0)))
+    // ---- math ----
+    // even: round AWAY from zero to the next even number, DOUBLE out
+    f("even") { e =>
+      val x = Cast(e(0), DoubleType)
+      Cast(If(GreaterThanOrEqual(x, Literal(0.0)),
+        Multiply(Ceil(Divide(x, Literal(2.0))), Literal(2L)),
+        UnaryMinus(Multiply(Ceil(Divide(UnaryMinus(x), Literal(2.0))), Literal(2L)))),
+        DoubleType)
+    }
+    f("gcd")(e => GcdFn(e(0), e(1)))
+    f("greatest_common_divisor")(e => GcdFn(e(0), e(1)))
+    f("lcm")(e => LcmFn(e(0), e(1)))
+    f("least_common_multiple")(e => LcmFn(e(0), e(1)))
+    f("gamma")(e => GammaFn(e(0)))
+    f("lgamma")(e => LgammaFn(e(0)))
+    f("nextafter")(e => NextAfterFn(e(0), e(1)))
+    f("signbit")(e => SignBit(e(0)))
+    def isInf(x: Expression): Expression =
+      Or(EqualTo(x, Literal(Double.PositiveInfinity)),
+        EqualTo(x, Literal(Double.NegativeInfinity)))
+    f("isinf")(e => isInf(Cast(e(0), DoubleType)))
+    f("isfinite") { e =>
+      val x = Cast(e(0), DoubleType)
+      And(Not(IsNaN(x)), Not(isInf(x)))
+    }
+    // fdiv/fmod: FLOOR division pair (fmod(-7.5, 2.0) = 0.5 — divisor's
+    // sign, unlike Spark's C-style %), DOUBLE out
+    f("fdiv") { e =>
+      val (a, b) = (Cast(e(0), DoubleType), Cast(e(1), DoubleType))
+      Cast(Floor(Divide(a, b)), DoubleType)
+    }
+    f("fmod") { e =>
+      val (a, b) = (Cast(e(0), DoubleType), Cast(e(1), DoubleType))
+      Subtract(a, Multiply(b, Cast(Floor(Divide(a, b)), DoubleType)))
+    }
+    f("xor")(e => BitwiseXor(e(0), e(1)))
+    // ---- dates ----
+    // DuckDB's extraction family is BIGINT-typed; Sunday-based dow is 0
+    f("century")(e =>
+      Cast(Ceil(Divide(Cast(Year(e(0)), DoubleType), Literal(100.0))), LongType))
+    def isoDow(d: Expression): Expression = Add(WeekDay(d), Literal(1))
+    f("isodow")(e => Cast(isoDow(e(0)), LongType))
+    // ISO year = calendar year of the Thursday in the date's ISO week
+    def isoYear(d: Expression): Expression =
+      Year(DateAdd(Cast(d, DateType), Subtract(Literal(4), isoDow(d))))
+    f("isoyear")(e => Cast(isoYear(e(0)), LongType))
+    f("week")(e => Cast(WeekOfYear(e(0)), LongType))
+    f("yearweek")(e =>
+      Add(Multiply(Cast(isoYear(e(0)), LongType), Literal(100L)),
+        Cast(WeekOfYear(e(0)), LongType)))
+    // millisecond/microsecond INCLUDE the seconds component (DuckDB:
+    // millisecond of 12:34:56.789 = 56789)
+    f("millisecond")(e =>
+      IntegralDivide(Remainder(UnixMicros(Cast(e(0), TimestampType)),
+        Literal(60000000L)), Literal(1000L)))
+    f("microsecond")(e =>
+      Remainder(UnixMicros(Cast(e(0), TimestampType)), Literal(60000000L)))
+    f("epoch")(e =>
+      Divide(Cast(UnixMicros(Cast(e(0), TimestampType)), DoubleType), Literal(1e6)))
+    f("epoch_ns")(e => Multiply(UnixMicros(e(0)), Literal(1000L)))
+    // session timezone is pinned UTC on every engine session → offset 0;
+    // NULL input still propagates
+    f("timezone")(e => If(IsNull(e(0)), Literal(null, LongType), Literal(0L)))
+    // interval constructors (not gate-comparable — parquet has no
+    // interval column — but fully usable in date arithmetic)
+    f("to_days")(e => MakeDTInterval(e(0), Literal(0), Literal(0), Literal(Decimal(0))))
+    f("to_hours")(e => MakeDTInterval(Literal(0), e(0), Literal(0), Literal(Decimal(0))))
+    f("to_minutes")(e => MakeDTInterval(Literal(0), Literal(0), e(0), Literal(Decimal(0))))
+    f("to_seconds")(e => MakeDTInterval(Literal(0), Literal(0), Literal(0), e(0)))
+    f("to_milliseconds")(e => MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Divide(Cast(e(0), DoubleType), Literal(1000.0))))
+    f("to_microseconds")(e => MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Divide(Cast(e(0), DoubleType), Literal(1e6))))
+    f("to_months")(e => MakeYMInterval(Literal(0), e(0)))
+    f("to_years")(e => MakeYMInterval(e(0), Literal(0)))
+    // date_diff counts BOUNDARY CROSSINGS (DuckDB: date_diff('month',
+    // Jan 31, Feb 1) = 1); date_sub counts COMPLETE units (= 0 there).
+    // rewriteDateFns renames the user spellings to these graft_ names
+    // so Spark's parser-owned date_diff special form stays out of the
+    // way; the quoted unit arrives as a literal.
+    def duckDateUnit(u: String): String = u.toLowerCase match {
+      case "year" | "years" | "yr" | "yy" | "yyyy" | "y" => "YEAR"
+      case "quarter" | "quarters" | "qq" | "q" => "QUARTER"
+      case "month" | "months" | "mon" | "mons" | "mm" => "MONTH"
+      case "week" | "weeks" | "ww" | "wk" => "WEEK"
+      case "day" | "days" | "dd" | "d" => "DAY"
+      case "hour" | "hours" | "hr" | "hh" => "HOUR"
+      case "minute" | "minutes" | "min" | "mins" | "mi" | "n" => "MINUTE"
+      case "second" | "seconds" | "sec" | "secs" | "ss" | "s" => "SECOND"
+      case "millisecond" | "milliseconds" | "ms" | "msec" => "MILLISECOND"
+      case "microsecond" | "microseconds" | "us" | "usec" => "MICROSECOND"
+      case other => throw new IllegalArgumentException(
+        s"unsupported date part unit '$other'")
+    }
+    f("graft_date_diff") { e =>
+      val unit = duckDateUnit(litStr(e(0), "date_diff unit"))
+      def tr(x: Expression) = TruncTimestamp(Literal(unit), Cast(x, TimestampType))
+      TimestampDiff(unit, tr(e(1)), tr(e(2)))
+    }
+    f("graft_date_part_sub") { e =>
+      val unit = duckDateUnit(litStr(e(0), "date_sub unit"))
+      TimestampDiff(unit, Cast(e(1), TimestampType), Cast(e(2), TimestampType))
+    }
+    // ---- lists ----
+    f("array_length") { e =>
+      require(e.length == 1,
+        "array_length: only the 1-argument form is supported (no md-array dims)")
+      Size(e(0), legacySizeOfNull = false)
+    }
+    f("list_append")(e => ArrayAppend(e(0), e(1)))
+    // DuckDB's prepend family takes (element, list)
+    f("list_prepend")(e => ArrayPrepend(e(1), e(0)))
+    f("list_concat")(e => Concat(e))
+    f("array_concat")(e => Concat(e))
+    f("list_has")(e => ArrayContains(e(0), e(1)))
+    f("list_position")(e => ArrayPosition(e(0), e(1)))
+    f("list_indexof")(e => ArrayPosition(e(0), e(1)))
+    def listExtract(e: Seq[Expression]): Expression =
+      ElementAt(NullabilityGuard(e(0)), e(1), None, false)
+    f("list_extract")(listExtract)
+    f("array_extract")(listExtract)
+    f("list_element")(listExtract)
+    f("list_slice")(e => DuckListSlice(e(0), e(1), e(2)))
+    f("array_slice")(e => DuckListSlice(e(0), e(1), e(2)))
+    f("list_reverse")(e => Reverse(e(0)))
+    // DuckDB's list sorts put NULLs LAST by default in BOTH directions
+    // (Spark's sort_array pins them first for ASC) — sort the compacted
+    // list and concat the NULL tail back on the requested side
+    def duckListSort(l: Expression, asc: Boolean, nullsFirst: Boolean): Expression = {
+      val lv = UnresolvedNamedLambdaVariable(Seq("__graft_s"))
+      val nulls = ArrayFilter(l, LambdaFunction(IsNull(lv), Seq(lv)))
+      val sorted = new SortArray(ArrayCompact(l), Literal(asc))
+      if (nullsFirst) Concat(Seq(nulls, sorted)) else Concat(Seq(sorted, nulls))
+    }
+    def sortDir(e: Expression): Boolean =
+      litStr(e, "list_sort order").trim.toUpperCase match {
+        case "ASC" | "ASCENDING" => true
+        case "DESC" | "DESCENDING" => false
+        case other => throw new IllegalArgumentException(
+          s"list_sort: unknown order '$other'")
+      }
+    def nullsSide(e: Expression): Boolean =
+      litStr(e, "list_sort null order").trim.toUpperCase match {
+        case "NULLS FIRST" | "NULLS_FIRST" => true
+        case "NULLS LAST" | "NULLS_LAST" => false
+        case other => throw new IllegalArgumentException(
+          s"list_sort: unknown null order '$other'")
+      }
+    f("list_sort") { e =>
+      val asc = if (e.length >= 2) sortDir(e(1)) else true
+      val nf = if (e.length >= 3) nullsSide(e(2)) else false
+      duckListSort(e(0), asc, nf)
+    }
+    f("list_reverse_sort") { e =>
+      val nf = if (e.length >= 2) nullsSide(e(1)) else false
+      duckListSort(e(0), asc = false, nullsFirst = nf)
+    }
+    // list_unique = COUNT of distinct non-NULL elements (not the list)
+    f("list_unique")(e =>
+      Size(ArrayDistinct(ArrayCompact(e(0))), legacySizeOfNull = false))
+    f("list_value")(e => CreateArray(e))
+    f("list_pack")(e => CreateArray(e))
+    f("list_zip")(e => ArraysZip(e))
+    // list_resize: truncate or extend to n, filling NEW slots with the
+    // optional third argument (NULL default); existing NULLs stay
+    f("list_resize") { e =>
+      val fill = if (e.length >= 3) e(2) else Literal(null)
+      val iv = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
+      ArrayTransform(
+        Sequence(Literal(1), Cast(e(1), IntegerType), None),
+        LambdaFunction(
+          If(LessThanOrEqual(iv, Size(e(0), legacySizeOfNull = false)),
+            ElementAt(NullabilityGuard(e(0)), iv, None, false), fill),
+          Seq(iv)))
+    }
+    // list_reduce: fold with the FIRST element as the seed (empty list
+    // yields NULL here where DuckDB errors — looser, never wrong-valued)
+    f("list_reduce") { e =>
+      val l = e(0)
+      val merge = e(1) match {
+        case lf: LambdaFunction => lf
+        case other => throw new IllegalArgumentException(
+          s"list_reduce expects a lambda, got: $other")
+      }
+      val seed = ElementAt(NullabilityGuard(l), Literal(1), None, false)
+      val rest = Slice(l, Literal(2),
+        Greatest(Seq(Subtract(Size(l, legacySizeOfNull = false), Literal(1)),
+          Literal(0))))
+      val fv = UnresolvedNamedLambdaVariable(Seq("__graft_f"))
+      ArrayAggregate(rest, seed, merge, LambdaFunction(fv, Seq(fv)))
+    }
+    f("str_split")(e => duckStringSplit(e))
+    f("string_to_array")(e => duckStringSplit(e))
+    // ---- misc ----
+    // constant_or_null(v, cond...): v unless ANY condition arg is NULL
+    f("constant_or_null") { e =>
+      val anyNull = e.tail.map(IsNull(_): Expression).reduce(Or(_, _))
+      CaseWhen(Seq((anyNull, Literal(null))), Some(e(0)))
+    }
+  }
+
+  /** DuckDB string_split: the separator is a LITERAL, not a regex —
+    * quote a literal separator for Spark's regex split (a non-literal
+    * separator keeps regex behavior, documented).
+    */
+  private def duckStringSplit(
+      e: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val sep = e(1) match {
+      case Literal(s, _) if s != null && s.toString.nonEmpty =>
+        Literal(java.util.regex.Pattern.quote(s.toString))
+      case other => other
+    }
+    StringSplit(e(0), sep, Literal(-1))
   }
 
   /** DuckDB-semantics OVERRIDES of names that exist in Spark with
@@ -308,7 +555,76 @@ object Dialect {
     */
   def registerOverrides(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, LongType, StringType}
     val reg = spark.sessionState.functionRegistry
+    // ---- r12 breadth-parity overrides of Spark-builtin names whose
+    // DuckDB semantics differ (pinned by the function gap probe) ----
+    // sign: TINYINT -1/0/1 (Spark's is DOUBLE)
+    reg.createOrReplaceTempFunction(
+      "sign", exprs => Cast(Signum(Cast(exprs(0), DoubleType)), ByteType), "built-in")
+    // log: 1-arg is LOG10 in DuckDB (Spark's is ln); 2-arg log(b, x)
+    // matches Spark's argument order
+    reg.createOrReplaceTempFunction(
+      "log", exprs =>
+        if (exprs.length == 1) Log10(exprs(0))
+        else Logarithm(exprs(0), exprs(1)), "built-in")
+    // trim family: DuckDB's 2-arg form is (string, trimChars) — Spark's
+    // SQL functions take (trimChars, string); route both arities through
+    // the expression classes with DuckDB's order
+    reg.createOrReplaceTempFunction(
+      "ltrim", exprs =>
+        if (exprs.length == 1) StringTrimLeft(exprs(0))
+        else StringTrimLeft(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rtrim", exprs =>
+        if (exprs.length == 1) StringTrimRight(exprs(0))
+        else StringTrimRight(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "trim", exprs =>
+        if (exprs.length == 1) StringTrim(exprs(0))
+        else StringTrim(exprs(0), exprs(1)), "built-in")
+    // dayofweek/weekday: DuckDB counts Sunday = 0 .. Saturday = 6 for
+    // BOTH names (Spark: dayofweek Sunday = 1, weekday Monday = 0)
+    def duckDow(e: Expression): Expression =
+      Cast(Pmod(Add(WeekDay(e), Literal(1)), Literal(7)), LongType)
+    reg.createOrReplaceTempFunction(
+      "dayofweek", exprs => duckDow(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "weekday", exprs => duckDow(exprs(0)), "built-in")
+    // trunc: DuckDB's 1-arg numeric toward-zero rounding preserving the
+    // input type family; the 2-arg (date, fmt) form stays Spark's
+    reg.createOrReplaceTempFunction(
+      "trunc", exprs =>
+        if (exprs.length == 1) DuckTrunc(exprs(0))
+        else TruncDate(exprs(0), exprs(1)), "built-in")
+    // typeof: DuckDB type-name spelling (BIGINT, VARCHAR, …)
+    reg.createOrReplaceTempFunction(
+      "typeof", exprs => DuckTypeOf(exprs(0)), "built-in")
+    // array_prepend: DuckDB's argument order is (element, list)
+    reg.createOrReplaceTempFunction(
+      "array_prepend", exprs => ArrayPrepend(exprs(1), exprs(0)), "built-in")
+    // current_schema: DuckDB's default schema name
+    reg.createOrReplaceTempFunction(
+      "current_schema", _ =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("main"),
+          StringType), "built-in")
+    // chr/char: Unicode codepoint (Spark's builtin truncates to latin-1)
+    reg.createOrReplaceTempFunction(
+      "chr", exprs => ChrCodepoint(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char", exprs => ChrCodepoint(exprs(0)), "built-in")
+    // isnan: NULL in → NULL out (Spark's builtin says false)
+    reg.createOrReplaceTempFunction(
+      "isnan", exprs =>
+        If(IsNull(exprs(0)), Literal(null, org.apache.spark.sql.types.BooleanType),
+          IsNaN(exprs(0))), "built-in")
+    // date_add(date, INTERVAL): plain addition, TIMESTAMP out (DuckDB:
+    // date_add(DATE '2025-01-31', INTERVAL 1 MONTH) = TIMESTAMP
+    // 2025-02-28 00:00:00)
+    reg.createOrReplaceTempFunction(
+      "date_add", exprs =>
+        Cast(Add(exprs(0), exprs(1)),
+          org.apache.spark.sql.types.TimestampType), "built-in")
     reg.createOrReplaceTempFunction(
       "regexp_replace", exprs => {
         require(exprs.length == 3 || exprs.length == 4,
@@ -332,14 +648,22 @@ object Dialect {
     reg.createOrReplaceTempFunction(
       "median", exprs => DuckMedian(exprs(0)), "built-in")
     // printf: DuckDB yields NULL when ANY argument is NULL; Spark's
-    // builtin renders "null" (or throws for numeric verbs).
+    // builtin renders "null" (or throws for numeric verbs). DECIMAL
+    // arguments adapt to DOUBLE post-analysis (DuckDB's %f takes its
+    // decimal literals; java.util.Formatter rejects BigDecimal).
     reg.createOrReplaceTempFunction(
       "printf", exprs => {
         val anyNull = exprs.tail.map(IsNull(_): Expression)
           .reduceOption(Or).getOrElse(Literal(false))
         If(anyNull, Literal.create(null, org.apache.spark.sql.types.StringType),
-          FormatString(exprs: _*))
+          FormatString(exprs.head +: exprs.tail.map(DecimalToDouble): _*))
       }, "built-in")
+    // date_trunc/datetrunc: DATE in → DATE out (Spark's is always
+    // TIMESTAMP); date_add: DuckDB yields TIMESTAMP from date+interval
+    reg.createOrReplaceTempFunction(
+      "date_trunc", exprs => DuckDateTrunc(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "datetrunc", exprs => DuckDateTrunc(exprs(0), exprs(1)), "built-in")
     // left/right with NEGATIVE n trim |n| from the OTHER end in DuckDB;
     // Spark's builtins return ''.
     reg.createOrReplaceTempFunction(
@@ -400,10 +724,63 @@ object Dialect {
   def rewrite(sql: String): String =
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteWindowExclude(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
-        rewriteStructLit(rewriteUsingSample(rewriteUnpivot(
+        rewriteStructLit(rewriteStructPack(rewriteUsingSample(rewriteUnpivot(
           rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteSeriesFrom(rewriteFromFirst(sql))))))))))))))))))))
+              rewriteSeriesFrom(rewriteFromFirst(sql)))))))))))))))))))))
+
+  /** DuckDB `struct_pack(name := expr, …)` → `named_struct('name',
+    * expr, …)`. Only calls whose every top-level argument is an
+    * `identifier := value` pair rewrite; anything else passes through
+    * for the parser to reject loudly.
+    */
+  private[fm] def rewriteStructPack(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf("STRUCT_PACK")
+      while (i >= 0 && !changed) {
+        if (!lit(i) && isKeywordAt(u, i + 10, "STRUCT_PACK")) {
+          var j = i + 11
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (j < msk.length && msk.charAt(j) == '(') {
+            val close = matchParen(msk, j)
+            if (close > j) {
+              val body = out.substring(j + 1, close)
+              val args = splitTopLevelArgs(body).map {
+                case (s, e) => body.substring(s, e)
+              }
+              val pairs = args.map { a =>
+                val at = a.indexOf(":=")
+                if (at < 0) null
+                else {
+                  val name = a.substring(0, at).trim
+                  val value = a.substring(at + 2).trim
+                  if (name.matches("[A-Za-z_][A-Za-z0-9_]*") && value.nonEmpty)
+                    s"'$name', $value"
+                  else null
+                }
+              }
+              if (pairs.nonEmpty && !pairs.contains(null)) {
+                out = out.substring(0, i) +
+                  s"named_struct(${pairs.mkString(", ")})" +
+                  out.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        if (!changed) i = u.indexOf("STRUCT_PACK", i + 1)
+      }
+    }
+    out
+  }
 
   /** DuckDB's `generate_series` / `range` TABLE functions: a
     * FROM-position call becomes a one-column relation named after the
@@ -939,8 +1316,29 @@ object Dialect {
     */
   private[fm] def rewriteMathOps(sql: String): String = {
     var out = rewritePower(sql)
-    // `//` → DIV: same token length not needed; straight splice.
+    // DuckDB's prefix abs operator, parenthesized form only: `@(x)` →
+    // `abs(x)`. The bare `@x` spelling stays untouched for Spark's
+    // parser to reject loudly (no silent guess at operand extent).
     var changed = true
+    while (changed) {
+      changed = false
+      val msk = maskComments(out)
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        if (msk.charAt(i) == '@' && !lit(i)) {
+          var j = i + 1
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (j < msk.length && msk.charAt(j) == '(') {
+            out = out.substring(0, i) + "abs" + out.substring(i + 1)
+            changed = true
+          }
+        }
+        i += 1
+      }
+    }
+    // `//` → DIV: same token length not needed; straight splice.
+    changed = true
     while (changed) {
       changed = false
       val msk = maskComments(out)
@@ -1095,44 +1493,49 @@ object Dialect {
     out
   }
 
-  /** DuckDB spells `date_diff('day', a, b)` with a QUOTED unit; Spark's
-    * parser owns date_diff as a special form and demands the unit as a
-    * bare identifier (same complete-unit counting, same signature
-    * otherwise). Strip the quotes off a literal first argument —
-    * everything else about the call passes through.
+  /** DuckDB `date_diff('day', a, b)` / `datediff(…)` count BOUNDARY
+    * CROSSINGS, where Spark's parser-owned date_diff special form counts
+    * COMPLETE units (DuckDB: date_diff('month', Jan 31, Feb 1) = 1;
+    * Spark: 0 — the r12 gap probe caught the divergence). DuckDB's
+    * `date_sub('day', a, b)` / `datesub` are its complete-unit pair.
+    * Rename each spelling (recognized by the QUOTED literal first
+    * argument) to the graft_ registration implementing the right
+    * counting — truncate-both-then-diff for boundaries, plain
+    * timestampdiff for complete units.
     */
   private[fm] def rewriteDateDiffUnit(sql: String): String = {
-    val sb = new StringBuilder(sql)
-    var changed = true
-    while (changed) {
-      changed = false
-      val msk = maskComments(sb.toString)
-      val u = msk.toUpperCase
-      val lit = literalMask(msk)
-      var i = u.indexOf("DATE_DIFF")
-      while (i >= 0 && !changed) {
-        if (!lit(i) && isKeywordAt(u, i + 8, "DATE_DIFF")) {
-          var j = i + 9
-          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
-          if (j < msk.length && msk.charAt(j) == '(') {
-            var k = j + 1
-            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
-            if (k < msk.length && msk.charAt(k) == '\'') {
-              val close = msk.indexOf('\'', k + 1)
-              if (close > k) {
-                val unit = sb.substring(k + 1, close)
-                if (unit.nonEmpty && unit.forall(_.isLetter)) {
-                  sb.replace(k, close + 1, unit)
-                  changed = true
-                }
+    var out = sql
+    val renames = Seq(
+      "DATE_DIFF" -> "graft_date_diff", "DATEDIFF" -> "graft_date_diff",
+      "DATE_SUB" -> "graft_date_part_sub", "DATESUB" -> "graft_date_part_sub")
+    for ((name, target) <- renames) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val msk = maskComments(out)
+        val u = msk.toUpperCase
+        val lit = literalMask(msk)
+        var i = u.indexOf(name)
+        while (i >= 0 && !changed) {
+          if (!lit(i) && isKeywordAt(u, i + name.length - 1, name)) {
+            var j = i + name.length
+            while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+            if (j < msk.length && msk.charAt(j) == '(') {
+              var k = j + 1
+              while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+              // only the quoted-unit form is DuckDB's part-counting call;
+              // e.g. Spark-style date_sub(date, n) passes through
+              if (k < msk.length && msk.charAt(k) == '\'') {
+                out = out.substring(0, i) + target + out.substring(i + name.length)
+                changed = true
               }
             }
           }
+          if (!changed) i = u.indexOf(name, i + 1)
         }
-        i = u.indexOf("DATE_DIFF", i + 1)
       }
     }
-    sb.toString
+    out
   }
 
   /** DuckDB's bare `SEMI JOIN` / `ANTI JOIN` keywords → Spark's
@@ -3423,12 +3826,17 @@ object Dialect {
                   // kept loud (0 is always a caller bug in 1-based code).
                   if (idx.isEmpty) null else s"try_element_at($base, $idx)"
                 } else {
+                  // list_slice (DuckListSlice) carries the full DuckDB
+                  // bound semantics — negative = from the end, clamped
+                  // out-of-range (r12; the old slice() arithmetic broke
+                  // on a negative upper bound). Open bounds fill with
+                  // 1 / Int.MaxValue (clamped to size inside).
                   val lo = out.substring(i + 1, colonAt).trim
                   val hi = out.substring(colonAt + 1, close).trim
                   if (lo.isEmpty && hi.isEmpty) s"slice($base, 1, size($base))"
-                  else if (lo.isEmpty) s"slice($base, 1, ($hi))"
-                  else if (hi.isEmpty) s"slice($base, ($lo), size($base))"
-                  else s"slice($base, ($lo), ($hi) - ($lo) + 1)"
+                  else if (lo.isEmpty) s"list_slice($base, 1, ($hi))"
+                  else if (hi.isEmpty) s"list_slice($base, ($lo), 2147483647)"
+                  else s"list_slice($base, ($lo), ($hi))"
                 }
               if (repl != null) {
                 out = out.substring(0, baseStart) + repl + out.substring(close + 1)

@@ -1,0 +1,316 @@
+package graft.fm
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-12 breadth-parity kernels: the remaining DuckDB-1.0 scalar
+  * surface the function gap probe (tools/fn_gap_exprs.txt vs
+  * tools/fn_gap_duck.py) found missing. Semantics pinned empirically
+  * against DuckDB v1.0.0:
+  *
+  *  - `gamma`/`lgamma`: Γ and ln Γ. Integer arguments ≤ 170 evaluate by
+  *    exact product (DuckDB's tgamma is exact there: gamma(5) = 24.0);
+  *    fractional arguments use the Lanczos (g = 7, n = 9) approximation
+  *    — agreement with libm is ~15 significant digits, so differential
+  *    rows round(…, 9) like the other transcendentals;
+  *  - `gcd`/`lcm` (+ long spellings): BIGINT, sign-insensitive like
+  *    DuckDB (gcd(-12, 18) = 6), lcm(0, x) = 0;
+  *  - `nextafter`: IEEE next representable double (Math.nextAfter);
+  *  - `signbit`: true iff the sign BIT is set (signbit(-0.0) = true —
+  *    a plain x < 0 comparison misses negative zero);
+  *  - `nfc_normalize`: Unicode NFC normalization;
+  *  - `trunc` (1-arg): toward-zero rounding that PRESERVES the input
+  *    type family (DuckDB: DOUBLE → DOUBLE, DECIMAL(p,s) → DECIMAL;
+  *    Spark's floor/ceil alone would retype to BIGINT);
+  *  - `typeof`: DuckDB type NAME spelling (BIGINT/VARCHAR/…), reusing
+  *    the DESCRIBE path's duckTypeName mapping;
+  *  - `list_slice`: 1-based inclusive bounds, negative = from the end,
+  *    out-of-range clamps, NULL bound → NULL result.
+  */
+object FnParityOps {
+
+  def gamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x == math.rint(x) && x >= 1.0 && x <= 170.0) {
+      var acc = 1.0
+      var k = 2
+      val n = x.toInt
+      while (k < n) { acc *= k; k += 1 }
+      acc
+    } else math.exp(lgammaSigned(x)._1) * lgammaSigned(x)._2
+  }
+
+  def lgamma(x: Double): Double = lgammaSigned(x)._1
+
+  /** (ln|Γ(x)|, sign of Γ(x)) via Lanczos g = 7, n = 9 with the
+    * reflection formula for x < 0.5 — the classic public-domain
+    * coefficients (Numerical Recipes family).
+    */
+  private def lgammaSigned(x: Double): (Double, Double) = {
+    val g = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5) {
+      // Γ(x) Γ(1−x) = π / sin(πx)
+      val sinPix = math.sin(math.Pi * x)
+      val (lg, _) = lgammaSigned(1.0 - x)
+      (math.log(math.Pi / math.abs(sinPix)) - lg, math.signum(sinPix))
+    } else {
+      val z = x - 1.0
+      var a = g(0)
+      var i = 1
+      while (i < 9) { a += g(i) / (z + i); i += 1 }
+      val t = z + 7.5
+      (0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a), 1.0)
+    }
+  }
+
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a)
+    var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  def lcm(a: Long, b: Long): Long =
+    if (a == 0 || b == 0) 0L else math.abs(a / gcd(a, b) * b)
+
+  def nextafter(a: Double, b: Double): Double = Math.nextAfter(a, b)
+
+  def signbit(x: Double): Boolean =
+    (java.lang.Double.doubleToRawLongBits(x) & Long.MinValue) != 0
+
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(Normalizer.normalize(s.toString, Normalizer.Form.NFC))
+
+  def chr(n: Long): UTF8String = {
+    require(n >= 0 && n <= Character.MAX_CODE_POINT,
+      s"chr: invalid Unicode codepoint $n")
+    UTF8String.fromString(new String(Character.toChars(n.toInt)))
+  }
+}
+
+/** DuckDB `chr(n)`: the Unicode CODEPOINT n as a string (chr(769) is
+  * the combining acute accent); Spark's builtin truncates to latin-1
+  * (chr(769) = chr(1)).
+  */
+case class ChrCodepoint(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chr"
+  override protected def kernel: String = "graft.fm.FnParityOps.chr"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.chr(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class GammaFn(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "gamma"
+  override protected def kernel: String = "graft.fm.FnParityOps.gamma"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.gamma(v.asInstanceOf[Double])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class LgammaFn(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "lgamma"
+  override protected def kernel: String = "graft.fm.FnParityOps.lgamma"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.lgamma(v.asInstanceOf[Double])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SignBit(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "signbit"
+  override protected def kernel: String = "graft.fm.FnParityOps.signbit"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.signbit(v.asInstanceOf[Double])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NfcNormalize(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def kernel: String = "graft.fm.FnParityOps.nfcNormalize"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NextAfterFn(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nextafter"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FnParityOps.nextafter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fm.FnParityOps.nextafter($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class GcdFn(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gcd"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FnParityOps.gcd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fm.FnParityOps.gcd($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LcmFn(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcm"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FnParityOps.lcm(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fm.FnParityOps.lcm($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 1-arg toward-zero trunc preserving the input's type family (DuckDB:
+  * trunc(4.9::DOUBLE) = 4.0 DOUBLE, trunc(4.9) = 4 DECIMAL(2,0);
+  * integers pass through). The If branches are built with matching
+  * types — RuntimeReplaceable replacements run post-analysis, where no
+  * coercion fixes a mismatch.
+  */
+case class DuckTrunc(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case DoubleType | FloatType =>
+      val x = if (child.dataType == DoubleType) child else Cast(child, DoubleType)
+      // negative branch spells -floor(-x), not ceil(x): DuckDB's trunc
+      // keeps the sign bit (trunc(-0.5) = -0.0) and ceil's long return
+      // would drop it
+      Cast(If(GreaterThanOrEqual(x, Literal(0.0)),
+        Cast(Floor(x), DoubleType),
+        UnaryMinus(Cast(Floor(UnaryMinus(x)), DoubleType))),
+        child.dataType)
+    case _: DecimalType =>
+      If(GreaterThanOrEqual(child, Cast(Literal(0), child.dataType)),
+        Cast(Floor(child), child.dataType), Cast(Ceil(child), child.dataType))
+    case _ => child // integral types: already truncated
+  }
+  override def prettyName: String = "trunc"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DuckDB `typeof`: the argument's type NAME in DuckDB spelling —
+  * reuses the DESCRIBE path's duckTypeName mapping, folding to a
+  * string literal once the child resolves.
+  */
+case class DuckTypeOf(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression =
+    Literal(UTF8String.fromString(Dialect.duckTypeName(child.dataType)), StringType)
+  override def prettyName: String = "typeof"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Post-analysis Decimal → DOUBLE adapter for printf: DuckDB's %f
+  * accepts DECIMAL arguments (every fractional literal is DECIMAL
+  * there), while java.util.Formatter behind Spark's format_string
+  * rejects them. Non-decimal children pass through untouched.
+  */
+case class DecimalToDouble(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: DecimalType => Cast(child, DoubleType)
+    case _ => child
+  }
+  override def prettyName: String = "decimal_to_double"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DuckDB `date_trunc` preserves a DATE input's type (date_trunc(
+  * 'month', DATE …) → DATE); Spark's TruncTimestamp always yields
+  * TIMESTAMP. Sub-day parts on a DATE truncate to the date itself.
+  */
+case class DuckDateTrunc(fmt: Expression, child: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  override def left: Expression = fmt
+  override def right: Expression = child
+  override lazy val replacement: Expression = {
+    // built post-analysis: every tz-sensitive node needs the explicit
+    // session zone (no resolution pass fills it in)
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    child.dataType match {
+      case DateType =>
+        Cast(TruncTimestamp(fmt, Cast(child, TimestampType, tz), tz), DateType, tz)
+      case _ => TruncTimestamp(fmt, child, tz)
+    }
+  }
+  override def prettyName: String = "date_trunc"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(fmt = newLeft, child = newRight)
+}
+
+/** DuckDB `list_slice(l, a, b)`: 1-based INCLUSIVE bounds, negative
+  * bounds count from the end (-1 = last), out-of-range bounds clamp,
+  * and a NULL bound yields NULL (unlike the bracket slice syntax,
+  * whose open bounds the rewrite fills with 1/size BEFORE this node).
+  */
+case class DuckListSlice(first: Expression, second: Expression, third: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+  override lazy val replacement: Expression = {
+    val l = first
+    val n = Size(l, legacySizeOfNull = false)
+    def norm(e0: Expression): Expression = {
+      val e = Cast(e0, IntegerType)
+      If(LessThan(e, Literal(0)), Add(Add(n, e), Literal(1)), e)
+    }
+    val lo = Greatest(Seq(norm(second), Literal(1)))
+    val hi = Least(Seq(norm(third), n))
+    val len = Greatest(Seq(Add(Subtract(hi, lo), Literal(1)), Literal(0)))
+    If(Or(IsNull(second), IsNull(third)),
+      Cast(Literal(null, NullType), l.dataType),
+      Slice(l, lo, len))
+  }
+  override def prettyName: String = "list_slice"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

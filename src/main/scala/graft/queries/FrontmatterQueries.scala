@@ -576,6 +576,37 @@ object FrontmatterQueries {
         |  round(list_avg([len(path), TRY_CAST(n_chars AS BIGINT) % 7, 3]), 9) AS lav
         |FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40""".stripMargin),
 
+    // r12 breadth-parity batch (fn_parity fuzz family's pinned row):
+    // math kernels (gcd/lcm/even/fdiv/fmod, TINYINT sign, type-
+    // preserving trunc, log10-meaning log), BIGINT date extraction
+    // (century/isodow/isoyear/yearweek), boundary-counting date_diff vs
+    // complete-counting date_sub, DATE-preserving date_trunc, DuckDB-
+    // order trim, byte-length strlen, codepoint chr, and a negative-
+    // bound list slice projected through array_to_string.
+    "q_fm_fn_parity" -> run(
+      """SELECT path,
+        |  gcd(len(path) + 24, 18) AS g1,
+        |  lcm(len(path) % 7, 6) AS g2,
+        |  even((len(path) % 19) / CAST(4.0 AS DOUBLE)) AS ev,
+        |  fdiv(TRY_CAST(n_chars AS BIGINT) - 50, 7) AS fd,
+        |  fmod(TRY_CAST(n_chars AS BIGINT) - 50, 7) AS fm,
+        |  sign(TRY_CAST(n_chars AS BIGINT) - 250) AS sg,
+        |  trunc((TRY_CAST(n_chars AS BIGINT) - 250) / CAST(4.0 AS DOUBLE)) AS tr,
+        |  round(log(len(path) + 2), 9) AS lg,
+        |  century(TRY_CAST(created AS DATE)) AS ce,
+        |  isodow(TRY_CAST(created AS DATE)) AS idw,
+        |  isoyear(TRY_CAST(created AS DATE)) AS iy,
+        |  yearweek(TRY_CAST(created AS DATE)) AS yw,
+        |  date_diff('month', TRY_CAST(created AS DATE), DATE '2025-06-15') AS dd,
+        |  date_sub('month', TRY_CAST(created AS DATE), DATE '2025-06-15') AS ds,
+        |  date_trunc('week', TRY_CAST(created AS DATE)) AS dtw,
+        |  strlen(path) AS sl,
+        |  ltrim(path, 'srcd/') AS lt,
+        |  trim(path, 'srcd/.m') AS tm2,
+        |  nfc_normalize(path || 'e' || chr(769)) AS nfc,
+        |  array_to_string(list_slice(string_split(path, '/'), -2, -1), '|') AS sli
+        |FROM files ORDER BY path LIMIT 60""".stripMargin),
+
     // LATERAL correlated subqueries + VALUES relations (native both
     // engines; proves the passthrough composes with the rewrites).
     "q_fm_lateral_values" -> run(
@@ -801,6 +832,30 @@ object FrontmatterQueries {
          |  list_aggregate(from_json(tags, '["VARCHAR"]'), 'string_agg', '|') AS lsa,
          |  round(list_avg([len(path), TRY_CAST(n_chars AS BIGINT) % 7, 3]), 9) AS lav
          |FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40""".stripMargin,
+    "q_fm_fn_parity" ->
+      s"""$cte
+         |SELECT path,
+         |  gcd(len(path) + 24, 18) AS g1,
+         |  lcm(len(path) % 7, 6) AS g2,
+         |  even((len(path) % 19) / CAST(4.0 AS DOUBLE)) AS ev,
+         |  fdiv(TRY_CAST(n_chars AS BIGINT) - 50, 7) AS fd,
+         |  fmod(TRY_CAST(n_chars AS BIGINT) - 50, 7) AS fm,
+         |  sign(TRY_CAST(n_chars AS BIGINT) - 250) AS sg,
+         |  trunc((TRY_CAST(n_chars AS BIGINT) - 250) / CAST(4.0 AS DOUBLE)) AS tr,
+         |  round(log(len(path) + 2), 9) AS lg,
+         |  century(TRY_CAST(created AS DATE)) AS ce,
+         |  isodow(TRY_CAST(created AS DATE)) AS idw,
+         |  isoyear(TRY_CAST(created AS DATE)) AS iy,
+         |  yearweek(TRY_CAST(created AS DATE)) AS yw,
+         |  date_diff('month', TRY_CAST(created AS DATE), DATE '2025-06-15') AS dd,
+         |  date_sub('month', TRY_CAST(created AS DATE), DATE '2025-06-15') AS ds,
+         |  date_trunc('week', TRY_CAST(created AS DATE)) AS dtw,
+         |  strlen(path) AS sl,
+         |  ltrim(path, 'srcd/') AS lt,
+         |  trim(path, 'srcd/.m') AS tm2,
+         |  nfc_normalize(path || 'e' || chr(769)) AS nfc,
+         |  array_to_string(list_slice(string_split(path, '/'), -2, -1), '|') AS sli
+         |FROM files ORDER BY path LIMIT 60""".stripMargin,
     "q_fm_lateral_values" ->
       s"""$cte
          |SELECT t.v AS v, t.k AS k, COUNT(f.path) AS n, l.tag AS tag

@@ -232,12 +232,15 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT try_element_at(x, 1) FROM t")
     assert(Dialect.rewriteBrackets("SELECT string_split(a, ' ')[2] FROM t")
       == "SELECT try_element_at(string_split(a, ' '), 2) FROM t")
+    // slices route through list_slice (DuckListSlice): DuckDB's
+    // inclusive 1-based bounds with negative-from-end and clamping —
+    // the old raw slice() arithmetic broke on a negative upper bound
     assert(Dialect.rewriteBrackets("SELECT x[1:3] FROM t")
-      == "SELECT slice(x, (1), (3) - (1) + 1) FROM t")
+      == "SELECT list_slice(x, (1), (3)) FROM t")
     assert(Dialect.rewriteBrackets("SELECT x[2:] FROM t")
-      == "SELECT slice(x, (2), size(x)) FROM t")
+      == "SELECT list_slice(x, (2), 2147483647) FROM t")
     assert(Dialect.rewriteBrackets("SELECT x[:2] FROM t")
-      == "SELECT slice(x, 1, (2)) FROM t")
+      == "SELECT list_slice(x, 1, (2)) FROM t")
   }
 
   test("bracket chains, qualified bases, and operator-position literals") {
@@ -279,7 +282,7 @@ class DialectSpec extends AnyFunSuite {
     // values containing colons at depth (e.g. a slice) still split on
     // the TOP-level colon only
     assert(Dialect.rewrite("SELECT {'s': a[1:2]} FROM t")
-      == "SELECT named_struct('s', slice(a, (1), (2) - (1) + 1)) FROM t")
+      == "SELECT named_struct('s', list_slice(a, (1), (2))) FROM t")
   }
 
   test("PIVOT statement rewrites to conditional aggregation / native PIVOT") {
@@ -355,13 +358,19 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteSummarize(out, Seq("a" -> "string")) == out)
   }
 
-  test("date_diff quoted unit is unquoted for Spark's parser") {
+  test("date_diff quoted unit routes to the boundary-counting registration") {
     assert(Dialect.rewriteDateDiffUnit("SELECT date_diff('day', a, b) FROM t")
-      == "SELECT date_diff(day, a, b) FROM t")
-    // multiple calls, spacing, case
+      == "SELECT graft_date_diff('day', a, b) FROM t")
+    // multiple calls, spacing, case; datediff alias; date_sub's
+    // complete-unit pair
     assert(Dialect.rewriteDateDiffUnit(
-      "SELECT DATE_DIFF( 'hour', a, b), date_diff('DAY', c, d) FROM t")
-      == "SELECT DATE_DIFF( hour, a, b), date_diff(DAY, c, d) FROM t")
+      "SELECT DATE_DIFF( 'hour', a, b), datediff('DAY', c, d) FROM t")
+      == "SELECT graft_date_diff( 'hour', a, b), graft_date_diff('DAY', c, d) FROM t")
+    assert(Dialect.rewriteDateDiffUnit("SELECT date_sub('month', a, b) FROM t")
+      == "SELECT graft_date_part_sub('month', a, b) FROM t")
+    // Spark-style date_sub(date, n) — no quoted unit — passes through
+    val q0 = "SELECT date_sub(d, 3) FROM t"
+    assert(Dialect.rewriteDateDiffUnit(q0) == q0)
     // non-literal first arg and unrelated strings untouched
     val q1 = "SELECT date_diff(day, a, b) FROM t"
     assert(Dialect.rewriteDateDiffUnit(q1) == q1)

@@ -37,6 +37,9 @@ def canon(rows, colnames):
                 v = ("f", repr(v))
             elif v is None:
                 v = ("null",)
+            elif isinstance(v, (bytes, bytearray)):
+                # duckdb returns bytearray, pyarrow bytes — same payload
+                v = ("b", bytes(v).hex())
             else:
                 v = ("v", str(v))
             vals.append(v)
