@@ -21,6 +21,11 @@ import graft.fm.{QueryEngine, Settings}
   */
 object FnGapProbe {
   def main(args: Array[String]): Unit = {
+    // the forked JVM's default stdout charset mangles non-ASCII
+    // expressions ('héllo' → 'h?llo'), breaking the TSV keys the
+    // comparator joins on
+    val utf8Out = new java.io.PrintStream(java.lang.System.out, true, "UTF-8")
+    java.lang.System.setOut(utf8Out)
     val exprFile = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -49,7 +54,7 @@ object FnGapProbe {
               .replace('\n', ' ').replace('\t', ' ').take(140)
             s"ERR\t$e\t$msg"
         }
-      println(line)
+      utf8Out.println(line)
     }
     spark.stop()
   }
