@@ -698,7 +698,32 @@ object DialectFuzz {
     val qDisc = pick(r, Seq("0.0", "0.1", "0.3", "0.5", "0.7", "0.9", "1.0",
       "-0.3", "-0.5", "-0.9", "0.25", "0.75"))
     val g = pick(r, keyCols)
-    r.nextInt(6) match {
+    r.nextInt(8) match {
+      case 6 =>
+        // r12 aggregate parity: entropy (0.0 on an empty group, bits),
+        // exact MAD, bias-corrected skewness/kurtosis (NULL below the
+        // minimum count and on zero variance), Kahan-named reductions.
+        // entropy rounds(9) — sorted-count sums differ only in ulps;
+        // the MOMENT family rounds(5) + 0.0: streaming-vs-direct moment
+        // accumulation diverges near cancellation (~1e-8 relative), and
+        // +0.0 folds DuckDB's -0.0 rounding artifact into +0.0.
+        shared(
+          s"""SELECT $g AS g,
+             |  round(entropy($ie % ${2 + r.nextInt(6)}), 9) AS en,
+             |  mad($ie) AS md,
+             |  round(skewness($ie), 5) + 0.0 AS sk,
+             |  round(kurtosis($ie), 5) + 0.0 AS ku,
+             |  COUNT(*) AS n
+             |FROM files${whereOpt(r)} GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)
+      case 7 =>
+        shared(
+          s"""SELECT $g AS g,
+             |  fsum($ie / ${pick(r, Seq("2.0", "4.0", "8.0"))}) AS fs,
+             |  round(favg($ie), 9) AS fa,
+             |  round(entropy(lang), 9) AS el,
+             |  round(regr_slope($ie, TRY_CAST(id AS BIGINT)), 5) + 0.0 AS rs,
+             |  regr_count($ie, TRY_CAST(id AS BIGINT)) AS rn
+             |FROM files GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)
       case 0 => shared(
         s"""SELECT $g AS g, quantile_cont($ie, $qCont) AS qc, COUNT(*) AS n
            |FROM files${whereOpt(r)} GROUP BY $g ORDER BY g NULLS FIRST""".stripMargin)

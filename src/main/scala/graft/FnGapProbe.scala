@@ -42,9 +42,12 @@ object FnGapProbe {
     val exprs = Source.fromFile(exprFile, "UTF-8").getLines()
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
     for (e <- exprs) {
+      // a line that IS a SELECT runs verbatim (aggregates need a FROM);
+      // anything else wraps as a scalar projection
+      val stmt = if (e.toUpperCase.startsWith("SELECT ")) e else s"SELECT $e AS v"
       val line =
         try {
-          val rows = engine.query("**/*.md", s"SELECT $e AS v").results
+          val rows = engine.query("**/*.md", stmt).results
             .collect()
           val v = rows.headOption.map(r => String.valueOf(r.get(0))).getOrElse("<no rows>")
           s"OK\t$e\t$v"

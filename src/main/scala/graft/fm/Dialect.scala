@@ -181,6 +181,26 @@ object Dialect {
       "histogram", exprs => DuckHistogram(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "product", exprs => DuckProduct(exprs(0)), "built-in")
+    // r12 aggregate-parity batch: Shannon entropy and exact MAD from
+    // the same counts-map machinery; Kahan-named fsum/favg map to the
+    // plain reductions (callers keep the exact-decimal discipline);
+    // `list` collects in scan order like DuckDB; `arbitrary` is DuckDB's
+    // first-value-seen.
+    reg.createOrReplaceTempFunction(
+      "entropy", exprs => DuckEntropy(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mad", exprs => DuckMad(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fsum", exprs =>
+        aggregate.Sum(Cast(exprs(0), org.apache.spark.sql.types.DoubleType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "favg", exprs => aggregate.Average(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "list", exprs => aggregate.CollectList(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "arbitrary", exprs => aggregate.First(exprs(0), ignoreNulls = false),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "generate_series", exprs => DuckSeries(exprs, exclusive = false), "built-in")
     reg.createOrReplaceTempFunction(
@@ -618,6 +638,33 @@ object Dialect {
       "isnan", exprs =>
         If(IsNull(exprs(0)), Literal(null, org.apache.spark.sql.types.BooleanType),
           IsNaN(exprs(0))), "built-in")
+    // skewness/kurtosis: DuckDB reports the BIAS-CORRECTED sample
+    // statistics (G1/G2); Spark's builtins are the biased population
+    // moments (g1/g2). Standard conversions over the same pass, with
+    // DuckDB's NULL below the minimum count (Spark says NaN there, and
+    // for zero variance):
+    //   G1 = g1 · sqrt(n(n−1)) / (n−2),             NULL when n < 3
+    //   G2 = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6),   NULL when n < 4
+    def sampleMoment(e: Expression, minN: Int,
+        conv: (Expression, Expression) => Expression): Expression = {
+      val n = Cast(aggregate.Count(Seq(e)).toAggregateExpression(), DoubleType)
+      val biased = (if (minN == 3) aggregate.Skewness(e) else aggregate.Kurtosis(e))
+        .toAggregateExpression()
+      val v = conv(biased, n)
+      CaseWhen(Seq(
+        (LessThan(n, Literal(minN.toDouble)), Literal(null, DoubleType)),
+        (IsNaN(v), Literal(null, DoubleType))), Some(v))
+    }
+    reg.createOrReplaceTempFunction(
+      "skewness", exprs => sampleMoment(exprs(0), 3, (g1, n) =>
+        Divide(Multiply(g1, Sqrt(Multiply(n, Subtract(n, Literal(1.0))))),
+          Subtract(n, Literal(2.0)))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kurtosis", exprs => sampleMoment(exprs(0), 4, (g2, n) =>
+        Multiply(
+          Divide(Subtract(n, Literal(1.0)),
+            Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0)))),
+          Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)))), "built-in")
     // date_add(date, INTERVAL): plain addition, TIMESTAMP out (DuckDB:
     // date_add(DATE '2025-01-31', INTERVAL 1 MONTH) = TIMESTAMP
     // 2025-02-28 00:00:00)
@@ -725,9 +772,102 @@ object Dialect {
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteWindowExclude(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
         rewriteStructLit(rewriteStructPack(rewriteUsingSample(rewriteUnpivot(
-          rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
+          rewriteTypeNames(rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteSeriesFrom(rewriteFromFirst(sql)))))))))))))))))))))
+              rewriteSeriesFrom(rewriteFromFirst(sql))))))))))))))))))))))
+
+  /** DuckDB type spellings Spark's parser rejects, mapped in CAST
+    * contexts only (a bare `CAST(x AS VARCHAR)` is the single most
+    * common DuckDB idiom the passthrough surface meets): the LAST
+    * top-level `AS <type>` inside every CAST/TRY_CAST paren pair, and
+    * every `::<type>` suffix. Identifiers that happen to collide (a
+    * column aliased `text`) are untouched — only those two grammar
+    * positions rewrite. Unsigned widths map to the next wider signed
+    * type (values, not storage, must round-trip); HUGEINT maps to
+    * DECIMAL(38,0) like the oracle's own materialization.
+    */
+  private val duckTypeAliases: Map[String, String] = Map(
+    "VARCHAR" -> "STRING", "TEXT" -> "STRING", "BPCHAR" -> "STRING",
+    "BLOB" -> "BINARY", "BYTEA" -> "BINARY", "VARBINARY" -> "BINARY",
+    "REAL" -> "FLOAT", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
+    "HUGEINT" -> "DECIMAL(38,0)", "UBIGINT" -> "DECIMAL(20,0)",
+    "UINTEGER" -> "BIGINT", "USMALLINT" -> "INT", "UTINYINT" -> "SMALLINT",
+    "INT1" -> "TINYINT", "INT2" -> "SMALLINT", "INT4" -> "INT",
+    "INT8" -> "BIGINT", "SIGNED" -> "INT", "LOGICAL" -> "BOOLEAN")
+
+  private[fm] def rewriteTypeNames(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 128) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      // `expr::TYPE`
+      var i = 0
+      while (i + 1 < msk.length && !changed) {
+        if (msk.charAt(i) == ':' && msk.charAt(i + 1) == ':' && !lit(i)) {
+          var j = i + 2
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          val end = identEndAt(msk, j)
+          if (end > j) {
+            val word = u.substring(j, end)
+            duckTypeAliases.get(word) match {
+              case Some(t) if !(end < msk.length && msk.charAt(end) == '(') =>
+                out = out.substring(0, j) + t + out.substring(end)
+                changed = true
+              case _ => ()
+            }
+          }
+        }
+        i += 1
+      }
+      // last top-level `AS <type>` inside CAST(...) / TRY_CAST(...)
+      if (!changed) {
+        var k = u.indexOf("CAST")
+        while (k >= 0 && !changed) {
+          if (!lit(k) && isKeywordAt(u, k + 3, "CAST")) {
+            var p = k + 4
+            while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+            if (p < msk.length && msk.charAt(p) == '(') {
+              val close = matchParen(msk, p)
+              if (close > p) {
+                var asAt = -1
+                var q = p + 1
+                var d = 0
+                while (q < close) {
+                  val c = msk.charAt(q)
+                  if (lit(q)) ()
+                  else if (c == '(') d += 1
+                  else if (c == ')') d -= 1
+                  else if (d == 0 && u.regionMatches(q, "AS", 0, 2) &&
+                    isKeywordAt(u, q + 1, "AS")) asAt = q
+                  q += 1
+                }
+                if (asAt > 0) {
+                  var j = asAt + 2
+                  while (j < close && msk.charAt(j).isWhitespace) j += 1
+                  val end = identEndAt(msk, j)
+                  if (end > j && !(end < msk.length && msk.charAt(end) == '(')) {
+                    duckTypeAliases.get(u.substring(j, end)) match {
+                      case Some(t) =>
+                        out = out.substring(0, j) + t + out.substring(end)
+                        changed = true
+                      case None => ()
+                    }
+                  }
+                }
+              }
+            }
+          }
+          if (!changed) k = u.indexOf("CAST", k + 1)
+        }
+      }
+    }
+    out
+  }
 
   /** DuckDB `struct_pack(name := expr, …)` → `named_struct('name',
     * expr, …)`. Only calls whose every top-level argument is an

@@ -382,6 +382,142 @@ case class DuckHistogram(
     copy(child = newChildren(0))
 }
 
+/** `entropy(x)`: Shannon entropy in BITS of the value distribution —
+  * H = log2(n) − (Σ c·log2 c)/n over the exact value→count table, any
+  * ordering-capable type. DuckDB pins: NULLs skipped, and an EMPTY (or
+  * all-NULL) group yields 0.0, not NULL. The count terms sum in sorted
+  * key order so the double accumulation is partition-order-independent;
+  * DuckDB's own accumulation order may still differ in the last ulp, so
+  * differential rows round(…, 9).
+  */
+case class DuckEntropy(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends CountsAggregate {
+
+  override def prettyName: String = "entropy"
+  override def children: Seq[Expression] = Seq(child)
+  override protected def keyType: DataType = child.dataType
+  override protected def keyOf(v: Any): AnyRef =
+    InternalRow.copyValue(v).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
+  override def eval(buf: mutable.HashMap[AnyRef, Long]): Any = {
+    if (buf.isEmpty) return 0.0
+    val ord = TypeUtils.getInterpretedOrdering(child.dataType)
+    val (_, counts, n) = sortedCounts(buf, ord)
+    var acc = 0.0
+    var i = 0
+    while (i < counts.length) {
+      val c = counts(i).toDouble
+      acc += c * (math.log(c) / math.log(2.0))
+      i += 1
+    }
+    math.log(n.toDouble) / math.log(2.0) - acc / n
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): DuckEntropy =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): DuckEntropy =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** `mad(x)`: median absolute deviation — the interpolated median of
+  * |x − median(x)|, numeric input, DOUBLE out (DuckDB returns DECIMAL
+  * for DECIMAL input — documented divergence; the VALUES agree). Both
+  * medians interpolate on even counts (mad of [1,2,4,10] = 1.5).
+  * Exact from the same counts-map pass: the deviation table folds out
+  * of the value table around the computed median.
+  */
+case class DuckMad(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends CountsAggregate {
+
+  override def prettyName: String = "mad"
+  override def children: Seq[Expression] = Seq(child)
+  override protected def keyType: DataType = child.dataType
+  override protected def keyOf(v: Any): AnyRef =
+    InternalRow.copyValue(v).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mad requires a numeric input, got ${other.simpleString(32)}")
+  }
+
+  private lazy val toDouble: Any => Double = child.dataType match {
+    case ByteType => v => v.asInstanceOf[Byte].toDouble
+    case ShortType => v => v.asInstanceOf[Short].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case LongType => v => v.asInstanceOf[Long].toDouble
+    case FloatType => v => v.asInstanceOf[Float].toDouble
+    case DoubleType => v => v.asInstanceOf[Double]
+    case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
+  }
+
+  /** Interpolated median of a sorted weighted value table. */
+  private def weightedMedian(vals: Array[Double], counts: Array[Long], n: Long): Double = {
+    // cont semantics at q = 0.5: position p = 0.5 * (n - 1) (0-based),
+    // interpolate between the values at ranks floor(p) and ceil(p)
+    val p = 0.5 * (n - 1).toDouble
+    val lo = math.floor(p).toLong
+    val hi = math.ceil(p).toLong
+    def at(rank0: Long): Double = {
+      var cum = 0L
+      var i = 0
+      while (i < vals.length) {
+        cum += counts(i)
+        if (cum >= rank0 + 1) return vals(i)
+        i += 1
+      }
+      vals(vals.length - 1)
+    }
+    val a = at(lo)
+    val b = at(hi)
+    if (lo == hi) a else a + (b - a) * (p - lo)
+  }
+
+  override def eval(buf: mutable.HashMap[AnyRef, Long]): Any = {
+    if (buf.isEmpty) return null
+    val entries = buf.toArray
+      .map { case (k, c) => (toDouble(k), c) }
+      .sortBy(_._1)
+    val vals = entries.map(_._1)
+    val counts = entries.map(_._2)
+    val n = counts.sum
+    val med = weightedMedian(vals, counts, n)
+    // deviation table: |v - med| with counts, re-sorted and re-merged
+    // (two values can share a deviation)
+    val dev = mutable.TreeMap.empty[Double, Long]
+    var i = 0
+    while (i < vals.length) {
+      val d = math.abs(vals(i) - med)
+      dev.update(d, dev.getOrElse(d, 0L) + counts(i))
+      i += 1
+    }
+    weightedMedian(dev.keysIterator.toArray, dev.valuesIterator.toArray, n)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): DuckMad =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): DuckMad =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** `product(x)`: DOUBLE running product, NULLs skipped, NULL on empty —
   * a two-expression declarative aggregate (codegen'd, map-side partial).
   * Floating multiplication is order-sensitive; callers wanting exact

@@ -607,6 +607,23 @@ object FrontmatterQueries {
         |  array_to_string(list_slice(string_split(path, '/'), -2, -1), '|') AS sli
         |FROM files ORDER BY path LIMIT 60""".stripMargin),
 
+    // r12 aggregate-parity batch (dist_agg fuzz family cases 6/7):
+    // Shannon entropy (bits, 0.0 on empty), exact interpolated MAD,
+    // bias-corrected sample skewness/kurtosis (DuckDB's G1/G2 vs
+    // Spark's biased moments — converted over the same pass), and the
+    // Kahan-named fsum. Moment doubles round(5)+0.0: streaming-vs-
+    // direct accumulation differs near cancellation and -0.0 folds in.
+    "q_fm_agg_parity" -> run(
+      """SELECT category AS g,
+        |  round(entropy(TRY_CAST(n_chars AS BIGINT) % 5), 9) AS en,
+        |  round(entropy(lang), 9) AS el,
+        |  mad(TRY_CAST(n_chars AS BIGINT)) AS md,
+        |  round(skewness(TRY_CAST(n_chars AS BIGINT)), 5) + 0.0 AS sk,
+        |  round(kurtosis(TRY_CAST(n_chars AS BIGINT)), 5) + 0.0 AS ku,
+        |  fsum(TRY_CAST(n_chars AS BIGINT) / 4.0) AS fs,
+        |  COUNT(*) AS n
+        |FROM files GROUP BY category ORDER BY g NULLS FIRST""".stripMargin),
+
     // LATERAL correlated subqueries + VALUES relations (native both
     // engines; proves the passthrough composes with the rewrites).
     "q_fm_lateral_values" -> run(
@@ -832,6 +849,17 @@ object FrontmatterQueries {
          |  list_aggregate(from_json(tags, '["VARCHAR"]'), 'string_agg', '|') AS lsa,
          |  round(list_avg([len(path), TRY_CAST(n_chars AS BIGINT) % 7, 3]), 9) AS lav
          |FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40""".stripMargin,
+    "q_fm_agg_parity" ->
+      s"""$cte
+         |SELECT category AS g,
+         |  round(entropy(TRY_CAST(n_chars AS BIGINT) % 5), 9) AS en,
+         |  round(entropy(lang), 9) AS el,
+         |  mad(TRY_CAST(n_chars AS BIGINT)) AS md,
+         |  round(skewness(TRY_CAST(n_chars AS BIGINT)), 5) + 0.0 AS sk,
+         |  round(kurtosis(TRY_CAST(n_chars AS BIGINT)), 5) + 0.0 AS ku,
+         |  fsum(TRY_CAST(n_chars AS BIGINT) / 4.0) AS fs,
+         |  COUNT(*) AS n
+         |FROM files GROUP BY category ORDER BY g NULLS FIRST""".stripMargin,
     "q_fm_fn_parity" ->
       s"""$cte
          |SELECT path,

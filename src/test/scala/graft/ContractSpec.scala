@@ -77,7 +77,7 @@ class ContractSpec extends AnyFunSuite {
     // crashing queries; this guards the OTHER disappearance mode — a
     // registration regression dropping map entries. Bump the floor when
     // queries are added; lowering it is a deliberate, reviewed act.
-    val floor = 203
+    val floor = 204
     assert(SparkEntry.queries.size >= floor,
       s"catalog shrank: ${SparkEntry.queries.size} < $floor")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),

@@ -81,8 +81,9 @@ def main():
         e = line.strip()
         if not e or e.startswith("#"):
             continue
+        stmt = e if e.upper().startswith("SELECT ") else f"SELECT {e} AS v"
         try:
-            dv = ("OK", str(con.execute(f"SELECT {e} AS v").fetchone()[0]))
+            dv = ("OK", str(con.execute(stmt).fetchone()[0]))
         except Exception as ex:
             dv = ("ERR", str(ex)[:100])
         sv = spark.get(e, ("MISS", ""))

@@ -16,8 +16,9 @@ for line in open(path):
     e = line.strip()
     if not e or e.startswith("#"):
         continue
+    stmt = e if e.upper().startswith("SELECT ") else f"SELECT {e} AS v"
     try:
-        v = con.execute(f"SELECT {e} AS v").fetchone()[0]
+        v = con.execute(stmt).fetchone()[0]
         print(f"OK\t{e}\t{v}")
     except Exception as ex:
         msg = str(ex).replace("\n", " ").replace("\t", " ")[:140]
