@@ -551,7 +551,19 @@ object DialectFuzz {
       s"max(coalesce(lang, '')) OVER (PARTITION BY $part)",
       s"ntile(${2 + r.nextInt(4)}) OVER (PARTITION BY $part ORDER BY $ord)",
       s"first_value($ie) OVER (PARTITION BY $part ORDER BY $ord)",
-      s"row_number() OVER (ORDER BY $ord)"))
+      s"row_number() OVER (ORDER BY $ord)",
+      // rank family over a TIED key: the value is a function of the key
+      // ordering alone, deterministic under ties; percent_rank/cume_dist
+      // are exact small-integer ratios
+      s"rank() OVER (PARTITION BY $part ORDER BY TRY_CAST(n_chars AS BIGINT) % 7 NULLS FIRST)",
+      s"dense_rank() OVER (PARTITION BY $part ORDER BY lang NULLS FIRST)",
+      s"percent_rank() OVER (PARTITION BY $part ORDER BY TRY_CAST(n_chars AS BIGINT) % 5 NULLS FIRST)",
+      s"cume_dist() OVER (PARTITION BY $part ORDER BY lang NULLS FIRST)",
+      s"nth_value($ie, ${1 + r.nextInt(3)}) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+      s"last_value($ie) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+      // DuckDB's in-args nulls modifier (rewriteNullsModifier)
+      s"lag($ie IGNORE NULLS) OVER (PARTITION BY $part ORDER BY $ord)",
+      s"lead($ie, ${1 + r.nextInt(2)} IGNORE NULLS) OVER (PARTITION BY $part ORDER BY $ord)"))
     shared(s"SELECT path, ${one()} AS a, ${one()} AS b FROM files${whereOpt(r)}")
   }
 

@@ -772,9 +772,9 @@ object Dialect {
     rewriteFromJsonHints(rewriteUnnest(rewriteQualify(rewriteWindowExclude(rewriteExclude(
       rewriteDistinctOn(rewriteReplace(rewriteBrackets(rewriteListComp(
         rewriteStructLit(rewriteStructPack(rewriteUsingSample(rewriteUnpivot(
-          rewriteTypeNames(rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
+          rewriteNullsModifier(rewriteTypeNames(rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteSeriesFrom(rewriteFromFirst(sql))))))))))))))))))))))
+              rewriteSeriesFrom(rewriteFromFirst(sql)))))))))))))))))))))))
 
   /** DuckDB type spellings Spark's parser rejects, mapped in CAST
     * contexts only (a bare `CAST(x AS VARCHAR)` is the single most
@@ -828,7 +828,10 @@ object Dialect {
       if (!changed) {
         var k = u.indexOf("CAST")
         while (k >= 0 && !changed) {
-          if (!lit(k) && isKeywordAt(u, k + 3, "CAST")) {
+          val isCastKw = isKeywordAt(u, k + 3, "CAST") ||
+            (k >= 4 && u.regionMatches(k - 4, "TRY_CAST", 0, 8) &&
+              isKeywordAt(u, k + 3, "TRY_CAST"))
+          if (!lit(k) && isCastKw) {
             var p = k + 4
             while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
             if (p < msk.length && msk.charAt(p) == '(') {
@@ -864,6 +867,52 @@ object Dialect {
           }
           if (!changed) k = u.indexOf("CAST", k + 1)
         }
+      }
+    }
+    out
+  }
+
+  /** DuckDB spells the nulls modifier INSIDE the window function's
+    * argument list — `lag(x IGNORE NULLS) OVER (…)` — where Spark wants
+    * it between the call and OVER: `lag(x) IGNORE NULLS OVER (…)`.
+    * Only calls directly followed by OVER rewrite; both modifiers
+    * (IGNORE/RESPECT) move.
+    */
+  private[fm] def rewriteNullsModifier(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val u = msk.toUpperCase
+      val lit = literalMask(msk)
+      var i = u.indexOf(" NULLS")
+      while (i >= 0 && !changed) {
+        val kw =
+          if (i >= 6 && u.regionMatches(i - 6, "IGNORE", 0, 6) && !lit(i)) "IGNORE"
+          else if (i >= 7 && u.regionMatches(i - 7, "RESPECT", 0, 7) && !lit(i)) "RESPECT"
+          else ""
+        if (kw.nonEmpty) {
+          val start = i - kw.length
+          val end = i + 6 // " NULLS"
+          // must sit at the END of an argument list whose ')' is
+          // directly followed by OVER
+          var j = end
+          while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
+          if (j < msk.length && msk.charAt(j) == ')') {
+            var k = j + 1
+            while (k < msk.length && msk.charAt(k).isWhitespace) k += 1
+            if (u.regionMatches(k, "OVER", 0, 4) && isKeywordAt(u, k + 3, "OVER")) {
+              out = out.substring(0, start).stripSuffix(" ").stripSuffix(",") +
+                ") " + out.substring(start, end).trim.toUpperCase + " " +
+                out.substring(j + 1).stripPrefix(" ")
+              changed = true
+            }
+          }
+        }
+        if (!changed) i = u.indexOf(" NULLS", i + 1)
       }
     }
     out

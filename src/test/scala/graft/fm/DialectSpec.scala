@@ -720,6 +720,38 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("greatest("))
   }
 
+  test("in-args IGNORE/RESPECT NULLS moves between the call and OVER") {
+    assert(Dialect.rewriteNullsModifier(
+      "SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) FROM t")
+      == "SELECT lag(x) IGNORE NULLS OVER (ORDER BY i) FROM t")
+    assert(Dialect.rewriteNullsModifier(
+      "SELECT lead(x, 2 RESPECT NULLS) OVER (ORDER BY i) FROM t")
+      == "SELECT lead(x, 2) RESPECT NULLS OVER (ORDER BY i) FROM t")
+    // NULLS FIRST/LAST sort modifiers and non-window calls untouched
+    val q1 = "SELECT x FROM t ORDER BY x NULLS FIRST"
+    assert(Dialect.rewriteNullsModifier(q1) == q1)
+    val q2 = "SELECT coalesce(x IGNORE NULLS) FROM t" // no OVER — leave loud
+    assert(Dialect.rewriteNullsModifier(q2) == q2)
+  }
+
+  test("DuckDB type spellings rewrite in CAST contexts only") {
+    assert(Dialect.rewriteTypeNames("SELECT CAST(x AS VARCHAR) FROM t")
+      == "SELECT CAST(x AS STRING) FROM t")
+    assert(Dialect.rewriteTypeNames("SELECT TRY_CAST(x AS HUGEINT) FROM t")
+      == "SELECT TRY_CAST(x AS DECIMAL(38,0)) FROM t")
+    assert(Dialect.rewriteTypeNames("SELECT x::TEXT, y::INT8 FROM t")
+      == "SELECT x::STRING, y::BIGINT FROM t")
+    // VARCHAR(n) keeps its length; identifiers named like types untouched
+    val q1 = "SELECT CAST(x AS VARCHAR(10)) FROM t"
+    assert(Dialect.rewriteTypeNames(q1) == q1)
+    val q2 = "SELECT text FROM t WHERE text = 'VARCHAR'"
+    assert(Dialect.rewriteTypeNames(q2) == q2)
+    // nested cast: the inner AS is not the outer's last top-level AS
+    assert(Dialect.rewriteTypeNames(
+      "SELECT CAST(CAST(x AS VARCHAR) AS BLOB) FROM t")
+      == "SELECT CAST(CAST(x AS STRING) AS BINARY) FROM t")
+  }
+
   test("EXCLUDE GROUP over a CURRENT..CURRENT frame is a typed NULL, no restructure") {
     val in = "SELECT min(n) OVER (PARTITION BY c ORDER BY k RANGE BETWEEN " +
       "CURRENT ROW AND CURRENT ROW EXCLUDE GROUP) AS m FROM files"
