@@ -541,6 +541,148 @@ object Dialect {
       val anyNull = e.tail.map(IsNull(_): Expression).reduce(Or(_, _))
       CaseWhen(Seq((anyNull, Literal(null))), Some(e(0)))
     }
+    // ---- r12 second sweep: encodings, hashes, JSON, paths, graphemes,
+    // epoch timestamps, remaining date parts and interval constructors,
+    // LIKE-with-escape spellings, and the aggregate alias tail ----
+    f("to_base64")(e => Base64(e(0)))
+    f("from_base64")(e => UnBase64(e(0)))
+    f("sha256")(e => Sha2(e(0), Literal(256)))
+    f("str_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
+    // DuckDB encode/decode: VARCHAR ↔ UTF-8 BLOB (one-arg forms)
+    f("encode")(e => Encode(e(0), Literal("UTF-8")))
+    f("decode")(e => new Decode(Seq(e(0), Literal("UTF-8"))))
+    f("unbin")(e => UnBin(e(0)))
+    f("from_binary")(e => UnBin(e(0)))
+    f("like_escape")(e => likeEscape(e, ilike = false, negate = false))
+    f("not_like_escape")(e => likeEscape(e, ilike = false, negate = true))
+    f("ilike_escape")(e => likeEscape(e, ilike = true, negate = false))
+    f("not_ilike_escape")(e => likeEscape(e, ilike = true, negate = true))
+    // julian: DuckDB's day number is the astronomical JD + 0.5 (a DATE
+    // lands on .0, noon on .5) — unix epoch day = 2440588.0
+    f("julian")(e =>
+      Add(Divide(Cast(UnixMicros(Cast(e(0), TimestampType)), DoubleType),
+        Literal(86400000000.0)), Literal(2440588.0)))
+    f("era")(e =>
+      Cast(If(GreaterThan(Year(e(0)), Literal(0)), Literal(1), Literal(0)), LongType))
+    f("decade")(e =>
+      Cast(Floor(Divide(Cast(Year(e(0)), DoubleType), Literal(10.0))), LongType))
+    f("millennium")(e =>
+      Cast(Ceil(Divide(Cast(Year(e(0)), DoubleType), Literal(1000.0))), LongType))
+    f("timezone_hour")(e => If(IsNull(e(0)), Literal(null, LongType), Literal(0L)))
+    f("timezone_minute")(e => If(IsNull(e(0)), Literal(null, LongType), Literal(0L)))
+    f("to_weeks")(e => MakeDTInterval(Multiply(Cast(e(0), IntegerType), Literal(7)),
+      Literal(0), Literal(0), Literal(Decimal(0))))
+    f("to_quarters")(e => MakeYMInterval(Literal(0),
+      Multiply(Cast(e(0), IntegerType), Literal(3))))
+    f("to_decades")(e => MakeYMInterval(
+      Multiply(Cast(e(0), IntegerType), Literal(10)), Literal(0)))
+    f("to_centuries")(e => MakeYMInterval(
+      Multiply(Cast(e(0), IntegerType), Literal(100)), Literal(0)))
+    f("to_millennia")(e => MakeYMInterval(
+      Multiply(Cast(e(0), IntegerType), Literal(1000)), Literal(0)))
+    f("today")(_ => CurrentDate())
+    f("now")(_ => CurrentTimestamp())
+    f("transaction_timestamp")(_ => CurrentTimestamp())
+    f("get_current_timestamp")(_ => CurrentTimestamp())
+    f("current_database")(_ =>
+      Literal(UTF8String.fromString("memory"), StringType))
+    // the reference pins duckdb 1.0.0 — report its version spelling
+    f("version")(_ => Literal(UTF8String.fromString("v1.0.0"), StringType))
+    f("gen_random_uuid")(_ => Uuid())
+    // JSON named functions (the -> / ->> OPERATORS are NOT rewritten:
+    // '->' is also the lambda arrow and the forms are textually
+    // ambiguous — named spellings cover the surface)
+    f("json_extract_string")(e => GetJsonObject(e(0), duckJsonPath(e(1))))
+    f("json_extract_path_text")(e => GetJsonObject(e(0), duckJsonPath(e(1))))
+    f("json_keys")(e => JsonObjectKeys(e(0)))
+    f("json_valid")(e => JsonValid(e(0)))
+    f("json_type")(e => JsonTypeOf(e(0)))
+    f("length_grapheme")(e => LengthGrapheme(e(0)))
+    f("left_grapheme")(e => SideGrapheme(e(0), e(1), fromRight = false))
+    f("right_grapheme")(e => SideGrapheme(e(0), e(1), fromRight = true))
+    f("substring_grapheme")(e => SubstringGrapheme(e(0), e(1), e(2)))
+    f("parse_filename") { e =>
+      val trim = if (e.length >= 2 && e(1).dataType == BooleanType) e(1)
+        else Literal(false) // a separator-spec 2nd arg means no trim
+      ParseFilenameFn(e(0), trim)
+    }
+    f("parse_dirname")(e => ParseDirFn(e(0), wholePath = false))
+    f("parse_dirpath")(e => ParseDirFn(e(0), wholePath = true))
+    f("parse_path")(e => ParsePathFn(e(0)))
+    f("to_timestamp")(e => DuckToTimestamp(e(0)))
+    // aggregate alias tail
+    f("kahan_sum")(e => aggregate.Sum(Cast(e(0), DoubleType)))
+    f("sumkahan")(e => aggregate.Sum(Cast(e(0), DoubleType)))
+    f("group_concat")(e =>
+      new aggregate.ListAgg(e(0), if (e.length >= 2) e(1) else Literal(",")))
+    f("count_star")(_ => aggregate.Count(Seq(Literal(1))))
+    f("argmax")(e => aggregate.MaxBy(e(0),
+      If(IsNull(e(0)), Literal(null), e(1))))
+    f("argmin")(e => aggregate.MinBy(e(0),
+      If(IsNull(e(0)), Literal(null), e(1))))
+    f("arg_max_null")(e => aggregate.MaxBy(e(0), e(1)))
+    f("arg_min_null")(e => aggregate.MinBy(e(0), e(1)))
+    // sem: DuckDB's standard error of the mean uses the POPULATION
+    // stddev: stddev_pop / sqrt(count)
+    f("sem") { e =>
+      Divide(aggregate.StddevPop(e(0)).toAggregateExpression(),
+        Sqrt(Cast(aggregate.Count(Seq(e(0))).toAggregateExpression(), DoubleType)))
+    }
+    // kurtosis_pop: the biased population excess — exactly Spark's
+    // builtin (NULL on empty via the builtin's own semantics)
+    f("kurtosis_pop")(e => aggregate.Kurtosis(e(0)))
+  }
+
+  /** DuckDB's LIKE-with-escape function spellings: like_escape(s, pat,
+    * esc) and the ilike/negated variants. The escape char must be a
+    * one-character literal (DuckDB's own constraint).
+    */
+  private def likeEscape(
+      e: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      ilike: Boolean, negate: Boolean)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // the escape is a literal, or the constant expression the
+    // trailing-backslash literal rewrite left ('' || chr(92)) — inner
+    // functions resolve before this builder runs, so folding works
+    val esc = e(2) match {
+      case Literal(s, _) if s != null && s.toString.length == 1 =>
+        s.toString.charAt(0)
+      case e3 if e3.resolved && e3.foldable &&
+          e3.eval() != null && e3.eval().toString.length == 1 =>
+        e3.eval().toString.charAt(0)
+      case other => throw new IllegalArgumentException(
+        s"like_escape: the escape must be a one-character literal, got: $other")
+    }
+    val base: Expression =
+      if (ilike) ILike(e(0), e(1), esc) else Like(e(0), e(1), esc)
+    if (negate) Not(base) else base
+  }
+
+  /** Translate a literal DuckDB JSON path to Spark's get_json_object
+    * syntax: '$.a[0].b' passes through; a bare key becomes '$.key'; the
+    * '/a/0/b' pointer form becomes '$.a[0].b' (numeric segments index).
+    */
+  private def duckJsonPath(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(s, _) if s != null =>
+        val p = s.toString
+        val out =
+          if (p.startsWith("$")) p
+          else if (p.startsWith("/"))
+            p.split("/").filter(_.nonEmpty).map { seg =>
+              if (seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
+            }.mkString("$", "", "")
+          else if (p.forall(_.isDigit)) s"$$[$p]"
+          else s"$$.$p"
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(out),
+          org.apache.spark.sql.types.StringType)
+      case other => throw new IllegalArgumentException(
+        s"json_extract_string: the path must be a string literal, got: $other")
+    }
   }
 
   /** DuckDB string_split: the separator is a LITERAL, not a regex —
@@ -774,7 +916,49 @@ object Dialect {
         rewriteStructLit(rewriteStructPack(rewriteUsingSample(rewriteUnpivot(
           rewriteNullsModifier(rewriteTypeNames(rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteSeriesFrom(rewriteFromFirst(sql)))))))))))))))))))))))
+              rewriteSeriesFrom(rewriteFromFirst(rewriteTrailingBackslash(sql))))))))))))))))))))))))
+
+  /** DuckDB string literals ending in a backslash (`'\'`, `'a\'`) can
+    * NEVER reach Spark's parser: its lexer consumes `\'` as an escaped
+    * quote even under escapedStringLiterals=true, losing the
+    * terminator. Re-emit such literals with the trailing backslash run
+    * split out as `chr(92)` concatenations — inner backslashes are fine
+    * (the lexer keeps `\x` pairs and the escaped-literals conf restores
+    * them verbatim).
+    */
+  private[fm] def rewriteTrailingBackslash(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val lit = literalMask(msk)
+      var i = 0
+      while (i < msk.length && !changed) {
+        // closing quote of a literal whose last content char is '\'
+        if (msk.charAt(i) == '\'' && i >= 2 && lit(i - 1) &&
+          msk.charAt(i - 1) == '\\' && (i + 1 >= msk.length || !lit(i + 1))) {
+          var k = i - 1
+          while (k > 0 && msk.charAt(k - 1) == '\\' && lit(k - 1)) k -= 1
+          val run = i - k
+          // literal opens where the mask stops being content
+          var open = k - 1
+          while (open >= 0 && lit(open)) open -= 1
+          val prefix = out.substring(open, k) + "'" // '...rest' without the run
+          val tail = if (run == 1) "chr(92)" else s"repeat(chr(92), $run)"
+          val repl =
+            if (k == open + 1) s"($tail)" // the literal was ONLY backslashes
+            else s"($prefix || $tail)"
+          out = out.substring(0, open) + repl + out.substring(i + 1)
+          changed = true
+        }
+        i += 1
+      }
+    }
+    out
+  }
 
   /** DuckDB type spellings Spark's parser rejects, mapped in CAST
     * contexts only (a bare `CAST(x AS VARCHAR)` is the single most
@@ -1656,7 +1840,7 @@ object Dialect {
       val msk = maskComments(out)
       val u = msk.toUpperCase
       val lit = literalMask(msk)
-      for (fn <- Seq("STRING_AGG", "LISTAGG") if !changed) {
+      for (fn <- Seq("STRING_AGG", "LISTAGG", "GROUP_CONCAT") if !changed) {
         var i = u.indexOf(fn)
         while (i >= 0 && !changed) {
           if (!lit(i) && isKeywordAt(u, i + fn.length - 1, fn)) {

@@ -93,6 +93,101 @@ object FnParityOps {
       s"chr: invalid Unicode codepoint $n")
     UTF8String.fromString(new String(Character.toChars(n.toInt)))
   }
+
+  private def jsonTree(s: UTF8String): com.fasterxml.jackson.databind.JsonNode = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.readTree(s.toString)
+  }
+
+  def jsonValid(s: UTF8String): Boolean =
+    try { jsonTree(s) != null } catch { case _: Exception => false }
+
+  /** DuckDB json_type spellings: OBJECT/ARRAY/VARCHAR/UBIGINT/BIGINT/
+    * DOUBLE/BOOLEAN/NULL (non-negative integers report UBIGINT).
+    */
+  def jsonType(s: UTF8String): UTF8String = {
+    val n = jsonTree(s)
+    require(n != null, "json_type: malformed JSON")
+    val t =
+      if (n.isObject) "OBJECT"
+      else if (n.isArray) "ARRAY"
+      else if (n.isTextual) "VARCHAR"
+      else if (n.isIntegralNumber) {
+        if (n.asLong() >= 0 || n.isBigInteger) "UBIGINT" else "BIGINT"
+      } else if (n.isNumber) "DOUBLE"
+      else if (n.isBoolean) "BOOLEAN"
+      else "NULL"
+    UTF8String.fromString(t)
+  }
+
+  def unbin(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    require(str.nonEmpty && str.length % 8 == 0 && str.forall(c => c == '0' || c == '1'),
+      s"unbin: input must be a multiple of 8 binary digits, got '$str'")
+    str.grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
+  }
+
+  private def graphemes(s: String): Array[String] = {
+    val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    it.setText(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = it.first()
+    var end = it.next()
+    while (end != java.text.BreakIterator.DONE) {
+      out += s.substring(start, end)
+      start = end
+      end = it.next()
+    }
+    out.toArray
+  }
+
+  def lengthGrapheme(s: UTF8String): Int = graphemes(s.toString).length
+
+  def leftGrapheme(s: UTF8String, n: Int): UTF8String = {
+    val g = graphemes(s.toString)
+    val k = if (n >= 0) math.min(n, g.length) else math.max(0, g.length + n)
+    UTF8String.fromString(g.take(k).mkString)
+  }
+
+  def rightGrapheme(s: UTF8String, n: Int): UTF8String = {
+    val g = graphemes(s.toString)
+    val k = if (n >= 0) math.min(n, g.length) else math.max(0, g.length + n)
+    UTF8String.fromString(g.takeRight(k).mkString)
+  }
+
+  /** 1-based, negative start counts from the end (substr semantics). */
+  def substringGrapheme(s: UTF8String, start: Int, len: Int): UTF8String = {
+    val g = graphemes(s.toString)
+    val from0 = if (start > 0) start - 1 else math.max(0, g.length + start)
+    val l = math.max(0, len)
+    UTF8String.fromString(g.slice(from0, from0 + l).mkString)
+  }
+
+  private def splitPath(p: String): Array[String] =
+    p.split("[/\\\\]+").filter(_.nonEmpty)
+
+  def parseFilename(p: UTF8String, trimExt: Boolean): UTF8String = {
+    val parts = splitPath(p.toString)
+    val f = if (parts.isEmpty) "" else parts.last
+    val out = if (trimExt) {
+      val dot = f.lastIndexOf('.')
+      if (dot > 0) f.substring(0, dot) else f
+    } else f
+    UTF8String.fromString(out)
+  }
+
+  def parseDirname(p: UTF8String): UTF8String = {
+    val parts = splitPath(p.toString)
+    UTF8String.fromString(if (parts.length >= 2) parts.head else "")
+  }
+
+  def parseDirpath(p: UTF8String): UTF8String = {
+    val parts = splitPath(p.toString)
+    UTF8String.fromString(parts.dropRight(1).mkString("/"))
+  }
+
+  def parsePath(p: UTF8String): Array[UTF8String] =
+    splitPath(p.toString).map(UTF8String.fromString)
 }
 
 /** DuckDB `chr(n)`: the Unicode CODEPOINT n as a string (chr(769) is
@@ -242,6 +337,150 @@ case class DuckTypeOf(child: Expression)
   override lazy val replacement: Expression =
     Literal(UTF8String.fromString(Dialect.duckTypeName(child.dataType)), StringType)
   override def prettyName: String = "typeof"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JsonValid(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_valid"
+  override protected def kernel: String = "graft.fm.FnParityOps.jsonValid"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.jsonValid(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JsonTypeOf(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_type"
+  override protected def kernel: String = "graft.fm.FnParityOps.jsonType"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.jsonType(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class UnBin(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "unbin"
+  override protected def kernel: String = "graft.fm.FnParityOps.unbin"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.unbin(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class LengthGrapheme(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "length_grapheme"
+  override protected def kernel: String = "graft.fm.FnParityOps.lengthGrapheme"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.lengthGrapheme(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SideGrapheme(left: Expression, right: Expression, fromRight: Boolean)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (fromRight) "right_grapheme" else "left_grapheme"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    if (fromRight) FnParityOps.rightGrapheme(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    else FnParityOps.leftGrapheme(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val fn = if (fromRight) "rightGrapheme" else "leftGrapheme"
+    defineCodeGen(ctx, ev, (s, n) => s"graft.fm.FnParityOps.$fn($s, $n)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SubstringGrapheme(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "substring_grapheme"
+  override protected def nullSafeEval(s: Any, a: Any, l: Any): Any =
+    FnParityOps.substringGrapheme(
+      s.asInstanceOf[UTF8String], a.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (s, a, l) => s"graft.fm.FnParityOps.substringGrapheme($s, $a, $l)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+case class ParseFilenameFn(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, BooleanType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "parse_filename"
+  override protected def nullSafeEval(p: Any, t: Any): Any =
+    FnParityOps.parseFilename(p.asInstanceOf[UTF8String], t.asInstanceOf[Boolean])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (p, t) => s"graft.fm.FnParityOps.parseFilename($p, $t)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class ParseDirFn(child: Expression, wholePath: Boolean)
+    extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (wholePath) "parse_dirpath" else "parse_dirname"
+  override protected def kernel: String =
+    if (wholePath) "graft.fm.FnParityOps.parseDirpath"
+    else "graft.fm.FnParityOps.parseDirname"
+  override protected def nullSafeEval(v: Any): Any =
+    if (wholePath) FnParityOps.parseDirpath(v.asInstanceOf[UTF8String])
+    else FnParityOps.parseDirname(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ParsePathFn(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "parse_path"
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      FnParityOps.parsePath(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DuckDB `to_timestamp(seconds)`: numeric epoch seconds (fractional
+  * allowed) → TIMESTAMP; a string argument keeps Spark's parse.
+  */
+case class DuckToTimestamp(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: NumericType => SecondsToTimestamp(child)
+    case _ => new ParseToTimestamp(child)
+  }
+  override def prettyName: String = "to_timestamp"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
