@@ -75,6 +75,97 @@ object DialectFuzz {
 
   // ---- families ---------------------------------------------------------
 
+  /** r12 second-sweep surface promoted from the constant-expression
+    * probe to corpus columns with NULL mixes (VERDICT r12 item 6):
+    * encodings/hashes, JSON named functions, grapheme kernels, and
+    * path-parsing functions over the nullable lang/category/tags
+    * columns — fuzz catches null-handling and codegen-path drift the
+    * constant probe can't.
+    */
+  private def fnParity2(r: Random): Stmt = {
+    val nullable = pick(r, Seq("lang", "category", "source"))
+    r.nextInt(5) match {
+      case 0 => // encodings round-trip + hashes over nullable strings
+        shared(s"""SELECT path, to_base64(encode($nullable)) AS b64,
+          |  decode(from_base64(to_base64(encode($nullable)))) AS rt,
+          |  sha256($nullable) AS h256, md5($nullable) AS h5
+          |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 1 => // grapheme kernels (ASCII corpus: counts equal chars, the
+        // NULL path and negative-n clamps are what's under test)
+        val n = 1 + r.nextInt(4)
+        shared(s"""SELECT path, length_grapheme($nullable) AS lg,
+          |  left_grapheme(path, $n) AS lf, right_grapheme($nullable, 2) AS rg,
+          |  substring_grapheme(path, ${1 + r.nextInt(5)}, $n) AS sg
+          |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 2 => // path parsing over the real path column
+        shared(s"""SELECT path, parse_filename(path) AS fn,
+          |  parse_filename(path, true) AS fnt, parse_dirname(path) AS dn,
+          |  parse_dirpath(path) AS dp,
+          |  array_to_string(parse_path(path), '|') AS pp
+          |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case 3 => // JSON named functions over tags (NULL on empty rows)
+        val i = r.nextInt(3)
+        shared(s"""SELECT path, json_extract_string(tags, '$$[$i]') AS je,
+          |  json_type(tags) AS jt, json_valid(tags) AS jv,
+          |  array_to_string(json_keys('{"a": 1, "b": {"c": 2}}'), ',') AS jk
+          |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+      case _ => // hex/byte-length/normalize kernels over nullable columns
+        shared(s"""SELECT path, to_hex(len(path) * ${3 + r.nextInt(9)}) AS hx,
+          |  strlen($nullable) AS sl, nfc_normalize($nullable) AS nn,
+          |  unicode($nullable) AS uc
+          |FROM files${whereOpt(r)} ORDER BY path LIMIT 40""".stripMargin)
+    }
+  }
+
+  /** JSON `->` / `->>` operators + named json fns over the two JSON
+    * surfaces the corpus has: the ADR-0006 JSON-encoded `tags` column
+    * (a JSON array or NULL) and per-row JSON objects built by string
+    * concatenation (NULL components null out the whole document on
+    * both engines). Members exercise chaining, the `||`-binds-into-LHS
+    * precedence pin, lambda coexistence, and numeric re-serialization
+    * through yyjson's double format.
+    */
+  private def jsonOps(r: Random): Stmt = {
+    // built JSON object: {"l": "<lang>", "n": <n_chars>} (NULL when the
+    // frontmatter row is empty — both engines propagate through ||)
+    val obj = """('{"l": "' || lang || '", "n": ' || n_chars || '}')"""
+    // {"s": <score>} exercises double re-serialization (score nullable)
+    val objS = """('{"s": ' || score || '}')"""
+    r.nextInt(8) match {
+      case 0 =>
+        val i = r.nextInt(4)
+        shared(s"SELECT path, tags ->> $i AS t0, tags -> '$$[#-1]' AS tl " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 1 =>
+        val key = pick(r, Seq("'l'", "'n'", "'$.l'", "'missing'", "'/n'"))
+        shared(s"SELECT path, $obj ->> $key AS v, $obj -> 'n' AS n " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 2 => // chaining through a nested built document
+        shared(s"""SELECT path, ('{"o": {"t": ' || tags || '}}') -> 'o' -> 't' ->> ${r.nextInt(3)} AS v """ +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 3 => // || binds into the LHS; completed arrow concats left
+        shared(s"""SELECT path, '["' || lang || '"]' ->> 0 AS l, """ +
+          s"tags ->> ${r.nextInt(3)} || '!' AS bang " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 4 => // operator vs named spelling must agree
+        val p = pick(r, Seq("$[0]", "$[1]", "1"))
+        shared(s"SELECT path, tags ->> '$p' AS op, json_extract_string(tags, '$p') AS named, " +
+          s"tags -> '$p' AS opj, json_extract(tags, '$p') AS namedj " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 5 => // lambda arrows and JSON arrows in one statement
+        val body = pick(r, Seq("upper(x)", "x || 's'"))
+        shared(s"""SELECT path, array_to_string(list_transform(from_json(tags, '["VARCHAR"]'), x -> $body), ',') AS xs, """ +
+          s"tags ->> 0 AS t0 FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40")
+      case 6 => // WHERE usage + casts of extracted values
+        shared(s"SELECT path, TRY_CAST($obj ->> 'n' AS BIGINT) % ${2 + r.nextInt(5)} AS m " +
+          s"FROM files WHERE $obj ->> 'l' IS NOT NULL ORDER BY path LIMIT 40")
+      case _ => // double re-serialization + json_type/json_valid
+        shared(s"SELECT path, $objS -> 's' AS s, json_type(tags) AS jt, " +
+          s"json_valid(coalesce(tags, '[')) AS jv " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+    }
+  }
+
   private def qualify(r: Random): Stmt = {
     val fn = pick(r, Seq("row_number()", "rank()", "dense_rank()"))
     val part = pick(r, keyCols)
@@ -1155,7 +1246,9 @@ object DialectFuzz {
     "datefns" -> dateFns _,
     "pivot" -> pivot _,
     "unpivot" -> unpivot _,
-    "ordered_agg" -> orderedAgg _)
+    "ordered_agg" -> orderedAgg _,
+    "json_ops" -> jsonOps _,
+    "fn_parity2" -> fnParity2 _)
 
   /** Pure generation for spec use: statement i of family `fam`. */
   def generate(fam: String, i: Int): Stmt = {

@@ -394,11 +394,14 @@ object Dialect {
         Cast(WeekOfYear(e(0)), LongType)))
     // millisecond/microsecond INCLUDE the seconds component (DuckDB:
     // millisecond of 12:34:56.789 = 56789)
+    // Pmod, not %: pre-epoch timestamps have negative unix micros and
+    // DuckDB still extracts the positive within-minute component
+    // (millisecond(TIMESTAMP '1960-01-01 12:34:56.789') = 56789)
     f("millisecond")(e =>
-      IntegralDivide(Remainder(UnixMicros(Cast(e(0), TimestampType)),
+      IntegralDivide(Pmod(UnixMicros(Cast(e(0), TimestampType)),
         Literal(60000000L)), Literal(1000L)))
     f("microsecond")(e =>
-      Remainder(UnixMicros(Cast(e(0), TimestampType)), Literal(60000000L)))
+      Pmod(UnixMicros(Cast(e(0), TimestampType)), Literal(60000000L)))
     f("epoch")(e =>
       Divide(Cast(UnixMicros(Cast(e(0), TimestampType)), DoubleType), Literal(1e6)))
     f("epoch_ns")(e => Multiply(UnixMicros(e(0)), Literal(1000L)))
@@ -454,8 +457,24 @@ object Dialect {
     f("list_append")(e => ArrayAppend(e(0), e(1)))
     // DuckDB's prepend family takes (element, list)
     f("list_prepend")(e => ArrayPrepend(e(1), e(0)))
-    f("list_concat")(e => Concat(e))
-    f("array_concat")(e => Concat(e))
+    // DuckDB 1.0's list_concat is NULL-absorbing per SIDE, not per call:
+    // list_concat([1], NULL) = [1], list_concat(NULL, NULL) = NULL
+    // (Spark's Concat returns NULL if ANY argument is). The If-chain
+    // needs no typed empty-array literal and keeps both-NULL → NULL.
+    def duckListConcat(e: Seq[Expression]): Expression = {
+      // untyped NULL literals drop out up front — Concat/If can't
+      // coerce NullType against ARRAY and DuckDB treats them as the
+      // neutral element anyway
+      val typed = e.filter {
+        case Literal(null, NullType) => false
+        case _ => true
+      }
+      if (typed.isEmpty) Literal(null, NullType)
+      else typed.reduceLeft((a, b) =>
+        If(IsNull(a), b, If(IsNull(b), a, Concat(Seq(a, b)))))
+    }
+    f("list_concat")(duckListConcat)
+    f("array_concat")(duckListConcat)
     f("list_has")(e => ArrayContains(e(0), e(1)))
     f("list_position")(e => ArrayPosition(e(0), e(1)))
     f("list_indexof")(e => ArrayPosition(e(0), e(1)))
@@ -510,12 +529,20 @@ object Dialect {
     f("list_resize") { e =>
       val fill = if (e.length >= 3) e(2) else Literal(null)
       val iv = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
-      ArrayTransform(
-        Sequence(Literal(1), Cast(e(1), IntegerType), None),
-        LambdaFunction(
-          If(LessThanOrEqual(iv, Size(e(0), legacySizeOfNull = false)),
-            ElementAt(NullabilityGuard(e(0)), iv, None, false), fill),
-          Seq(iv)))
+      val n = Cast(e(1), IntegerType)
+      // n = 0 (or NULL — DuckDB: list_resize([1,2], NULL) = []) must
+      // yield an EMPTY list, not ride Sequence(1, 0)'s default step -1;
+      // Slice(l, 1, 0) is an empty array of the right element type and
+      // still propagates a NULL input list. Negative n is looser than
+      // DuckDB (which errors on the unsigned cast): also empty here.
+      If(GreaterThan(n, Literal(0)),
+        ArrayTransform(
+          Sequence(Literal(1), n, None),
+          LambdaFunction(
+            If(LessThanOrEqual(iv, Size(e(0), legacySizeOfNull = false)),
+              ElementAt(NullabilityGuard(e(0)), iv, None, false), fill),
+            Seq(iv))),
+        Slice(e(0), Literal(1), Literal(0)))
     }
     // list_reduce: fold with the FIRST element as the seed (empty list
     // yields NULL here where DuckDB errors — looser, never wrong-valued)
@@ -589,11 +616,21 @@ object Dialect {
     // the reference pins duckdb 1.0.0 — report its version spelling
     f("version")(_ => Literal(UTF8String.fromString("v1.0.0"), StringType))
     f("gen_random_uuid")(_ => Uuid())
-    // JSON named functions (the -> / ->> OPERATORS are NOT rewritten:
-    // '->' is also the lambda arrow and the forms are textually
-    // ambiguous — named spellings cover the surface)
-    f("json_extract_string")(e => GetJsonObject(e(0), duckJsonPath(e(1))))
-    f("json_extract_path_text")(e => GetJsonObject(e(0), duckJsonPath(e(1))))
+    // JSON extraction: named functions AND the -> / ->> operators
+    // (rewriteJsonOps turns the operators into these named spellings;
+    // the kernel carries yyjson reserialization semantics — quoted
+    // strings under ->, unquoted under ->>, JSON null → SQL NULL). A
+    // literal list of paths extracts per-element like DuckDB's
+    // list-valued overload.
+    def jsonX(e: Seq[Expression], asText: Boolean): Expression = e(1) match {
+      case CreateArray(paths, _) =>
+        CreateArray(paths.map(p => JsonExtractFn(e(0), p, asText)))
+      case p => JsonExtractFn(e(0), p, asText)
+    }
+    f("json_extract")(e => jsonX(e, asText = false))
+    f("json_extract_path")(e => jsonX(e, asText = false))
+    f("json_extract_string")(e => jsonX(e, asText = true))
+    f("json_extract_path_text")(e => jsonX(e, asText = true))
     f("json_keys")(e => JsonObjectKeys(e(0)))
     f("json_valid")(e => JsonValid(e(0)))
     f("json_type")(e => JsonTypeOf(e(0)))
@@ -663,28 +700,6 @@ object Dialect {
     * syntax: '$.a[0].b' passes through; a bare key becomes '$.key'; the
     * '/a/0/b' pointer form becomes '$.a[0].b' (numeric segments index).
     */
-  private def duckJsonPath(
-      e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    e match {
-      case Literal(s, _) if s != null =>
-        val p = s.toString
-        val out =
-          if (p.startsWith("$")) p
-          else if (p.startsWith("/"))
-            p.split("/").filter(_.nonEmpty).map { seg =>
-              if (seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
-            }.mkString("$", "", "")
-          else if (p.forall(_.isDigit)) s"$$[$p]"
-          else s"$$.$p"
-        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(out),
-          org.apache.spark.sql.types.StringType)
-      case other => throw new IllegalArgumentException(
-        s"json_extract_string: the path must be a string literal, got: $other")
-    }
-  }
-
   /** DuckDB string_split: the separator is a LITERAL, not a regex —
     * quote a literal separator for Spark's regex split (a non-literal
     * separator keeps regex behavior, documented).
@@ -916,7 +931,8 @@ object Dialect {
         rewriteStructLit(rewriteStructPack(rewriteUsingSample(rewriteUnpivot(
           rewriteNullsModifier(rewriteTypeNames(rewriteDateDiffUnit(rewriteOrderedAgg(rewriteMathOps(
             rewriteGlob(rewriteSimilarTo(rewriteSemiAnti(
-              rewriteSeriesFrom(rewriteFromFirst(rewriteTrailingBackslash(sql))))))))))))))))))))))))
+              rewriteSeriesFrom(rewriteFromFirst(rewriteJsonOps(
+                rewriteTrailingBackslash(sql)))))))))))))))))))))))))
 
   /** DuckDB string literals ending in a backslash (`'\'`, `'a\'`) can
     * NEVER reach Spark's parser: its lexer consumes `\'` as an escaped
@@ -979,6 +995,340 @@ object Dialect {
     "INT1" -> "TINYINT", "INT2" -> "SMALLINT", "INT4" -> "INT",
     "INT8" -> "BIGINT", "SIGNED" -> "INT", "LOGICAL" -> "BOOLEAN")
 
+  // ---- JSON -> / ->> operator rewrite ------------------------------------
+
+  private def isIdentCh(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  /** Lambda-taking functions: a `->` whose bare-identifier LHS sits at an
+    * argument start of one of these is a lambda arrow, not JSON. DuckDB
+    * 1.0 spellings plus the Spark HOFs this rewriter itself emits
+    * (listcomp → transform/filter/aggregate) and passthrough accepts.
+    */
+  private val lambdaHofs: Set[String] = Set(
+    "list_transform", "array_transform", "list_apply", "array_apply", "apply",
+    "list_filter", "array_filter", "filter",
+    "list_reduce", "array_reduce", "reduce",
+    "transform", "aggregate", "exists", "forall", "zip_with",
+    "map_filter", "map_zip_with", "transform_keys", "transform_values",
+    "array_sort")
+
+  /** Matching `[` for the `]` at `close`, scanning backwards over MASKED
+    * text, skipping literal contents; -1 if unbalanced.
+    */
+  private def backwardMatchBracket(
+      msk: String, lit: Array[Boolean], close: Int): Int = {
+    var depth = 0
+    var i = close
+    while (i >= 0) {
+      val c = msk.charAt(i)
+      if (!lit(i)) {
+        if (c == ']') depth += 1
+        else if (c == '[') { depth -= 1; if (depth == 0) return i }
+      }
+      i -= 1
+    }
+    -1
+  }
+
+  /** Start index of the (possibly dotted / double-quoted) identifier chain
+    * whose last character is `at`; -1 if `at` isn't in one.
+    */
+  private def identStartBack(msk: String, at: Int): Int = {
+    var l = at
+    var start = -1
+    var more = true
+    while (more && l >= 0) {
+      more = false
+      if (msk.charAt(l) == '"') {
+        var j = l - 1
+        while (j >= 0 && msk.charAt(j) != '"') j -= 1
+        if (j < 0) return -1
+        start = j
+        l = j - 1
+      } else if (isIdentCh(msk.charAt(l))) {
+        var j = l
+        while (j >= 0 && isIdentCh(msk.charAt(j))) j -= 1
+        start = j + 1
+        l = j
+      } else return -1
+      if (l >= 0 && msk.charAt(l) == '.') { l -= 1; more = true }
+    }
+    start
+  }
+
+  /** Start of the single operand (literal / ident chain / call / paren
+    * group / bracket-suffixed base) ENDING at `at`; -1 if none.
+    */
+  private def operandStartBack(msk: String, lit: Array[Boolean], at: Int): Int = {
+    var l = at
+    var start = -1
+    var consumeBase = true
+    while (consumeBase && l >= 0) {
+      consumeBase = false
+      val c = msk.charAt(l)
+      if (lit(l)) {
+        var j = l
+        while (j >= 0 && lit(j)) j -= 1
+        start = j + 1
+      } else if (c == ')') {
+        val open = backwardMatchParen(msk, lit, l)
+        if (open < 0) return -1
+        start = open
+        if (open > 0 && (isIdentCh(msk.charAt(open - 1)) || msk.charAt(open - 1) == '"')) {
+          val s2 = identStartBack(msk, open - 1)
+          if (s2 >= 0) start = s2
+        }
+      } else if (c == ']') {
+        // bracket suffix: keep walking for its base (x['k'], tags[1])
+        val open = backwardMatchBracket(msk, lit, l)
+        if (open <= 0) return -1
+        start = open
+        l = open - 1
+        consumeBase = true
+      } else if (isIdentCh(c) || c == '"') {
+        val s2 = identStartBack(msk, l)
+        if (s2 < 0) return -1
+        start = s2
+      } else return -1
+    }
+    start
+  }
+
+  /** End (exclusive) of the single operand STARTING at `at`; -1 if none.
+    * Accepts literals, signed integers, paren groups, and ident chains
+    * with optional call-parens and bracket suffixes.
+    */
+  private def operandEndFwd(msk: String, lit: Array[Boolean], at: Int): Int = {
+    if (at >= msk.length) return -1
+    val c = msk.charAt(at)
+    if (lit(at)) {
+      var j = at
+      while (j < msk.length && lit(j)) j += 1
+      j
+    } else if (c.isDigit || ((c == '-' || c == '+') &&
+        at + 1 < msk.length && msk.charAt(at + 1).isDigit)) {
+      var j = if (c.isDigit) at else at + 1
+      while (j < msk.length && msk.charAt(j).isDigit) j += 1
+      j
+    } else if (c == '(') {
+      val close = matchParen(msk, at)
+      if (close < 0) -1 else close + 1
+    } else if (isIdentCh(c) || c == '"') {
+      var j = at
+      var done = false
+      while (!done) {
+        if (j < msk.length && msk.charAt(j) == '"') {
+          var k = j + 1
+          while (k < msk.length && msk.charAt(k) != '"') k += 1
+          if (k >= msk.length) return -1
+          j = k + 1
+        } else {
+          val e = identEndAt(msk, j)
+          if (e <= j) return -1
+          j = e
+        }
+        if (j < msk.length && msk.charAt(j) == '.') j += 1 else done = true
+      }
+      if (j < msk.length && msk.charAt(j) == '(') {
+        val close = matchParen(msk, j)
+        if (close < 0) return -1
+        j = close + 1
+      }
+      while (j < msk.length && msk.charAt(j) == '[') {
+        val close = matchBracket(msk, j)
+        if (close < 0) return -1
+        j = close + 1
+      }
+      j
+    } else -1
+  }
+
+  /** DuckDB JSON extraction OPERATORS (the reference grants them via
+    * verbatim passthrough, `src/frontmatter_mcp/query.py:72`, and its
+    * own data model JSON-encodes array columns,
+    * `docs/adr/0006-json-encode-arrays.md:15-29`):
+    *
+    *   `j -> p`  → `json_extract(j, p)`         (JSON-typed result)
+    *   `j ->> p` → `json_extract_string(j, p)`  (VARCHAR result)
+    *
+    * Precedence pinned on v1.0.0 (the PostgreSQL "any other operator"
+    * level): the arrows and `||` share one LEFT-ASSOCIATIVE level below
+    * arithmetic — `'x' || j ->> 'a'` parses as `('x' || j) ->> 'a'`,
+    * `j ->> 1 + 1` as `j ->> (1 + 1)`. The LHS walk therefore absorbs
+    * `||` / arithmetic / `::` chains and the RHS walk absorbs arithmetic
+    * (not `||`, which associates left onto the finished arrow).
+    *
+    * `->` is ALSO the lambda arrow. Disambiguation: `->` (never `->>`)
+    * additionally requires a string/number-literal RHS start, and a
+    * bare-identifier (or `(a, b)` identifier-list) LHS sitting at an
+    * argument start of a known lambda-taking function ([[lambdaHofs]])
+    * is left alone — `list_transform(l, x -> 'c')` stays a lambda while
+    * `SELECT tags -> 0 FROM files` rewrites. An arrow this pass cannot
+    * parse is left in place for Spark's parser to reject loudly.
+    */
+  private[fm] def rewriteJsonOps(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 256) {
+      changed = false
+      guard += 1
+      val msk = maskComments(out)
+      val lit = literalMask(msk)
+      var i = 0
+      while (i + 1 < msk.length && !changed) {
+        if (!lit(i) && msk.charAt(i) == '-' && msk.charAt(i + 1) == '>') {
+          val isText = i + 2 < msk.length && msk.charAt(i + 2) == '>'
+          val opEnd = i + (if (isText) 3 else 2)
+          var advanced = false
+          // ---- RHS ----
+          var r = opEnd
+          while (r < msk.length && msk.charAt(r).isWhitespace) r += 1
+          val literalStart = r < msk.length && (lit(r) || msk.charAt(r).isDigit ||
+            ((msk.charAt(r) == '-' || msk.charAt(r) == '+') &&
+              r + 1 < msk.length && msk.charAt(r + 1).isDigit))
+          var rhsEnd = if (!isText && !literalStart) -1
+            else operandEndFwd(msk, lit, r)
+          // absorb tighter-binding arithmetic on the right (not || — it
+          // associates LEFT onto the completed arrow)
+          var growR = rhsEnd > 0
+          while (growR) {
+            growR = false
+            var q = rhsEnd
+            while (q < msk.length && msk.charAt(q).isWhitespace) q += 1
+            if (q < msk.length && !lit(q)) {
+              val c = msk.charAt(q)
+              val opLen =
+                if (c == '/' && q + 1 < msk.length && msk.charAt(q + 1) == '/') 2
+                else if ("+*/%^".indexOf(c) >= 0) 1
+                else if (c == '-' && !(q + 1 < msk.length && msk.charAt(q + 1) == '>')) 1
+                else 0
+              if (opLen > 0) {
+                var p = q + opLen
+                while (p < msk.length && msk.charAt(p).isWhitespace) p += 1
+                val e2 = operandEndFwd(msk, lit, p)
+                if (e2 > 0) { rhsEnd = e2; growR = true }
+              }
+            }
+          }
+          if (rhsEnd > 0) {
+            // ---- LHS ----
+            var l = i - 1
+            while (l >= 0 && msk.charAt(l).isWhitespace) l -= 1
+            val lhsEnd = l + 1
+            var lhsStart = if (l < 0) -1 else operandStartBack(msk, lit, l)
+            // absorb ||, arithmetic, and :: chains on the left
+            var growL = lhsStart >= 0
+            while (growL) {
+              growL = false
+              var q = lhsStart - 1
+              while (q >= 0 && msk.charAt(q).isWhitespace) q -= 1
+              if (q >= 0 && !lit(q)) {
+                val c = msk.charAt(q)
+                val opLen =
+                  if (c == '|' && q > 0 && msk.charAt(q - 1) == '|') 2
+                  else if (c == ':' && q > 0 && msk.charAt(q - 1) == ':') 2
+                  else if (c == '/' && q > 0 && msk.charAt(q - 1) == '/') 2
+                  else if ("+*/%^".indexOf(c) >= 0) 1
+                  else if (c == '-') 1
+                  else 0
+                if (opLen > 0) {
+                  var p = q - opLen
+                  while (p >= 0 && msk.charAt(p).isWhitespace) p -= 1
+                  val s2 = if (p < 0) -1 else operandStartBack(msk, lit, p)
+                  if (s2 >= 0) { lhsStart = s2; growL = true }
+                  else if (c == '-' || c == '+') lhsStart = q // unary sign
+                }
+              }
+            }
+            if (lhsStart >= 0) {
+              // ---- lambda guard (2-char arrow only) ----
+              var isLambda = false
+              if (!isText) {
+                val lhsText = msk.substring(lhsStart, lhsEnd)
+                val bareIdent = lhsText.nonEmpty && lhsText.forall(isIdentCh)
+                val parenIdents = lhsText.length >= 2 &&
+                  lhsText.head == '(' && lhsText.last == ')' &&
+                  lhsText.substring(1, lhsText.length - 1).split(",", -1)
+                    .forall(s => s.trim.nonEmpty && s.trim.forall(isIdentCh))
+                if (bareIdent || parenIdents) {
+                  var q = lhsStart - 1
+                  while (q >= 0 && msk.charAt(q).isWhitespace) q -= 1
+                  if (q >= 0 && !lit(q) && (msk.charAt(q) == '(' || msk.charAt(q) == ',')) {
+                    // governing '(' of the argument list this arrow starts in
+                    var open = -1
+                    if (msk.charAt(q) == '(') open = q
+                    else {
+                      var depth = 0
+                      var p = q - 1
+                      while (p >= 0 && open < 0) {
+                        val ch = msk.charAt(p)
+                        if (!lit(p)) {
+                          if (ch == ')') depth += 1
+                          else if (ch == '(') {
+                            if (depth == 0) open = p else depth -= 1
+                          }
+                        }
+                        p -= 1
+                      }
+                    }
+                    if (open >= 1 && isIdentCh(msk.charAt(open - 1))) {
+                      var s = open - 1
+                      while (s >= 0 && isIdentCh(msk.charAt(s))) s -= 1
+                      if (lambdaHofs.contains(
+                          msk.substring(s + 1, open).toLowerCase)) isLambda = true
+                    }
+                  }
+                }
+              }
+              if (!isLambda) {
+                val fn = if (isText) "json_extract_string" else "json_extract"
+                out = out.substring(0, lhsStart) + fn + "(" +
+                  out.substring(lhsStart, lhsEnd) + ", " +
+                  out.substring(r, rhsEnd) + ")" + out.substring(rhsEnd)
+                changed = true
+              } else { i = opEnd; advanced = true }
+            } else { i = opEnd; advanced = true }
+          } else { i = opEnd; advanced = true }
+          if (!changed && !advanced) i = opEnd
+        } else i += 1
+      }
+    }
+    out
+  }
+
+  /** Resolve a DuckDB type token starting at `j` in a cast context:
+    * base name (aliased to Spark spelling where needed, parenthesized
+    * args kept verbatim) plus any `[]` suffixes → `ARRAY<...>` nesting.
+    * Returns (sparkSpelling, endIndex); endIndex == j when there is
+    * nothing to rewrite at `j` (no alias hit and no array suffix).
+    */
+  private def sparkTypeTokenAt(msk: String, u: String, j: Int): (String, Int) = {
+    val end = identEndAt(msk, j)
+    if (end <= j) return ("", j)
+    val word = u.substring(j, end)
+    var afterBase = end
+    var base =
+      if (afterBase < msk.length && msk.charAt(afterBase) == '(') {
+        val close = matchParen(msk, afterBase)
+        if (close < 0) return ("", j)
+        afterBase = close + 1
+        // parameterized types (DECIMAL(p,s)) keep their args; no alias
+        // in this map is parameterized
+        msk.substring(j, afterBase)
+      } else duckTypeAliases.getOrElse(word, msk.substring(j, end))
+    var dims = 0
+    while (afterBase + 1 < msk.length && msk.charAt(afterBase) == '[' &&
+        msk.charAt(afterBase + 1) == ']') {
+      dims += 1
+      afterBase += 2
+    }
+    if (dims == 0 && !duckTypeAliases.contains(word)) return ("", j)
+    while (dims > 0) { base = s"ARRAY<$base>"; dims -= 1 }
+    (base, afterBase)
+  }
+
   private[fm] def rewriteTypeNames(sql: String): String = {
     var out = sql
     var guard = 0
@@ -995,15 +1345,10 @@ object Dialect {
         if (msk.charAt(i) == ':' && msk.charAt(i + 1) == ':' && !lit(i)) {
           var j = i + 2
           while (j < msk.length && msk.charAt(j).isWhitespace) j += 1
-          val end = identEndAt(msk, j)
-          if (end > j) {
-            val word = u.substring(j, end)
-            duckTypeAliases.get(word) match {
-              case Some(t) if !(end < msk.length && msk.charAt(end) == '(') =>
-                out = out.substring(0, j) + t + out.substring(end)
-                changed = true
-              case _ => ()
-            }
+          val (spelled, tEnd) = sparkTypeTokenAt(msk, u, j)
+          if (tEnd > j && spelled != msk.substring(j, tEnd)) {
+            out = out.substring(0, j) + spelled + out.substring(tEnd)
+            changed = true
           }
         }
         i += 1
@@ -1036,14 +1381,10 @@ object Dialect {
                 if (asAt > 0) {
                   var j = asAt + 2
                   while (j < close && msk.charAt(j).isWhitespace) j += 1
-                  val end = identEndAt(msk, j)
-                  if (end > j && !(end < msk.length && msk.charAt(end) == '(')) {
-                    duckTypeAliases.get(u.substring(j, end)) match {
-                      case Some(t) =>
-                        out = out.substring(0, j) + t + out.substring(end)
-                        changed = true
-                      case None => ()
-                    }
+                  val (spelled, tEnd) = sparkTypeTokenAt(msk, u, j)
+                  if (tEnd > j && spelled != msk.substring(j, tEnd)) {
+                    out = out.substring(0, j) + spelled + out.substring(tEnd)
+                    changed = true
                   }
                 }
               }
@@ -3027,7 +3368,12 @@ object Dialect {
       j -= 1
     }
     require(blockStart >= 0, s"min/max EXCLUDE $mode: no enclosing SELECT")
-    require(!u.regionMatches(blockStart + 7, "DISTINCT", 0, 8),
+    // skip ALL whitespace after SELECT before testing for DISTINCT —
+    // 'SELECT  DISTINCT' / a newline must fail as loudly as one space
+    var afterSel = blockStart + 6
+    while (afterSel < u.length && u.charAt(afterSel).isWhitespace) afterSel += 1
+    require(!(u.regionMatches(afterSel, "DISTINCT", 0, 8) &&
+        isKeywordAt(u, afterSel + 7, "DISTINCT")),
       s"min/max EXCLUDE $mode over SELECT DISTINCT is not supported")
     // top-level FROM of the block
     var fromAt = -1
@@ -3095,6 +3441,23 @@ object Dialect {
             s"(got: ${out.substring(relStart, relEnd).trim})")
         relToks.last
       }
+    // A previous min/max-EXCLUDE pass in the same block leaves
+    // `FROM ( SELECT *, __graft_mm… ) alias` behind. Instead of nesting
+    // another layer per expression (r12's three-layer plan made this
+    // the slowest catalog row), SPLICE this expression's helpers into
+    // the EXISTING layer and reuse textually identical helper columns
+    // (row_number/rank/count share one definition across expressions) —
+    // all helpers are windows over the same block's relation, so one
+    // layer is semantically identical and Spark computes every helper
+    // in a single Window pass over one sort.
+    val priorWrap: Option[(Int, Int)] =
+      if (relStart < relEnd && msk.charAt(relStart) == '(') {
+        val close = matchParen(msk, relStart)
+        val body = out.substring(relStart + 1, close)
+        if (body.trim.toUpperCase.startsWith("SELECT *,") &&
+            body.contains("__graft_mm")) Some((relStart + 1, close))
+        else None
+      } else None
     val h = s"__graft_mm${out.sliding(10).count(_ == "__graft_mm")}_"
     val grpW = s"OVER ($prefix RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
     val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -3140,12 +3503,42 @@ object Dialect {
       // a typed NULL needs no inner layer — plain expression splice
       return out.substring(0, exprStart) + "(" + combined + ")" +
         out.substring(exprEnd)
-    val inner = "SELECT *, " +
-      helpers.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
-      " " + out.substring(fromAt, zoneEnd).trim
-    out.substring(0, exprStart) + "(" + combined + ")" +
-      out.substring(exprEnd, fromAt) +
-      s"FROM ( $inner ) $aliasName " + out.substring(zoneEnd)
+    priorWrap match {
+      case Some((bodyStart, bodyEnd)) =>
+        val body = out.substring(bodyStart, bodyEnd)
+        // reuse helpers whose defining expression already exists in the
+        // layer (match on the exact `<expr> AS __graft_mm` text)
+        var merged = combined
+        val fresh = helpers.filter { case (n, e) =>
+          val at = body.indexOf(s"$e AS __graft_mm")
+          if (at < 0) true
+          else {
+            val ns = at + s"$e AS ".length
+            var ne = ns
+            while (ne < body.length && (body.charAt(ne).isLetterOrDigit ||
+                body.charAt(ne) == '_')) ne += 1
+            merged = merged.replace(n, body.substring(ns, ne))
+            false
+          }
+        }
+        val insertAt = bodyStart + body.indexOf(',') + 1 // after "SELECT *,"
+        val addition =
+          if (fresh.isEmpty) ""
+          else " " + fresh.map { case (n, e) => s"$e AS $n" }.mkString(", ") + ","
+        // splice the later position (the layer body) first so the
+        // expression indices stay valid
+        val withHelpers =
+          out.substring(0, insertAt) + addition + out.substring(insertAt)
+        withHelpers.substring(0, exprStart) + "(" + merged + ")" +
+          withHelpers.substring(exprEnd)
+      case None =>
+        val inner = "SELECT *, " +
+          helpers.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+          " " + out.substring(fromAt, zoneEnd).trim
+        out.substring(0, exprStart) + "(" + combined + ")" +
+          out.substring(exprEnd, fromAt) +
+          s"FROM ( $inner ) $aliasName " + out.substring(zoneEnd)
+    }
   }
 
   /** Build the replacement expression for `EXCLUDE GROUP` / `EXCLUDE

@@ -120,6 +120,187 @@ object FnParityOps {
     UTF8String.fromString(t)
   }
 
+  // ---- DuckDB json_extract / -> / ->> (yyjson semantics, pinned on
+  // v1.0.0): missing element OR a JSON null → SQL NULL; `->>` unquotes
+  // string results; everything else re-serializes compactly with
+  // yyjson's double format (ECMAScript-style fixed/exponent split,
+  // integral doubles get a ".0" suffix, lowercase unsigned 'e').
+
+  private sealed trait JSeg
+  private final case class JKey(k: String) extends JSeg // object key ($ path)
+  private final case class JIdx(n: Long) extends JSeg // array index ($ path)
+  private final case class JBack(n: Long) extends JSeg // [#-n] from the back
+  private final case class JAny(s: String) extends JSeg // key-or-index
+
+  /** DuckDB path forms: `$`-rooted (`$.a."b c"[0][#-1]`), slash-rooted
+    * (`/a/b/0`), or a single bare key; bare digit segments index arrays
+    * and key objects (pinned: '[10,20,30]' -> '1' = 20, '{"1":5}' -> 1
+    * = 5). Unsupported forms (wildcards) fail loudly.
+    */
+  private def parseJsonPath(p: String): List[JSeg] = {
+    val out = scala.collection.mutable.ListBuffer.empty[JSeg]
+    if (p.startsWith("$")) {
+      var i = 1
+      while (i < p.length) {
+        p.charAt(i) match {
+          case '.' =>
+            i += 1
+            if (i < p.length && p.charAt(i) == '"') {
+              val close = p.indexOf('"', i + 1)
+              require(close > 0, s"json path: unterminated quoted key in '$p'")
+              out += JKey(p.substring(i + 1, close))
+              i = close + 1
+            } else {
+              val s = i
+              while (i < p.length && p.charAt(i) != '.' && p.charAt(i) != '[') i += 1
+              require(i > s, s"json path: empty key in '$p'")
+              out += JKey(p.substring(s, i))
+            }
+          case '[' =>
+            val close = p.indexOf(']', i)
+            require(close > i + 1, s"json path: unterminated index in '$p'")
+            val body = p.substring(i + 1, close).trim
+            if (body.startsWith("#-")) out += JBack(body.drop(2).trim.toLong)
+            else {
+              require(body.nonEmpty && body.forall(_.isDigit),
+                s"json path: unsupported index '[$body]' in '$p'")
+              out += JIdx(body.toLong)
+            }
+            i = close + 1
+          case other =>
+            throw new IllegalArgumentException(
+              s"json path: unexpected '$other' in '$p'")
+        }
+      }
+    } else if (p.startsWith("/")) {
+      p.split("/").filter(_.nonEmpty).foreach(s => out += JAny(s))
+    } else if (p.nonEmpty) out += JAny(p)
+    out.toList
+  }
+
+  private def jsonStep(
+      node: com.fasterxml.jackson.databind.JsonNode,
+      seg: JSeg): com.fasterxml.jackson.databind.JsonNode = seg match {
+    case JKey(k) => if (node.isObject) node.get(k) else null
+    case JIdx(n) =>
+      if (node.isArray && n >= 0 && n < node.size) node.get(n.toInt) else null
+    case JBack(n) =>
+      if (node.isArray && n >= 1 && n <= node.size) node.get((node.size - n).toInt)
+      else null
+    case JAny(s) =>
+      if (node.isArray) {
+        if (s.nonEmpty && s.length <= 10 && s.forall(_.isDigit))
+          jsonStep(node, JIdx(s.toLong))
+        else null
+      } else if (node.isObject) node.get(s)
+      else null
+  }
+
+  /** yyjson's double writer: shortest round-trip digits; fixed notation
+    * while the decimal point lands in (-6, 21], exponent form (`e`,
+    * minus only) outside; integral fixed forms carry a ".0" suffix.
+    * Pinned: 1e15 → "1000000000000000.0", 1e-7 → "1e-7", 0.0001 →
+    * "0.0001", 1.23e22 → exponent form.
+    */
+  def yyjsonDouble(d: Double): String = {
+    val neg = (d < 0.0) || (d == 0.0 && 1.0 / d < 0)
+    val sign = if (neg) "-" else ""
+    if (d == 0.0) return sign + "0.0"
+    val (digits, e) = PyValue.shortestDigits(math.abs(d))
+    val n = e + 1 // decimal point position
+    val k = digits.length
+    if (k <= n && n <= 21) sign + digits.padTo(n, '0') + ".0"
+    else if (0 < n && n <= 21) sign + digits.substring(0, n) + "." + digits.substring(n)
+    else if (-6 < n && n <= 0) sign + "0." + ("0" * (-n)) + digits
+    else {
+      val m = if (k == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+      s"$sign${m}e$e"
+    }
+  }
+
+  private def writeJsonString(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def writeJson(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      sb: java.lang.StringBuilder): Unit = {
+    if (n.isNull) sb.append("null")
+    else if (n.isTextual) writeJsonString(n.textValue, sb)
+    else if (n.isBoolean) sb.append(if (n.booleanValue) "true" else "false")
+    else if (n.isBigInteger) {
+      val b = n.bigIntegerValue
+      // yyjson holds int64/uint64 exactly; anything wider becomes a double
+      if (b.signum >= 0 && b.bitLength <= 64) sb.append(b.toString)
+      else sb.append(yyjsonDouble(b.doubleValue))
+    } else if (n.isIntegralNumber) sb.append(n.asLong.toString)
+    else if (n.isNumber) sb.append(yyjsonDouble(n.doubleValue))
+    else if (n.isArray) {
+      sb.append('[')
+      var i = 0
+      while (i < n.size) {
+        if (i > 0) sb.append(',')
+        writeJson(n.get(i), sb)
+        i += 1
+      }
+      sb.append(']')
+    } else if (n.isObject) {
+      sb.append('{')
+      val it = n.fields()
+      var first = true
+      while (it.hasNext) {
+        val f = it.next()
+        if (!first) sb.append(',')
+        first = false
+        writeJsonString(f.getKey, sb)
+        sb.append(':')
+        writeJson(f.getValue, sb)
+      }
+      sb.append('}')
+    } else throw new IllegalArgumentException(s"json: unsupported node $n")
+  }
+
+  def jsonExtract(j: UTF8String, p: UTF8String, asText: Boolean): UTF8String = {
+    val root =
+      try jsonTree(j)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"json_extract: malformed JSON '${j.toString.take(40)}'", e)
+      }
+    require(root != null && !root.isMissingNode,
+      s"json_extract: malformed JSON '${j.toString.take(40)}'")
+    var node: com.fasterxml.jackson.databind.JsonNode = root
+    val segs = parseJsonPath(p.toString)
+    var i = 0
+    while (i < segs.length && node != null) {
+      node = jsonStep(node, segs(i))
+      i += 1
+    }
+    if (node == null || node.isMissingNode || node.isNull) null
+    else if (asText && node.isTextual) UTF8String.fromString(node.textValue)
+    else {
+      val sb = new java.lang.StringBuilder
+      writeJson(node, sb)
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
   def unbin(s: UTF8String): Array[Byte] = {
     val str = s.toString
     require(str.nonEmpty && str.length % 8 == 0 && str.forall(c => c == '0' || c == '1'),
@@ -362,6 +543,34 @@ case class JsonTypeOf(child: Expression) extends ScalarParityUnary {
     FnParityOps.jsonType(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** DuckDB `json_extract`/`->` (asText = false) and `json_extract_string`/
+  * `->>` (asText = true). Path may be any expression (DuckDB allows
+  * column paths); integer paths arrive via the implicit cast to string
+  * and keep DuckDB's key-or-index coercion (reference data model
+  * JSON-encodes arrays, docs/adr/0006-json-encode-arrays.md:15-29).
+  */
+case class JsonExtractFn(left: Expression, right: Expression, asText: Boolean)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (asText) "json_extract_string" else "json_extract"
+  override protected def nullSafeEval(j: Any, p: Any): Any =
+    FnParityOps.jsonExtract(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String], asText)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, p) => {
+      s"""${ev.value} = graft.fm.FnParityOps.jsonExtract($j, $p, $asText);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class UnBin(child: Expression) extends ScalarParityUnary {

@@ -157,12 +157,13 @@ object PyValue {
     * signed two-digit-minimum exponent. Digits come from
     * `java.lang.Double.toString` (shortest round-trip on modern JDKs).
     */
-  def pyFloat(d: Double): String = {
-    if (d.isNaN) return "nan"
-    if (d == Double.PositiveInfinity) return "inf"
-    if (d == Double.NegativeInfinity) return "-inf"
-    val neg = (d < 0.0) || (d == 0.0 && 1.0 / d < 0)
-    val s = java.lang.Double.toString(math.abs(d))
+  /** (shortest round-trip digit string, power of ten of the leading
+    * digit) for a finite non-zero |d| — the digit engine shared by
+    * [[pyFloat]] (Python repr formatting) and the yyjson double writer
+    * in [[FnParityOps]] (DuckDB JSON re-serialization).
+    */
+  private[fm] def shortestDigits(abs: Double): (String, Int) = {
+    val s = java.lang.Double.toString(abs)
     // Java forms: "123.45" or "1.2345E12" — mantissa always contains '.'
     val (mant, exp10) = s.indexOf('E') match {
       case -1 => (s, 0)
@@ -177,12 +178,9 @@ object PyValue {
     if (digits.isEmpty) { digits = "0"; e = 0 }
     digits = digits.reverse.dropWhile(_ == '0').reverse
     if (digits.isEmpty) digits = "0"
-    val sign = if (neg) "-" else ""
-    if (d == 0.0) return sign + "0.0"
     // Java's pre-Ryu toString is not always shortest (e.g. 4.9E-324 where
     // Python prints 5e-324): find the shortest rounding that round-trips.
     if (digits.length > 1) {
-      val abs = math.abs(d)
       val full = new java.math.BigDecimal("0." + digits).movePointRight(e + 1)
       var L = 1
       var done = false
@@ -198,6 +196,17 @@ object PyValue {
         L += 1
       }
     }
+    (digits, e)
+  }
+
+  def pyFloat(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d == Double.PositiveInfinity) return "inf"
+    if (d == Double.NegativeInfinity) return "-inf"
+    val neg = (d < 0.0) || (d == 0.0 && 1.0 / d < 0)
+    val sign = if (neg) "-" else ""
+    if (d == 0.0) return sign + "0.0"
+    val (digits, e) = shortestDigits(math.abs(d))
     if (e >= -4 && e < 16) {
       if (e >= digits.length - 1) {
         // integer-valued: pad zeros, append ".0"

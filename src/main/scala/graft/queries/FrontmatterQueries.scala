@@ -68,6 +68,22 @@ object FrontmatterQueries {
         |WHERE list_contains(from_json(tags, '["VARCHAR"]'), 'spark')
         |ORDER BY path""".stripMargin),
 
+    // JSON -> / ->> operators (VERDICT r12 item 2): the most-typed DuckDB
+    // JSON idiom over the ADR-0006 JSON-encoded tags column and built
+    // documents — chaining, from-the-back paths, ->-vs->> quoting, the
+    // named-function spelling, and yyjson double re-serialization.
+    "q_fm_json_ops" -> run(
+      """SELECT path,
+        |  tags ->> 0 AS t0,
+        |  tags -> '$[#-1]' AS tl,
+        |  tags -> 1 AS t1j,
+        |  ('{"l": "' || lang || '", "n": ' || n_chars || '}') ->> '$.l' AS l,
+        |  TRY_CAST(('{"l": "' || lang || '", "n": ' || n_chars || '}') ->> 'n' AS BIGINT) AS n,
+        |  ('{"s": ' || score || '}') -> 's' AS s,
+        |  ('{"o": {"t": ' || tags || '}}') -> 'o' -> 't' ->> 0 AS nest,
+        |  json_extract_string(tags, '$[0]') AS named
+        |FROM files ORDER BY path""".stripMargin),
+
     // B13: TRY_CAST typed ops over the all-strings schema (README.md:295-300)
     "q_fm_try_cast" -> run(
       """SELECT path, TRY_CAST(score AS DOUBLE) AS score_num
@@ -978,6 +994,18 @@ object FrontmatterQueries {
          |SELECT path, TRY_CAST(score AS DOUBLE) AS score_num
          |FROM files WHERE TRY_CAST(n_chars AS INT) > 300
          |ORDER BY path""".stripMargin,
+    "q_fm_json_ops" ->
+      s"""$cte
+         |SELECT path,
+         |  tags ->> 0 AS t0,
+         |  tags -> '$$[#-1]' AS tl,
+         |  tags -> 1 AS t1j,
+         |  ('{"l": "' || lang || '", "n": ' || n_chars || '}') ->> '$$.l' AS l,
+         |  TRY_CAST(('{"l": "' || lang || '", "n": ' || n_chars || '}') ->> 'n' AS BIGINT) AS n,
+         |  ('{"s": ' || score || '}') -> 's' AS s,
+         |  ('{"o": {"t": ' || tags || '}}') -> 'o' -> 't' ->> 0 AS nest,
+         |  json_extract_string(tags, '$$[0]') AS named
+         |FROM files ORDER BY path""".stripMargin,
     "q_fm_like" ->
       s"""$cte
          |SELECT path, category FROM files
