@@ -129,9 +129,13 @@ object ScaleProbe {
     Files.createFile(marker)
   }
 
+  /** Post-GC used heap. Three GC passes with pauses: broadcast and
+    * block cleanup runs through the ContextCleaner's weak-reference
+    * queue, which needs a GC to enqueue and a beat to process before a
+    * second GC can actually reclaim the freed blocks.
+    */
   private def usedHeapAfterGc(): Long = {
-    System.gc()
-    Thread.sleep(200)
+    for (_ <- 1 to 3) { System.gc(); Thread.sleep(400) }
     val rt = Runtime.getRuntime
     rt.totalMemory() - rt.freeMemory()
   }
@@ -161,6 +165,11 @@ object ScaleProbe {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).getOrElse("1,10,100").split(',').map(_.trim.toInt).toSeq
     val outJson = args.lift(2).getOrElse("SCALE_PROBE.json")
+    // optional comma-separated target filter (re-probing one family)
+    val runTargets = args.lift(3) match {
+      case Some(f) => targets.filter(f.split(',').toSet)
+      case None => targets
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,9 +180,27 @@ object ScaleProbe {
       // partition coalescing, runtime join re-planning) — the exact
       // configuration Verify runs with and a cluster deployment uses.
       .config("spark.sql.adaptive.enabled", "true")
+      // One session spans three orders of magnitude of data: let AQE
+      // pick per-stage partition counts by starting shuffles wide and
+      // coalescing down (a fixed 32 at 100× makes ~GB partitions that
+      // spill; a cluster deployment sets exactly this knob)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.registerSessionFunctions(spark)
+
+    // JVM warm-up on a DIFFERENT dir (sf0.01): absorbs codegen, class
+    // loading and session warm-up without touching the per-dir caches
+    // the measured scales use — the x1 numbers would otherwise carry
+    // ~10 s of first-ever-run overhead (measured) that no other scale
+    // pays, wrecking the growth ratios.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    for (q <- runTargets) {
+      SparkEntry.queries(q)(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+    }
+    spark.catalog.clearCache()
+    System.err.println("[scale] warm-up pass done")
 
     val sb = new StringBuilder("{")
     var first = true
@@ -187,22 +214,25 @@ object ScaleProbe {
           System.err.println(f"[scale] x$k synth ${(System.nanoTime() - t0) / 1e9}%.1f s")
           d
         }
-      for (q <- targets) {
+      for (q <- runTargets) {
         val fn = SparkEntry.queries(q)
         // execute THROUGH the Dataset's own QueryExecution (full
         // compute on InternalRows, no driver collect) so the captured
         // executedPlan is the FINAL adaptive plan, not AQE's initial
         // guess — join-strategy flips are exactly what's under test
+        // timing STARTS BEFORE construction: the iterative queries
+        // (pagerank, clusters) run their checkpointed loops eagerly
+        // while building the frame — that loop IS the scaling behavior
+        // under test. One cold run per scale: their per-dir caches
+        // (edges, signatures) memoize, so a second run would measure a
+        // warm cache, not the query.
         def once(): (Double, PlanShape) = {
-          val df = fn(spark, dir)
           val t0 = System.nanoTime()
+          val df = fn(spark, dir)
           df.queryExecution.toRdd.foreach(_ => ())
           ((System.nanoTime() - t0) / 1e9, planShape(df))
         }
-        val (t1, shape) = once()
-        // 100× runs once (the number is tens of seconds, contention
-        // noise is proportionally nil); smaller scales take min-of-2
-        val sec = if (k >= 100) t1 else math.min(t1, once()._1)
+        val (sec, shape) = once()
         if (!first) sb.append(',')
         first = false
         sb.append(s""""${q}_x$k":{"sec":${f"$sec%.3f"},""" +
@@ -216,9 +246,12 @@ object ScaleProbe {
       }
       // driver-retention pin: drop every persisted block (they live in
       // THIS heap under local mode — executor memory, not driver state)
-      // and GC; what remains post-GC is genuine driver retention
+      // AND the per-dir memo caches (their executed plans pin broadcast
+      // hash relations on the driver — QueryCaches scaladoc), then GC;
+      // what remains post-GC is genuine driver retention
       // (seeds/centroids/codebooks), the thing that must stay flat
       spark.catalog.clearCache()
+      QueryCaches.clearAll()
       val heap = usedHeapAfterGc()
       sb.append(s""","heap_after_x${k}_mb":${heap / (1024 * 1024)}""")
       System.err.println(s"[scale] post-x$k driver heap: ${heap / (1024 * 1024)} MB")

@@ -16,7 +16,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame])
 
   /** Cached frames are bound to their SparkSession; keying by session
     * identity keeps a second session in the same JVM (or a restarted one)

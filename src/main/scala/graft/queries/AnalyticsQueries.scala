@@ -22,7 +22,7 @@ object AnalyticsQueries {
   private[queries] val FunnelStages = Seq("signup", "view", "click", "purchase")
 
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   /** Persisted symmetrized customer–supplier edge frame — one copy per
     * (session, sf dir) like the dedup word/shingle frames. PageRank

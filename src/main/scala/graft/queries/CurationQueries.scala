@@ -78,7 +78,7 @@ object CurationQueries {
     * convention as DedupQueries' shingle/word frames.
     */
   private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   private def gramsDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(gramCache, (Tables.sessionKey(s), d))({
@@ -105,7 +105,7 @@ object CurationQueries {
     * broadcast back over the scan — never a driver-side data collect.
     */
   private val clfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   /** ONE template for every classifier feature / label /
     * standardization expression, instantiated per dialect — the two
@@ -175,8 +175,8 @@ object CurationQueries {
         .persist()
     })
 
-  private val clfWCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Array[Long]]
+  private val clfWCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Array[Long]])
 
   /** Trained classifier weights, memoized per (session, sf dir): the
     * training replay is DETERMINISTIC on the exact integer grid
@@ -193,10 +193,10 @@ object CurationQueries {
         "y1000", "is_train", ClfIters, ClfLrNum, ClfLrDen)
     })
 
-  private val lmUniVocabCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
-  private val lmBiScoredCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val lmUniVocabCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
+  private val lmBiScoredCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
 
   /** Trained unigram LM `(word, unats)`, persisted once per (session,
     * sf dir) — the clfTrainedWeights discipline for the LM family:

@@ -57,12 +57,12 @@ object DedupQueries {
   // (candidate sides + verification sides + per-doc counts) and across the
   // ngram/minhash/simhash queries — persist one copy per sf dir instead of
   // re-exploding per plan reference.
-  private val shCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private val wordCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private val simhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private val minhashCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private val jacCache = scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame]
-  private val substrGramCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val shCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
+  private val wordCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
+  private val simhashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
+  private val minhashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
+  private val jacCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame])
+  private val substrGramCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   private[queries] def shingleDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(shCache, (Tables.sessionKey(s), d))({
@@ -92,7 +92,7 @@ object DedupQueries {
   // worst-case skew key). Deliberately derived from the data, not a
   // constant, so the same code is correct at any SF; override with
   // SPARK_GRAFT_MAX_SHINGLE_DF for tighter stop-shingle policies.
-  private val docCountCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private val docCountCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), Long])
   private def maxShingleDocFreq(s: SparkSession, d: String): Long =
     sys.env.get("SPARK_GRAFT_MAX_SHINGLE_DF").map(_.toLong).getOrElse(
       docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
@@ -244,7 +244,7 @@ object DedupQueries {
     * exact BIGINT.
     */
   private val tfidfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   /** Persisted `(doc_id, word, tf)` occurrence-count frame — the one
     * corpus-sized word shuffle per (session, sf dir); tf-idf weights,
@@ -253,7 +253,7 @@ object DedupQueries {
     * per-occurrence word frame.
     */
   private val docWordCountCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   private[queries] def docWordCounts(s: SparkSession, d: String): DataFrame =
     Tables.memo(docWordCountCache, (Tables.sessionKey(s), d))({

@@ -19,7 +19,8 @@ import graft.fm.{QueryEngine, Settings}
   */
 object FrontmatterQueries {
 
-  private val engines = TrieMap.empty[(Int, String), QueryEngine]
+  private val engines =
+    graft.QueryCaches.register(TrieMap.empty[(Int, String), QueryEngine])
 
   private def engine(s: SparkSession, d: String): QueryEngine =
     engines.getOrElseUpdate((Tables.sessionKey(s), d), {

@@ -114,8 +114,8 @@ object MiningQueries {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     DedupQueries.shingleDF(s, d)
 
-  private val bpeRuleCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Seq[(Int, String, String, Long)]]
+  private val bpeRuleCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(Int, String, String, Long)]])
 
   /** The learned BPE merge trajectory `(step, x, y, weight)` — the only
     * driver-side state of tokenizer training (one row per merge, the
@@ -137,11 +137,11 @@ object MiningQueries {
       }
     })
 
-  private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val edgeCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
 
-  private val orientedCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val orientedCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
 
   /** Co-purchase part graph: undirected unique edges `(pa < pb)` between
     * parts sharing >= TriSupport distinct orders. One self-equi-join on
@@ -161,8 +161,8 @@ object MiningQueries {
         .persist()
     })
 
-  private val kcoreCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val kcoreCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
 
   /** The peeled k-core edge frame — KcoreRounds rounds of degree-filter
     * peeling over [[copurchaseEdges]], memoized per (session, sf dir)

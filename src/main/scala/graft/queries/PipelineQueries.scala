@@ -54,7 +54,7 @@ object PipelineQueries {
   private[queries] val BucketN = 8
 
   private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)])
 
   /** Write orders + customer ONCE per (session, sf dir) as external
     * bucketed tables on their join key — `bucketBy` + `sortBy` +
@@ -134,8 +134,8 @@ object PipelineQueries {
        |    (phash >> (CAST(b AS INT) * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS bsig
        |  FROM sig, UNNEST(range(0, 4)) AS t(b))""".stripMargin
 
-  private val phashCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val phashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
 
   /** Persisted (doc_id, phash) perceptual-signature frame over the
     * media payload tier — the image analogue of the text SimHash
@@ -148,26 +148,22 @@ object PipelineQueries {
     */
   private def phashDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(phashCache, (Tables.sessionKey(s), d))({
+      // one-pass codegen kernel (graft.ops.PhashOps) — the former
+      // transform/aggregate HOF pipeline evaluated interpreted
+      // (CodegenFallback) with 64 O(n) substr probes per document;
+      // bit-for-bit identical to the oracle's SQL formulation, pinned
+      // by the unchanged q_multimodal_phash* oracle rows
+      graft.ops.PhashFunctions.register(s)
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
         .where(length(col("text")) > 0)
-        .withColumn("nc", length(col("text")).cast("long"))
-        .withColumn("px", expr(
-          s"transform(sequence(0, ${PhPix - 1}), " +
-            s"j -> CAST(ascii(substr(text, CAST((j * nc) DIV $PhPix AS INT) + 1, 1)) AS BIGINT))"))
-        .withColumn("ps", expr(
-          "aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .withColumn("phash", expr(
-          s"aggregate(transform(sequence(0, ${PhPix - 1}), " +
-            s"j -> CASE WHEN element_at(px, CAST(j AS INT) + 1) * $PhPix > ps " +
-            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("phash", expr(s"graft_phash(text, $PhPix)"))
         .select("doc_id", "phash")
         .persist()
     })
 
-  private val paraChunkCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val paraChunkCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame])
 
   /** The paragraph fingerprint index — non-overlapping ChunkMax-token
     * windows with md5 fingerprints and the packed first-occurrence key —
@@ -256,48 +252,69 @@ object PipelineQueries {
     // come only from shared 15-bit buckets — never an all-pairs
     // product; a real decoder swaps in under the same hash.
     "q_multimodal_phash" -> ((s, d) => {
-      val sig = phashDF(s, d)
-      val bands = sig.select(col("doc_id"), col("phash"),
+      // REPRESENTATIVE-COLLAPSED candidate generation (r13 scale-probe
+      // finding: the former per-IMAGE band self-join grew 44.5× in wall
+      // time for 10× data at the 100× probe — the synthetic corpus has
+      // only ~15k distinct hashes among 500k images, so identical-hash
+      // groups and shared band buckets made candidate PAIRS quadratic,
+      // ~500M at 100×). Exact-duplicate collapse first: ONE row per
+      // DISTINCT hash carries its image count and two smallest doc ids
+      // (bounded graft_top_k, O(2) state); the band self-join then runs
+      // over distinct HASHES only, and per-image results reconstruct
+      // algebraically — for image ia with hash h,
+      //   n_cands = (cnt(h) − 1) + Σ_{h' band-mates of h} cnt(h'),
+      //   hamming = 0 when a same-hash mate exists (cnt ≥ 2), else the
+      //             rep-level min hamming,
+      //   nearest = the same-hash mate m1 (or m2 when ia IS m1), else
+      //             the rep-level packed argmin's m1(h').
+      // Identical results, bit-for-bit, to the pairwise formulation the
+      // DuckDB oracle replays — verified by the unchanged oracle row.
+      graft.ops.GraftAggregates.register(s)
+      val sigs = phashDF(s, d).select(col("doc_id"), col("phash"))
+      val reps = sigs.groupBy("phash").agg(
+        count(lit(1)).as("cnt"),
+        expr("graft_top_k(doc_id, 2)").as("mins"))
+      val rbands = reps.select(col("phash"), col("cnt"),
+          element_at(col("mins"), 1).as("m1"),
           explode(array((0 until 4).map(lit): _*)).as("band"))
         .withColumn("bsig",
           expr(s"(phash >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1}"))
-      // No join hint: at bench scale the planner broadcasts the bands
-      // side (measured faster than a forced SHUFFLE_HASH — the 200k-row
-      // broadcast build beats the bucket shuffle's extra stage); at
-      // 100 TB the same stats-based choice flips to a shuffled join on
-      // the band buckets automatically, since the corpus-sized bands
-      // frame exceeds any broadcast threshold.
-      val cand = bands.select(col("doc_id").as("ia"), col("phash").as("ha"),
-          col("band"), col("bsig"))
-        .join(bands.select(col("doc_id").as("ib"), col("phash").as("hb"),
-          col("band"), col("bsig")), Seq("band", "bsig"))
-        .filter(col("ia") =!= col("ib"))
-        .select(col("ia"), col("ib"),
+      // No join hint: the planner broadcasts the (distinct-hash-sized)
+      // bands side while it fits and flips to a shuffled join on the
+      // band buckets when it doesn't — candidate volume is now pairs of
+      // DISTINCT hashes, invariant to duplicate growth.
+      val rcand = rbands.select(col("phash").as("ha"), col("band"), col("bsig"))
+        .join(rbands.select(col("phash").as("hb"), col("cnt").as("cntb"),
+          col("m1").as("m1b"), col("band"), col("bsig")), Seq("band", "bsig"))
+        .filter(col("ha") =!= col("hb"))
+        .select(col("ha"), col("hb"), col("cntb"), col("m1b"),
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-      // A pair matching in k bands appears k times, but hamming is a
-      // function of the pair, so the argmin pick is duplicate-proof and
-      // only the candidate COUNT needs dedup — count(DISTINCT ib) folds
-      // the former whole-row distinct() into this aggregate. The
-      // lexicographic (hamming, ib) argmin packs into one BIGINT
-      // (hamming <= 64 in the high bits, doc_id < 2^40 below), keeping
-      // the aggregate hash-aggregable — min over a STRUCT buffer forced
-      // the r11 plan into back-to-back SortAggregates (VERDICT item 4).
-      // One explicit exchange on ia: hash(ia) satisfies the clustering
-      // requirement of BOTH downstream aggregates (pair dedup groups by
-      // (ia, ib) ⊇ ia; the nearest pick groups by ia), so neither
-      // re-shuffles — vs the 2 exchanges a count(DISTINCT ib) plan or
-      // the former whole-row distinct() pays. The duplicate factor is
-      // bounded by the band count (≤ 4), so skipping map-side combine
-      // costs at most 4× the post-join row volume in the one shuffle.
-      cand.repartition(col("ia"))
-        .groupBy("ia", "ib").agg(min(col("hamming")).as("hamming"))
-        .groupBy("ia")
-        .agg(count(lit(1)).as("n_cands"),
-          min(expr("CAST(hamming AS BIGINT) * 1099511627776 + ib")).as("bestp"))
-        .select(col("ia").as("doc_id"),
-          expr("bestp % 1099511627776").as("nearest"),
-          expr("CAST(bestp DIV 1099511627776 AS INT)").as("hamming"),
-          col("n_cands"))
+      // One explicit exchange on ha serves both aggregates (pair dedup
+      // groups by (ha, hb) ⊇ ha; the rollup groups by ha) — same
+      // shared-exchange shape as before, now at rep granularity. The
+      // (hamming, m1) argmin packs into one BIGINT (hamming ≤ 64 high,
+      // doc_id < 2^40 low) to stay hash-aggregable.
+      val ragg = rcand.repartition(col("ha"))
+        .groupBy("ha", "hb").agg(min(col("hamming")).as("hamming"),
+          min(col("cntb")).as("cntb"), min(col("m1b")).as("m1b"))
+        .groupBy("ha")
+        .agg(sum(col("cntb")).as("nc_other"),
+          min(expr("CAST(hamming AS BIGINT) * 1099511627776 + m1b")).as("bestp"))
+        .withColumnRenamed("ha", "phash")
+      // per-image expansion: both joins are phash-equi over frames
+      // already clustered on phash, then one output sort
+      sigs.join(reps, Seq("phash"))
+        .join(ragg, Seq("phash"), "left")
+        .select(col("doc_id"),
+          when(col("cnt") >= 2,
+            when(col("doc_id") === element_at(col("mins"), 1),
+              element_at(col("mins"), 2))
+              .otherwise(element_at(col("mins"), 1)))
+            .otherwise(expr("bestp % 1099511627776")).as("nearest"),
+          when(col("cnt") >= 2, lit(0))
+            .otherwise(expr("CAST(bestp DIV 1099511627776 AS INT)")).as("hamming"),
+          (col("cnt") - 1 + coalesce(col("nc_other"), lit(0L))).as("n_cands"))
+        .filter(col("n_cands") > 0)
         .orderBy("doc_id")
     }),
 

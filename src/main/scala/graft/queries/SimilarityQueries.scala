@@ -52,7 +52,7 @@ object SimilarityQueries {
     * every LSH consumer (top-k, recall, near-dup) shares it.
     */
   private val lshSigCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   private def lshSigs(s: SparkSession, d: String): DataFrame =
     Tables.memo(lshSigCache, (Tables.sessionKey(s), d))({
@@ -115,7 +115,27 @@ object SimilarityQueries {
   private[queries] val ProjDim = 32
   private val ProjSeed = 7702L
 
-  private[queries] val IvfCells = 16
+  /** IVF coarse-quantizer capacity is CORPUS-ADAPTIVE (r13 scale-probe
+    * finding: a fixed 16-cell quantizer makes within-cell work grow
+    * quadratically — measured 103.8× wall time for 10× data at the
+    * 100× probe scale). Cells target ~[[IvfCellTarget]] vectors each,
+    * floored at 16 — the gate fixtures (200/2k vectors at sf0.01/0.1)
+    * still train EXACTLY 16 cells, so every existing oracle result is
+    * bit-identical — and capped at [[IvfCellCap]], which bounds the
+    * broadcast centroid matrix at 8192×64 floats (2 MB) and the Lloyd
+    * stats collect at 8192×64 rows. Beyond the cap a production run
+    * raises it toward √n; driver state stays O(cells), never O(n).
+    * The oracle computes the same count in SQL (see [[ivfOracleCtes]]).
+    */
+  private[queries] val IvfCellTarget = 128
+  private[queries] val IvfCellCap = 8192
+  private val ivfCellsCache =
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), Int])
+  private[queries] def ivfCellCount(s: SparkSession, d: String): Int =
+    Tables.memo(ivfCellsCache, (Tables.sessionKey(s), d))({
+      val n = Tables.load(s, d, "embeddings").count()
+      math.max(16L, math.min(IvfCellCap.toLong, n / IvfCellTarget)).toInt
+    })
   private[queries] val IvfIters = 2
   private val IvfProbes = 4
 
@@ -173,8 +193,8 @@ object SimilarityQueries {
     round(call_function("array_cosine_similarity", a, b)
       .cast(FloatType).cast("double") * lit(1000000.0)).cast("long")
 
-  private val pqCbCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), Array[Array[Array[Float]]]]
+  private val pqCbCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Array[Array[Array[Float]]]])
 
   /** Deterministic per-subspace Lloyd training of the PQ codebook. Seed
     * sub-centroids are the PqK lowest vec_ids' sub-vectors; each
@@ -217,24 +237,24 @@ object SimilarityQueries {
       cb
     })
 
-  private val ivfCentCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), Array[(Long, Array[Float])]]
+  private val ivfCentCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), Array[(Long, Array[Float])]])
 
   /** Deterministic Lloyd training of the IVF coarse quantizer. Init =
-    * the `IvfCells` lowest vec_ids; each iteration assigns every vector
+    * the `ivfCellCount` lowest vec_ids; each iteration assigns every vector
     * to its nearest centroid (sequential double cosine, argmax with cid
     * tie-break) and recomputes per-cell means as a distributed hash
     * aggregate, rounding each mean to float32 — the same
     * sum-order-absorbing cast q_embed_centroids uses, which is what lets
     * the DuckDB oracle replay the training loop bit-exactly. Empty cells
     * keep their previous centroid. The driver only ever holds the
-    * centroid matrix itself (IvfCells x dim — the broadcast-kmeans
+    * centroid matrix itself (cells x dim — the broadcast-kmeans
     * pattern); assignment and means stay distributed.
     */
   private[queries] def ivfCentroids(s: SparkSession, d: String, iters: Int): Array[(Long, Array[Float])] =
     Tables.memo(ivfCentCache, (Tables.sessionKey(s), d, iters))({
       val e = Tables.load(s, d, "embeddings")
-      var cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < IvfCells)
+      var cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < ivfCellCount(s, d))
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -568,13 +588,16 @@ object SimilarityQueries {
       val assigned = Tables.load(s, d, "embeddings")
         .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
       // Salted self-join: the join key is (cell, salt), not bare cell —
-      // with only IvfCells distinct cells, a cell-keyed shuffle would cap
-      // the pairwise stage at IvfCells-way parallelism on a 1000-executor
+      // with only ivfCellCount distinct cells, a cell-keyed shuffle would cap
+      // the pairwise stage at cell-count-way parallelism on a 1000-executor
       // cluster. Side A pins salt = ia % SemDedupSalt; side B replicates
       // each row across all salts, so every (ia, ib) pair still meets
       // exactly once while each cell's O(n_c^2) block spreads over
-      // SemDedupSalt partitions. (A production run would ALSO raise the
-      // cell count; it is small here so the oracle can replay training.)
+      // SemDedupSalt partitions. The cell count itself is corpus-
+      // adaptive (ivfCellCount: ~IvfCellTarget vectors per cell), so
+      // n_c — and with it the per-cell quadratic block — stays CONSTANT
+      // as the corpus grows; the r13 scale probe measured the old fixed
+      // 16-cell quantizer at 103.8× wall time for 10× data.
       val a = assigned
         .select(col("cell"), col("vec_id").as("ia"), col("embedding").as("va"))
         .withColumn("salt", expr(s"ia % $SemDedupSalt"))
@@ -854,7 +877,9 @@ object SimilarityQueries {
     */
   private[queries] def ivfOracleCtes(iters: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfCells)"
+    // cell count mirrors ivfCellCount exactly: GREATEST(16, LEAST(cap, n // target))
+    sb ++= "c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings " +
+      s"WHERE vec_id < (SELECT GREATEST(16, LEAST($IvfCellCap, COUNT(*) // $IvfCellTarget)) FROM embeddings))"
     for (t <- 1 to iters) {
       val cos = oracleCos("e.embedding", "c.cv")
       sb ++= s""",
@@ -1398,7 +1423,7 @@ object Similarity {
   * indexer, reused across queries and bench iterations.
   */
 object SemanticEngines {
-  private val engines = scala.collection.concurrent.TrieMap.empty[(Int, String), QueryEngine]
+  private val engines = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), QueryEngine])
 
   def get(s: SparkSession, d: String): QueryEngine =
     graft.Tables.memo(engines, (graft.Tables.sessionKey(s), d))({

@@ -118,7 +118,7 @@ object TextQueries {
     * copy per (session, sf dir) like the other shared frames.
     */
   private val qualityCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame])
 
   private[queries] def qualityDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(qualityCache, (Tables.sessionKey(s), d))({
@@ -134,7 +134,7 @@ object TextQueries {
     * (session, sf dir) like the dedup shingle/word frames.
     */
   private val bigramCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame])
 
   private[queries] def bigramDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(bigramCache, (Tables.sessionKey(s), d))({
@@ -161,7 +161,7 @@ object TextQueries {
     * construction.
     */
   private val docBigramCountCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame])
 
   private[queries] def docBigramCounts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(docBigramCountCache, (Tables.sessionKey(s), d))({
@@ -174,7 +174,7 @@ object TextQueries {
     * by q_text_bigrams, q_text_pmi and the bigram LM.
     */
   private val bigramCountCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame])
 
   private[queries] def bigramCounts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(bigramCountCache, (Tables.sessionKey(s), d))({
@@ -187,7 +187,7 @@ object TextQueries {
     * sides), one copy per (session, sf dir) like the bigram frame.
     */
   private val crossFpCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+    graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame])
 
   private def crossFpDF(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.memo(crossFpCache, (Tables.sessionKey(s), d))({
