@@ -131,7 +131,7 @@ object DialectFuzz {
     val obj = """('{"l": "' || lang || '", "n": ' || n_chars || '}')"""
     // {"s": <score>} exercises double re-serialization (score nullable)
     val objS = """('{"s": ' || score || '}')"""
-    r.nextInt(8) match {
+    r.nextInt(10) match {
       case 0 =>
         val i = r.nextInt(4)
         shared(s"SELECT path, tags ->> $i AS t0, tags -> '$$[#-1]' AS tl " +
@@ -159,9 +159,22 @@ object DialectFuzz {
       case 6 => // WHERE usage + casts of extracted values
         shared(s"SELECT path, TRY_CAST($obj ->> 'n' AS BIGINT) % ${2 + r.nextInt(5)} AS m " +
           s"FROM files WHERE $obj ->> 'l' IS NOT NULL ORDER BY path LIMIT 40")
-      case _ => // double re-serialization + json_type/json_valid
+      case 7 => // double re-serialization + json_type/json_valid
         shared(s"SELECT path, $objS -> 's' AS s, json_type(tags) AS jt, " +
           s"json_valid(coalesce(tags, '[')) AS jv " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 8 => // r13 named tail: lengths, 2-arg type, minify, structure
+        shared(s"SELECT path, json_array_length(tags) AS al, " +
+          s"json_array_length($obj, 'missing') AS alm, " +
+          s"json_type($obj, 'n') AS jt2, json(tags) AS jm, " +
+          s"json_structure($obj) AS js " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case _ => // containment, merge, constructors over corpus columns
+        val probe = pick(r, Seq("'\"the\"'", "'\"spark\"'", "'\"data\"'"))
+        shared(s"SELECT path, json_contains(tags, $probe) AS jc, " +
+          s"""json_merge_patch($obj, '{"n": null, "z": 9}') AS jp, """ +
+          s"json_array(lang, TRY_CAST(n_chars AS BIGINT), NULL) AS ja, " +
+          s"json_object('l', lang, 'c', category) AS jo " +
           s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
     }
   }

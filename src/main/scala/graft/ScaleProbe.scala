@@ -165,9 +165,11 @@ object ScaleProbe {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).getOrElse("1,10,100").split(',').map(_.trim.toInt).toSeq
     val outJson = args.lift(2).getOrElse("SCALE_PROBE.json")
-    // optional comma-separated target filter (re-probing one family)
+    // optional comma-separated query list — re-probe a subset of the
+    // default targets or probe ANY catalog queries whose inputs the
+    // synthesizer scales (documents/embeddings/orders/customer/lineitem)
     val runTargets = args.lift(3) match {
-      case Some(f) => targets.filter(f.split(',').toSet)
+      case Some(f) => f.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       case None => targets
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -631,9 +631,27 @@ object Dialect {
     f("json_extract_path")(e => jsonX(e, asText = false))
     f("json_extract_string")(e => jsonX(e, asText = true))
     f("json_extract_path_text")(e => jsonX(e, asText = true))
-    f("json_keys")(e => JsonObjectKeys(e(0)))
+    // r13 JSON named-function tail (semantics pinned on v1.0.0 — see
+    // each kernel's note): path forms of array_length/type/keys, the
+    // SQLite-style containment, RFC 7386 merge, minify/structure, and
+    // the SQL-value→JSON constructors
+    f("json_array_length")(e =>
+      JsonPathFn(e(0), if (e.length >= 2) e(1) else Literal("$"), "array_length"))
+    f("json_contains")(e => JsonContainsFn(e(0), e(1)))
+    f("json_merge_patch")(e => JsonMergePatchFn(e(0), e(1)))
+    f("json")(e => JsonMinifyFn(e(0)))
+    f("json_structure")(e => JsonStructureFn(e(0)))
+    f("to_json")(e => JsonQuoteFn(e(0)))
+    f("json_quote")(e => JsonQuoteFn(e(0)))
+    f("json_array")(e => JsonBuildFn(e, obj = false))
+    f("json_object")(e => JsonBuildFn(e, obj = true))
+    // (not Spark's JsonObjectKeys: it returns NULL for non-objects
+    // where DuckDB returns [])
+    f("json_keys")(e =>
+      JsonPathFn(e(0), if (e.length >= 2) e(1) else Literal("$"), "keys"))
     f("json_valid")(e => JsonValid(e(0)))
-    f("json_type")(e => JsonTypeOf(e(0)))
+    f("json_type")(e =>
+      if (e.length >= 2) JsonPathFn(e(0), e(1), "type") else JsonTypeOf(e(0)))
     f("length_grapheme")(e => LengthGrapheme(e(0)))
     f("left_grapheme")(e => SideGrapheme(e(0), e(1), fromRight = false))
     f("right_grapheme")(e => SideGrapheme(e(0), e(1), fromRight = true))

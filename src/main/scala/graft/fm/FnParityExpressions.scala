@@ -218,6 +218,10 @@ object FnParityOps {
     }
   }
 
+  /** Exposed for the SQL-value serializers (JsonValueOps/JsonBuildFn). */
+  def writeJsonStringPublic(s: String, sb: java.lang.StringBuilder): Unit =
+    writeJsonString(s, sb)
+
   private def writeJsonString(s: String, sb: java.lang.StringBuilder): Unit = {
     sb.append('"')
     var i = 0
@@ -276,29 +280,235 @@ object FnParityOps {
     } else throw new IllegalArgumentException(s"json: unsupported node $n")
   }
 
-  def jsonExtract(j: UTF8String, p: UTF8String, asText: Boolean): UTF8String = {
+  /** Parse `j` (loud on malformed, like DuckDB) and walk `p`; null when
+    * the path hits nothing. JSON nulls are RETURNED as NullNode — each
+    * caller decides (extraction maps them to SQL NULL, json_type says
+    * 'NULL').
+    */
+  private def jsonNodeAt(
+      j: UTF8String, p: String): com.fasterxml.jackson.databind.JsonNode = {
     val root =
       try jsonTree(j)
       catch {
         case e: Exception => throw new IllegalArgumentException(
-          s"json_extract: malformed JSON '${j.toString.take(40)}'", e)
+          s"json: malformed JSON '${j.toString.take(40)}'", e)
       }
     require(root != null && !root.isMissingNode,
-      s"json_extract: malformed JSON '${j.toString.take(40)}'")
+      s"json: malformed JSON '${j.toString.take(40)}'")
     var node: com.fasterxml.jackson.databind.JsonNode = root
-    val segs = parseJsonPath(p.toString)
+    val segs = parseJsonPath(p)
     var i = 0
     while (i < segs.length && node != null) {
       node = jsonStep(node, segs(i))
       i += 1
     }
-    if (node == null || node.isMissingNode || node.isNull) null
+    if (node == null || node.isMissingNode) null else node
+  }
+
+  private def jsonText(n: com.fasterxml.jackson.databind.JsonNode): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    writeJson(n, sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  def jsonExtract(j: UTF8String, p: UTF8String, asText: Boolean): UTF8String = {
+    val node = jsonNodeAt(j, p.toString)
+    if (node == null || node.isNull) null
     else if (asText && node.isTextual) UTF8String.fromString(node.textValue)
+    else jsonText(node)
+  }
+
+  /** json_array_length(j[, path]) — array size at path, 0 for any
+    * non-array element, SQL NULL when the path hits nothing.
+    */
+  def jsonArrayLength(j: UTF8String, p: UTF8String): Any = {
+    val node = jsonNodeAt(j, p.toString)
+    if (node == null) null
+    else if (node.isArray) node.size.toLong
+    else 0L
+  }
+
+  private def jsonTypeName(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n.isObject) "OBJECT"
+    else if (n.isArray) "ARRAY"
+    else if (n.isTextual) "VARCHAR"
+    else if (n.isIntegralNumber) {
+      if (n.isBigInteger) "UBIGINT" else if (n.asLong() >= 0) "UBIGINT" else "BIGINT"
+    } else if (n.isNumber) "DOUBLE"
+    else if (n.isBoolean) "BOOLEAN"
+    else "NULL"
+
+  /** json_type(j, path) — DuckDB spelling at path; NULL when missing. */
+  def jsonTypeAt(j: UTF8String, p: UTF8String): UTF8String = {
+    val node = jsonNodeAt(j, p.toString)
+    if (node == null) null else UTF8String.fromString(jsonTypeName(node))
+  }
+
+  /** json_keys(j[, path]) — object keys in document order; [] for any
+    * non-object (pinned: json_keys('[1,2]') = []), NULL when missing.
+    */
+  def jsonKeysAt(j: UTF8String, p: UTF8String): Array[UTF8String] = {
+    val node = jsonNodeAt(j, p.toString)
+    if (node == null) null
+    else if (!node.isObject) Array.empty[UTF8String]
     else {
-      val sb = new java.lang.StringBuilder
-      writeJson(node, sb)
-      UTF8String.fromString(sb.toString)
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      val it = node.fieldNames()
+      while (it.hasNext) out += UTF8String.fromString(it.next())
+      out.toArray
     }
+  }
+
+  /** json_contains(haystack, needle) — SQLite-style containment, pinned
+    * on v1.0.0: the needle matches the haystack root or any descendant,
+    * where objects match PARTIALLY (every needle key present and
+    * matching), arrays match as order-insensitive subsets, and scalars
+    * match exactly INCLUDING numeric type (1 does not contain 1.0).
+    */
+  def jsonContains(h: UTF8String, n: UTF8String): Boolean = {
+    val hay = jsonNodeAt(h, "$")
+    val needle = jsonNodeAt(n, "$")
+    def scalarEq(a: com.fasterxml.jackson.databind.JsonNode,
+        b: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      (a.isIntegralNumber && b.isIntegralNumber && a.bigIntegerValue == b.bigIntegerValue) ||
+        (a.isNumber && b.isNumber && !a.isIntegralNumber && !b.isIntegralNumber &&
+          a.doubleValue == b.doubleValue) ||
+        (a.isTextual && b.isTextual && a.textValue == b.textValue) ||
+        (a.isBoolean && b.isBoolean && a.booleanValue == b.booleanValue) ||
+        (a.isNull && b.isNull)
+    def matches(x: com.fasterxml.jackson.databind.JsonNode,
+        nd: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      if (nd.isObject) {
+        x.isObject && {
+          val it = nd.fields()
+          var ok = true
+          while (ok && it.hasNext) {
+            val f = it.next()
+            val xv = x.get(f.getKey)
+            ok = xv != null && matches(xv, f.getValue)
+          }
+          ok
+        }
+      } else if (nd.isArray) {
+        x.isArray && {
+          var ok = true
+          var i = 0
+          while (ok && i < nd.size) {
+            var found = false
+            var k = 0
+            while (!found && k < x.size) {
+              found = matches(x.get(k), nd.get(i))
+              k += 1
+            }
+            ok = found
+            i += 1
+          }
+          ok
+        }
+      } else scalarEq(x, nd)
+    def descend(x: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      matches(x, needle) || {
+        if (x.isContainerNode) {
+          val it = x.elements()
+          var found = false
+          while (!found && it.hasNext) found = descend(it.next())
+          found
+        } else false
+      }
+    descend(hay)
+  }
+
+  /** json_merge_patch(a, b) — RFC 7386: a non-object patch replaces the
+    * target; object patches merge recursively with null values deleting
+    * keys.
+    */
+  def jsonMergePatch(a: UTF8String, b: UTF8String): UTF8String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def patch(target: JsonNode, p: JsonNode): JsonNode =
+      if (!p.isObject) p
+      else {
+        val out = mapper.createObjectNode()
+        if (target != null && target.isObject) {
+          val it = target.fields()
+          while (it.hasNext) { val f = it.next(); out.set[ObjectNode](f.getKey, f.getValue) }
+        }
+        val it = p.fields()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getValue.isNull) out.remove(f.getKey)
+          else out.set[ObjectNode](f.getKey, patch(out.get(f.getKey), f.getValue))
+        }
+        out
+      }
+    jsonText(patch(jsonNodeAt(a, "$"), jsonNodeAt(b, "$")))
+  }
+
+  /** json(x) — parse (loud on malformed) + re-serialize compactly. */
+  def jsonMinify(j: UTF8String): UTF8String = jsonText(jsonNodeAt(j, "$"))
+
+  /** json_structure(j) — recursive type skeleton in DuckDB spellings:
+    * arrays carry the UNIFIED element structure (object keys merge,
+    * UBIGINT/BIGINT/DOUBLE widen, NULL yields to anything, otherwise
+    * "JSON"); pinned: '[{"a":1},{"b":2}]' →
+    * '[{"a":"UBIGINT","b":"UBIGINT"}]', '[1,"x"]' → '["JSON"]',
+    * '[]' → '["NULL"]'.
+    */
+  def jsonStructure(j: UTF8String): UTF8String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def structure(n: JsonNode): JsonNode =
+      if (n.isObject) {
+        val out = mapper.createObjectNode()
+        val it = n.fields()
+        while (it.hasNext) {
+          val f = it.next()
+          out.set[com.fasterxml.jackson.databind.node.ObjectNode](
+            f.getKey, structure(f.getValue))
+        }
+        out
+      } else if (n.isArray) {
+        val arr = mapper.createArrayNode()
+        var u: JsonNode = null
+        val it = n.elements()
+        while (it.hasNext) {
+          val s = structure(it.next())
+          u = if (u == null) s else unify(u, s)
+        }
+        arr.add(if (u == null) mapper.getNodeFactory.textNode("NULL") else u)
+        arr
+      } else mapper.getNodeFactory.textNode(jsonTypeName(n))
+    def unify(a: JsonNode, b: JsonNode): JsonNode =
+      if (a == b) a
+      else if (a.isTextual && a.textValue == "NULL") b
+      else if (b.isTextual && b.textValue == "NULL") a
+      else if (a.isTextual && b.isTextual) {
+        val pair = Set(a.textValue, b.textValue)
+        if (pair == Set("UBIGINT", "BIGINT"))
+          mapper.getNodeFactory.textNode("BIGINT")
+        else if (pair.subsetOf(Set("UBIGINT", "BIGINT", "DOUBLE")))
+          mapper.getNodeFactory.textNode("DOUBLE")
+        else mapper.getNodeFactory.textNode("JSON")
+      } else if (a.isObject && b.isObject) {
+        val out = mapper.createObjectNode()
+        val ia = a.fields()
+        while (ia.hasNext) {
+          val f = ia.next()
+          out.set[com.fasterxml.jackson.databind.node.ObjectNode](f.getKey, f.getValue)
+        }
+        val ib = b.fields()
+        while (ib.hasNext) {
+          val f = ib.next()
+          val prev = out.get(f.getKey)
+          out.set[com.fasterxml.jackson.databind.node.ObjectNode](
+            f.getKey, if (prev == null) f.getValue else unify(prev, f.getValue))
+        }
+        out
+      } else if (a.isArray && b.isArray)
+        mapper.createArrayNode().add(unify(a.get(0), b.get(0)))
+      else mapper.getNodeFactory.textNode("JSON")
+    jsonText(structure(jsonNodeAt(j, "$")))
   }
 
   def unbin(s: UTF8String): Array[Byte] = {
@@ -571,6 +781,189 @@ case class JsonExtractFn(left: Expression, right: Expression, asText: Boolean)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Two-argument JSON path lookups (json_array_length / json_type /
+  * json_keys with a path; the 1-arg spellings pass '$'). Result kind
+  * selects the type/eval; all NULL-propagate and fail loudly on
+  * malformed JSON like DuckDB.
+  */
+case class JsonPathFn(left: Expression, right: Expression, kind: String)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = kind match {
+    case "array_length" => LongType
+    case "type" => StringType
+    case "keys" => ArrayType(StringType, containsNull = false)
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = s"json_$kind"
+  override protected def nullSafeEval(j: Any, p: Any): Any = kind match {
+    case "array_length" =>
+      FnParityOps.jsonArrayLength(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+    case "type" =>
+      FnParityOps.jsonTypeAt(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+    case "keys" =>
+      val ks = FnParityOps.jsonKeysAt(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+      if (ks == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(ks.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JsonContainsFn(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "json_contains"
+  override protected def nullSafeEval(h: Any, n: Any): Any =
+    FnParityOps.jsonContains(h.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (h, n) => s"graft.fm.FnParityOps.jsonContains($h, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JsonMergePatchFn(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_merge_patch"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FnParityOps.jsonMergePatch(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.fm.FnParityOps.jsonMergePatch($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JsonMinifyFn(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json"
+  override protected def kernel: String = "graft.fm.FnParityOps.jsonMinify"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.jsonMinify(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JsonStructureFn(child: Expression) extends ScalarParityUnary {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_structure"
+  override protected def kernel: String = "graft.fm.FnParityOps.jsonStructure"
+  override protected def nullSafeEval(v: Any): Any =
+    FnParityOps.jsonStructure(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL value → JSON text (DuckDB to_json / json_quote and the element
+  * serializer behind json_array / json_object): strings quote+escape,
+  * doubles take yyjson's format, arrays recurse; a TOP-LEVEL SQL NULL
+  * is SQL NULL while nested nulls serialize as JSON null (pinned:
+  * json_quote(NULL) IS NULL but json_array(1, NULL) = '[1,null]').
+  */
+object JsonValueOps {
+  def write(v: Any, dt: DataType, sb: java.lang.StringBuilder): Unit = (v, dt) match {
+    case (null, _) => sb.append("null")
+    case (s: UTF8String, StringType) =>
+      FnParityOps.writeJsonStringPublic(s.toString, sb)
+    case (d: java.lang.Double, DoubleType) => sb.append(FnParityOps.yyjsonDouble(d))
+    case (f: java.lang.Float, FloatType) =>
+      sb.append(FnParityOps.yyjsonDouble(f.toDouble))
+    case (d: org.apache.spark.sql.types.Decimal, _) => sb.append(d.toBigDecimal.bigDecimal.toPlainString)
+    case (b: java.lang.Boolean, BooleanType) => sb.append(if (b) "true" else "false")
+    case (n, _: ArrayType) =>
+      val arr = n.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val et = dt.asInstanceOf[ArrayType].elementType
+      sb.append('[')
+      var i = 0
+      while (i < arr.numElements()) {
+        if (i > 0) sb.append(',')
+        write(if (arr.isNullAt(i)) null else arr.get(i, et), et, sb)
+        i += 1
+      }
+      sb.append(']')
+    case (n, ByteType | ShortType | IntegerType | LongType) => sb.append(n.toString)
+    case (_, other) => throw new IllegalArgumentException(
+      s"to_json: unsupported input type $other")
+  }
+}
+
+case class JsonQuoteFn(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "to_json"
+  override protected def nullSafeEval(v: Any): Any = {
+    val sb = new java.lang.StringBuilder
+    JsonValueOps.write(v, child.dataType, sb)
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val refTerm = ctx.addReferenceObj("jsonQuoteExpr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+         |  ((graft.fm.JsonQuoteFn) $refTerm).evalValue($c);""".stripMargin
+    })
+  }
+  def evalValue(v: Any): Any = nullSafeEval(v)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** json_array(v…) / json_object(k, v, …) constructors; a NULL KEY in
+  * json_object nulls the whole result (DuckDB), NULL values serialize
+  * as JSON null.
+  */
+case class JsonBuildFn(children: Seq[Expression], obj: Boolean)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(!obj || children.length % 2 == 0,
+    "json_object expects an even number of arguments")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (obj) "json_object" else "json_array"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val sb = new java.lang.StringBuilder
+    sb.append(if (obj) '{' else '[')
+    var i = 0
+    while (i < children.length) {
+      if (i > 0) sb.append(',')
+      if (obj) {
+        val k = children(i).eval(input)
+        if (k == null) return null
+        FnParityOps.writeJsonStringPublic(k.toString, sb)
+        sb.append(':')
+        val v = children(i + 1).eval(input)
+        JsonValueOps.write(v, children(i + 1).dataType, sb)
+        i += 2
+      } else {
+        val v = children(i).eval(input)
+        JsonValueOps.write(v, children(i).dataType, sb)
+        i += 1
+      }
+    }
+    sb.append(if (obj) '}' else ']')
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
 case class UnBin(child: Expression) extends ScalarParityUnary {
