@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Shared kernel for the random-hyperplane signature: sequential
   * float→double dot products against each plane, sign bit j = plane j.
@@ -13,8 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * everywhere.
   */
 object LshOps {
-  def signature(v: ArrayData, planes: Array[Array[Double]]): Int = {
-    var sig = 0
+  // LONG signature: the adaptive band width (r13 scale probe — a fixed
+  // 4-bit band space made batch-vs-corpus candidate joins quadratic at
+  // 100x) takes up to 4 bands x 12 bits = 48 planes
+  def signature(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
     var j = 0
     val nv = v.numElements()
     while (j < planes.length) {
@@ -23,7 +26,7 @@ object LshOps {
       var i = 0
       val n = math.min(nv, p.length)
       while (i < n) { s += v.getFloat(i) * p(i); i += 1 }
-      if (s >= 0) sig |= (1 << j)
+      if (s >= 0) sig |= (1L << j)
       j += 1
     }
     sig
@@ -40,7 +43,7 @@ case class LshSignature(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_sig"
 
   override def nullSafeEval(v: Any): Any =

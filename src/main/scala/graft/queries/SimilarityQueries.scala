@@ -56,8 +56,11 @@ object SimilarityQueries {
 
   private def lshSigs(s: SparkSession, d: String): DataFrame =
     Tables.memo(lshSigCache, (Tables.sessionKey(s), d))({
+      // plane count follows the adaptive band width; the expression
+      // captures the matrix at build time so a later re-registration
+      // for another dir can't rebind this frame
       graft.ops.LshFunctions.register(s,
-        Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed))
+        Similarity.hyperplanes(LshBands * lshBandBits(s, d), LshDim, seed = LshSeed))
       Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           expr("graft_lsh_sig(embedding)").as("sig"))
@@ -70,11 +73,11 @@ object SimilarityQueries {
     * band over a hash-uniform signature), which is what makes every join
     * on (band, bucket) scale-safe.
     */
-  private def lshBands(sig: DataFrame): DataFrame = sig
+  private def lshBands(sig: DataFrame, bits: Int): DataFrame = sig
     .select(col("vec_id"),
       explode(array((0 until LshBands).map(lit): _*)).as("band"), col("sig"))
     .withColumn("bucket",
-      expr(s"shiftright(sig, band * $LshBandBits) & $LshBucketMask"))
+      expr(s"shiftright(sig, band * $bits) & ${(1L << bits) - 1}"))
     .select("vec_id", "band", "bucket")
 
   /** LSH top-k: 16-bit random-hyperplane signatures bucket the corpus
@@ -86,7 +89,7 @@ object SimilarityQueries {
     */
   private def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val sig = lshSigs(s, d)
-    val bands = lshBands(sig)
+    val bands = lshBands(sig, lshBandBits(s, d))
     val q = bands.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("band"), col("bucket"))
     // Slim candidate ids first (distinct on two longs, not on vectors),
@@ -105,12 +108,35 @@ object SimilarityQueries {
     topkPerQuery(s, cands, k)
   }
 
-  private val LshBits = 16
   private val LshDim = 64
   private val LshSeed = 42L
   private val LshBands = 4
-  private val LshBandBits = 4
-  private val LshBucketMask = 0xF
+
+  /** LSH band width is CORPUS-ADAPTIVE (r13 scale-probe finding: the
+    * old fixed 4-bit band space = 16 buckets/band made every LSH
+    * batch-vs-corpus or self join quadratic in corpus size — measured
+    * 321.9× wall time for 10× data on q_ann_incremental at the 100×
+    * probe). Bits per band = smallest b in [4, 12] with
+    * 2^b · [[LshBandTarget]] ≥ n, an exact integer ladder (NOT a
+    * floating log2 — the oracle replays the identical CASE ladder in
+    * SQL, see [[lshSigOracleCtes]], and integer comparisons cannot
+    * drift at boundaries). Gate corpora (≤ 2048 vectors) stay at 4
+    * bits, so every existing oracle result is bit-identical; the plane
+    * matrix is generated at 4·12 = 48 planes max from ONE seeded RNG
+    * stream, so smaller-bit signatures are bit-prefixes of larger ones.
+    */
+  private[queries] val LshBandTarget = 128L
+  private[queries] def lshBandBitsFor(n: Long): Int = {
+    var b = 4
+    while (b < 12 && n > (LshBandTarget << b)) b += 1
+    b
+  }
+  private val lshBitsCache = graft.QueryCaches.register(
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Int])
+  private def lshBandBits(s: SparkSession, d: String): Int =
+    Tables.memo(lshBitsCache, (Tables.sessionKey(s), d))({
+      lshBandBitsFor(Tables.load(s, d, "embeddings").count())
+    })
 
   private[queries] val ProjDim = 32
   private val ProjSeed = 7702L
@@ -367,7 +393,7 @@ object SimilarityQueries {
     "q_ann_incremental" -> ((s, d) => {
       CosineFunctions.register(s)
       val sig = lshSigs(s, d)
-      val bands = lshBands(sig)
+      val bands = lshBands(sig, lshBandBits(s, d))
       val batch = bands.filter(col("vec_id") % AnnIncrMod === AnnIncrRem)
         .select(col("vec_id").as("qid"), col("band"), col("bucket"))
       val corpus = bands.filter(col("vec_id") % AnnIncrMod =!= AnnIncrRem)
@@ -392,18 +418,25 @@ object SimilarityQueries {
     "q_embed_neardup" -> ((s, d) => {
       CosineFunctions.register(s)
       val sig = lshSigs(s, d)
-      val bands = lshBands(sig)
-      val cand = bands.select(col("vec_id").as("ia"), col("band"), col("bucket"))
-        .join(bands.select(col("vec_id").as("ib"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
+      val bands = lshBands(sig, lshBandBits(s, d))
+        .join(sig.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // cosine INSIDE the band join, filter BEFORE the pair dedup
+      // (r13 scale probe: the former distinct-then-rejoin shape carried
+      // the 64-float embeddings onto every candidate pair row through
+      // two sort-merge joins at 100× — ~10 GB of shuffled vectors,
+      // 220 s; both sides of the band join already HOLD the vectors,
+      // and the ≥0.35 floor commutes with the distinct, so the dedup
+      // shuffle now carries only near-dup (ia, ib, sim) triples)
+      bands.select(col("vec_id").as("ia"), col("band"), col("bucket"),
+          col("embedding").as("va"))
+        .join(bands.select(col("vec_id").as("ib"), col("band"), col("bucket"),
+          col("embedding").as("vb")), Seq("band", "bucket"))
         .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      cand
-        .join(sig.select(col("vec_id").as("ia"), col("embedding").as("va")), Seq("ia"))
-        .join(sig.select(col("vec_id").as("ib"), col("embedding").as("vb")), Seq("ib"))
         .select(col("ia"), col("ib"),
           expr("array_cosine_similarity(va, vb)").as("sim_d"))
         .filter(col("sim_d") >= 0.35)
+        .groupBy("ia", "ib")
+        .agg(min(col("sim_d")).as("sim_d")) // multi-band duplicates: sim identical
         .select(col("ia"), col("ib"), col("sim_d").cast(FloatType).as("sim"))
         .orderBy(col("ia"), col("ib"))
     }),
@@ -834,16 +867,32 @@ object SimilarityQueries {
     * with the plane matrix inlined.
     */
   private def lshSigOracleCtes: String = {
-    val planes = Similarity.hyperplanes(LshBits, LshDim, seed = LshSeed)
+    // the full 48-plane matrix (4 bands × 12 max bits) from the single
+    // seeded stream — plane j is identical whatever the adaptive width,
+    // so the nb-gated sum reproduces the engine's shorter signatures
+    // bit-for-bit
+    val planes = Similarity.hyperplanes(LshBands * 12, LshDim, seed = LshSeed)
+    // the exact integer ladder of lshBandBitsFor as a CASE — no
+    // floating log2 on either side
+    val ladder = (4 until 12).map(b =>
+      s"WHEN COUNT(*) <= ${LshBandTarget << b} THEN $b").mkString(" ")
     val bitTerms = planes.zipWithIndex.map { case (p, j) =>
       val lst = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_aggregate(list_transform(range(1, ${LshDim + 1}), " +
-        s"i -> CAST(embedding[i] AS DOUBLE) * list_extract($lst, i)), 'sum') >= 0 " +
-        s"THEN ${1 << j} ELSE 0 END)"
+      val term =
+        s"(CASE WHEN list_aggregate(list_transform(range(1, ${LshDim + 1}), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * list_extract($lst, i)), 'sum') >= 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      // planes beyond the adaptive width contribute nothing (j < 16 is
+      // always active: bits >= 4)
+      if (j < LshBands * 4) term
+      else s"(CASE WHEN $j < $LshBands * (SELECT bits FROM nb) THEN $term ELSE 0 END)"
     }.mkString("\n      + ")
-    s"""sigs AS (SELECT vec_id, ($bitTerms) AS sig FROM embeddings),
+    s"""nb AS (SELECT CASE $ladder ELSE 12 END AS bits FROM embeddings),
+       |sigs AS (SELECT vec_id, ($bitTerms) AS sig FROM embeddings),
        |lbands AS (
-       |  SELECT vec_id, b, (sig >> (CAST(b AS INT) * $LshBandBits)) & $LshBucketMask AS bucket
+       |  SELECT vec_id, b,
+       |    (sig >> (CAST(b AS INT) * (SELECT bits FROM nb)))
+       |      & ((CAST(1 AS BIGINT) << (SELECT bits FROM nb)) - 1) AS bucket
        |  FROM sigs CROSS JOIN (SELECT UNNEST(range(0, $LshBands)) AS b) bs)""".stripMargin
   }
 
@@ -1413,7 +1462,7 @@ object Similarity {
     * runs, so specs and oracle-build helpers stay bit-identical with the
     * executor path by construction.
     */
-  def signature(v: Array[Float], planes: Array[Array[Double]]): Int =
+  def signature(v: Array[Float], planes: Array[Array[Double]]): Long =
     graft.ops.LshOps.signature(
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(v),
       planes)
