@@ -137,16 +137,27 @@ object DedupQueries {
     * past maxDocFreq. When no shingle reaches the cutoff the hot side is
     * an empty frame and the correction costs one cached-scan filter.
     */
-  def jaccardPairs(sh: DataFrame, maxDocFreq: Long): DataFrame = {
+  def jaccardPairs(sh: DataFrame, maxDocFreq: Long): DataFrame =
+    jaccardPairs(sh, maxDocFreq, bigCorpus = false)
+
+  def jaccardPairs(sh: DataFrame, maxDocFreq: Long, bigCorpus: Boolean): DataFrame = {
+    // SHUFFLE_HASH, not sort-merge, once the shared-shingle key set has
+    // outgrown any broadcast (r13 scale probe: the stats-flipped SMJ
+    // plan re-SORTS the ~75M-row shingle frame on every join at 100×,
+    // 265 s — none of these equi-joins needs an ordering). The hint is
+    // gated on corpus size because a shuffle_hash hint BEATS
+    // auto-broadcast in Spark's join selection: small corpora keep
+    // their cheaper broadcast plans, exactly as benched.
+    def h(df: DataFrame): DataFrame = if (bigCorpus) df.hint("shuffle_hash") else df
     val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // df >= 2: single-document shingles can't pair; dropping them shrinks
     // the semi-join build side to just the shared shingles.
     val coldKeys = dfc.filter(col("df") >= 2 && col("df") < maxDocFreq).select("sh")
     val hotKeys = dfc.filter(col("df") >= maxDocFreq).select("sh")
-    val shCold = sh.join(coldKeys, Seq("sh"), "left_semi")
-    val shHot = sh.join(hotKeys, Seq("sh"), "left_semi")
+    val shCold = sh.join(h(coldKeys), Seq("sh"), "left_semi")
+    val shHot = sh.join(h(hotKeys), Seq("sh"), "left_semi")
     val commonCold = shCold.select(col("doc_id").as("ia"), col("sh"))
-      .join(shCold.select(col("doc_id").as("ib"), col("sh")), Seq("sh"))
+      .join(h(shCold.select(col("doc_id").as("ib"), col("sh"))), Seq("sh"))
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib")
       .agg(count(lit(1)).as("common_cold"))
@@ -173,8 +184,12 @@ object DedupQueries {
   // (session, dir, cutoff) like the shingle frames above.
   private def jaccardPairsCached(s: SparkSession, d: String): DataFrame = {
     val cutoff = maxShingleDocFreq(s, d)
+    // shared-shingle keys ∝ corpus size; past ~100k documents they are
+    // beyond any broadcast and the hash-join path wins (see jaccardPairs)
+    val big = docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
+      Tables.load(s, d, "documents").count()) > 100000L
     Tables.memo(jacCache, (Tables.sessionKey(s), d, cutoff))(
-      jaccardPairs(shingleDF(s, d), cutoff).persist())
+      jaccardPairs(shingleDF(s, d), cutoff, big).persist())
   }
 
   /** Exact Jaccard for the given candidate (ia, ib) pairs: count common
