@@ -44,8 +44,11 @@ import org.apache.spark.sql.functions._
   *   (c) flat driver memory: post-GC heap at 100× bounded by a
   *       constant (centroids/codebooks/seeds), not by corpus size.
   *
-  * Usage: runMain graft.ScaleProbe [baseSfDir] [scales] [outJson]
-  *   defaults: /root/testdata/sf0.1  1,10,100  SCALE_PROBE.json
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [scales] [outJson] [targets] [wave]
+  *   defaults: /root/testdata/sf0.1  1,10,100  SCALE_PROBE.json  ""  wave1
+  * Results merge into outJson under the wave key (multi-wave artifact —
+  * every wave SCALE.md tabulates is committed and re-checkable). A wave
+  * named "skew*" probes the adversarial corpus from `synthesizeSkew`.
   */
 object ScaleProbe {
 
@@ -57,6 +60,32 @@ object ScaleProbe {
   val targets: Seq[String] = Seq(
     "q_dedup_minhash", "q_dedup_clusters", "q_ann_lsh", "q_semdedup",
     "q_text_winnow", "q_multimodal_phash", "q_pagerank")
+
+  /** Wave 2 (r13): the incremental-ingest tier + remaining similarity
+    * families. Wave 3 (r13): the text-dedup tier. Committed per-wave in
+    * SCALE_PROBE.json so scale_check re-verifies every family SCALE.md
+    * tabulates (VERDICT r13 item 2 — the r13 runs left waves 2-3 in
+    * /tmp-only artifacts).
+    */
+  val wave2Targets: Seq[String] = Seq(
+    "q_ann_incremental", "q_dedup_incremental", "q_embed_neardup",
+    "q_jaccard_prefix", "q_knn_graph", "q_multimodal_phash_incremental",
+    "q_quality_classifier", "q_semdedup_incremental", "q_tfidf_sim")
+
+  val wave3Targets: Seq[String] = Seq(
+    "q_dedup_simhash", "q_dedup_ngram", "q_dedup_containment",
+    "q_seg_dedup", "q_para_dedup", "q_winnow_crossdup", "q_substr_dedup")
+
+  /** Skew wave (VERDICT r13 item 1): the uniform replica remapping
+    * deliberately preserves the base corpus's duplicate rate and key
+    * distribution, so it never stresses the skew guards (hot-shingle
+    * cutoff + correction join, salted self-joins, AQE skew splits).
+    * These families run against the ADVERSARIAL corpus `synthesizeSkew`
+    * builds instead.
+    */
+  val skewTargets: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
+    "q_embed_neardup", "q_ann_lsh", "q_semdedup")
 
   private def maxPlusOne(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head.getLong(0) + 1L
@@ -129,6 +158,75 @@ object ScaleProbe {
     Files.createFile(marker)
   }
 
+  /** ADVERSARIAL k× replication: real 100 TB crawls are skewed, not
+    * uniform, and the uniform remapping above deliberately preserves the
+    * base duplicate rate — so the skew guards are otherwise only ever
+    * exercised at sf0.1's natural skew. Three planted pathologies, all
+    * deterministic (doc_id/vec_id arithmetic, no RNG):
+    *
+    *  - duplicate-heavy: base docs with doc_id % 10 ∈ {0,1,2} (30%) keep
+    *    their text VERBATIM in every replica — exact-duplicate clusters
+    *    of size k (a dup-heavy crawl: mirrors, reposts);
+    *  - power-law tokens: base docs with doc_id % 2 = 0 (50%) get a fixed
+    *    9-token preamble prepended AFTER remapping, identical across all
+    *    replicas — a handful of shingles with document frequency 0.5·N
+    *    at every scale (boilerplate headers, license banners);
+    *  - hot-key embeddings: base vecs with vec_id % 10 = 0 (10%) are
+    *    replaced by one fixed unit vector, identical across replicas —
+    *    a single dense cluster holding 10% of the corpus (a template
+    *    page embedded millions of times), the worst case for any
+    *    band/bucket/cell candidate generator.
+    *
+    * Non-probed tables are copied once, unscaled, so the dir stays a
+    * complete drop-in for Tables.load.
+    */
+  def synthesizeSkew(spark: SparkSession, base: String, k: Int, dest: String): Unit = {
+    val marker = Paths.get(dest, ".complete")
+    if (Files.exists(marker)) return
+    new java.io.File(dest).mkdirs()
+    val reps = explode(sequence(lit(0), lit(k - 1))).as("rep")
+    val par = spark.sparkContext.defaultParallelism
+    val preamble = "terms of service apply to all content on this site"
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docStride = maxPlusOne(docs, "doc_id")
+    docs.select(col("*"), reps)
+      .withColumn("remapped",
+        when(col("rep") === 0 || col("doc_id") % 10 < 3, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("rep").cast("string")))))
+      .withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit(preamble + " "), col("remapped"))).otherwise(col("remapped")))
+      .withColumn("doc_id", col("doc_id") + col("rep") * docStride)
+      .drop("rep", "remapped")
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val vecStride = maxPlusOne(emb, "vec_id")
+    // fixed unit vector: 1/sqrt(dim) in every position — same for every
+    // hot row at every replica, so the dense cluster is EXACT ties
+    val hotVec = array((0 until dim).map(_ => lit((1.0 / math.sqrt(dim.toDouble)).toFloat)): _*)
+    emb.select(col("*"), reps)
+      .withColumn("sh", (col("rep") % dim).cast("int"))
+      .withColumn("embedding",
+        when(col("vec_id") % 10 === 0, hotVec).otherwise(
+          when(col("sh") === 0, col("embedding")).otherwise(
+            concat(expr(s"slice(embedding, sh + 1, $dim - sh)"),
+              expr("slice(embedding, 1, sh)")))))
+      .withColumn("vec_id", col("vec_id") + col("rep") * vecStride)
+      .drop("rep", "sh")
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    for (t <- Tables.names if !Seq("documents", "embeddings").contains(t))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    Files.createFile(marker)
+  }
+
   /** Post-GC used heap. Three GC passes with pauses: broadcast and
     * block cleanup runs through the ContextCleaner's weak-reference
     * queue, which needs a GC to enqueue and a beat to process before a
@@ -161,16 +259,52 @@ object ScaleProbe {
       codegenFallback = p.contains("CodegenFallback"))
   }
 
+  /** Merge one wave's flat result dict into the committed multi-wave
+    * artifact: `{"wave1": {...}, "wave2": {...}, "skew": {...}}`. A
+    * legacy flat file (top-level `q_*` keys) is wrapped as wave1 so the
+    * committed r13 artifact upgrades in place on the first merge.
+    */
+  private def mergeWave(outJson: String, wave: String, flat: String): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mapper = new ObjectMapper()
+    val root: ObjectNode = {
+      val p = Paths.get(outJson)
+      if (Files.exists(p)) {
+        val old = mapper.readTree(Files.readString(p))
+        val keys = { val it = old.fieldNames(); val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next(); b.result() }
+        if (keys.exists(k => k.startsWith("q_") || k.startsWith("heap_"))) {
+          val w = mapper.createObjectNode()
+          w.set[ObjectNode]("wave1", old)
+          w
+        } else old.asInstanceOf[ObjectNode]
+      } else mapper.createObjectNode()
+    }
+    root.set[ObjectNode](wave, mapper.readTree(flat))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).getOrElse("1,10,100").split(',').map(_.trim.toInt).toSeq
     val outJson = args.lift(2).getOrElse("SCALE_PROBE.json")
+    // wave name = the key this run's results land under in outJson
+    // ("wave1" | "wave2" | "wave3" | "skew" | ad-hoc); "skew" (or any
+    // name starting with "skew") probes the ADVERSARIAL corpus.
+    val wave = args.lift(4).getOrElse("wave1")
+    val skewCorpus = wave.startsWith("skew")
     // optional comma-separated query list — re-probe a subset of the
-    // default targets or probe ANY catalog queries whose inputs the
-    // synthesizer scales (documents/embeddings/orders/customer/lineitem)
-    val runTargets = args.lift(3) match {
+    // wave's default targets or probe ANY catalog queries whose inputs
+    // the synthesizer scales (documents/embeddings/orders/customer/lineitem)
+    val runTargets = args.lift(3).filter(_.nonEmpty) match {
       case Some(f) => f.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      case None => targets
+      case None => wave match {
+        case "wave2" => wave2Targets
+        case "wave3" => wave3Targets
+        case w if w.startsWith("skew") => skewTargets
+        case _ => targets
+      }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -207,12 +341,16 @@ object ScaleProbe {
     val sb = new StringBuilder("{")
     var first = true
     for (k <- scales) {
+      // the skew corpus is synthesized even at x1 (the planted hot
+      // preamble/hot vector exist at every scale; only the duplicate
+      // clusters need k > 1) so the growth ratios compare like corpora
       val dir =
-        if (k == 1) base
+        if (k == 1 && !skewCorpus) base
         else {
-          val d = s"/tmp/graft_scale_x$k"
+          val d = if (skewCorpus) s"/tmp/graft_skew_x$k" else s"/tmp/graft_scale_x$k"
           val t0 = System.nanoTime()
-          synthesize(spark, base, k, d)
+          if (skewCorpus) synthesizeSkew(spark, base, k, d)
+          else synthesize(spark, base, k, d)
           System.err.println(f"[scale] x$k synth ${(System.nanoTime() - t0) / 1e9}%.1f s")
           d
         }
@@ -259,7 +397,8 @@ object ScaleProbe {
       System.err.println(s"[scale] post-x$k driver heap: ${heap / (1024 * 1024)} MB")
     }
     sb.append('}')
-    Files.writeString(Paths.get(outJson), sb.toString)
+    val merged = mergeWave(outJson, wave, sb.toString)
+    Files.writeString(Paths.get(outJson), merged)
     println(sb.toString)
     spark.stop()
   }

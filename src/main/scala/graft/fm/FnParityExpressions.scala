@@ -112,9 +112,8 @@ object FnParityOps {
       if (n.isObject) "OBJECT"
       else if (n.isArray) "ARRAY"
       else if (n.isTextual) "VARCHAR"
-      else if (n.isIntegralNumber) {
-        if (n.asLong() >= 0 || n.isBigInteger) "UBIGINT" else "BIGINT"
-      } else if (n.isNumber) "DOUBLE"
+      else if (n.isIntegralNumber) jsonIntegerTypeName(n)
+      else if (n.isNumber) "DOUBLE"
       else if (n.isBoolean) "BOOLEAN"
       else "NULL"
     UTF8String.fromString(t)
@@ -328,13 +327,27 @@ object FnParityOps {
     else 0L
   }
 
+  /** DuckDB type label for an integral JSON node. yyjson holds int64 and
+    * uint64 exactly (UBIGINT for >=0, BIGINT for negative in-range) but
+    * parses anything wider as a double — json_type on an out-of-range
+    * integer literal reports DOUBLE, never UBIGINT (mirrors writeJson's
+    * signum/bitLength<=64 test; pinned on DuckDB v1.0.0).
+    */
+  private def jsonIntegerTypeName(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n.isBigInteger) {
+      val b = n.bigIntegerValue
+      if (b.signum >= 0 && b.bitLength <= 64) "UBIGINT"
+      else if (b.signum < 0 && b.bitLength <= 63) "BIGINT" // fits int64
+      else "DOUBLE"
+    } else if (n.asLong() >= 0) "UBIGINT"
+    else "BIGINT"
+
   private def jsonTypeName(n: com.fasterxml.jackson.databind.JsonNode): String =
     if (n.isObject) "OBJECT"
     else if (n.isArray) "ARRAY"
     else if (n.isTextual) "VARCHAR"
-    else if (n.isIntegralNumber) {
-      if (n.isBigInteger) "UBIGINT" else if (n.asLong() >= 0) "UBIGINT" else "BIGINT"
-    } else if (n.isNumber) "DOUBLE"
+    else if (n.isIntegralNumber) jsonIntegerTypeName(n)
+    else if (n.isNumber) "DOUBLE"
     else if (n.isBoolean) "BOOLEAN"
     else "NULL"
 

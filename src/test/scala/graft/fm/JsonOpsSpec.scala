@@ -143,4 +143,24 @@ class JsonOpsSpec extends AnyFunSuite {
   test("kernel: malformed JSON fails loudly (DuckDB errors too)") {
     intercept[IllegalArgumentException](jx("not json", "a", asText = false))
   }
+
+  test("kernel: json_type of out-of-range integers is DOUBLE (yyjson)") {
+    def jt(j: String): String = FnParityOps.jsonType(UTF8String.fromString(j)).toString
+    def jtAt(j: String, p: String): String =
+      FnParityOps.jsonTypeAt(UTF8String.fromString(j), UTF8String.fromString(p)).toString
+    // in-range stays exact
+    assert(jt("18446744073709551615") == "UBIGINT") // uint64 max
+    assert(jt("-9223372036854775808") == "BIGINT") // int64 min
+    assert(jt("42") == "UBIGINT")
+    assert(jt("-1") == "BIGINT")
+    // out of int64/uint64 range: yyjson parses as double
+    assert(jt("99999999999999999999999") == "DOUBLE")
+    assert(jt("18446744073709551616") == "DOUBLE") // uint64 max + 1
+    assert(jt("-99999999999999999999999") == "DOUBLE")
+    assert(jt("-9223372036854775809") == "DOUBLE") // int64 min - 1
+    assert(jtAt("""{"a":99999999999999999999999}""", "a") == "DOUBLE")
+    // json_structure shares the same labeling
+    assert(FnParityOps.jsonStructure(
+      UTF8String.fromString("[99999999999999999999999, 1]")).toString == """["DOUBLE"]""")
+  }
 }
