@@ -131,10 +131,17 @@ object DialectFuzz {
     val obj = """('{"l": "' || lang || '", "n": ' || n_chars || '}')"""
     // {"s": <score>} exercises double re-serialization (score nullable)
     val objS = """('{"s": ' || score || '}')"""
-    r.nextInt(10) match {
+    r.nextInt(11) match {
       case 0 =>
         val i = r.nextInt(4)
         shared(s"SELECT path, tags ->> $i AS t0, tags -> '$$[#-1]' AS tl " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 10 => // r14: dynamic (column-expression) RHS for -> and ->> —
+        // DuckDB accepts any path expression; the rewrite now admits
+        // ident-chain RHS for '->' (lambda excluded by the LHS guard)
+        shared(s"SELECT path, tags -> abs(TRY_CAST(n_chars AS BIGINT) % 3) AS ti, " +
+          s"$obj ->> substr('nl', CAST(1 + TRY_CAST(n_chars AS BIGINT) % 2 AS INT), 1) AS dk, " +
+          s"tags ->> greatest(0, TRY_CAST(n_chars AS BIGINT) % 4) AS ts " +
           s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
       case 1 =>
         val key = pick(r, Seq("'l'", "'n'", "'$.l'", "'missing'", "'/n'"))

@@ -162,20 +162,49 @@ object ScaleProbe {
     * uniform, and the uniform remapping above deliberately preserves the
     * base duplicate rate — so the skew guards are otherwise only ever
     * exercised at sf0.1's natural skew. Three planted pathologies, all
-    * deterministic (doc_id/vec_id arithmetic, no RNG):
+    * deterministic (doc_id/vec_id arithmetic, no RNG).
+    *
+    * DENSITY constant, CLUSTER SIZE bounded: the first cut of this
+    * synthesizer kept dup docs verbatim across ALL k replicas and gave
+    * every hot vector ONE shared value, so exact-duplicate clusters grew
+    * as k — and since the pair-semantics queries (q_dedup_ngram,
+    * q_embed_neardup) must ENUMERATE every genuine duplicate pair, their
+    * output is Ω(cluster²) by construction and no engine can hold a
+    * linear envelope against it. That measures the synthesizer, not the
+    * engine (the same trap the uniform remapping's scaladoc warns about).
+    * Clusters therefore repeat per 8-REPLICA BLOCK: size caps at 8 while
+    * the NUMBER of clusters scales with k, keeping 30%/50%/10% pathology
+    * density at every scale with output-linear growth. A cluster larger
+    * than any bound is real (mirror farms) — but for it, pair
+    * ENUMERATION itself is quadratic and the right operator is cluster
+    * semantics (q_dedup_exact / q_dedup_clusters / q_semdedup), which
+    * the wave also probes; the engine-side exact-duplicate collapses
+    * (q_embed_neardup, q_multimodal_phash) keep the COST at output size
+    * even then.
     *
     *  - duplicate-heavy: base docs with doc_id % 10 ∈ {0,1,2} (30%) keep
-    *    their text VERBATIM in every replica — exact-duplicate clusters
-    *    of size k (a dup-heavy crawl: mirrors, reposts);
+    *    their text verbatim within each 8-replica block (suffix remap by
+    *    block, not by rep) — exact-duplicate clusters of size ≤ 8 whose
+    *    count scales with k (a dup-heavy crawl: mirrors, reposts);
     *  - power-law tokens: base docs with doc_id % 2 = 0 (50%) get a fixed
     *    9-token preamble prepended AFTER remapping, identical across all
     *    replicas — a handful of shingles with document frequency 0.5·N
-    *    at every scale (boilerplate headers, license banners);
+    *    at every scale (boilerplate headers, license banners). This one
+    *    is deliberately UNBOUNDED: it is the single-hot-join-key stress
+    *    the df cutoff must absorb;
     *  - hot-key embeddings: base vecs with vec_id % 10 = 0 (10%) are
-    *    replaced by one fixed unit vector, identical across replicas —
-    *    a single dense cluster holding 10% of the corpus (a template
-    *    page embedded millions of times), the worst case for any
-    *    band/bucket/cell candidate generator.
+    *    replaced, per 8-replica block, by verbatim copies of a DONOR
+    *    base vector chosen injectively per (hot index, block) — exact-
+    *    tie clusters of 8-9 byte-identical vectors whose count scales
+    *    with k: dense exact-tie buckets in every LSH band and dense IVF
+    *    cells. Donors are natural corpus vectors, so cross-cluster
+    *    similarity stays at the corpus's own near-dup rate (a fixed
+    *    basis-vector family cannot do this: 64 dims admit at most ~2·64
+    *    mutually-far unit vectors, so any deterministic fixed family
+    *    either grows clusters with k or plants spurious 0.5-cosine
+    *    cross near-dups). The injection wraps once hot·blocks exceeds
+    *    n_base (cluster size then grows by ~k/80 — outside the probed
+    *    range, noted here for larger probes).
     *
     * Non-probed tables are copied once, unscaled, so the dir stays a
     * complete drop-in for Tables.load.
@@ -191,33 +220,45 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val docStride = maxPlusOne(docs, "doc_id")
     docs.select(col("*"), reps)
+      // dup docs remap by BLOCK (rep DIV 8): verbatim inside a block,
+      // distinct across blocks — cluster size ≤ 8, cluster count ∝ k
+      .withColumn("mark",
+        when(col("doc_id") % 10 < 3, expr("(rep DIV 8) * 8"))
+          .otherwise(col("rep")))
       .withColumn("remapped",
-        when(col("rep") === 0 || col("doc_id") % 10 < 3, col("text")).otherwise(
+        when(col("mark") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1r"), col("rep").cast("string")))))
+            concat(lit("$1r"), col("mark").cast("string")))))
       .withColumn("text",
         when(col("doc_id") % 2 === 0,
           concat(lit(preamble + " "), col("remapped"))).otherwise(col("remapped")))
       .withColumn("doc_id", col("doc_id") + col("rep") * docStride)
-      .drop("rep", "remapped")
+      .drop("rep", "mark", "remapped")
       .repartition(par)
       .write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val vecStride = maxPlusOne(emb, "vec_id")
-    // fixed unit vector: 1/sqrt(dim) in every position — same for every
-    // hot row at every replica, so the dense cluster is EXACT ties
-    val hotVec = array((0 until dim).map(_ => lit((1.0 / math.sqrt(dim.toDouble)).toFloat)): _*)
+    // donor = (hot index + block · hotCount) mod n_base — injective per
+    // (hot index, block) until hot·blocks wraps past the base corpus
+    val hotCount = (vecStride + 9) / 10
+    val donors = emb.select(col("vec_id").as("donor_id"),
+      col("embedding").as("donor_vec"))
     emb.select(col("*"), reps)
       .withColumn("sh", (col("rep") % dim).cast("int"))
+      .withColumn("donor_id",
+        when(col("vec_id") % 10 === 0,
+          expr(s"((vec_id DIV 10) + (rep DIV 8) * ${hotCount}L) % ${vecStride}L")))
+      .join(donors, Seq("donor_id"), "left")
       .withColumn("embedding",
-        when(col("vec_id") % 10 === 0, hotVec).otherwise(
+        when(col("vec_id") % 10 === 0, col("donor_vec"))
+        .otherwise(
           when(col("sh") === 0, col("embedding")).otherwise(
             concat(expr(s"slice(embedding, sh + 1, $dim - sh)"),
               expr("slice(embedding, 1, sh)")))))
       .withColumn("vec_id", col("vec_id") + col("rep") * vecStride)
-      .drop("rep", "sh")
+      .drop("rep", "sh", "donor_id", "donor_vec")
       .repartition(par)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
@@ -262,7 +303,9 @@ object ScaleProbe {
   /** Merge one wave's flat result dict into the committed multi-wave
     * artifact: `{"wave1": {...}, "wave2": {...}, "skew": {...}}`. A
     * legacy flat file (top-level `q_*` keys) is wrapped as wave1 so the
-    * committed r13 artifact upgrades in place on the first merge.
+    * committed r13 artifact upgrades in place on the first merge. An
+    * existing wave merges FIELD-WISE, so a subset re-probe (4th arg)
+    * refreshes just its queries without clobbering the wave's others.
     */
   private def mergeWave(outJson: String, wave: String, flat: String): String = {
     import com.fasterxml.jackson.databind.ObjectMapper
@@ -281,7 +324,11 @@ object ScaleProbe {
         } else old.asInstanceOf[ObjectNode]
       } else mapper.createObjectNode()
     }
-    root.set[ObjectNode](wave, mapper.readTree(flat))
+    val incoming = mapper.readTree(flat).asInstanceOf[ObjectNode]
+    root.get(wave) match {
+      case existing: ObjectNode => existing.setAll[ObjectNode](incoming)
+      case _ => root.set[ObjectNode](wave, incoming)
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

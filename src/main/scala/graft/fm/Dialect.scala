@@ -1177,13 +1177,21 @@ object Dialect {
     * `||` / arithmetic / `::` chains and the RHS walk absorbs arithmetic
     * (not `||`, which associates left onto the finished arrow).
     *
-    * `->` is ALSO the lambda arrow. Disambiguation: `->` (never `->>`)
-    * additionally requires a string/number-literal RHS start, and a
+    * `->` is ALSO the lambda arrow. Disambiguation rests on the LHS: a
     * bare-identifier (or `(a, b)` identifier-list) LHS sitting at an
     * argument start of a known lambda-taking function ([[lambdaHofs]])
-    * is left alone — `list_transform(l, x -> 'c')` stays a lambda while
-    * `SELECT tags -> 0 FROM files` rewrites. An arrow this pass cannot
-    * parse is left in place for Spark's parser to reject loudly.
+    * is a lambda and left alone — that is where every DuckDB/Spark
+    * lambda lives, so any other position is unambiguously JSON. The RHS
+    * may be a string/number literal OR a column-ref/ident chain
+    * (`j -> keycol`, `j -> t.path_col`, `j -> concat('$.', k)` — DuckDB
+    * accepts dynamic paths and [[JsonExtractFn]] evaluates any path
+    * expression); a parenthesized RHS (subquery / paren expr) is still
+    * refused for `->` only, since a paren group is also a legal lambda
+    * body and an unlisted HOF would then be silently miscompiled — that
+    * one form falls through for Spark's parser to reject loudly (use
+    * `json_extract(j, (...))` to spell it). `list_transform(l, x -> c)`
+    * stays a lambda while `SELECT tags -> 0 FROM files` and
+    * `SELECT j -> path_col FROM t` rewrite.
     */
   private[fm] def rewriteJsonOps(sql: String): String = {
     var out = sql
@@ -1206,7 +1214,15 @@ object Dialect {
           val literalStart = r < msk.length && (lit(r) || msk.charAt(r).isDigit ||
             ((msk.charAt(r) == '-' || msk.charAt(r) == '+') &&
               r + 1 < msk.length && msk.charAt(r + 1).isDigit))
-          var rhsEnd = if (!isText && !literalStart) -1
+          // column-ref RHS is legal for '->' too: the lambda case is
+          // excluded by the LHS guard below (a lambda's LHS is a bare
+          // ident / ident list at an argument start of a lambdaHof) —
+          // only a paren-group RHS stays literal/ident-gated, since a
+          // paren group is also a legal lambda body (scaladoc above)
+          val identStart = r < msk.length && !lit(r) &&
+            (msk.charAt(r) == '"' ||
+              (isIdentCh(msk.charAt(r)) && !msk.charAt(r).isDigit))
+          var rhsEnd = if (!isText && !literalStart && !identStart) -1
             else operandEndFwd(msk, lit, r)
           // absorb tighter-binding arithmetic on the right (not || — it
           // associates LEFT onto the completed arrow)

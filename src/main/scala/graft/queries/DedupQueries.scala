@@ -87,16 +87,32 @@ object DedupQueries {
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
-  // Hot-shingle cutoff: default = the corpus doc count (a shingle present
-  // in EVERY document carries no pairing signal and only produces the
-  // worst-case skew key). Deliberately derived from the data, not a
-  // constant, so the same code is correct at any SF; override with
-  // SPARK_GRAFT_MAX_SHINGLE_DF for tighter stop-shingle policies.
+  // Hot-shingle cutoff: default = max(1024, 8·⌊√N⌋) over the corpus doc
+  // count N. The r13 default (cutoff = N) only excluded shingles present
+  // in EVERY document — the r14 adversarial-skew probe planted a fixed
+  // boilerplate preamble in 50% of documents and each of its shingles
+  // (df = N/2, cold under the old rule) fanned out df²/2 candidate pairs
+  // on a single join key: 276 s at skew-x10, unbounded beyond. With
+  // cutoff c, per-key fan-out is < c²/2 and TOTAL candidate work is
+  // bounded by c × |postings| (Σ df² ≤ c·Σ df over cold shingles), so
+  // 8√N keeps the worst case O(N^1.5) and real corpora far under it.
+  // Completeness trade, documented: a pair is generated iff it shares at
+  // least one sub-cutoff shingle; hot overlaps are still COUNTED exactly
+  // via the correction join, so scores never change — only pairs whose
+  // every shared shingle clears one-in-√N-scale document frequency
+  // (pure boilerplate overlap, which the jac ≥ 0.5 floor rejects anyway
+  // unless the docs are nothing but boilerplate) drop out of candidate
+  // generation. Gate corpora are unaffected: max natural df at sf0.1 is
+  // 25 vs the 1024 floor, measured r14. Derived from the data so the
+  // same code is correct at any SF, replayed exactly in duckCandCte;
+  // override with SPARK_GRAFT_MAX_SHINGLE_DF for tighter policies.
   private val docCountCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), Long])
   private def maxShingleDocFreq(s: SparkSession, d: String): Long =
-    sys.env.get("SPARK_GRAFT_MAX_SHINGLE_DF").map(_.toLong).getOrElse(
-      docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
-        Tables.load(s, d, "documents").count()))
+    sys.env.get("SPARK_GRAFT_MAX_SHINGLE_DF").map(_.toLong).getOrElse {
+      val n = docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
+        Tables.load(s, d, "documents").count())
+      math.max(1024L, 8L * math.floor(math.sqrt(n.toDouble)).toLong)
+    }
 
   /** Candidate near-dup pairs from the shingle posting lists, with the
     * hot-shingle guard: shingles whose document frequency reaches
@@ -590,11 +606,12 @@ object DedupQueries {
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   // Replays the hot-shingle guard with the same default policy as
-  // maxShingleDocFreq: cutoff = corpus doc count, derived in SQL.
+  // maxShingleDocFreq: cutoff = max(1024, 8·⌊√N⌋), derived in SQL.
   private val duckCandCte =
     s"""dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
        |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)
-       |        WHERE dfc.df < (SELECT COUNT(*) FROM documents)),
+       |        WHERE dfc.df < GREATEST(1024, 8 * CAST(FLOOR(SQRT(
+       |          (SELECT COUNT(*) FROM documents))) AS BIGINT))),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin

@@ -67,6 +67,51 @@ object SimilarityQueries {
         .persist()
     })
 
+  private val vecGroupCache = graft.QueryCaches.register(
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)])
+  private val neardupRepCache = graft.QueryCaches.register(
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)])
+
+  /** Exact-duplicate collapse of the embedding corpus: one representative
+    * (min vec_id) per distinct vector. Returns
+    * (reps(embedding, rid, m), memb(rid, vec_id)). Byte-identical vectors
+    * defeat every hash/cell/bucket candidate structure at once — they
+    * share LSH signatures AND IVF cells, and every member pair clears any
+    * similarity floor, so a dense cluster of m identical embeddings (a
+    * template page embedded m times) turns any within-bucket or
+    * within-cell pairwise stage quadratic in m no matter how adaptive the
+    * bucket/cell capacity is (the r14 skew probe planted exactly this).
+    * The groupBy and the membership rejoin are the only vector-keyed
+    * shuffles, paid once per corpus (memoized); everything downstream
+    * carries ids.
+    */
+  private def vecGroups(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    Tables.memo(vecGroupCache, (Tables.sessionKey(s), d))({
+      val e = Tables.load(s, d, "embeddings")
+      val reps = e.groupBy("embedding")
+        .agg(min("vec_id").as("rid"), count(lit(1)).as("m"))
+        .persist()
+      val memb = e.select(col("vec_id"), col("embedding"))
+        .join(reps.select(col("embedding"), col("rid")), Seq("embedding"))
+        .select("rid", "vec_id")
+        .persist()
+      (reps, memb)
+    })
+
+  /** [[vecGroups]] with each representative's LSH signature attached (a
+    * pure function of the vector, so members share it by construction).
+    */
+  private def neardupCollapsed(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    Tables.memo(neardupRepCache, (Tables.sessionKey(s), d))({
+      val (vreps, vmemb) = vecGroups(s, d)
+      val reps = vreps
+        .join(lshSigs(s, d).select(col("vec_id").as("rid"), col("sig")),
+          Seq("rid"))
+        .persist()
+      (reps, vmemb)
+    })
+
   /** Band expansion of the signature frame via explode (one scan of the
     * persisted frame, not a per-band union): `(vec_id, band, bucket)`.
     * Bucket population is bounded by construction (2^bandBits buckets per
@@ -417,26 +462,59 @@ object SimilarityQueries {
     // this replaces, whose hottest block was quadratic.
     "q_embed_neardup" -> ((s, d) => {
       CosineFunctions.register(s)
-      val sig = lshSigs(s, d)
-      val bands = lshBands(sig, lshBandBits(s, d))
-        .join(sig.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // EXACT-DUPLICATE COLLAPSE first (r14 skew probe — the
+      // q_multimodal_phash pattern): byte-identical vectors share LSH
+      // signatures, land in the same bucket in EVERY band, and every
+      // member pair clears the sim floor, so a dense cluster of m
+      // identical embeddings (a template page embedded m times — 10% of
+      // the adversarial corpus) costs bands × m²/2 candidate rows when
+      // joined per-vector (38 s at skew-x10 vs 1.4 s uniform). The band
+      // self-join now runs over DISTINCT vectors only; member pairs
+      // expand algebraically afterwards, so a dense cluster costs its
+      // m²/2 genuine near-dup OUTPUT rows, never bands × that, and the
+      // pair-dedup aggregate shrinks to rep pairs. Results are
+      // bit-identical: members inherit their rep's signature and
+      // cosine is evaluated on the same vector bytes.
+      val (reps, memb) = neardupCollapsed(s, d)
+      val rb = lshBands(reps.select(col("rid").as("vec_id"), col("sig")),
+          lshBandBits(s, d))
+        .join(reps.select(col("rid").as("vec_id"), col("embedding")),
+          Seq("vec_id"))
       // cosine INSIDE the band join, filter BEFORE the pair dedup
       // (r13 scale probe: the former distinct-then-rejoin shape carried
       // the 64-float embeddings onto every candidate pair row through
       // two sort-merge joins at 100× — ~10 GB of shuffled vectors,
       // 220 s; both sides of the band join already HOLD the vectors,
       // and the ≥0.35 floor commutes with the distinct, so the dedup
-      // shuffle now carries only near-dup (ia, ib, sim) triples)
-      bands.select(col("vec_id").as("ia"), col("band"), col("bucket"),
-          col("embedding").as("va"))
-        .join(bands.select(col("vec_id").as("ib"), col("band"), col("bucket"),
+      // shuffle carries only near-dup (ra, rb, sim) triples)
+      val crossRep = rb.select(col("vec_id").as("ra"), col("band"),
+          col("bucket"), col("embedding").as("va"))
+        .join(rb.select(col("vec_id").as("rb"), col("band"), col("bucket"),
           col("embedding").as("vb")), Seq("band", "bucket"))
-        .filter(col("ia") < col("ib"))
-        .select(col("ia"), col("ib"),
+        .filter(col("ra") < col("rb"))
+        .select(col("ra"), col("rb"),
           expr("array_cosine_similarity(va, vb)").as("sim_d"))
         .filter(col("sim_d") >= 0.35)
-        .groupBy("ia", "ib")
+        .groupBy("ra", "rb")
         .agg(min(col("sim_d")).as("sim_d")) // multi-band duplicates: sim identical
+      // cross-rep member expansion: every member combo is a pair at the
+      // rep pair's sim; member ids can interleave across reps, so order
+      // each combo explicitly
+      val crossPairs = crossRep
+        .join(memb.select(col("rid").as("ra"), col("vec_id").as("ia0")), Seq("ra"))
+        .join(memb.select(col("rid").as("rb"), col("vec_id").as("ib0")), Seq("rb"))
+        .select(least(col("ia0"), col("ib0")).as("ia"),
+          greatest(col("ia0"), col("ib0")).as("ib"), col("sim_d"))
+      // within-rep: identical vectors — one cosine per rep, m²/2 pairs
+      val selfPairs = reps.filter(col("m") >= 2)
+        .select(col("rid"),
+          expr("array_cosine_similarity(embedding, embedding)").as("sim_d"))
+        .filter(col("sim_d") >= 0.35) // drops the all-zero-vector NaN like the pairwise path
+        .join(memb.select(col("rid"), col("vec_id").as("ia")), Seq("rid"))
+        .join(memb.select(col("rid"), col("vec_id").as("ib")), Seq("rid"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib", "sim_d")
+      crossPairs.union(selfPairs)
         .select(col("ia"), col("ib"), col("sim_d").cast(FloatType).as("sim"))
         .orderBy(col("ia"), col("ib"))
     }),
@@ -618,13 +696,26 @@ object SimilarityQueries {
     "q_semdedup" -> ((s, d) => {
       CosineFunctions.register(s)
       graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
-      val assigned = Tables.load(s, d, "embeddings")
+      // EXACT-DUPLICATE COLLAPSE first (r14 skew probe): byte-identical
+      // vectors always co-cell and every member pair clears the sim
+      // floor, so a cluster of m identical embeddings makes the
+      // within-cell pairwise block quadratic in m REGARDLESS of the
+      // corpus-adaptive cell count (which only bounds the AVERAGE cell
+      // population) — 35 s at skew-x50 vs 1.8 s at x10 before the
+      // collapse. Pairwise + connected components run over distinct
+      // vectors; a star edge rep→member per duplicate group yields
+      // exactly the components of the member-level graph (every member
+      // edge routes through its rep, whose vector is byte-equal), and
+      // the keeper (min id in component) is preserved because each rep
+      // IS its group's min vec_id.
+      val (vreps, vmemb) = vecGroups(s, d)
+      val assigned = vreps
         .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
       // Salted self-join: the join key is (cell, salt), not bare cell —
       // with only ivfCellCount distinct cells, a cell-keyed shuffle would cap
       // the pairwise stage at cell-count-way parallelism on a 1000-executor
-      // cluster. Side A pins salt = ia % SemDedupSalt; side B replicates
-      // each row across all salts, so every (ia, ib) pair still meets
+      // cluster. Side A pins salt = ra % SemDedupSalt; side B replicates
+      // each row across all salts, so every (ra, rb) pair still meets
       // exactly once while each cell's O(n_c^2) block spreads over
       // SemDedupSalt partitions. The cell count itself is corpus-
       // adaptive (ivfCellCount: ~IvfCellTarget vectors per cell), so
@@ -632,19 +723,30 @@ object SimilarityQueries {
       // as the corpus grows; the r13 scale probe measured the old fixed
       // 16-cell quantizer at 103.8× wall time for 10× data.
       val a = assigned
-        .select(col("cell"), col("vec_id").as("ia"), col("embedding").as("va"))
+        .select(col("cell"), col("rid").as("ia"), col("embedding").as("va"))
         .withColumn("salt", expr(s"ia % $SemDedupSalt"))
       val b = assigned
-        .select(col("cell"), col("vec_id").as("ib"), col("embedding").as("vb"))
+        .select(col("cell"), col("rid").as("ib"), col("embedding").as("vb"))
         .withColumn("salt", explode(expr(s"sequence(0, ${SemDedupSalt - 1})")))
-      val pairs = a.join(b, Seq("cell", "salt"))
+      val repPairs = a.join(b, Seq("cell", "salt"))
         .filter(col("ia") < col("ib"))
         .filter(expr("array_cosine_similarity(va, vb)") >= SemDedupSim)
         .select("ia", "ib")
+      // star edges rep→member; the self-cosine guard keeps degenerate
+      // (zero-vector) groups isolated exactly like the pairwise NaN did
+      val starEdges = vreps.filter(col("m") >= 2)
+        .filter(expr("array_cosine_similarity(embedding, embedding)") >= SemDedupSim)
+        .select(col("rid"))
+        .join(vmemb, Seq("rid"))
+        .filter(col("vec_id") =!= col("rid"))
+        .select(col("rid").as("ia"), col("vec_id").as("ib"))
+      val pairs = repPairs.union(starEdges)
       graft.ops.ConnectedComponents.labelPropagate(s, pairs)
         .filter(col("label") < col("node"))
         .select(col("node").as("vec_id"), col("label").as("keeper"))
-        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        // members inherit their rep's cell (byte-equal vectors)
+        .join(vmemb.join(assigned.select(col("rid"), col("cell")), Seq("rid"))
+          .select(col("vec_id"), col("cell")), Seq("vec_id"))
         .select("vec_id", "keeper", "cell")
         .orderBy("vec_id")
     }),

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the adversarial-skew corpus synthesizer (r14): pathology
+  * DENSITY is constant (30% dup docs / 50% boilerplate / 10% hot
+  * vectors at every scale) while exact-duplicate CLUSTER SIZE is bounded
+  * and independent of the replication factor k. The bound is the
+  * property that keeps the probe honest — clusters growing with k make
+  * pair-enumeration output Ω(k²) by construction, which no engine can
+  * hold a linear envelope against (it would measure the synthesizer,
+  * not the engine; ScaleProbe.synthesizeSkew scaladoc).
+  */
+class SkewSynthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val base = "/root/testdata/sf0.001"
+
+  private def synth(k: Int): String = {
+    val dest = s"/tmp/graft_skew_spec_x$k"
+    // fresh synth every run: the spec must test the current code
+    val dir = new java.io.File(dest)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+    ScaleProbe.synthesizeSkew(spark, base, k, dest)
+    dest
+  }
+
+  test("skew pathologies: constant density, k-independent cluster bounds") {
+    val d16 = synth(16)
+    val d32 = synth(32)
+
+    def docStats(d: String, k: Int): (Long, Long, Double, Double) = {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val n = docs.count()
+      assert(n == k * spark.read.parquet(s"$base/documents.parquet").count())
+      val cl = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("m"))
+      val maxCluster = cl.agg(max("m")).head.getLong(0)
+      val dupRows = cl.filter(col("m") >= 2).agg(sum("m")).head.getLong(0)
+      val preambleRows = docs
+        .filter(col("text").startsWith("terms of service apply")).count()
+      (n, maxCluster, dupRows.toDouble / n, preambleRows.toDouble / n)
+    }
+    val (_, max16, dupFrac16, pre16) = docStats(d16, 16)
+    val (_, max32, dupFrac32, pre32) = docStats(d32, 32)
+    // dup docs repeat per 8-replica block: cluster size exactly 8,
+    // unchanged when k doubles (count of clusters doubles instead)
+    assert(max16 == 8L && max32 == 8L)
+    // 30% of rows sit in exact-dup clusters, 50% carry the preamble —
+    // density constant across scales
+    assert(math.abs(dupFrac16 - 0.3) < 0.05 && math.abs(dupFrac32 - 0.3) < 0.05)
+    assert(math.abs(pre16 - 0.5) < 0.05 && math.abs(pre32 - 0.5) < 0.05)
+
+    def vecStats(d: String): (Long, Double) = {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      val cl = emb.groupBy("embedding").agg(count(lit(1)).as("m"))
+      val maxCluster = cl.agg(max("m")).head.getLong(0)
+      val dupRows = cl.filter(col("m") >= 2).agg(sum("m")).head.getLong(0)
+      (maxCluster, dupRows.toDouble / n)
+    }
+    val (vmax16, vdup16) = vecStats(d16)
+    val (vmax32, vdup32) = vecStats(d32)
+    // exact-tie clusters are donor-injective per (hot index, block):
+    // 8 copies + the donor's own unrotated replica-0 row — the max does
+    // NOT grow when k doubles (cluster COUNT doubles instead)
+    assert(vmax16 == vmax32 && vmax16 <= 9L)
+    // ~10% of rows are planted copies (+1/8 donor rows each)
+    assert(math.abs(vdup16 - 0.112) < 0.05 && math.abs(vdup32 - 0.112) < 0.05)
+  }
+}

@@ -57,9 +57,36 @@ class JsonOpsSpec extends AnyFunSuite {
     assert(rw(l2) == l2)
     val l3 = "SELECT list_reduce(l, (a, b) -> 'c') FROM t"
     assert(rw(l3) == l3)
-    // non-literal RHS is never a JSON arrow
+    // ident-bodied lambdas too: the LHS guard, not the RHS kind, is
+    // the discriminator (column-RHS JSON arrows are legal since r14)
     val l4 = "SELECT list_transform(l, x -> x + 1) FROM t"
     assert(rw(l4) == l4)
+    val l5 = "SELECT list_transform(l, x -> y) FROM t"
+    assert(rw(l5) == l5)
+    val l6 = "SELECT array_sort(l, (x, y) -> cmp) FROM t"
+    assert(rw(l6) == l6)
+  }
+
+  test("column-ref RHS rewrites outside lambda positions (DuckDB dynamic paths)") {
+    assert(rw("SELECT j -> k FROM t") ==
+      "SELECT json_extract(j, k) FROM t")
+    assert(rw("SELECT j -> t.path_col FROM t") ==
+      "SELECT json_extract(j, t.path_col) FROM t")
+    assert(rw("SELECT j -> concat('$.', k) FROM t") ==
+      "SELECT json_extract(j, concat('$.', k)) FROM t")
+    assert(rw("SELECT j ->> k FROM t") ==
+      "SELECT json_extract_string(j, k) FROM t")
+    // chains mix literal and column paths
+    assert(rw("SELECT j -> k1 ->> k2 FROM t") ==
+      "SELECT json_extract_string(json_extract(j, k1), k2) FROM t")
+  }
+
+  test("paren-group RHS is still refused for -> (legal lambda body shape)") {
+    val s = "SELECT j -> (SELECT p FROM q) FROM t"
+    assert(rw(s) == s)
+    // ->> takes any RHS, including paren groups
+    assert(rw("SELECT j ->> (p) FROM t") ==
+      "SELECT json_extract_string(j, (p)) FROM t")
   }
 
   test("JSON arrow inside a lambda body still rewrites") {
