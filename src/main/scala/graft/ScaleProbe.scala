@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   *    the purchase graph becomes k disjoint copies — PageRank's edge
   *    count scales exactly k× with no artificial supernodes.
   *
-  * Per (query, scale): min-of-2 wall time through the noop sink (full
-  * compute, no driver collect — Bench's methodology), executed-plan
-  * shape (exchanges, join strategies, codegen fallbacks), and driver
-  * heap in use after a GC. Pins evaluated by `tools/scale_check.py`
-  * and written up in SCALE.md:
+  * Per (query, scale): one COLD, ISOLATED wall time through the noop
+  * sink (full compute, no driver collect — Bench's execution shape) —
+  * caches are evicted after every query so each measurement pays for
+  * its own upstream frames and never observes another family's
+  * (r14; the shared-session methodology let co-resident persisted
+  * frames inflate later queries at the largest scales) — plus
+  * executed-plan shape (exchanges, join strategies, codegen fallbacks)
+  * and driver heap in use after a GC. Pins evaluated by
+  * `tools/scale_check.py` and written up in SCALE.md:
   *
   *   (a) near-linear growth: t(100×)/t(10×) within a generous linear
   *       envelope (≤ 20× — parquet scan + shuffle constants shrink
@@ -430,6 +434,16 @@ object ScaleProbe {
         System.err.println(f"[scale] $q x$k: $sec%.3f s, " +
           s"ex=${shape.exchanges} bhj=${shape.broadcastJoins} " +
           s"smj=${shape.sortMergeJoins} shj=${shape.shuffledHashJoins}")
+        // PER-QUERY isolation (r14): the pins claim PER-QUERY near-linear
+        // growth, so each (query, scale) must run cold and alone. The
+        // r13 shared-session methodology let seven families' persisted
+        // frames co-reside in one JVM; at skew-x50 the co-residency
+        // inflated later queries up to 11× (solo re-runs were linear —
+        // a probe artifact, not an engine defect; SCALE.md finding 12).
+        // Queries now pay for their own upstream frames at every scale,
+        // which is also the harder, more honest measurement.
+        spark.catalog.clearCache()
+        QueryCaches.clearAll()
       }
       // driver-retention pin: drop every persisted block (they live in
       // THIS heap under local mode — executor memory, not driver state)
