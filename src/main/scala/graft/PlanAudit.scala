@@ -77,7 +77,7 @@ object PlanAudit {
     "q_domain_cap" -> "domain cap: ONE source-partitioned window (partition key = shuffle key), per-source agg, no global sort",
     "q_pipeline_curate" -> "composed funnel: cap window + broadcast bench grams + anti-join, per-source frames all broadcast",
     "q_semdedup" -> "salted within-cell self-join: join key (cell, salt) spreads each quadratic block, codegen assignment, no all-pairs. Exact-duplicate collapse (r14 skew probe, finding 10): pairwise + connected components run over DISTINCT vectors with rep->member star edges — identical-vector clusters always co-cell and defeat the adaptive cell count (which bounds only the AVERAGE population), so the within-cell block is rep-level; components and the min-id keeper are exactly the member-level graph's because each rep IS its group's min vec_id",
-    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product",
+    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product. Corpus side collapsed to one rep per distinct vector (r14 finding 10): exact for top-1 because the (sim DESC, id ASC) tie-break prefers each duplicate group's min id, which IS the rep; dense identical cells no longer multiply every batch row's candidate scan",
     "q_zorder_layout" -> "z-order layout audit: unrolled integer bit-interleave in codegen, one scan + fixed-size bucket hash agg, no UDF, no window",
     "q_cdc_merge" -> "CDC merge: change log compacted by key-partitioned window, then ONE full-outer shuffle join on the merge key (no broadcast possible, both sides keyed)",
     "q_weighted_sample" -> "A-ES weighted sample: keys in one codegen scan, per-source top-k window only (vocabulary-sized groups), no global sort",
@@ -96,7 +96,7 @@ object PlanAudit {
     "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan",
     "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort",
     "q_substr_dedup" -> "substring-dedup cleanup: linear gram-keyed stats agg + equi-join back + K-bounded position explode — NO pair join anywhere",
-    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs",
+    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs. KNOWN EXPOSURE (r14): a cell of m byte-identical vectors makes the within-cell block Omega(m^2) like pre-collapse q_semdedup; the finding-10 collapse does NOT port directly because top-k>1 results legitimately contain multiple members of one duplicate group and equal-sim groups interleave members by vec_id — a rep-level reconstruction must merge tied groups by member id. Pattern available, not yet needed: the skew wave pins the pairwise consumers that collapse exactly (semdedup, neardup, semdedup_incremental)",
     "q_bucket_join" -> "bucketed co-located join: shuffle-free join sides (broadcast wins at audit sf; with broadcast off the SortMergeJoin consumes the bucket layout with ZERO side exchanges — pinned in ScaleTechniquesSpec)",
     "q_theta_setops" -> "theta set-ops: one distinct + one hash agg over the data; θ from TakeOrderedAndProject top-k (k rows to one reducer, never a global sort), broadcast back as a 1-row side",
     "q_train_shuffle" -> "seeded epoch shuffle: exact global positions via range-partitioned prefix sum + broadcast offsets — NO single-partition window over the data",

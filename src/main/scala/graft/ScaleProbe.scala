@@ -89,7 +89,10 @@ object ScaleProbe {
     */
   val skewTargets: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
-    "q_embed_neardup", "q_ann_lsh", "q_semdedup")
+    "q_embed_neardup", "q_ann_lsh", "q_semdedup",
+    // r14: the ingest tier under skew — identical-cluster corpora stress
+    // the collapsed top-1 corpus scan and the adaptive-band bucket join
+    "q_semdedup_incremental", "q_ann_incremental")
 
   private def maxPlusOne(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head.getLong(0) + 1L

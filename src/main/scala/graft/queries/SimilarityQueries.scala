@@ -802,8 +802,21 @@ object SimilarityQueries {
         .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
       val batch = e.filter(col("vec_id") % AnnIncrMod === AnnIncrRem)
         .select(col("cell"), col("vec_id").as("bid"), col("embedding").as("bv"))
+      // corpus side collapsed to one rep per distinct vector (r14 skew
+      // finding 10): a dense cell of m identical corpus embeddings
+      // multiplies every batch row's candidate scan by m; top-1 with
+      // the (sim DESC, mid ASC) tie-break is EXACTLY rep-equivalent —
+      // all members of a duplicate group share the sim and the
+      // preferred (smallest) mid IS the group's min, i.e. the rep.
+      // (Top-k>1 queries like q_ann_incremental can NOT collapse:
+      // duplicate members legitimately occupy multiple result slots.)
+      // The collapse is subset-local — the rep must be the min mid
+      // WITHIN the corpus split, not vecGroups' global min, which
+      // could be a batch row.
       val corpus = e.filter(col("vec_id") % AnnIncrMod =!= AnnIncrRem)
-        .select(col("cell"), col("vec_id").as("mid"), col("embedding").as("mv"))
+        .groupBy("embedding", "cell")
+        .agg(min("vec_id").as("mid"))
+        .select(col("cell"), col("mid"), col("embedding").as("mv"))
       batch.join(corpus, Seq("cell"))
         .select(col("bid"), col("cell"), col("mid"),
           expr("array_cosine_similarity(bv, mv)").as("sim_d"))
