@@ -96,7 +96,7 @@ object PlanAudit {
     "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan",
     "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort",
     "q_substr_dedup" -> "substring-dedup cleanup: linear gram-keyed stats agg + equi-join back + K-bounded position explode — NO pair join anywhere",
-    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs. KNOWN EXPOSURE (r14): a cell of m byte-identical vectors makes the within-cell block Omega(m^2) like pre-collapse q_semdedup; the finding-10 collapse does NOT port directly because top-k>1 results legitimately contain multiple members of one duplicate group and equal-sim groups interleave members by vec_id — a rep-level reconstruction must merge tied groups by member id. Pattern available, not yet needed: the skew wave pins the pairwise consumers that collapse exactly (semdedup, neardup, semdedup_incremental)",
+    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs. Top-k exact-duplicate collapse (r14, finding 10 closed for top-k>1): top-k results legitimately contain multiple members of one duplicate group and equal-sim groups interleave members by vec_id, so the rep-level join ranks (sim, member_id) pairs over each group's CLUB — its min(KnnK+1, m) smallest member ids, the only members that can appear in any top-KnnK; per member the sorted group list drops self and keeps KnnK. Candidate volume <= the uncollapsed join always, << it on dup-heavy corpora; exactness oracle-verified on the adversarial skew corpus (13/13 strict)",
     "q_bucket_join" -> "bucketed co-located join: shuffle-free join sides (broadcast wins at audit sf; with broadcast off the SortMergeJoin consumes the bucket layout with ZERO side exchanges — pinned in ScaleTechniquesSpec)",
     "q_theta_setops" -> "theta set-ops: one distinct + one hash agg over the data; θ from TakeOrderedAndProject top-k (k rows to one reducer, never a global sort), broadcast back as a 1-row side",
     "q_train_shuffle" -> "seeded epoch shuffle: exact global positions via range-partitioned prefix sum + broadcast offsets — NO single-partition window over the data",

@@ -92,7 +92,7 @@ object ScaleProbe {
     "q_embed_neardup", "q_ann_lsh", "q_semdedup",
     // r14: the ingest tier under skew — identical-cluster corpora stress
     // the collapsed top-1 corpus scan and the adaptive-band bucket join
-    "q_semdedup_incremental", "q_ann_incremental")
+    "q_semdedup_incremental", "q_ann_incremental", "q_knn_graph")
 
   private def maxPlusOne(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head.getLong(0) + 1L

@@ -767,19 +767,48 @@ object SimilarityQueries {
       CosineFunctions.register(s)
       graft.ops.GraftAggregates.register(s)
       graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
-      val assigned = Tables.load(s, d, "embeddings")
+      // EXACT-DUPLICATE COLLAPSE for top-k (r14, closing the finding-10
+      // exposure this query carried): a cell of m byte-identical
+      // vectors made the within-cell self-join Ω(m²). Unlike top-1,
+      // top-k results legitimately contain MULTIPLE members of one
+      // duplicate group, and equal-sim groups interleave members by
+      // vec_id — so the collapse ranks (sim, member_id) pairs directly
+      // over each group's CLUB: its min(KnnK+1, m) smallest member ids,
+      // the only members that can appear in ANY vector's top-KnnK
+      // (a non-club member y of group h has ≥ KnnK+1 candidates with
+      // strictly better (sim, id) keys — h's club at the same sim with
+      // smaller ids — so y survives no top-(KnnK+1) even after one
+      // self-exclusion). Per group g: top-(KnnK+1) over club members of
+      // all cell groups (own group included at the self-cosine); per
+      // member x: drop x from g's sorted list, keep the first KnnK —
+      // exact because top-KnnK of (stream \ x) ⊆ top-(KnnK+1) of stream
+      // and Σ min(KnnK+1, m_h) ≥ min(KnnK+1, Σ m_h) keeps the list long
+      // enough whenever x has that many true candidates. Candidate
+      // volume is ≤ the uncollapsed join always (club ≤ members) and
+      // ≪ it on dup-heavy corpora.
+      val (vreps, vmemb) = vecGroups(s, d)
+      val assigned = vreps
         .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val club = vmemb
+        .groupBy("rid")
+        .agg(expr(s"graft_top_k(struct(vec_id AS s, vec_id AS v), ${KnnK + 1})").as("cl"))
+        .select(col("rid").as("nrid"), explode(col("cl")).as("c"))
+        .select(col("nrid"), col("c.v").as("nid"))
       val a = assigned
-        .select(col("cell"), col("vec_id").as("qid"), col("embedding").as("va"))
-        .withColumn("salt", expr(s"qid % $SemDedupSalt"))
+        .select(col("cell"), col("rid").as("qrid"), col("embedding").as("va"))
+        .withColumn("salt", expr(s"qrid % $SemDedupSalt"))
       val b = assigned
-        .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("vb"))
+        .select(col("cell"), col("rid").as("nrid"), col("embedding").as("vb"))
+        .join(club, Seq("nrid"))
         .withColumn("salt", explode(expr(s"sequence(0, ${SemDedupSalt - 1})")))
-      a.join(b, Seq("cell", "salt"))
-        .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), microCos(col("va"), col("vb")).as("sim"))
-        .groupBy("qid")
-        .agg(expr(s"graft_top_k(struct(-sim AS s, nid AS v, sim AS sim), $KnnK)").as("top"))
+      val grpTop = a.join(b, Seq("cell", "salt"))
+        .select(col("qrid"), col("nid"), microCos(col("va"), col("vb")).as("sim"))
+        .groupBy("qrid")
+        .agg(expr(s"graft_top_k(struct(-sim AS s, nid AS v, sim AS sim), ${KnnK + 1})").as("top"))
+      vmemb.select(col("rid").as("qrid"), col("vec_id").as("qid"))
+        .join(grpTop, Seq("qrid"))
+        .select(col("qid"),
+          expr(s"slice(filter(top, t -> t.v != qid), 1, $KnnK)").as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.v").as("nid"), col("t.sim").as("sim_micro"))
         .orderBy(col("qid"), col("sim_micro").desc, col("nid"))

@@ -16,7 +16,7 @@ and (2) pandas sort_values raises on LIST-valued result columns
 ("unhashable type: numpy.ndarray"). A query is only driver-green when
 BOTH modes pass; run --strict before shipping any catalog change.
 """
-import sys, json, glob, math, hashlib
+import os, sys, json, glob, math, hashlib
 
 import duckdb
 import pyarrow.parquet as pq
@@ -95,7 +95,11 @@ def main():
     sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # testdata tables are flat files; Spark-synthesized corpora
+        # (ScaleProbe's /tmp dirs) are part-file directories
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sorted({p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json")})
     n_pass = n_fail = n_rowsonly = n_strict = 0
