@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables, TestSpark}
+
+/** The r14 exact-duplicate collapses (q_embed_neardup pairs, q_semdedup
+  * connected components, q_semdedup_incremental top-1, q_knn_graph
+  * top-k club) are execution strategies that must be OUTPUT-INVISIBLE.
+  * The driver's oracle gate runs at sf0.01 where embeddings are all
+  * distinct, so every duplicate group there has m = 1 and the collapse
+  * paths are exercised trivially; this spec re-derives each query with
+  * a plain-Scala reference on a DUPLICATE-HEAVY corpus (the adversarial
+  * skew synthesizer at k = 16: ~10% of vectors are byte-identical
+  * donor-copy clusters) where the collapses actually merge groups.
+  * References use Similarity.cosine / Similarity.signature — the same
+  * sequential-double kernels the Catalyst expressions run — so the
+  * comparison is over identical arithmetic.
+  */
+class CollapseEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val dest = "/tmp/graft_collapse_spec_x16"
+    val d = new java.io.File(dest)
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d)
+    }
+    graft.ScaleProbe.synthesizeSkew(spark, "/root/testdata/sf0.001", 16, dest)
+    dest
+  }
+
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      .sortBy(_._1)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double =
+    Similarity.cosine(a, b)
+
+  private lazy val cellOf: Map[Long, Long] = {
+    val cents = SimilarityQueries.ivfCentroids(
+      spark, dir, SimilarityQueries.IvfIters)
+    vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cos(v, c), cid) }
+        .minBy { case (sim, cid) => (-sim, cid) }._2
+    }.toMap
+  }
+
+  private def assertHasDuplicates(): Unit = {
+    val groups = vecs.groupBy(_._2.toSeq).values
+    assert(groups.exists(_.size >= 4),
+      "corpus must contain identical-vector clusters or the collapse is untested")
+  }
+
+  // round-half-away-from-zero to the micro grid, as Spark's round()
+  private def micro(c: Double): Long =
+    BigDecimal(c.toFloat.toDouble * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("q_knn_graph (top-k club collapse) == per-member within-cell reference") {
+    assertHasDuplicates()
+    val prod = SparkEntry.queries("q_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = vecs.toMap
+    val want = vecs.map(_._1).flatMap { qid =>
+      val cands = vecs.map(_._1)
+        .filter(n => n != qid && cellOf(n) == cellOf(qid))
+        .map(n => (n, micro(cos(byId(qid), byId(n)))))
+        .sortBy { case (n, m) => (-m, n) }
+        .take(SimilarityQueries.KnnK)
+      cands.map { case (n, m) => (qid, n, m) }
+    }
+    assert(prod == want)
+  }
+
+  test("q_semdedup (rep-level CC + star edges) == member-level union-find") {
+    assertHasDuplicates()
+    val rows = SparkEntry.queries("q_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ids = vecs.map(_._1)
+    val byId = vecs.toMap
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    var merged = 0
+    for {
+      i <- ids.indices
+      j <- i + 1 until ids.length
+      if cellOf(ids(i)) == cellOf(ids(j))
+      if cos(byId(ids(i)), byId(ids(j))) >= SimilarityQueries.SemDedupSim
+    } { union(ids(i), ids(j)); merged += 1 }
+    assert(merged > 0)
+    val want = ids.flatMap { id =>
+      val root = find(id)
+      if (root < id) Some((id, root, cellOf(id))) else None
+    }
+    assert(rows == want)
+  }
+
+  test("q_semdedup_incremental (collapsed corpus top-1) == uncollapsed reference") {
+    assertHasDuplicates()
+    val prod = SparkEntry.queries("q_semdedup_incremental")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getFloat(3), r.getBoolean(4)))
+      .toSeq
+    val byId = vecs.toMap
+    val (batch, corpus) = vecs.map(_._1).partition(
+      id => id % SimilarityQueries.AnnIncrMod == SimilarityQueries.AnnIncrRem)
+    val want = batch.sorted.flatMap { bid =>
+      val cands = corpus.filter(m => cellOf(m) == cellOf(bid))
+        .map(m => (m, cos(byId(bid), byId(m))))
+      if (cands.isEmpty) None
+      else {
+        val (mid, sim) = cands.minBy { case (m, s) => (-s, m) }
+        Some((bid, cellOf(bid), mid, sim.toFloat,
+          sim >= SimilarityQueries.SemDedupSim))
+      }
+    }
+    assert(prod == want)
+  }
+
+  test("q_embed_neardup (pair-expansion collapse) == uncollapsed band reference") {
+    assertHasDuplicates()
+    val prod = SparkEntry.queries("q_embed_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2))).toSeq
+    val byId = vecs.toMap
+    // 4 bands (SimilarityQueries.LshBands) x adaptive bits, planes from
+    // the same seed stream, signatures through the executor kernel
+    val bits = SimilarityQueries.lshBandBitsFor(vecs.length.toLong)
+    val planes = Similarity.hyperplanes(4 * bits, 64, seed = 42L)
+    val sig = vecs.map { case (id, v) =>
+      id -> Similarity.signature(v, planes)
+    }.toMap
+    val mask = (1L << bits) - 1
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (band <- 0 until 4) {
+      vecs.map(_._1).groupBy(id => (sig(id) >> (band * bits)) & mask)
+        .values.foreach { bucket =>
+          val b = bucket.sorted
+          for (i <- b.indices; j <- i + 1 until b.length)
+            candidates += ((b(i), b(j)))
+        }
+    }
+    val want = candidates.toSeq
+      .map { case (ia, ib) => (ia, ib, cos(byId(ia), byId(ib))) }
+      .filter(_._3 >= 0.35)
+      .map { case (ia, ib, s) => (ia, ib, s.toFloat) }
+      .sortBy { case (ia, ib, _) => (ia, ib) }
+    assert(prod == want)
+  }
+}
