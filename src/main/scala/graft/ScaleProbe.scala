@@ -92,7 +92,12 @@ object ScaleProbe {
     "q_embed_neardup", "q_ann_lsh", "q_semdedup",
     // r14: the ingest tier under skew — identical-cluster corpora stress
     // the collapsed top-1 corpus scan and the adaptive-band bucket join
-    "q_semdedup_incremental", "q_ann_incremental", "q_knn_graph")
+    "q_semdedup_incremental", "q_ann_incremental", "q_knn_graph",
+    // r14: text/media tier under skew — boilerplate fingerprints must
+    // fall to crossdup's constant df cutoff; identical-doc clusters ride
+    // the phash exact-duplicate collapse (r13 finding 2) and substr's
+    // gram-keyed stats (no pair join anywhere)
+    "q_winnow_crossdup", "q_multimodal_phash", "q_substr_dedup")
 
   private def maxPlusOne(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head.getLong(0) + 1L
