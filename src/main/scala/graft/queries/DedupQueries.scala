@@ -293,7 +293,18 @@ object DedupQueries {
         .persist()
     })
 
-  private def tfidfWtsDF(s: SparkSession, d: String): DataFrame =
+  /** tf-idf weights for the given document subset. IDF statistics are
+    * GLOBAL (df per word and the doc count come from the full corpus —
+    * exactness requires it), but the weight rows are joined and
+    * persisted only for `docs`: r14 scale probe — the former
+    * corpus-wide weight frame joined idf onto 100M (doc, word) rows and
+    * persisted them, of which q_tfidf_sim (its only consumer) read the
+    * ~1% belonging to near-dup pair documents. The idf side carries no
+    * broadcast hint: with the tf side semi-filtered small, stats pick
+    * the right build side at any scale (the old code force-broadcast a
+    * corpus-vocabulary idf table, ~10M words at 100×).
+    */
+  private def tfidfWtsDF(s: SparkSession, d: String, docs: DataFrame): DataFrame =
     Tables.memo(tfidfCache, (Tables.sessionKey(s), d))({
       val tf = docWordCounts(s, d)
       val nd = tf.select("doc_id").distinct().agg(count(lit(1)).as("nd"))
@@ -305,7 +316,8 @@ object DedupQueries {
         .select(col("word"), expr(
           "CAST(ROUND(CAST(CAST(ln(CAST(nd AS DOUBLE) / df) AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
           .as("idf_knats"))
-      tf.join(broadcast(idf), Seq("word"))
+      tf.join(docs, Seq("doc_id"), "left_semi")
+        .join(idf, Seq("word"))
         .select(col("doc_id"), col("word"), (col("tf") * col("idf_knats")).as("wt"))
         .persist()
     })
@@ -426,11 +438,22 @@ object DedupQueries {
     // Jaccard frame; weights ride the shared word frame; nothing here
     // scans the corpus anew.
     "q_tfidf_sim" -> ((s, d) => {
-      val wts = tfidfWtsDF(s, d)
-      val norms = wts.groupBy("doc_id")
-        .agg(sum(expr("CAST(wt AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))")).as("n2"))
       val pairs = jaccardPairsCached(s, d)
         .filter(col("jac") >= 0.5).select("ia", "ib")
+      // Only documents appearing in a near-dup pair contribute to the
+      // output (dots and norms are both per-pair-doc), so the weight
+      // frame is built for those docs only — IDF stays a global corpus
+      // statistic inside tfidfWtsDF, but the join + persist + norm
+      // aggregate shrink from corpus size to the near-dup population,
+      // orders of magnitude smaller at any realistic dup rate. The
+      // filter is stats-planned (never a forced broadcast), so a
+      // pathological all-docs-duplicated corpus degrades to the old
+      // full-frame plan instead of a broken broadcast.
+      val pairDocs = pairs.select(col("ia").as("doc_id"))
+        .union(pairs.select(col("ib").as("doc_id"))).distinct()
+      val wts = tfidfWtsDF(s, d, pairDocs)
+      val norms = wts.groupBy("doc_id")
+        .agg(sum(expr("CAST(wt AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))")).as("n2"))
       val dots = pairs
         .join(wts.select(col("doc_id").as("ia"), col("word"), col("wt").as("wa")), Seq("ia"))
         .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb")), Seq("ib", "word"))
