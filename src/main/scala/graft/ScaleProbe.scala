@@ -97,7 +97,13 @@ object ScaleProbe {
     // fall to crossdup's constant df cutoff; identical-doc clusters ride
     // the phash exact-duplicate collapse (r13 finding 2) and substr's
     // gram-keyed stats (no pair join anywhere)
-    "q_winnow_crossdup", "q_multimodal_phash", "q_substr_dedup")
+    "q_winnow_crossdup", "q_multimodal_phash", "q_substr_dedup",
+    // r14: graph tier under supernode skew — a hub supplier in 30% of
+    // lineitems (PageRank join/agg key with 30% of the rows: AQE skew
+    // splits + partial aggregation) and a hub part (triangle counting's
+    // compact-forward √m wedge bound, k-core peeling, and the
+    // rarity-sorted prefix filter are the designed guards)
+    "q_pagerank", "q_graph_triangles", "q_graph_kcore", "q_jaccard_prefix")
 
   private def maxPlusOne(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head.getLong(0) + 1L
@@ -216,7 +222,13 @@ object ScaleProbe {
     *    either grows clusters with k or plants spurious 0.5-cosine
     *    cross near-dups). The injection wraps once hot·blocks exceeds
     *    n_base (cluster size then grows by ~k/80 — outside the probed
-    *    range, noted here for larger probes).
+    *    range, noted here for larger probes);
+    *  - supernode graph: lineitem/orders/customer scale with the uniform
+    *    key striding, but supplier 0 takes 30% of all lineitems (a
+    *    PageRank join/agg key holding 30% of the rows) and part 0
+    *    appears in ~14% of baskets (a co-purchase hub whose degree
+    *    approaches the part count) — constant hub FRACTIONS, so hub
+    *    degree grows linearly with the graph like real supernodes.
     *
     * Non-probed tables are copied once, unscaled, so the dir stays a
     * complete drop-in for Tables.load.
@@ -274,7 +286,44 @@ object ScaleProbe {
       .repartition(par)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
-    for (t <- Tables.names if !Seq("documents", "embeddings").contains(t))
+    // graph tables scale with the same key striding as the uniform
+    // synthesizer, PLUS two supernodes: supplier 0 takes 30% of all
+    // lineitems (a power-law hub in the PageRank purchase graph — one
+    // join/aggregation key holding 30% of the rows, the AQE-skew-split
+    // stress) and part 0 appears in ~14% of order baskets (a hub vertex
+    // in the co-purchase graph whose degree approaches the part count —
+    // the stress for triangle counting's compact-forward orientation,
+    // k-core peeling, and the rarity-sorted prefix filter). The hub
+    // fractions are constant, so hub degree grows linearly with the
+    // graph — exactly how real supernodes scale.
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val ordStride = maxPlusOne(ord, "o_orderkey")
+    val custStride = maxPlusOne(cust, "c_custkey")
+    val suppStride = maxPlusOne(li, "l_suppkey")
+    ord.select(col("*"), reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * ordStride)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * custStride)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$dest/orders.parquet")
+    cust.select(col("*"), reps)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * custStride)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$dest/customer.parquet")
+    li.select(col("*"), reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * ordStride)
+      .withColumn("l_suppkey",
+        when(col("l_orderkey") % 10 < 3, lit(0L))
+          .otherwise(col("l_suppkey") + col("rep") * suppStride))
+      .withColumn("l_partkey",
+        when(col("l_orderkey") % 7 === 3, lit(0L)).otherwise(col("l_partkey")))
+      .drop("rep")
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+
+    for (t <- Tables.names if !Seq("documents", "embeddings",
+        "orders", "customer", "lineitem").contains(t))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
     Files.createFile(marker)

@@ -72,5 +72,21 @@ class SkewSynthSpec extends AnyFunSuite {
     assert(vmax16 == vmax32 && vmax16 <= 9L)
     // ~10% of rows are planted copies (+1/8 donor rows each)
     assert(math.abs(vdup16 - 0.112) < 0.05 && math.abs(vdup32 - 0.112) < 0.05)
+
+    // supernode graph: hub supplier holds ~30% of lineitems and the hub
+    // part sits in ~14% of them at BOTH scales (constant fraction →
+    // hub degree grows linearly with the graph, like real supernodes)
+    def hubStats(d: String, k: Int): (Double, Double) = {
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val n = li.count().toDouble
+      assert(li.count() ==
+        k * spark.read.parquet(s"$base/lineitem.parquet").count())
+      (li.filter(col("l_suppkey") === 0).count() / n,
+        li.filter(col("l_partkey") === 0).count() / n)
+    }
+    val (supp16, part16) = hubStats(d16, 16)
+    val (supp32, part32) = hubStats(d32, 32)
+    assert(math.abs(supp16 - 0.3) < 0.05 && math.abs(supp32 - 0.3) < 0.05)
+    assert(math.abs(part16 - 1.0 / 7) < 0.05 && math.abs(part32 - 1.0 / 7) < 0.05)
   }
 }
