@@ -54,7 +54,7 @@ object PlanAudit {
     "q_sketch_hll" -> "HLL sketch: fixed 64-register hash aggregate per group, exact BIGINT harmonic sum, no state growth",
     "q_quantile_hist" -> "histogram quantiles: one scan + bucket hash aggregate; window runs over the HISTOGRAM, never sorts the data",
     "q_bloom_decontam" -> "bloom decontamination: <=4096-row bit-position relation broadcast to the gram scan, corpus never shuffles before the agg",
-    "q_lm_bigram" -> "bigram LM: trained (bigram,unats) table persisted once per corpus (NOT broadcast-assumed), equi-joined back over the shared bigram frame. IRREDUCIBILITY (verdict r11): the shape is train-then-score — pass 1 aggregates the corpus into c12/c1 stats (2 exchanges over the persisted count frame) and V (one broadcast scalar); pass 2 joins the scored table back (1 exchange + final sort). The stats CANNOT fold into the scoring pass: add-one smoothing needs the GLOBAL c1 and V before any bigram can be scored, so a second job is inherent to every trained model applied to its own training corpus (same boundary as q_quality_classifier). r14 re-time: 0.147 s full-catalog at sf0.1 vs the 0.138 s oracle (1.07x) — r13's 0.324-0.362 s band was contention (the r12-r13 round-over-round wobble resolved the same way q_pagerank's did); the multi-job scheduling floor, not a scale risk",
+    "q_lm_bigram" -> "bigram LM: trained (bigram,unats) table persisted once per corpus (NOT broadcast-assumed), equi-joined back over the shared bigram frame. IRREDUCIBILITY (verdict r11): the shape is train-then-score — pass 1 aggregates the corpus into c12/c1 stats (2 exchanges over the persisted count frame) and V (one broadcast scalar); pass 2 joins the scored table back (1 exchange + final sort). The stats CANNOT fold into the scoring pass: add-one smoothing needs the GLOBAL c1 and V before any bigram can be scored, so a second job is inherent to every trained model applied to its own training corpus (same boundary as q_quality_classifier). r14 re-times: 0.147-0.303 s full-catalog / 0.205-0.274 isolated across four same-day runs vs the 0.138 s oracle (1.1-2.2x, per-run spread up to 0.19 s on a 0.3 s query — the box's contention band straddles the 2x line for this row; the minimum is the compute floor and r13's 0.32-0.36 band was the same noise); the multi-job scheduling floor, not a scale risk",
     "q_pagerank" -> "iterative PageRank: per-iteration edge/rank equi-join + dst hash aggregate, degree frame persisted, no driver state",
     "q_ann_pq" -> "PQ ADC scan: codegen graft_pq_codes assignment, 1024-row distance table broadcast, integer ADC sums over the compressed tier",
     "q_session_funnel" -> "conversion funnel: per-stage filter + hash agg + user_id equi-join, all stages co-partitioned, no global sort",
