@@ -19,7 +19,7 @@ object PlanAudit {
     "q_topk" -> "ORDER BY+LIMIT must be TakeOrderedAndProject, not a global sort",
     "q_window_rank" -> "top-3 per segment via bounded aggregator (no low-card window sort)",
     "q_filter_where" -> "predicates must reach PushedFilters in the parquet scan",
-    "q_dedup_ngram" -> "shingle self-join + count aggregate; cached shingle frame. Hot-shingle guard (r14 skew probe, finding 9): shingles with df >= max(1024, 8*floor(sqrt(N))) are excluded from pair GENERATION (a df-N/2 boilerplate shingle fans out df^2/2 pairs on one join key) but still counted EXACTLY in every surviving pair's Jaccard via the bounded correction join — total candidate work <= cutoff x postings, scores unchanged, oracle replays the identical cutoff",
+    "q_dedup_ngram" -> "shingle self-join + count aggregate; cached shingle frame. Hot-shingle guard (r14 skew probe, finding 9): shingles with df >= max(1024, 8*floor(sqrt(N))) are excluded from pair GENERATION (a df-N/2 boilerplate shingle fans out df^2/2 pairs on one join key) but still counted EXACTLY in every surviving pair's Jaccard via the bounded correction join — total candidate work <= cutoff x postings, scores unchanged, oracle replays the identical cutoff. r15 exact-text collapse (verdict r14 advice, medium): candidates/df/scores run over DISTINCT TEXTS (one rep per byte-identical group, docGroupsDF) with member pairs expanded algebraically at output size, so an exact-dup cluster LARGER than the cutoff — whose own shingles the r14 doc-level rule made hot, silently dropping the whole cluster — contributes df = 1 and is found in full; CollapseEquivalenceSpec pins a 1100-doc cluster against cutoff-free brute force",
     "q_dedup_minhash" -> "banded LSH candidates + verify join, signature frame cached",
     "q_cosine_topk" -> "broadcast query vectors, codegen cosine, bounded top-k agg",
     "q_fm_flagship" -> "frontmatter corpus scan -> files view -> filter/sort",
@@ -156,14 +156,17 @@ object PlanAudit {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      def count(p: String) = p.r.findAllIn(plan).length
       sb ++= s"\n## $name\n\nGoal: $goal\n\n"
-      val codegenSpans = "\\[codegen id : (\\d+)\\]".r
-        .findAllMatchIn(plan).map(_.group(1)).toSet.size
-      sb ++= s"- BroadcastHashJoin: ${count("BroadcastHashJoin [A-Za-z]+ Build[A-Za-z]+ \\(\\d+\\)")}  " +
-        s"SortMergeJoin: ${count("SortMergeJoin [A-Za-z]+ \\(\\d+\\)")}  " +
-        s"Shuffle exchanges: ${count("\\bExchange \\(\\d+\\)")}  " +
-        s"WholeStageCodegen spans: $codegenSpans\n"
+      // r15: counts from the PlanWalk tree walk (verdict r14 item 5) —
+      // exact on persisted subtrees, where the formatted-string scan
+      // re-counted each InMemoryRelation's printed cached plan.
+      val c = PlanWalk.count(df.queryExecution.executedPlan)
+      sb ++= s"- BroadcastHashJoin: ${c.broadcastHashJoins}  " +
+        s"SortMergeJoin: ${c.sortMergeJoins}  " +
+        s"ShuffledHashJoin: ${c.shuffledHashJoins}  " +
+        s"Shuffle exchanges: ${c.shuffleExchanges}  " +
+        s"Reused exchanges: ${c.reusedExchanges}  " +
+        s"WholeStageCodegen spans: ${c.codegenSpans}\n"
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct
       pushed.take(4).foreach(p => sb ++= s"- $p\n")
       val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq.distinct

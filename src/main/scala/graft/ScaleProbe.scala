@@ -105,6 +105,18 @@ object ScaleProbe {
     // rarity-sorted prefix filter are the designed guards)
     "q_pagerank", "q_graph_triangles", "q_graph_kcore", "q_jaccard_prefix")
 
+  /** Stream-skew wave (r15, verdict r14 item 2 — the one remaining
+    * 100 TB claim that was prose, not measurement): the events-table
+    * operators under a HOT USER KEY and BOUNDED BURSTS. No committed
+    * wave covered q_stream_* because the uniform synthesizer copies
+    * `events` unscaled; this wave scales it adversarially via
+    * [[synthesizeStreamSkew]].
+    */
+  val streamSkewTargets: Seq[String] = Seq(
+    "q_stream_window", "q_stream_sessionize", "q_stream_dedup",
+    "q_stream_join", "q_stream_enrich", "q_stream_late",
+    "q_asof_join", "q_range_join")
+
   private def maxPlusOne(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head.getLong(0) + 1L
 
@@ -329,6 +341,81 @@ object ScaleProbe {
     Files.createFile(marker)
   }
 
+  /** ADVERSARIAL k× replication of the EVENTS table (r15): real event
+    * streams are power-law in the user key, and every keyed streaming
+    * operator (sessionization state, dedup state, the interval-join
+    * state store, the user-partitioned windows of the batch replays)
+    * keys on user_id — so the wave plants the two pathologies the
+    * SCALE.md r14 residual named, both deterministic and both with the
+    * finding-11 discipline (pathology DENSITY constant, per-window
+    * burst BOUNDED, so genuine output grows linearly and the probe
+    * measures the engine, not the synthesizer):
+    *
+    *  - time advances per replica: ts offsets by rep · (span + 1 h), so
+    *    window COUNT scales with k while per-window event density stays
+    *    constant — the honest way to grow an event stream (more hours
+    *    of traffic, not infinitely denser hours);
+    *  - hot user: events with base event_id % 10 < 2 (20%) collapse to
+    *    user_id 0 at EVERY replica — one session/dedup/join key holds
+    *    20% of all rows at every scale, spread across the whole k×span
+    *    (per-window density constant). This serializes that key's
+    *    window sort / state chain: wall time stays LINEAR (0.2·k·N
+    *    through one chain) but the constant is the Amdahl cost the
+    *    mitigation note in SCALE.md prices out;
+    *  - bounded burst: events with base event_id % 997 == 0 (~0.1%)
+    *    collapse to user_id 1 with ts compressed into the first 30
+    *    minutes of their replica's time block — ~100 events per burst
+    *    (constant), burst COUNT ∝ k. Inside one interval-join window a
+    *    burst is quadratic in its own size, so bounding the burst keeps
+    *    genuine join output linear in k while still planting a dense
+    *    single-(user, window) cell at every scale;
+    *  - everyone else: user_id strides by (max+1) per replica (disjoint
+    *    populations — per-user state bounded), event_id strides so ids
+    *    stay unique.
+    *
+    * Non-events tables are copied once, unscaled (q_stream_enrich's
+    * customer/nation dims are genuinely fixed-size dimensions).
+    */
+  def synthesizeStreamSkew(spark: SparkSession, base: String, k: Int, dest: String): Unit = {
+    val marker = Paths.get(dest, ".complete")
+    if (Files.exists(marker)) return
+    new java.io.File(dest).mkdirs()
+    val reps = explode(sequence(lit(0), lit(k - 1))).as("rep")
+    val par = spark.sparkContext.defaultParallelism
+
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"),
+      (max(col("event_id")) + 1L).as("estride"),
+      (max(col("user_id")) + 1L).as("ustride")).head
+    val lo = bounds.getLong(0)
+    val span = bounds.getLong(1) - lo + 3600L * 1000000L
+    val eStride = bounds.getLong(2)
+    val uStride = bounds.getLong(3)
+    ev.select(col("*"), reps)
+      .withColumn("hot", col("event_id") % 10 < 2)
+      .withColumn("burst", col("event_id") % 997 === 0)
+      .withColumn("base_us", unix_micros(col("ts")))
+      .withColumn("user_id",
+        when(col("burst"), lit(1L))
+          .when(col("hot"), lit(0L))
+          .otherwise(col("user_id") + col("rep") * uStride))
+      .withColumn("ts_us",
+        when(col("burst"),
+          lit(lo) + col("rep") * span + pmod(col("base_us"), lit(1800L * 1000000L)))
+          .otherwise(col("base_us") + col("rep") * span))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("event_id", col("event_id") + col("rep") * eStride)
+      .drop("rep", "hot", "burst", "base_us", "ts_us")
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    for (t <- Tables.names if t != "events")
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    Files.createFile(marker)
+  }
+
   /** Post-GC used heap. Three GC passes with pauses: broadcast and
     * block cleanup runs through the ContextCleaner's weak-reference
     * queue, which needs a GC to enqueue and a beat to process before a
@@ -344,21 +431,25 @@ object ScaleProbe {
       exchanges: Int, broadcastJoins: Int, sortMergeJoins: Int,
       shuffledHashJoins: Int, nestedLoopJoins: Int, codegenFallback: Boolean)
 
+  /** r15: counts come from the PlanWalk operator-tree walk (verdict r14
+    * item 5) — persisted subtrees no longer inflate them (the old
+    * string scan over plan.toString read an InMemoryRelation's printed
+    * cached plan once per reference; q_tfidf_sim's row showed 622
+    * "broadcasts") and `exchanges` now means SHUFFLE exchanges
+    * precisely (broadcast builds are visible as broadcastJoins).
+    * Fallback detection stays string-based: CodegenFallback is an
+    * expression-level marker, not an operator node.
+    */
   private def planShape(df: DataFrame): PlanShape = {
-    val p = df.queryExecution.executedPlan.toString
-    def n(s: String): Int = {
-      var c = 0; var i = p.indexOf(s)
-      while (i >= 0) { c += 1; i = p.indexOf(s, i + 1) }
-      c
-    }
+    val c = PlanWalk.count(df.queryExecution.executedPlan)
     PlanShape(
-      exchanges = n("Exchange"),
-      broadcastJoins = n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin"),
-      sortMergeJoins = n("SortMergeJoin"),
-      shuffledHashJoins = n("ShuffledHashJoin"),
-      nestedLoopJoins = n("CartesianProduct"),
-      // a non-codegen'd leaf inside a supported span shows as this marker
-      codegenFallback = p.contains("CodegenFallback"))
+      exchanges = c.shuffleExchanges,
+      broadcastJoins = c.broadcastHashJoins + c.broadcastNestedLoopJoins,
+      sortMergeJoins = c.sortMergeJoins,
+      shuffledHashJoins = c.shuffledHashJoins,
+      nestedLoopJoins = c.cartesianProducts,
+      codegenFallback =
+        df.queryExecution.executedPlan.toString.contains("CodegenFallback"))
   }
 
   /** Merge one wave's flat result dict into the committed multi-wave
@@ -398,18 +489,22 @@ object ScaleProbe {
     val scales = args.lift(1).getOrElse("1,10,100").split(',').map(_.trim.toInt).toSeq
     val outJson = args.lift(2).getOrElse("SCALE_PROBE.json")
     // wave name = the key this run's results land under in outJson
-    // ("wave1" | "wave2" | "wave3" | "skew" | ad-hoc); "skew" (or any
-    // name starting with "skew") probes the ADVERSARIAL corpus.
+    // ("wave1" | "wave2" | "wave3" | "skew" | "streamskew" | ad-hoc);
+    // "skew*" probes the adversarial document/embedding/graph corpus,
+    // "streamskew*" the adversarial events corpus (r15).
     val wave = args.lift(4).getOrElse("wave1")
-    val skewCorpus = wave.startsWith("skew")
+    val streamCorpus = wave.startsWith("streamskew")
+    val skewCorpus = !streamCorpus && wave.startsWith("skew")
     // optional comma-separated query list — re-probe a subset of the
     // wave's default targets or probe ANY catalog queries whose inputs
-    // the synthesizer scales (documents/embeddings/orders/customer/lineitem)
+    // the synthesizer scales (documents/embeddings/orders/customer/
+    // lineitem for skew, events for streamskew)
     val runTargets = args.lift(3).filter(_.nonEmpty) match {
       case Some(f) => f.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       case None => wave match {
         case "wave2" => wave2Targets
         case "wave3" => wave3Targets
+        case w if w.startsWith("streamskew") => streamSkewTargets
         case w if w.startsWith("skew") => skewTargets
         case _ => targets
       }
@@ -449,15 +544,19 @@ object ScaleProbe {
     val sb = new StringBuilder("{")
     var first = true
     for (k <- scales) {
-      // the skew corpus is synthesized even at x1 (the planted hot
-      // preamble/hot vector exist at every scale; only the duplicate
-      // clusters need k > 1) so the growth ratios compare like corpora
+      // adversarial corpora are synthesized even at x1 (the planted hot
+      // keys exist at every scale; only cluster/burst COUNTS need
+      // k > 1) so the growth ratios compare like corpora
       val dir =
-        if (k == 1 && !skewCorpus) base
+        if (k == 1 && !skewCorpus && !streamCorpus) base
         else {
-          val d = if (skewCorpus) s"/tmp/graft_skew_x$k" else s"/tmp/graft_scale_x$k"
+          val d =
+            if (streamCorpus) s"/tmp/graft_streamskew_x$k"
+            else if (skewCorpus) s"/tmp/graft_skew_x$k"
+            else s"/tmp/graft_scale_x$k"
           val t0 = System.nanoTime()
-          if (skewCorpus) synthesizeSkew(spark, base, k, d)
+          if (streamCorpus) synthesizeStreamSkew(spark, base, k, d)
+          else if (skewCorpus) synthesizeSkew(spark, base, k, d)
           else synthesize(spark, base, k, d)
           System.err.println(f"[scale] x$k synth ${(System.nanoTime() - t0) / 1e9}%.1f s")
           d

@@ -1031,6 +1031,45 @@ object Dialect {
     "map_filter", "map_zip_with", "transform_keys", "transform_values",
     "array_sort")
 
+  /** Functions PROVABLY not lambda-taking on either engine: a `->` whose
+    * bare-identifier LHS sits at an argument start of one of these is
+    * safely a JSON arrow. r15 (verdict r14 advice): admitting ident RHS
+    * for `->` made the lambda-shaped position ambiguous for functions in
+    * NEITHER set — `someHof(l, x -> y)` for an unlisted HOF would have
+    * silently rewritten to `json_extract(x, y)` and miscompiled, where
+    * it previously fell through to Spark's parser and failed loudly. So
+    * in that position the rewrite now fires only for functions on this
+    * whitelist; an unknown function name leaves the arrow unrewritten
+    * (an unlisted HOF keeps failing loudly, and a JSON arrow inside an
+    * unknown function is a documented loud refusal with the
+    * `json_extract(j, p)` spelling as the workaround — COVERAGE.md).
+    * Literal/paren/chained LHS positions are unaffected: only a bare
+    * ident (or ident-list) at an argument start looks like a lambda
+    * head.
+    */
+  private val nonLambdaFns: Set[String] = Set(
+    "coalesce", "nullif", "ifnull", "nvl", "nvl2", "isnull", "if", "iif",
+    "concat", "concat_ws", "least", "greatest", "lower", "upper", "trim",
+    "ltrim", "rtrim", "substr", "substring", "length", "len", "abs",
+    "round", "floor", "ceil", "ceiling", "cast", "try_cast", "typeof",
+    "md5", "printf", "format", "contains", "starts_with", "ends_with",
+    "replace", "split", "string_split", "split_part", "regexp_replace",
+    "regexp_extract", "regexp_matches", "left", "right", "repeat",
+    "reverse", "instr", "strpos", "position", "hash", "count", "min",
+    "max", "sum", "avg", "any_value", "first", "last", "json",
+    "json_extract", "json_extract_string", "json_extract_path",
+    "json_extract_path_text", "json_type", "json_structure",
+    "json_valid", "json_array_length", "json_keys", "json_contains",
+    "json_merge_patch", "json_array", "json_object", "to_json",
+    "from_json", "json_quote", "json_serialize", "unnest", "struct",
+    "named_struct", "array", "list_value", "map", "element_at",
+    "array_contains", "list_contains", "array_position", "list_position",
+    "array_to_string", "array_join", "encode", "decode", "to_base64",
+    "from_base64", "lpad", "rpad", "translate", "date_trunc", "strftime",
+    "strptime", "to_timestamp", "to_date", "date_part", "datepart",
+    "date_diff", "datediff", "date_add", "dateadd", "year", "month",
+    "day", "hour", "minute", "second")
+
   /** Matching `[` for the `]` at `close`, scanning backwards over MASKED
     * text, skipping literal contents; -1 if unbalanced.
     */
@@ -1179,9 +1218,12 @@ object Dialect {
     *
     * `->` is ALSO the lambda arrow. Disambiguation rests on the LHS: a
     * bare-identifier (or `(a, b)` identifier-list) LHS sitting at an
-    * argument start of a known lambda-taking function ([[lambdaHofs]])
-    * is a lambda and left alone — that is where every DuckDB/Spark
-    * lambda lives, so any other position is unambiguously JSON. The RHS
+    * argument start of a function call is lambda-SHAPED — it rewrites
+    * only when the function is provably non-lambda ([[nonLambdaFns]]);
+    * a [[lambdaHofs]] member or any UNKNOWN function name leaves the
+    * arrow alone, so an unlisted HOF fails loudly in Spark's parser
+    * instead of miscompiling (r15). Every other position is
+    * unambiguously JSON. The RHS
     * may be a string/number literal OR a column-ref/ident chain
     * (`j -> keycol`, `j -> t.path_col`, `j -> concat('$.', k)` — DuckDB
     * accepts dynamic paths and [[JsonExtractFn]] evaluates any path
@@ -1310,8 +1352,13 @@ object Dialect {
                     if (open >= 1 && isIdentCh(msk.charAt(open - 1))) {
                       var s = open - 1
                       while (s >= 0 && isIdentCh(msk.charAt(s))) s -= 1
-                      if (lambdaHofs.contains(
-                          msk.substring(s + 1, open).toLowerCase)) isLambda = true
+                      val fnName = msk.substring(s + 1, open).toLowerCase
+                      // lambda-shaped position inside a call: rewrite
+                      // ONLY under provably-non-lambda functions; an
+                      // unknown name is treated as a potential HOF so
+                      // it fails loudly instead of miscompiling
+                      // (nonLambdaFns scaladoc)
+                      if (!nonLambdaFns.contains(fnName)) isLambda = true
                     }
                   }
                 }

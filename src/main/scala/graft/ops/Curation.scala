@@ -89,6 +89,34 @@ object Curation {
     * result matches the per-occurrence formulation bit-for-bit while
     * only ever shuffling the distinct-pair frame.
     */
+  /** [[boilerplateFromCounts]] with the per-doc totals DECOUPLED from
+    * the count frame (r15, verdict r14 item 1): `totals` is a
+    * `(idCol, n_bigrams)` frame the caller derives map-only from the
+    * raw documents (n_bigrams = len(words) − 1 for len ≥ 2 — exactly
+    * the docs that have bigram rows, so the output row set is
+    * unchanged). The flagged-mass aggregate then runs over ONLY the
+    * count rows matching the K broadcast bigrams instead of
+    * re-shuffling the whole count frame for a second doc-keyed
+    * aggregate — the corpus-sized groupBy(doc) disappears; what
+    * remains doc-keyed is bounded by docs-containing-a-top-K-bigram.
+    */
+  def boilerplateFoldedFromCounts(totals: DataFrame, bc: DataFrame,
+      idCol: String, k: Int, flagAbove: Double = 0.5): DataFrame = {
+    val top = bc
+      .groupBy("bigram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(k)
+      .select("bigram")
+    val boiler = bc.join(broadcast(top), Seq("bigram"))
+      .groupBy(idCol).agg(sum("n").as("nb"))
+    totals.join(boiler, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("nb"), lit(0L)).as("n_boiler"),
+        coalesce(expr("CAST(coalesce(nb, 0) AS DOUBLE) / nullif(n_bigrams, 0)"),
+          lit(0.0)).as("boiler_frac"))
+      .withColumn("flagged", col("boiler_frac") > flagAbove)
+  }
+
   def boilerplateFromCounts(bc: DataFrame, idCol: String,
       k: Int, flagAbove: Double = 0.5): DataFrame = {
     val top = bc

@@ -655,9 +655,16 @@ object CurationQueries {
     "q_boilerplate" -> ((s, d) => {
       // Delegates to the Curation API over the shared persisted bigram
       // count frame (one explode+aggregate for this sf dir, shared
-      // across queries).
-      graft.ops.Curation.boilerplateFromCounts(
-          TextQueries.docBigramCounts(s, d), "doc_id", BoilerK)
+      // across queries). r15 fold (verdict r14 item 1): per-doc totals
+      // come map-only from the documents scan (n_bigrams = words − 1),
+      // so the doc-keyed aggregate runs over only the K-bigram-matched
+      // count rows instead of re-shuffling the whole count frame.
+      val totals = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), (size(col("w")) - 1).cast("long").as("n_bigrams"))
+      graft.ops.Curation.boilerplateFoldedFromCounts(
+          totals, TextQueries.docBigramCounts(s, d), "doc_id", BoilerK)
         .orderBy("doc_id")
     }),
 

@@ -509,7 +509,12 @@ object SimilarityQueries {
       val selfPairs = reps.filter(col("m") >= 2)
         .select(col("rid"),
           expr("array_cosine_similarity(embedding, embedding)").as("sim_d"))
-        .filter(col("sim_d") >= 0.35) // drops the all-zero-vector NaN like the pairwise path
+        // an all-zero-vector group's self-cosine is NaN, and Spark's
+        // comparison semantics order NaN ABOVE every number — so NaN >=
+        // 0.35 is TRUE and degenerate groups PASS, exactly as they
+        // passed the pairwise path's identical predicate (the filter
+        // exists for real sub-threshold sims, not as a NaN guard)
+        .filter(col("sim_d") >= 0.35)
         .join(memb.select(col("rid"), col("vec_id").as("ia")), Seq("rid"))
         .join(memb.select(col("rid"), col("vec_id").as("ib")), Seq("rid"))
         .filter(col("ia") < col("ib"))
@@ -732,8 +737,12 @@ object SimilarityQueries {
         .filter(col("ia") < col("ib"))
         .filter(expr("array_cosine_similarity(va, vb)") >= SemDedupSim)
         .select("ia", "ib")
-      // star edges rep→member; the self-cosine guard keeps degenerate
-      // (zero-vector) groups isolated exactly like the pairwise NaN did
+      // star edges rep→member, gated by the same self-cosine predicate
+      // the pairwise path used. NOTE (r15): a zero-vector group's
+      // self-cosine is NaN and Spark orders NaN ABOVE every number, so
+      // NaN >= SemDedupSim is TRUE and identical zero-vector groups DO
+      // connect — matching the pairwise path (whose NaN-sim pairs
+      // passed the same predicate), which is what exactness requires
       val starEdges = vreps.filter(col("m") >= 2)
         .filter(expr("array_cosine_similarity(embedding, embedding)") >= SemDedupSim)
         .select(col("rid"))

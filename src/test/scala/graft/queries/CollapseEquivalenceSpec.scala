@@ -131,6 +131,80 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
     assert(prod == want)
   }
 
+  test("q_dedup_ngram (exact-text collapse) == cutoff-free brute force on a >cutoff cluster") {
+    // r15 (verdict r14 advice, medium): an exact-duplicate cluster LARGER
+    // than the hot-shingle cutoff made every one of its own shingles hot
+    // under the r14 doc-level df rule, so the cluster — precisely what
+    // dedup most needs to find — produced ZERO candidates, and the skew
+    // synthesizer's ≤8-sized clusters never exercised the hole. This
+    // corpus plants a 1100-identical-doc cluster in a 1201-doc corpus
+    // (cutoff = max(1024, 8·⌊√1201⌋) = 1024 < 1100) plus a near-dup
+    // VARIANT of the cluster text (its shared shingles were also
+    // doc-level-hot — the cross-group path of the collapse) and 50
+    // namespaced near-dup pairs (cold-shingle control group). The
+    // reference is CUTOFF-FREE brute force: on this corpus rep-level df
+    // never reaches the cutoff, so the engine's output must equal the
+    // ideal uncutoff semantics exactly.
+    val dir = "/tmp/graft_megacluster_spec"
+    val clusterText = "legal notice all rights reserved by the operator"
+    val variantText = "legal notice all rights reserved by the website"
+    val docs: Seq[(Long, String)] =
+      (0 until 50).flatMap { i =>
+        Seq((2L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}h"),
+          (2L * i + 1, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}z"))
+      } ++
+      (100 until 1200).map(i => (i.toLong, clusterText)) ++
+      Seq((1200L, variantText))
+    val n = docs.length
+    val cutoff = math.max(1024L, 8L * math.floor(math.sqrt(n.toDouble)).toLong)
+    assert(1100 > cutoff, "cluster must exceed the cutoff or the hole is untested")
+
+    val d = new java.io.File(dir)
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d)
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val prod = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // cutoff-free brute force over shingle STRINGS (the engine hashes
+    // after array_distinct, so distinct counts agree; 60-bit collisions
+    // are absent on this vocabulary)
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val inverted = scala.collection.mutable.Map.empty[String, List[Long]]
+    for ((id, ss) <- docs.map { case (id, t) => (id, sh(id)) }; s <- ss)
+      inverted(s) = id :: inverted.getOrElse(s, Nil)
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (ids <- inverted.values) {
+      val v = ids.sorted.toIndexedSeq
+      for (i <- v.indices; j <- i + 1 until v.length)
+        candidates += ((v(i), v(j)))
+    }
+    val want = candidates.toSeq.map { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val common = (sa & sb).size
+      (a, b, common.toDouble / (sa.size + sb.size - common))
+    }.filter(_._3 >= 0.5).sortBy { case (a, b, _) => (a, b) }
+
+    assert(want.count { case (a, b, _) => a >= 100 && b <= 1199 } > 600000,
+      "the cluster's pair enumeration must dominate the expected output")
+    assert(prod.size == want.size)
+    assert(prod == want)
+  }
+
   test("q_embed_neardup (pair-expansion collapse) == uncollapsed band reference") {
     assertHasDuplicates()
     val prod = SparkEntry.queries("q_embed_neardup")(spark, dir).collect()
