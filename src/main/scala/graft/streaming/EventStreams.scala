@@ -176,9 +176,24 @@ object EventStreams extends Serializable {
     * lets the engine expire join state (a view older than the watermark
     * minus the window can never match a future purchase, so its buffer
     * row is dropped). Without either bound, stream-stream inner join
-    * state grows forever. On batch frames the identical plan degenerates
-    * to an equi-join on user_id with a range filter — one shuffle on the
-    * join key, no nested loop.
+    * state grows forever.
+    *
+    * BATCH replay (r15 stream-skew wave finding): the identical
+    * user-only equi-join is NOT scale-safe in batch mode. A stream
+    * matches each arriving purchase against only the views the
+    * watermark keeps buffered (~window-worth per user), so a hot user
+    * costs output; the batch equi-join on user_id alone puts the hot
+    * user's ENTIRE history on one sort-merge key and cross-products it
+    * before the range filter — the r15 probe's 20%-hot-user corpus ran
+    * a 200k × 200k single-task key group at x50 (10^10 comparisons,
+    * hours). Batch mode therefore joins on (user, 30-min time bucket)
+    * with each purchase probing its own and the previous bucket — the
+    * ops/RangeJoin grid idiom with a user pre-key: any view within
+    * [p_ts − w, p_ts] lies in one of the two buckets (bucket width =
+    * w), each pair matches in exactly ONE bucket (a view has one
+    * bucket), and the exact range filter keeps semantics identical —
+    * so per-key group size is the user's per-window density, never
+    * their history.
     */
   def attributionJoin(
       views: DataFrame,
@@ -193,12 +208,27 @@ object EventStreams extends Serializable {
         col("event_id").as("purchase_id"), col("ts").as("p_ts"),
         col("user_id").as("user_id"))
       .withWatermark("p_ts", watermarkDelay)
-    v.join(p,
-        col("v_user") === col("user_id") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
-      .select(col("purchase_id"), col("view_id"), col("user_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    val rangeCond =
+      col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES")
+    val joined =
+      if (views.isStreaming || purchases.isStreaming)
+        v.join(p, col("v_user") === col("user_id") && rangeCond)
+      else {
+        val wUs = windowMinutes * 60L * 1000000L
+        val vb = v.withColumn("vtb", expr(s"unix_micros(v_ts) DIV ${wUs}L"))
+        val pb = p.withColumn("ptb",
+          explode(array(expr(s"unix_micros(p_ts) DIV ${wUs}L"),
+            expr(s"unix_micros(p_ts) DIV ${wUs}L - 1L"))))
+        // (user, bucket) is the equi-join key; the range condition rides
+        // along and Catalyst plans one hash/sort join on both columns
+        vb.join(pb,
+            col("v_user") === col("user_id") && col("vtb") === col("ptb") &&
+              rangeCond)
+          .drop("vtb", "ptb")
+      }
+    joined.select(col("purchase_id"), col("view_id"), col("user_id"),
+      (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 
   /** Batch replay of the streaming first-seen semantics with arrival

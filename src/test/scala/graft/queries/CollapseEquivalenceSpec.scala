@@ -131,34 +131,28 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
     assert(prod == want)
   }
 
-  test("q_dedup_ngram (exact-text collapse) == cutoff-free brute force on a >cutoff cluster") {
-    // r15 (verdict r14 advice, medium): an exact-duplicate cluster LARGER
-    // than the hot-shingle cutoff made every one of its own shingles hot
-    // under the r14 doc-level df rule, so the cluster — precisely what
-    // dedup most needs to find — produced ZERO candidates, and the skew
-    // synthesizer's ≤8-sized clusters never exercised the hole. This
-    // corpus plants a 1100-identical-doc cluster in a 1201-doc corpus
-    // (cutoff = max(1024, 8·⌊√1201⌋) = 1024 < 1100) plus a near-dup
-    // VARIANT of the cluster text (its shared shingles were also
-    // doc-level-hot — the cross-group path of the collapse) and 50
-    // namespaced near-dup pairs (cold-shingle control group). The
-    // reference is CUTOFF-FREE brute force: on this corpus rep-level df
-    // never reaches the cutoff, so the engine's output must equal the
-    // ideal uncutoff semantics exactly.
-    val dir = "/tmp/graft_megacluster_spec"
-    val clusterText = "legal notice all rights reserved by the operator"
-    val variantText = "legal notice all rights reserved by the website"
-    val docs: Seq[(Long, String)] =
-      (0 until 50).flatMap { i =>
-        Seq((2L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}h"),
-          (2L * i + 1, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}z"))
-      } ++
-      (100 until 1200).map(i => (i.toLong, clusterText)) ++
-      Seq((1200L, variantText))
-    val n = docs.length
-    val cutoff = math.max(1024L, 8L * math.floor(math.sqrt(n.toDouble)).toLong)
-    assert(1100 > cutoff, "cluster must exceed the cutoff or the hole is untested")
+  // ---- mega-cluster corpus (r15, verdict r14 advice, medium) ----
+  // An exact-duplicate cluster LARGER than the hot-shingle cutoff made
+  // every one of its own shingles hot under the r14 doc-level df rule,
+  // so the cluster — precisely what dedup most needs to find — produced
+  // ZERO candidates, and the skew synthesizer's ≤8-sized clusters never
+  // exercised the hole. This corpus plants a 1100-identical-doc cluster
+  // in a 1201-doc corpus (cutoff = max(1024, 8·⌊√1201⌋) = 1024 < 1100)
+  // plus a near-dup VARIANT of the cluster text (its shared shingles
+  // were also doc-level-hot — the cross-group path of the collapse) and
+  // 50 namespaced near-dup pairs (cold-shingle control group). Shared
+  // by the ngram, minhash, simhash, and incremental collapse tests.
+  private val megaClusterText = "legal notice all rights reserved by the operator"
+  private lazy val megaDocs: Seq[(Long, String)] =
+    (0 until 50).flatMap { i =>
+      Seq((2L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}h"),
+        (2L * i + 1, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}z"))
+    } ++
+    (100 until 1200).map(i => (i.toLong, megaClusterText)) ++
+    Seq((1200L, "legal notice all rights reserved by the website"))
 
+  private lazy val megaDir: String = {
+    val dir = "/tmp/graft_megacluster_spec"
     val d = new java.io.File(dir)
     if (d.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -167,25 +161,44 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
       rm(d)
     }
     import spark.implicits._
-    docs.toDF("doc_id", "text")
+    megaDocs.toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
         "CAST(length(text) AS BIGINT) AS n_chars")
       .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
 
-    val prod = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+  /** Portable 60-bit hash: first 15 hex chars of md5, as the engine and
+    * oracle compute it (DedupQueries.h60).
+    */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def megaShingles(t: String): Set[String] = {
+    val w = t.toLowerCase.split(" ")
+    if (w.length < 3) Set.empty
+    else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+  }
+
+  test("q_dedup_ngram (exact-text collapse) == cutoff-free brute force on a >cutoff cluster") {
+    val n = megaDocs.length
+    val cutoff = math.max(1024L, 8L * math.floor(math.sqrt(n.toDouble)).toLong)
+    assert(1100 > cutoff, "cluster must exceed the cutoff or the hole is untested")
+
+    val prod = SparkEntry.queries("q_dedup_ngram")(spark, megaDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
 
     // cutoff-free brute force over shingle STRINGS (the engine hashes
     // after array_distinct, so distinct counts agree; 60-bit collisions
-    // are absent on this vocabulary)
-    def shingles(t: String): Set[String] = {
-      val w = t.toLowerCase.split(" ")
-      if (w.length < 3) Set.empty
-      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
-    }
-    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    // are absent on this vocabulary): on this corpus rep-level df never
+    // reaches the cutoff, so the engine must equal the ideal uncutoff
+    // semantics exactly.
+    val sh = megaDocs.map { case (id, t) => id -> megaShingles(t) }.toMap
     val inverted = scala.collection.mutable.Map.empty[String, List[Long]]
-    for ((id, ss) <- docs.map { case (id, t) => (id, sh(id)) }; s <- ss)
+    for ((id, ss) <- megaDocs.map { case (id, t) => (id, sh(id)) }; s <- ss)
       inverted(s) = id :: inverted.getOrElse(s, Nil)
     val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
     for (ids <- inverted.values) {
@@ -203,6 +216,74 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
       "the cluster's pair enumeration must dominate the expected output")
     assert(prod.size == want.size)
     assert(prod == want)
+  }
+
+  test("q_dedup_minhash (rep-level bands + verify) == doc-level brute force on the mega cluster") {
+    val Prime = 2147483647L
+    def permA(i: Int): Long = (1103515245L * (i + 1)) % Prime
+    def permB(i: Int): Long = (12345L * (i + 1) + 7) % Prime
+    val sh = megaDocs.map { case (id, t) => id -> megaShingles(t) }.toMap
+    // doc-level signatures exactly as the uncollapsed formulation: 16
+    // permutations over h60 % Prime of each doc's distinct shingles
+    val sigs: Map[Long, IndexedSeq[Long]] = megaDocs.collect {
+      case (id, _) if sh(id).nonEmpty =>
+        val h31 = sh(id).map(s => h60(s) % Prime)
+        id -> (0 until 16).map(i => h31.map(h => (permA(i) * h + permB(i)) % Prime).min)
+    }.toMap
+    val bandsOf: Map[Long, IndexedSeq[IndexedSeq[Long]]] =
+      sigs.map { case (id, m) => id -> (0 until 4).map(bi => m.slice(bi * 4, bi * 4 + 4)) }
+    val ids = sigs.keys.toSeq.sorted
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (band <- 0 until 4)
+      ids.groupBy(id => bandsOf(id)(band)).values.foreach { bucket =>
+        val v = bucket.sorted.toIndexedSeq
+        for (i <- v.indices; j <- i + 1 until v.length)
+          candidates += ((v(i), v(j)))
+      }
+    val want = candidates.toSeq.map { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val common = (sa & sb).size
+      (a, b, common.toDouble / (sa.size + sb.size - common))
+    }.filter(_._3 >= 0.3).sortBy { case (a, b, _) => (a, b) }
+    val prod = SparkEntry.queries("q_dedup_minhash")(spark, megaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(want.size > 600000, "the cluster must dominate the expected output")
+    assert(prod == want)
+  }
+
+  test("q_dedup_simhash + q_dedup_incremental (rep-level sigs) == doc-level brute force") {
+    // doc-level simhash exactly as the uncollapsed formulation: ±1 bit
+    // sums over per-word h60 of every word OCCURRENCE
+    def sig(t: String): Long = {
+      val sums = new Array[Int](60)
+      for (w <- t.toLowerCase.split(" ", -1); h = h60(w); i <- 0 until 60)
+        sums(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+      (0 until 60).map(i => if (sums(i) > 0) 1L << i else 0L).sum
+    }
+    val sigs = megaDocs.map { case (id, t) => id -> sig(t) }.toMap
+    val ids = megaDocs.map(_._1).sorted
+
+    val wantPairs = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      h = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
+      if h <= 3
+    } yield (ids(i), ids(j), h)).toSeq.sortBy { case (a, b, _) => (a, b) }
+    val prodPairs = SparkEntry.queries("q_dedup_simhash")(spark, megaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(wantPairs.size > 600000, "the cluster must dominate the expected output")
+    assert(prodPairs == wantPairs)
+
+    val incrMod = DedupQueries.IncrMod
+    val (batch, corpus) = ids.partition(_ % incrMod == 0)
+    val wantIncr = batch.sorted.map { a =>
+      val matches = corpus.filter(b => java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3)
+      (a, matches.size.toLong, matches.sorted.headOption, matches.nonEmpty)
+    }
+    val prodIncr = SparkEntry.queries("q_dedup_incremental")(spark, megaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSeq
+    assert(prodIncr == wantIncr)
   }
 
   test("q_embed_neardup (pair-expansion collapse) == uncollapsed band reference") {
