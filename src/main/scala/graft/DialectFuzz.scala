@@ -131,10 +131,19 @@ object DialectFuzz {
     val obj = """('{"l": "' || lang || '", "n": ' || n_chars || '}')"""
     // {"s": <score>} exercises double re-serialization (score nullable)
     val objS = """('{"s": ' || score || '}')"""
-    r.nextInt(11) match {
+    r.nextInt(12) match {
       case 0 =>
         val i = r.nextInt(4)
         shared(s"SELECT path, tags ->> $i AS t0, tags -> '$$[#-1]' AS tl " +
+          s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
+      case 11 => // r15: bare-ident-LHS arrows at argument starts of
+        // WHITELISTED functions (Dialect.nonLambdaFns) — the lambda-
+        // shaped position where the rewrite must still fire; an
+        // UNLISTED function there is a documented loud refusal
+        shared(s"SELECT path, coalesce(tags -> ${r.nextInt(3)}, '\"none\"') AS c0, " +
+          s"concat('<', tags ->> 0, '>') AS c1, " +
+          s"length(tags ->> ${r.nextInt(3)}) AS l0, " +
+          s"upper($obj ->> 'l') AS u " +
           s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
       case 10 => // r14: dynamic (column-expression) RHS for -> and ->> —
         // DuckDB accepts any path expression; the rewrite now admits

@@ -63,7 +63,8 @@ object PlanAudit {
     "q_shard_plan" -> "shard audit: one hash aggregate on the computed shard key",
     "q_stream_join" -> "stream-stream interval join, batch replay: equi-join on (user_id, 30-min time bucket) with a 2-bucket purchase probe + exact range filter, NO nested loop. r15 stream-skew finding: the former user-only equi-join cross-produced a hot user's whole HISTORY inside one sort-merge key group (10^10 single-task comparisons at probe x50) where the stream's watermark buffer never holds more than a window per user; the time-bucket pre-key (the ops/RangeJoin grid idiom) restores output-bounded batch behavior with identical semantics",
     "q_winnow_crossdup" -> "duplicate spans: local codegen fingerprinting, df cutoff BEFORE the self-join bounds fan-out",
-    "q_dedup_incremental" -> "ingest dedup: band-bucket equi-join batch vs corpus index, NO batch x corpus product",
+    "q_dedup_incremental" -> "ingest dedup: band-bucket equi-join batch vs corpus index, NO batch x corpus product. r15 exact-text collapse: the band join runs over one signature per DISTINCT text including self-pairs (the batch/corpus split cuts across duplicate groups), and each batch member's (n_matches, keeper) is the sum/min over matching groups' corpus-member stats — algebraic counting, identical output, no within-cluster batch x corpus fan-out",
+    "q_dedup_simhash" -> "simhash near-dup: 4x15-bit band self-join + hamming verify over one signature per DISTINCT text (r15 collapse — identical texts have identical signatures, so member expansion with hamming-0 within-pairs is output-invisible while an m-cluster's band buckets stop fanning m^2); pigeonhole-complete for hamming<=3, all-pairs oracle unchanged",
     "q_ann_incremental" -> "ingest ANN: LSH bucket join batch vs corpus, batch NOT broadcast, exact re-rank of candidates",
     "q_salted_agg" -> "skewed agg: explicit two-phase salted shape — 5 hot keys split into 32 sub-groups, tiny merge",
     "q_multimodal_batchplan" -> "byte-budget batch packing: distributed prefix sum, NO single-partition global window",
@@ -88,7 +89,7 @@ object PlanAudit {
     "q_bpe_tokenize" -> "tokenizer application: fixed merge-fold chain as codegen column rewrites over distinct words, one vocab hash agg",
     "q_graph_triangles" -> "degree-ordered wedge join: persisted oriented edges, three hash joins + one agg, wedge fan-out bounded by sqrt(m)",
     "q_graph_kcore" -> "fixed-round peel: degree agg + two survivor equi-joins per round, lineage localCheckpoint-cut each round",
-    "q_jaccard_prefix" -> "prefix-filter similarity join: per-doc rarity window (doc-partitioned, no global sort), candidates only from RARE prefix keys, verify by sorted-array intersection (no explode-join-reaggregate)",
+    "q_jaccard_prefix" -> "prefix-filter similarity join: per-doc rarity window (doc-partitioned, no global sort), candidates only from RARE prefix keys, verify by sorted-array intersection (no explode-join-reaggregate). r15 exact-text collapse: the whole pipeline runs over one rep per byte-identical text (prefix pruning is lossless under ANY consistent shingle order, so the verified output is order-invariant and the oracle's doc-level replay is unchanged); member pairs expand algebraically — inter/uni/jac are symmetric, no per-side swap",
     "q_semantic_decontam" -> "semantic decontamination: eval split broadcast over the corpus scan, bounded top-1 agg, corpus never shuffles",
     "q_mmr_rerank" -> "greedy MMR: per-step argmax = one candidate scan with picked vectors as plan constants + TakeOrdered(1), O(k) driver state",
     "q_mix_temperature" -> "temperature mix: two broadcast-sized aggregates, ppm rate table broadcast back over the corpus scan, no corpus shuffle",

@@ -227,11 +227,11 @@ object DedupQueries {
     * SHUFFLE_HASH hint (see jaccardPairs) applies to every
     * collapse-expansion join as well.
     */
-  private def bigCorpus(s: SparkSession, d: String): Boolean =
+  private[queries] def bigCorpus(s: SparkSession, d: String): Boolean =
     docCountCache.getOrElseUpdate((Tables.sessionKey(s), d),
       Tables.load(s, d, "documents").count()) > 100000L
 
-  private def hb(df: DataFrame, big: Boolean): DataFrame =
+  private[queries] def hb(df: DataFrame, big: Boolean): DataFrame =
     if (big) df.hint("shuffle_hash") else df
 
   private[queries] def docGroupsDF(s: SparkSession, d: String): DataFrame =

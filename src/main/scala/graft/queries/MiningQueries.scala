@@ -295,9 +295,24 @@ object MiningQueries {
     // uses, with the J >= num/den test kept in integers.
     "q_jaccard_prefix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tok = docShingles(s, d)
+      // r15 exact-text collapse (output-invisible): prefix pruning is
+      // LOSSLESS under ANY consistent global shingle order — every pair
+      // at or above J shares a prefix key, below-J candidates die at
+      // verification — so the verified output is exactly {pairs with
+      // jac >= J} regardless of whether rarity ranks come from doc- or
+      // distinct-text frequency. Running the whole pipeline over one
+      // rep per byte-identical text therefore changes COST only: an
+      // m-cluster's identical prefixes stop fanning m² through the
+      // candidate join, and member pairs expand algebraically (inter/
+      // uni/jac are symmetric, so no per-side swap is needed). The
+      // oracle keeps its own doc-level replay — same output by the
+      // losslessness argument, which is exactly what the differential
+      // gate then re-proves.
+      val tok = DedupQueries.repShingleDF(s, d)
+      val big = DedupQueries.bigCorpus(s, d)
+      def hb(df: org.apache.spark.sql.DataFrame) = DedupQueries.hb(df, big)
       val dfreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
-      val ranked = tok.join(dfreq, Seq("sh"))
+      val ranked = tok.join(hb(dfreq), Seq("sh"))
         .withColumn("pos", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
         .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -309,24 +324,38 @@ object MiningQueries {
         .filter(col("ia") < col("ib"))
         .select("ia", "ib").distinct()
       // Verification by sorted-array intersection instead of the
-      // explode-join-reaggregate shape: one doc-sized aggregate packs
-      // each doc's (already distinct) shingles into an array, the
-      // candidate pairs fetch both docs' arrays with two equi-joins,
-      // and array_intersect counts the overlap in one codegen pass —
-      // the exchange that re-aggregated candidate x shingle rows is
-      // gone. Array payloads shuffle the same bytes the exploded rows
-      // did, bounded per row by document length.
+      // explode-join-reaggregate shape: one rep-sized aggregate packs
+      // each distinct text's (already distinct) shingles into an
+      // array, the candidate pairs fetch both arrays with two
+      // equi-joins, and array_intersect counts the overlap in one
+      // codegen pass. Array payloads are bounded per row by document
+      // length.
       val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("m"),
         sort_array(collect_list("sh")).as("shs"))
-      cand
-        .join(sz.select(col("doc_id").as("ia"), col("m").as("ma"),
-          col("shs").as("sa")), Seq("ia"))
-        .join(sz.select(col("doc_id").as("ib"), col("m").as("mb"),
-          col("shs").as("sb")), Seq("ib"))
+      val repVerified = cand
+        .join(hb(sz.select(col("doc_id").as("ia"), col("m").as("ma"),
+          col("shs").as("sa"))), Seq("ia"))
+        .join(hb(sz.select(col("doc_id").as("ib"), col("m").as("mb"),
+          col("shs").as("sb"))), Seq("ib"))
         .withColumn("inter",
           size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni", col("ma") + col("mb") - col("inter"))
         .filter(col("inter") * JacDen >= col("uni") * JacNum)
+        .select(col("ia").as("ra"), col("ib").as("rb"),
+          col("inter"), col("uni"))
+      val memb = DedupQueries.docGroupsDF(s, d)
+      val cross = repVerified
+        .join(hb(memb.select(col("rep").as("ra"), col("doc_id").as("a"))), Seq("ra"))
+        .join(hb(memb.select(col("rep").as("rb"), col("doc_id").as("b"))), Seq("rb"))
+        .select(least(col("a"), col("b")).as("ia"),
+          greatest(col("a"), col("b")).as("ib"), col("inter"), col("uni"))
+      val within = memb.select(col("rep"), col("doc_id").as("a"))
+        .join(hb(memb.select(col("rep"), col("doc_id").as("b"))), Seq("rep"))
+        .filter(col("a") < col("b"))
+        .join(hb(sz.select(col("doc_id").as("rep"), col("m"))), Seq("rep"))
+        .select(col("a").as("ia"), col("b").as("ib"),
+          col("m").as("inter"), col("m").as("uni"))
+      cross.unionByName(within)
         .select(col("ia"), col("ib"), col("inter"), col("uni"),
           expr("CAST(inter AS DOUBLE) / uni").as("jac"))
         .orderBy("ia", "ib")

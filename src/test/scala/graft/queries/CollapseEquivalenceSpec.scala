@@ -251,6 +251,31 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
     assert(prod == want)
   }
 
+  test("q_jaccard_prefix (rep-level prefix filter) == threshold brute force on the mega cluster") {
+    // prefix pruning is lossless under any consistent order, so the
+    // reference needs NO prefix logic at all: the verified output is
+    // exactly the pairs at or above J = JacNum/JacDen over non-empty
+    // shingle sets — the strongest possible statement of the
+    // order-invariance the collapse relies on.
+    val sh = megaDocs.map { case (id, t) => id -> megaShingles(t) }.toMap
+    val ids = megaDocs.map(_._1).filter(sh(_).nonEmpty).sorted
+    val (jn, jd) = (MiningQueries.JacNum, MiningQueries.JacDen)
+    val want = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      (sa, sb) = (sh(ids(i)), sh(ids(j)))
+      inter = (sa & sb).size.toLong
+      uni = sa.size + sb.size - inter
+      if inter * jd >= uni * jn
+    } yield (ids(i), ids(j), inter, uni, inter.toDouble / uni))
+      .toSeq.sortBy { case (a, b, _, _, _) => (a, b) }
+    val prod = SparkEntry.queries("q_jaccard_prefix")(spark, megaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(want.size > 600000, "the cluster must dominate the expected output")
+    assert(prod == want)
+  }
+
   test("q_dedup_simhash + q_dedup_incremental (rep-level sigs) == doc-level brute force") {
     // doc-level simhash exactly as the uncollapsed formulation: ±1 bit
     // sums over per-word h60 of every word OCCURRENCE
