@@ -348,22 +348,51 @@ object TextQueries {
     // join key below CrossMaxDf rows before the self-join, so no
     // unbounded fan-out exists anywhere in the plan — the same shape
     // that makes q_dedup_ngram scale-safe.
+    // r15 exact-text collapse: fingerprints, the boilerplate df window,
+    // and pair counting all run over one rep per byte-identical text —
+    // the r14 doc-level df ≤ CrossMaxDf window made a >20-doc identical
+    // cluster's OWN fingerprints "boilerplate", so the cluster produced
+    // zero rows (the same hole the jaccard family's cutoff had, at a
+    // much lower threshold). Semantics, replayed by the oracle: a
+    // DISTINCT-text pair's n_shared counts shared fingerprints whose
+    // distinct-text df sits in the boilerplate window; a SAME-text pair
+    // shares every fingerprint by definition, so its n_shared is the
+    // text's full fingerprint count (no window — a copy of yourself is
+    // copying, not boilerplate).
     "q_winnow_crossdup" -> ((s, d) => {
       graft.ops.WinnowFunctions.registerSet(s, CrossK, CrossW)
-      val fps = crossFpDF(s, d)
-      // df >= 2: a fingerprint seen in one document can't pair, and
-      // singletons are the overwhelming majority — dropping them
-      // collapses the semi-join build side to just the shared
-      // fingerprints (same pruning as DedupQueries.ngramCandidates).
-      val ok = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      val memb = DedupQueries.docGroupsDF(s, d)
+      val big = DedupQueries.bigCorpus(s, d)
+      def hb(df: org.apache.spark.sql.DataFrame) = DedupQueries.hb(df, big)
+      val frep = crossFpDF(s, d)
+        .join(hb(memb.filter(col("doc_id") === col("rep")).select("doc_id")),
+          Seq("doc_id"), "left_semi")
+      // df >= 2: a fingerprint seen in a single distinct text can't
+      // cross-pair, and singletons are the overwhelming majority —
+      // dropping them collapses the semi-join build side to just the
+      // shared fingerprints (same pruning as DedupQueries).
+      val ok = frep.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= CrossMaxDf).select("fp")
-      val ff = fps.join(ok, Seq("fp"), "left_semi")
-      val a = ff.select(col("fp"), col("doc_id").as("ia"))
-      val b = ff.select(col("fp"), col("doc_id").as("ib"))
-      a.join(b, Seq("fp")).filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("n_shared"))
+      val ff = frep.join(hb(ok), Seq("fp"), "left_semi")
+      val repPairs = ff.select(col("fp"), col("doc_id").as("ra"))
+        .join(ff.select(col("fp"), col("doc_id").as("rb")), Seq("fp"))
+        .filter(col("ra") < col("rb"))
+        .groupBy("ra", "rb").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= CrossMinShared)
-        .orderBy("ia", "ib")
+      val cross = repPairs
+        .join(hb(memb.select(col("rep").as("ra"), col("doc_id").as("a"))), Seq("ra"))
+        .join(hb(memb.select(col("rep").as("rb"), col("doc_id").as("b"))), Seq("rb"))
+        .select(least(col("a"), col("b")).as("ia"),
+          greatest(col("a"), col("b")).as("ib"), col("n_shared"))
+      val repCnt = frep.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= CrossMinShared)
+        .withColumnRenamed("doc_id", "rep")
+      val within = memb.select(col("rep"), col("doc_id").as("a"))
+        .join(hb(memb.select(col("rep"), col("doc_id").as("b"))), Seq("rep"))
+        .filter(col("a") < col("b"))
+        .join(hb(repCnt), Seq("rep"))
+        .select(col("a").as("ia"), col("b").as("ib"), col("n_shared"))
+      cross.unionByName(within).orderBy("ia", "ib")
     }),
 
     // Gopher-style repetition signals: fraction of tokens taken by the
@@ -594,8 +623,14 @@ object TextQueries {
     },
     "q_winnow_crossdup" -> {
       val (k, w) = (CrossK, CrossW)
-      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
-         |           WHERE length(lower(text)) >= ${k + w - 1}),
+      // r15 exact-text collapse replay: fingerprints over one rep per
+      // byte-identical text, boilerplate window on distinct-text df,
+      // same-text pairs carry the text's full fingerprint count.
+      s"""WITH fpr AS (SELECT doc_id, md5(lower(text)) AS tfp FROM documents),
+         |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY tfp) AS rep FROM fpr),
+         |d AS (SELECT t.doc_id, lower(t.text) AS t FROM documents t
+         |      JOIN grp gr ON t.doc_id = gr.doc_id AND gr.doc_id = gr.rep
+         |      WHERE length(lower(t.text)) >= ${k + w - 1}),
          |g AS (SELECT doc_id, t, UNNEST(range(1, length(t) - ${k - 2})) AS pos FROM d),
          |h AS (SELECT doc_id, pos, length(t) - ${k - 1} AS ng,
          |        CAST('0x' || substr(md5(substr(t, pos, $k)), 1, 15) AS BIGINT) AS h
@@ -606,10 +641,21 @@ object TextQueries {
          |      FROM h),
          |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - ${w - 1}),
          |ok AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $CrossMaxDf),
-         |ff AS (SELECT doc_id, fp FROM f JOIN ok USING (fp))
-         |SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_shared
-         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY ia, ib HAVING COUNT(*) >= $CrossMinShared
+         |ff AS (SELECT doc_id, fp FROM f JOIN ok USING (fp)),
+         |rp AS (SELECT a.doc_id AS ra, b.doc_id AS rb, COUNT(*) AS n_shared
+         |       FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $CrossMinShared),
+         |crossp AS (SELECT LEAST(ga.doc_id, gb.doc_id) AS ia,
+         |             GREATEST(ga.doc_id, gb.doc_id) AS ib, rp.n_shared
+         |           FROM rp JOIN grp ga ON ga.rep = rp.ra
+         |                   JOIN grp gb ON gb.rep = rp.rb),
+         |rcnt AS (SELECT doc_id AS rep, COUNT(*) AS n_shared FROM f
+         |         GROUP BY doc_id HAVING COUNT(*) >= $CrossMinShared),
+         |withinp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, rcnt.n_shared
+         |            FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+         |            JOIN rcnt ON rcnt.rep = a.rep)
+         |SELECT ia, ib, n_shared FROM
+         |  (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)
          |ORDER BY ia, ib""".stripMargin
     },
     "q_quality_repetition" ->

@@ -276,6 +276,51 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
     assert(prod == want)
   }
 
+  test("q_winnow_crossdup (rep-level fingerprints) == plain-Scala reference on the mega cluster") {
+    // the r14 doc-level df <= CrossMaxDf (20) window made a >20-doc
+    // identical cluster's own fingerprints "boilerplate" — zero rows
+    // for exactly the cluster crossdup should flag. Reference = the
+    // r15 semantics stated independently: winnow fingerprints per
+    // DISTINCT text (WinnowPropSpec's sliding-min definition), cross
+    // pairs count shared fingerprints with distinct-text df in
+    // [2, CrossMaxDf], same-text pairs carry the text's full
+    // fingerprint count, both thresholded at CrossMinShared.
+    val (k, w) = (TextQueries.CrossK, TextQueries.CrossW)
+    def winnow(text: String): Set[Long] = {
+      val t = text.toLowerCase
+      if (t.length < k + w - 1) return Set.empty
+      val hs = (0 to t.length - k).map(i => h60(t.substring(i, i + k)))
+      hs.sliding(w).map(_.min).toSet
+    }
+    val byText = megaDocs.groupBy(_._2)
+    val repOf = byText.map { case (t, ds) => t -> ds.map(_._1).min }
+    val repFps = byText.keys.map(t => repOf(t) -> winnow(t)).toMap
+    val members = byText.map { case (t, ds) => repOf(t) -> ds.map(_._1).sorted }
+    val dfOf = repFps.values.flatten.groupBy(identity).map { case (fp, xs) => fp -> xs.size }
+    def okFps(r: Long): Set[Long] =
+      repFps(r).filter(fp => dfOf(fp) >= 2 && dfOf(fp) <= TextQueries.CrossMaxDf)
+    val reps = repFps.keys.toSeq.sorted
+    val cross = for {
+      i <- reps.indices
+      j <- i + 1 until reps.length
+      shared = (okFps(reps(i)) & okFps(reps(j))).size
+      if shared >= TextQueries.CrossMinShared
+      a <- members(reps(i)); b <- members(reps(j))
+    } yield (math.min(a, b), math.max(a, b), shared.toLong)
+    val within = for {
+      r <- reps
+      if repFps(r).size >= TextQueries.CrossMinShared
+      ms = members(r)
+      i <- ms.indices; j <- i + 1 until ms.length
+    } yield (ms(i), ms(j), repFps(r).size.toLong)
+    val want = (cross ++ within).sortBy { case (a, b, _) => (a, b) }
+    val prod = SparkEntry.queries("q_winnow_crossdup")(spark, megaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.count { case (a, b, _) => a >= 100 && b <= 1199 } > 600000,
+      "the cluster's pairs must dominate — the r14 window dropped ALL of them")
+    assert(prod == want)
+  }
+
   test("q_dedup_simhash + q_dedup_incremental (rep-level sigs) == doc-level brute force") {
     // doc-level simhash exactly as the uncollapsed formulation: ±1 bit
     // sums over per-word h60 of every word OCCURRENCE
