@@ -143,13 +143,23 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
   // 50 namespaced near-dup pairs (cold-shingle control group). Shared
   // by the ngram, minhash, simhash, and incremental collapse tests.
   private val megaClusterText = "legal notice all rights reserved by the operator"
+  // doc 60 and doc 1201 share one LONGER near-dup of the cluster text:
+  // a duplicate group whose member ids INTERLEAVE with the cluster's
+  // (60 < 100..1199 < 1201) and whose shingle count (11) differs from
+  // the cluster's (6) — the case that exercises the expansion's
+  // least/greatest id ordering AND the per-side na/nb swap that
+  // asymmetric containment reads (a swap bug is invisible on
+  // same-size or non-interleaved groups).
+  private val megaLongVariant =
+    megaClusterText + " with three extra trailing terms appended"
   private lazy val megaDocs: Seq[(Long, String)] =
     (0 until 50).flatMap { i =>
       Seq((2L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}h"),
         (2L * i + 1, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}z"))
-    } ++
+    }.map { case (id, t) => if (id == 60L) (id, megaLongVariant) else (id, t) } ++
     (100 until 1200).map(i => (i.toLong, megaClusterText)) ++
-    Seq((1200L, "legal notice all rights reserved by the website"))
+    Seq((1200L, "legal notice all rights reserved by the website"),
+      (1201L, megaLongVariant))
 
   private lazy val megaDir: String = {
     val dir = "/tmp/graft_megacluster_spec"
@@ -215,6 +225,40 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
     assert(want.count { case (a, b, _) => a >= 100 && b <= 1199 } > 600000,
       "the cluster's pair enumeration must dominate the expected output")
     assert(prod.size == want.size)
+    assert(prod == want)
+  }
+
+  test("q_dedup_containment (per-side na/nb through the expansion) == brute force") {
+    // the collapse copies rep-level scores onto member pairs, but na/nb
+    // are PER-SIDE: when member ids interleave (group {60, 1201} vs the
+    // 100..1199 cluster) the least/greatest reordering must swap them.
+    // Brute force recomputes every pair's sizes directly from its own
+    // shingle sets, so any swap bug shows as transposed cont_a/cont_b.
+    val sh = megaDocs.map { case (id, t) => id -> megaShingles(t) }.toMap
+    val inverted = scala.collection.mutable.Map.empty[String, List[Long]]
+    for ((id, ss) <- megaDocs.map { case (id, t) => (id, sh(id)) }; s <- ss)
+      inverted(s) = id :: inverted.getOrElse(s, Nil)
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (ids <- inverted.values) {
+      val v = ids.sorted.toIndexedSeq
+      for (i <- v.indices; j <- i + 1 until v.length)
+        candidates += ((v(i), v(j)))
+    }
+    val want = candidates.toSeq.flatMap { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val common = (sa & sb).size.toLong
+      val (na, nb) = (sa.size.toLong, sb.size.toLong)
+      val (ca, cb) = (common * 1000 / na, common * 1000 / nb)
+      val missed = common.toDouble / (na + nb - common) < 0.5
+      if (math.max(ca, cb) >= 800) Some((a, b, common, na, nb, ca, cb, missed))
+      else None
+    }.sortBy { case (a, b, _, _, _, _, _, _) => (a, b) }
+    val prod = SparkEntry.queries("q_dedup_containment")(spark, megaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    // the asymmetric interleaved pairs must exist or the swap is untested
+    assert(want.exists { case (a, b, _, na, nb, _, _, _) =>
+      b == 1201L && a >= 100L && na != nb })
     assert(prod == want)
   }
 

@@ -165,6 +165,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((200L, 100L)))
   }
 
+  test("batch attributionJoin time-bucket pre-key equals the naive condition join at every boundary") {
+    // r15: batch mode joins on (user, 30-min bucket) with a 2-bucket
+    // purchase probe. This pins the grid algebra at the edges — a view
+    // EXACTLY w before the purchase (included, <=), a purchase exactly
+    // at its view's time (lag 0, included), pairs straddling a bucket
+    // boundary (the previous-bucket probe must find them), one just
+    // outside the window in the same bucket, and a bucket-aligned
+    // purchase whose previous-bucket probe lands on an earlier view —
+    // by comparing against the unbucketed condition join on the same
+    // frames.
+    val spark2 = spark
+    import spark2.implicits._
+    def tsec(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+    val w = 30 * 60L
+    val views = Seq(
+      (1L, tsec(0), 7L),          // bucket 0 start
+      (2L, tsec(w - 1), 7L),      // end of bucket 0
+      (3L, tsec(w), 7L),          // first instant of bucket 1
+      (4L, tsec(10), 8L),         // other user, same times
+      (5L, tsec(3 * w - 1), 7L)   // late view for exact-w pairing
+    ).toDF("event_id", "ts", "user_id")
+    val purchases = Seq(
+      (100L, tsec(0), 7L),          // lag 0 vs view 1
+      (101L, tsec(w), 7L),          // exactly w after view 1 (included), 1 after view 2, 0 after view 3
+      (102L, tsec(2 * w), 7L),      // exactly w after view 3 (bucket-straddling probe)
+      (103L, tsec(2 * w + 1), 7L),  // w+1 after view 3 — OUTSIDE
+      (104L, tsec(10), 9L),         // user with no views
+      (105L, tsec(4 * w - 1), 7L)   // exactly w after view 5
+    ).toDF("event_id", "ts", "user_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "view_id", "lag_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = pairs(EventStreams.attributionJoin(views, purchases))
+    val naive = pairs {
+      val v = views.select(col("event_id").as("view_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"))
+      val p = purchases.select(col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("user_id"))
+      v.join(p, col("v_user") === col("user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("purchase_id"), col("view_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    }
+    assert(bucketed == naive)
+    // the exact-w and lag-0 edges really are present
+    assert(bucketed.contains((101L, 1L, w * 1000000L)))
+    assert(bucketed.contains((100L, 1L, 0L)))
+    assert(bucketed.contains((102L, 3L, w * 1000000L)))
+    assert(!bucketed.exists { case (p, v, _) => p == 103L && v == 3L })
+  }
+
   test("batch first-seen dedup keeps event-order row and retains the sort in the plan") {
     val spark2 = spark
     import spark2.implicits._
