@@ -377,6 +377,20 @@ object PipelineQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // The SAME sessions through the (user, time-chunk) pre-key batch
+    // path (r15) — the parallel escape hatch for hot user keys: the
+    // typed operator above funnels a user's entire history through one
+    // state group, which the stream-skew wave showed serializing 20%
+    // of the corpus on one core; this plan splits every user across
+    // per-chunk windows and stitches sessions over the chunk SUMMARIES
+    // (a few rows per chunk). Output-identical by construction
+    // (ChunkedSessionizeSpec) and against the same gaps-and-islands
+    // oracle.
+    "q_stream_sessionize_chunked" -> ((s, d) => {
+      EventStreams.sessionizeChunked(Tables.load(s, d, "events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Streaming first-seen dedup run in batch mode (VERDICT r4 item 4):
     // the SAME withWatermark + dropDuplicatesWithinWatermark operator the
     // stream uses, with arrival order pinned to event-time order so the
@@ -1013,6 +1027,20 @@ object PipelineQueries {
         |SELECT user_id, event_type, event_id, ts_us, value FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
     "q_stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // identical sessions, different execution strategy — the chunked
+    // plan must reproduce the canonical gaps-and-islands result
+    "q_stream_sessionize_chunked" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |    CAST(value AS DECIMAL(18,4)) AS v,

@@ -132,6 +132,76 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
   }
 
+  /** Batch-parallel gap sessionization with a (user, time-chunk)
+    * pre-key — the measured escape hatch for the stream-skew wave's
+    * hot-user serial chain (SCALE.md): [[sessionize]]'s batch replay
+    * funnels a user's ENTIRE history through one
+    * flatMapGroupsWithState group, so a key holding 20% of all events
+    * serializes 20% of the corpus on one core. This variant is EXACT
+    * (ChunkedSessionizeSpec pins it against [[sessionize]] including
+    * boundary gaps and multi-chunk chains) and fully parallel:
+    *
+    *  1. chunk = ts DIV gap. Chunk width ≥ gap means a session can
+    *     never span an EMPTY chunk (the jump would exceed the gap), so
+    *     sessions only ever stitch across consecutive NONEMPTY chunk
+    *     summaries.
+    *  2. local session ids per (user, chunk) window — the hot user's
+    *     million events split across thousands of independent chunk
+    *     partitions.
+    *  3. one per-user pass over the CHUNK SUMMARIES (a few rows per
+    *     chunk, not per event): a chunk's first local session merges
+    *     with the previous summary's last session iff the boundary gap
+    *     is ≤ gap; global id = base + local − merge where base is the
+    *     running sum of (n_local − merge) over prior chunks — merge
+    *     CHAINS collapse because a single-session bridging chunk
+    *     contributes n_local − merge = 0 to base.
+    *  4. per-(user, global id) aggregate — exact decimal sums, one
+    *     double conversion, identical to the typed path's arithmetic.
+    */
+  def sessionizeChunked(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    val ev = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(18, 4)).as("value"))
+      .withColumn("chunk", expr(s"ts_us DIV ${gapUs}L"))
+    val wChunk = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts_us", "event_id")
+    val local = ev
+      .withColumn("prev_ts", lag("ts_us", 1).over(wChunk))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("lsid", sum("brk").over(
+        wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // LOCAL SESSION pre-aggregation: everything after the one per-event
+    // window pass runs over session-level frames. The groupBys on
+    // (user, chunk, lsid) and (user, chunk) both ride the window's
+    // (user, chunk) partitioning — no further event-sized exchange —
+    // and the stitch join carries local sessions, not events.
+    val localSess = local.groupBy("user_id", "chunk", "lsid")
+      .agg(min("ts_us").as("s_start"), max("ts_us").as("s_end"),
+        count(lit(1)).as("s_n"), sum("value").as("s_v"))
+    val wUser = Window.partitionBy("user_id").orderBy("chunk")
+    val summaries = localSess.groupBy("user_id", "chunk")
+      .agg(min("s_start").as("first_ts"), max("s_end").as("last_ts"),
+        max("lsid").as("n_local"))
+      .withColumn("merge",
+        when(col("first_ts") - lag("last_ts", 1).over(wUser) <= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("base", coalesce(
+        sum(col("n_local") - col("merge"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("user_id", "chunk", "merge", "base")
+    localSess.join(summaries, Seq("user_id", "chunk"))
+      .withColumn("gsid", col("base") + col("lsid") - col("merge"))
+      .groupBy("user_id", "gsid")
+      .agg(min("s_start").as("start_us"), max("s_end").as("end_us"),
+        sum("s_n").as("n_events"),
+        sum("s_v").cast(DoubleType).as("total_value"))
+      .drop("gsid")
+  }
+
   /** Streaming exact dedup for continuous ingest: first-seen wins on the
     * content fingerprint, with state maintained across micro-batches by
     * `dropDuplicates`. The batch analogue with a DETERMINISTIC keeper
