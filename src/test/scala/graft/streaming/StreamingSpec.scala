@@ -217,6 +217,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(!bucketed.exists { case (p, v, _) => p == 103L && v == 3L })
   }
 
+  test("sharded arrival high-water mark equals the single window incl. ties and pre-epoch ts") {
+    // r16 (verdict r15 item 4): the audit's parallelism ceiling fix.
+    // shards = 3 over 400 rows forces multi-shard carry-in chains; the
+    // seeded soup includes duplicate arrival keys (the tiebreak must
+    // stay intra-shard), pre-epoch event times, and two partition keys.
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(1616)
+    val rows = (0 until 400).map { i =>
+      val typ = if (rnd.nextBoolean()) "click" else "view"
+      // duplicate arrival keys on ~25% of rows; event times straddle 0
+      val arrival = (i - (i % 4)).toLong
+      val tsu = rnd.nextLong() % (3600L * 1000000L) // can be negative
+      (typ, i.toLong, tsu, arrival)
+    }
+    val df = rows.toDF("event_type", "event_id", "tsu", "arrival_key")
+    val got = EventStreams.arrivalHighWaterMark(
+        df, "tsu", "arrival_key", "event_id", Seq("event_type"), shards = 3)
+      .select("event_type", "event_id", "hwm").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("arrival_key"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("hwm", max("tsu").over(w))
+      .select("event_type", "event_id", "hwm").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.size == 400)
+  }
+
+  test("batch attributionJoin bucket algebra holds for pre-epoch timestamps") {
+    // r16 (verdict r15 advice): truncating DIV makes bucket 0 span
+    // (−w, +w). Completeness only needs buckets ≥ w wide, and a view
+    // has ONE bucket while the purchase probes two distinct ones — pin
+    // both by comparing against the naive condition join on a grid
+    // straddling the epoch (incl. exact-w pairs across the double-wide
+    // bucket and views/purchases entirely pre-epoch).
+    val spark2 = spark
+    import spark2.implicits._
+    def tsec(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+    val w = 30 * 60L
+    val times = Seq(-3 * w, -2 * w - 1, -2 * w, -w - 1, -w, -w + 10,
+      -1L, 0L, 1L, w - 1, w, 2 * w - 1)
+    val views = times.zipWithIndex.map { case (t, i) =>
+      (i.toLong, tsec(t), 7L + (i % 2)) }.toDF("event_id", "ts", "user_id")
+    val purchases = times.zipWithIndex.map { case (t, i) =>
+      (100L + i, tsec(t + w / 3), 7L + ((i + 1) % 2)) }
+      .toDF("event_id", "ts", "user_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "view_id", "lag_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = pairs(EventStreams.attributionJoin(views, purchases))
+    val naive = pairs {
+      val v = views.select(col("event_id").as("view_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_user"))
+      val p = purchases.select(col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("user_id"))
+      v.join(p, col("v_user") === col("user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("purchase_id"), col("view_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    }
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+  }
+
   test("batch first-seen dedup keeps event-order row and retains the sort in the plan") {
     val spark2 = spark
     import spark2.implicits._

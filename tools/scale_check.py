@@ -29,6 +29,12 @@ import sys
 LINEAR_ENVELOPE = 20.0  # per 10x scale step
 HEAP_SLACK_MB = 2048
 
+def qsec(row):
+    """Pin on the MIN of the recorded band (r16): adversarial waves carry
+    min-of-2 cold runs under sec_runs; "sec" is already their min, but
+    reading the band directly keeps the pin honest if that ever drifts."""
+    return min(row.get("sec_runs") or [row["sec"]])
+
 def check_wave(name, d):
     targets = sorted({k.rsplit("_x", 1)[0] for k in d if k.startswith("q_")})
     scales = sorted({int(k.rsplit("_x", 1)[1]) for k in d if k.startswith("q_")})
@@ -38,7 +44,7 @@ def check_wave(name, d):
           "  t(max)/t(mid)  flips")
     for q in targets:
         row = {s: d.get(f"{q}_x{s}") for s in scales}
-        secs = {s: row[s]["sec"] for s in scales if row[s]}
+        secs = {s: qsec(row[s]) for s in scales if row[s]}
         ratio = None
         if len(scales) >= 3 and scales[-1] in secs and scales[-2] in secs:
             ratio = secs[scales[-1]] / max(secs[scales[-2]], 1e-9)
