@@ -137,18 +137,22 @@ object DialectFuzz {
         shared(s"SELECT path, tags ->> $i AS t0, tags -> '$$[#-1]' AS tl " +
           s"FROM files${whereOpt(r)} ORDER BY path LIMIT 40")
       case 12 => // r16: bare-ident-LHS arrows at argument starts of the
-        // NEWLY whitelisted math/string scalars (verdict r15 advice —
-        // these positions refused before the whitelist extension).
-        // sqrt/power only: IEEE sqrt is correctly rounded and x^2 is
-        // exact for integer x < 2^26, so both engines bit-match (ln is
-        // NOT safe: DuckDB ln(0) = -inf, Spark log(0) = NULL).
-        shared(s"""WITH j AS (SELECT path,
-          ('{"n": ' || TRY_CAST(n_chars AS BIGINT) || ', "l": "' || lang || '"}') AS d
-          FROM files)
-          SELECT path, sqrt(d ->> 'n') AS sq, power(d ->> 'n', 2) AS pw,
-          char_length(d ->> 'l') AS cl, levenshtein(d ->> 'l', 'en') AS lv,
-          ascii(d ->> 'l') AS a0
-          FROM j ORDER BY path LIMIT ${30 + r.nextInt(20)}""")
+        // NEWLY whitelisted scalars (verdict r15 advice — these
+        // positions refused before the whitelist extension). The
+        // lambda-shaped position is exercised by the VARCHAR-native
+        // entries (char_length/levenshtein/ascii — DuckDB binds no
+        // math fn over VARCHAR, so sqrt/power take the arrow inside a
+        // paren group with an explicit cast; IEEE sqrt is correctly
+        // rounded and x² is exact for integer x, so both engines
+        // bit-match). Derived table, NOT a CTE: shared() itself wraps
+        // the statement in `WITH files AS (...)`.
+        shared(s"""SELECT path, strlen(d ->> 'l') AS cl,
+          levenshtein(d ->> 'l', 'en') AS lv, ascii(d ->> 'l') AS a0,
+          sqrt(CAST(d ->> 'n' AS DOUBLE)) AS sq,
+          power((d ->> 'n')::DOUBLE, 2) AS pw
+          FROM (SELECT path,
+            ('{"n": ' || TRY_CAST(n_chars AS BIGINT) || ', "l": "' || lang || '"}') AS d
+            FROM files) j ORDER BY path LIMIT ${30 + r.nextInt(20)}""")
       case 11 => // r15: bare-ident-LHS arrows at argument starts of
         // WHITELISTED functions (Dialect.nonLambdaFns) — the lambda-
         // shaped position where the rewrite must still fire; an

@@ -66,7 +66,7 @@ object DedupQueries {
   private val wordCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
   private val simhashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
   private val minhashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
-  private val jacCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String, Long), DataFrame])
+  private val jacCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Boolean), DataFrame])
   private val substrGramCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   private[queries] def shingleDF(s: SparkSession, d: String): DataFrame =
@@ -172,7 +172,12 @@ object DedupQueries {
   def jaccardPairs(sh: DataFrame, maxDocFreq: Long): DataFrame =
     jaccardPairs(sh, maxDocFreq, bigCorpus = false)
 
-  def jaccardPairs(sh: DataFrame, maxDocFreq: Long, bigCorpus: Boolean): DataFrame = {
+  def jaccardPairs(sh: DataFrame, maxDocFreq: Long, bigCorpus: Boolean): DataFrame =
+    jaccardPairs(sh, maxDocFreq, bigCorpus, retainRarest = false)
+
+  def jaccardPairs(
+      sh: DataFrame, maxDocFreq: Long, bigCorpus: Boolean,
+      retainRarest: Boolean): DataFrame = {
     // SHUFFLE_HASH, not sort-merge, once the shared-shingle key set has
     // outgrown any broadcast (r13 scale probe: the stats-flipped SMJ
     // plan re-SORTS the ~75M-row shingle frame on every join at 100×,
@@ -199,7 +204,7 @@ object DedupQueries {
       .groupBy("ia", "ib")
       .agg(count(lit(1)).as("common_hot"))
     val cnt = shingleCounts(sh)
-    commonCold
+    val scored = commonCold
       .join(commonHot, Seq("ia", "ib"), "left")
       .withColumn("common", col("common_cold") + coalesce(col("common_hot"), lit(0L)))
       .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
@@ -208,6 +213,49 @@ object DedupQueries {
       // derive from the same shared frame without a rescan.
       .select(col("ia"), col("ib"), col("common"), col("na"), col("nb"),
         (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
+    if (!retainRarest) scored
+    else {
+      // RAREST-SHINGLE RETENTION (r16, verdict r15 item 6 — the measured
+      // option against the documented completeness trade): a pair of
+      // DISTINCT texts whose EVERY shared shingle clears the cutoff
+      // (near-identical pure-boilerplate pages) never shares a cold
+      // candidate key. Each doc therefore retains its globally rarest
+      // PAIRABLE shingle (min df ≥ 2, tie-break min sh — a cold rarest
+      // is already a candidate key, so retention only bites when it is
+      // hot) as ONE unconditional candidate key. Near-identical shingle
+      // sets pick the same global minimum whenever it lies in their
+      // intersection, so the target class pairs up; it is a RECALL
+      // HEURISTIC, not completeness — a pair whose rarest shingles fall
+      // in their symmetric difference still never meets (documented in
+      // COVERAGE.md). Extra pairs share NO cold shingle (those pairs are
+      // in commonCold already — the anti-join enforces it), so their
+      // common count is exactly the hot-overlap correction join. Cost:
+      // one doc-keyed min-aggregate over the df-joined shingle frame +
+      // a ≤1-key-per-doc self-join; a hot shingle retained by m docs
+      // fans out m²/2 pairs, but any such m docs share their ENTIRE
+      // rarest-rank prefix — overwhelmingly genuine near-dups whose
+      // output the caller asked for (skew-wave numbers in SCALE.md).
+      val rarest = sh.join(h(dfc.filter(col("df") >= 2)), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(min(struct(col("df"), col("sh"))).as("r"))
+        .filter(col("r.df") >= maxDocFreq)
+        .select(col("doc_id"), col("r.sh").as("sh"))
+      val extra = rarest.select(col("doc_id").as("ia"), col("sh"))
+        .join(h(rarest.select(col("doc_id").as("ib"), col("sh"))), Seq("sh"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib")
+        .join(commonCold.select("ia", "ib"), Seq("ia", "ib"), "left_anti")
+      val extraScored = extra
+        .join(shHot.select(col("doc_id").as("ia"), col("sh")), Seq("ia"))
+        .join(h(shHot.select(col("doc_id").as("ib"), col("sh"))), Seq("ib", "sh"))
+        .groupBy("ia", "ib")
+        .agg(count(lit(1)).as("common"))
+        .join(cnt.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+        .join(cnt.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("common"), col("na"), col("nb"),
+          (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("jac"))
+      scored.unionByName(extraScored)
+    }
   }
 
   /** (doc_id, rep) membership for the exact-duplicate collapse: rep =
@@ -283,10 +331,17 @@ object DedupQueries {
     // shared-shingle keys ∝ corpus size; past ~100k documents they are
     // beyond any broadcast and the hash-join path wins (see jaccardPairs)
     val big = bigCorpus(s, d)
-    Tables.memo(jacCache, (Tables.sessionKey(s), d, cutoff))({
+    // SPARK_GRAFT_RETAIN_RAREST=1 turns on the rarest-shingle retention
+    // (jaccardPairs scaladoc) — a MEASUREMENT/DEPLOYMENT knob, not a
+    // gate mode: retention finds strictly MORE pairs than the oracle's
+    // cutoff replay, so the differential gate must run with it unset
+    // (exactness of the retention path itself is pinned against
+    // cutoff-free brute force in CollapseEquivalenceSpec).
+    val retain = sys.env.get("SPARK_GRAFT_RETAIN_RAREST").contains("1")
+    Tables.memo(jacCache, (Tables.sessionKey(s), d, cutoff, retain))({
       val memb = docGroupsDF(s, d)
       val shRep = repShingleDF(s, d)
-      val repScores = jaccardPairs(shRep, cutoff, big)
+      val repScores = jaccardPairs(shRep, cutoff, big, retain)
       // cross-group expansion: member ids interleave across groups, so
       // order each combo explicitly — and since na/nb are PER-SIDE
       // (asymmetric containment reads them), they swap with the ids

@@ -378,14 +378,15 @@ object PipelineQueries {
     }),
 
     // The SAME sessions through the (user, time-chunk) pre-key batch
-    // path (r15) — the parallel escape hatch for hot user keys: the
-    // typed operator above funnels a user's entire history through one
-    // state group, which the stream-skew wave showed serializing 20%
-    // of the corpus on one core; this plan splits every user across
-    // per-chunk windows and stitches sessions over the chunk SUMMARIES
-    // (a few rows per chunk). Output-identical by construction
-    // (ChunkedSessionizeSpec) and against the same gaps-and-islands
-    // oracle.
+    // path (r15; simplified r16) — the parallel escape hatch for hot
+    // user keys: the typed operator above funnels a user's entire
+    // history through one state group, which the stream-skew wave
+    // showed serializing 20% of the corpus on one core; this plan
+    // reduces the per-event work to ONE hash aggregate onto (user,
+    // chunk) summaries (chunk width == gap ⇒ one session per nonempty
+    // chunk) and stitches sessions over the summaries. Output-identical
+    // by construction (ChunkedSessionizeSpec incl. pre-epoch chunks)
+    // and against the same gaps-and-islands oracle.
     "q_stream_sessionize_chunked" -> ((s, d) => {
       EventStreams.sessionizeChunked(Tables.load(s, d, "events"))
         .orderBy("user_id", "start_us")

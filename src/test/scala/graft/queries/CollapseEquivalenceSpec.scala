@@ -228,6 +228,88 @@ class CollapseEquivalenceSpec extends AnyFunSuite {
     assert(prod == want)
   }
 
+  test("rarest-shingle retention finds near-identical pure-boilerplate pairs (r16, flag-gated)") {
+    // The documented completeness trade (COVERAGE.md): a pair of
+    // DISTINCT texts whose EVERY pairable shared shingle clears the
+    // cutoff never shares a cold candidate key. 20 docs share an
+    // 11-token boilerplate prefix and differ in ONE trailing token —
+    // all 9 shared shingles have df = 20 ≥ cutoff 8, the unique-token
+    // shingle has df = 1 — so the cutoff path finds ZERO pairs among
+    // them. With retention, every doc's rarest pairable shingle is the
+    // same hot key (identical pairable sets) and all 190 pairs emerge
+    // with exact scores. Docs 100/101 share a cold df-2 shingle besides
+    // the hot prefix: the cold path must score them ONCE with the full
+    // hot+cold common count (no duplicate row from the retention union),
+    // and their rarest pairable shingle is that COLD one, so they retain
+    // nothing — (100, boilerplate-doc) pairs stay unfound even with the
+    // flag, the documented heuristic limit.
+    val spark2 = spark
+    import spark2.implicits._
+    val prefix = (1 to 11).map(i => s"t$i").mkString(" ")
+    val docs: Seq[(Long, String)] =
+      (0 until 20).map(i => (i.toLong, s"$prefix w$i")) ++
+        Seq((100L, s"$prefix z1 z2"), (101L, s"$prefix z1 z3"))
+    def shingles(t: String): Set[String] = megaShingles(t)
+    val sh = docs.flatMap { case (id, t) => shingles(t).map(s => (id, h60(s))) }
+      .toDF("doc_id", "sh")
+    val cutoff = 8L
+
+    def collect(retain: Boolean): Set[(Long, Long, Long, Long, Long, Double)] =
+      DedupQueries.jaccardPairs(sh, cutoff, bigCorpus = false, retainRarest = retain)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+
+    // brute-force reference: every pair sharing >= 1 pairable shingle,
+    // exact common/na/nb/jac from the sets themselves
+    val shMap = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val dfOf = docs.flatMap { case (_, t) => shingles(t) }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    def score(a: Long, b: Long) = {
+      val (sa, sb) = (shMap(a), shMap(b))
+      val common = (sa & sb).size.toLong
+      (a, b, common, sa.size.toLong, sb.size.toLong,
+        common.toDouble / (sa.size + sb.size - common))
+    }
+    val allPairs = for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      shared = shMap(a) & shMap(b) if shared.nonEmpty
+    } yield (a, b, shared)
+    val coldPairs = allPairs.collect {
+      case (a, b, shared) if shared.exists(s => dfOf(s) >= 2 && dfOf(s) < cutoff) =>
+        score(a, b)
+    }.toSet
+    // retention adds pairs whose docs share the SAME retained key: the
+    // rarest pairable shingle, retained only when hot
+    def retainedKey(id: Long): Option[String] = {
+      val pairable = shMap(id).filter(dfOf(_) >= 2)
+      if (pairable.isEmpty) None
+      else {
+        val r = pairable.minBy(s => (dfOf(s), h60(s)))
+        if (dfOf(r) >= cutoff) Some(r) else None
+      }
+    }
+    val retainPairs = allPairs.collect {
+      case (a, b, _) if retainedKey(a).isDefined && retainedKey(a) == retainedKey(b) =>
+        score(a, b)
+    }.toSet
+
+    val plain = collect(retain = false)
+    assert(plain == coldPairs)
+    assert(plain == Set(score(100L, 101L)), "cutoff path: only the cold pair")
+    assert(plain.head._3 == 10L, "cold pair's common must include the 9 hot shingles")
+
+    val retained = collect(retain = true)
+    assert(retained == (coldPairs ++ retainPairs))
+    assert(retained.size == 191, "190 boilerplate pairs + the cold pair")
+    assert(retained.count { case (a, b, _, _, _, _) => a < 20 && b < 20 } == 190)
+    // the heuristic limit: docs 100/101's rarest pairable shingle is the
+    // cold one, so they never pair with the boilerplate cluster
+    assert(!retained.exists { case (a, b, _, _, _, _) => a < 20 && b >= 100 })
+    // exact scores on a retained pair: common 9, sizes 10, jac 9/11
+    assert(retained.contains((0L, 1L, 9L, 10L, 10L, 9.0 / 11.0)))
+  }
+
   test("q_dedup_containment (per-side na/nb through the expansion) == brute force") {
     // the collapse copies rep-level scores onto member pairs, but na/nb
     // are PER-SIDE: when member ids interleave (group {60, 1201} vs the
