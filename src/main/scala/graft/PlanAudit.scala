@@ -100,8 +100,9 @@ object PlanAudit {
       "crosses ONE exchange). FLOOR NOTE (r16, band-valued): A/B same-session QueryProbe " +
       "min-of-5, broadcast 0.302-0.521 s exec vs shuffle_hash 0.354-0.434 s — the broadcast's " +
       "min is ~15% under the old shape's and is the kept variant; four same-day single-query " +
-      "bench runs read 0.371/0.383/0.383/0.395 isolated vs the 0.158 s oracle (1.9-2.5x band " +
-      "straddling the line, the minimum near the 2x boundary). The residual is the train-then-" +
+      "bench runs read 0.371/0.383/0.383/0.395 isolated, and the two r16 full-catalog passes " +
+      "read 0.265/0.387 in the isolated re-time vs the 0.158 s oracle — a 1.7-2.5x band whose " +
+      "minimum (1.68x) is UNDER the line. The residual is the train-then-" +
       "score job boundary (bpeRules' vocab fold + broadcast build is job 1, the probe+aggregate " +
       "job 2) at 500-doc output scale — the same inherent 2-job floor as q_lm_bigram, shrinking " +
       "with scale since both the fold and the broadcast are vocabulary-bounded"),
