@@ -25,6 +25,20 @@ object PlanAudit {
     "q_fm_flagship" -> "frontmatter corpus scan -> files view -> filter/sort",
     "q_stream_window" -> "tumbling window aggregate (streaming-capable shape)",
     "q_asof_join" -> "as-of via union + ordered window carry: one shuffle on the key",
+    "q_asof_join_chunked" -> ("the SAME as-of matches through the (key, time-chunk) pre-key " +
+      "(r16 — the q_asof_join analogue of q_stream_sessionize_chunked, closing the SCALE.md " +
+      "documented-only hot-key residual): the union-carry window runs per (user, chunk) so a " +
+      "hot key's merged stream splits across the chunk grid instead of one window task; each " +
+      "chunk's last right payload aggregates into a per-(key, chunk) SUMMARY frame (max by " +
+      "(time, tie) — equal to the window order's last because tie is unique), left-side chunk " +
+      "entries union in ORDERED AHEAD of same-chunk summaries, and one last-non-null pass per " +
+      "key over the summaries yields each chunk's carry-in from strictly earlier chunks; " +
+      "match = struct-level coalesce(local, carry-in), exact because time chunks partition " +
+      "time. Exactness pinned by ChunkedAsofSpec (boundary ties, pre-epoch grids, matchless " +
+      "lefts, hot-key soup) and the shared native ASOF JOIN oracle. Like the other chunked " +
+      "strategy rows it trades gate-scale constants (an extra bounds job + summary join) for " +
+      "the scale property — no single-key event-sized chain anywhere; measured in the " +
+      "stream-skew wave next to the plain row"),
     "q_range_join" -> "bucketed interval join: equi-join on time grid, NO nested loop",
     "q_sketch_kmv" -> "bounded-buffer sketch aggregator: partial+final, no state growth",
     "q_ann_quantized" -> "int8 tier: quantize once, broadcast queries, integer dot products in codegen",

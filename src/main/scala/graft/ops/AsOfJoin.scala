@@ -51,4 +51,103 @@ object AsOfJoin {
       carry.map { case (src, as) => col(s"_match.$src").as(as) }
     carried.select(out: _*)
   }
+
+  /** [[leftAsOf]] with a (key, time-chunk) pre-key — the hot-key escape
+    * hatch (r16, the q_asof_join analogue of
+    * `EventStreams.sessionizeChunked`, closing the SCALE.md "documented
+    * only" residual): the plain operator's per-key ordered carry puts a
+    * hot key's ENTIRE merged event stream through one window task. This
+    * variant is EXACT (ChunkedAsofSpec pins it against [[leftAsOf]]
+    * incl. boundary ties, pre-epoch timestamps, and matchless rows) and
+    * has no single-key event-sized chain:
+    *
+    *  1. chunk = floor(time / width), width from one bounded global
+    *     min/max aggregate over both sides (exact floor division — the
+    *     stitch needs chunks to PARTITION time, any width works for
+    *     correctness since the carry-in covers arbitrary distances);
+    *  2. the union-carry window runs per (KEY, CHUNK) — the hot key
+    *     splits across the chunk grid; a left row's local match is the
+    *     last right row at-or-before it WITHIN its chunk;
+    *  3. per-(key, chunk) summaries: each chunk's LAST right payload
+    *     (max by (time, tie) — the window order restricted to right
+    *     rows). Left-side (key, chunk) entries union in with null
+    *     summaries, ordered AHEAD of same-chunk summaries, so one
+    *     running last-non-null pass per key over the SUMMARY frame
+    *     (rows per nonempty chunk, not per event) yields each chunk's
+    *     carry-in = the last right payload of any STRICTLY EARLIER
+    *     chunk;
+    *  4. match = coalesce(local, carry-in) — exact because time chunks
+    *     partition time: a local match always postdates every prior
+    *     chunk's rows.
+    *
+    * `time` must be a timestamp column (the chunk grid reads
+    * unix_micros); [[leftAsOf]] itself stays type-generic.
+    */
+  def leftAsOfChunked(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      tie: String,
+      carry: Map[String, String],
+      chunks: Int = 64): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(carry.keys.toSeq.map(col): _*)
+    val tsUs = (c: Column) => unix_micros(c)
+    val bounds = left.select(tsUs(col(time)).as("t"))
+      .union(right.select(tsUs(col(time)).as("t")))
+      .agg(min("t"), max("t")).head()
+    if (bounds.isNullAt(0))
+      return leftAsOf(left, right, key, time, tie, carry)
+    val lo = bounds.getLong(0)
+    val width = math.max((bounds.getLong(1) - lo) / chunks + 1, 1L)
+    // exact floor division (numerator ≥ 0 by construction of lo)
+    def chunkOf(c: Column): Column = ((tsUs(c) - lit(lo)) / lit(width)).cast("long")
+
+    val l2 = left.select(
+      col(key), col(time), col(tie), lit(0).as("_side"),
+      lit(null).cast(right.select(payload).schema.head.dataType).as("_carry"),
+      struct(leftCols.map(col): _*).as("_row"))
+      .withColumn("_chunk", chunkOf(col(time)))
+    val r2 = right.select(
+      col(key), col(time), col(tie), lit(1).as("_side"),
+      payload.as("_carry"), lit(null).cast(l2.schema("_row").dataType).as("_row"))
+      .withColumn("_chunk", chunkOf(col(time)))
+    val wLocal = Window.partitionBy(col(key), col("_chunk"))
+      .orderBy(col(time), col("_side").desc, col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = l2.union(r2)
+      .withColumn("_local", last(col("_carry"), ignoreNulls = true).over(wLocal))
+
+    // summary stream: right chunks carry their last payload (max by
+    // (time, tie) — tie is unique per row, so the struct max equals the
+    // window-order last); left chunks enter with null. _entry = 0 sorts
+    // left entries BEFORE same-chunk summaries, so the exclusive-prefix
+    // last-non-null below reads only STRICTLY EARLIER chunks' payloads.
+    val rSum = r2.groupBy(col(key), col("_chunk"))
+      .agg(max(struct(tsUs(col(time)).as("_t"), col(tie).as("_tb"),
+        col("_carry").as("_p"))).as("_m"))
+      .select(col(key), col("_chunk"), lit(1).as("_entry"),
+        col("_m._p").as("_sum"))
+    val lEntries = l2.select(col(key), col("_chunk")).distinct()
+      .select(col(key), col("_chunk"), lit(0).as("_entry"),
+        lit(null).cast(rSum.schema("_sum").dataType).as("_sum"))
+    val wCarry = Window.partitionBy(col(key))
+      .orderBy(col("_chunk"), col("_entry"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = rSum.union(lEntries)
+      .withColumn("_in", last(col("_sum"), ignoreNulls = true).over(wCarry))
+      .filter(col("_entry") === 0)
+      .select(col(key), col("_chunk"), col("_in"))
+
+    // STRUCT-level coalesce: a local match whose payload FIELD is null
+    // must still win over the carry-in (field-level coalesce would leak
+    // the earlier row's field into the later match)
+    val out = leftCols.map(c => col(s"_row.$c").as(c)) ++
+      carry.map { case (src, as) => col(s"_match.$src").as(as) }
+    merged.filter(col("_side") === 0)
+      .join(carryIn, Seq(key, "_chunk"))
+      .withColumn("_match", coalesce(col("_local"), col("_in")))
+      .select(out: _*)
+  }
 }

@@ -461,6 +461,30 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of join through the (key, time-chunk) pre-key (r16 —
+    // the q_asof_join analogue of q_stream_sessionize_chunked, closing
+    // the SCALE.md documented-only residual): the plain operator's
+    // per-key ordered carry serializes a hot key's merged stream in one
+    // window task; this plan runs the carry per (user, chunk) and
+    // stitches with one last-non-null pass over chunk SUMMARIES.
+    // Output-identical by construction (ChunkedAsofSpec) and against
+    // q_asof_join's native DuckDB ASOF JOIN oracle.
+    "q_asof_join_chunked" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.leftAsOfChunked(purchases, signups,
+          key = "user_id", time = "ts", tie = "event_id",
+          carry = Map("event_id" -> "signup_id", "ts" -> "signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("signup_id"),
+          unix_micros(col("signup_ts")).as("signup_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // Range join (no equi-key): for each purchase, count error events in
     // the preceding 10 minutes across ALL users — bucketed time-grid
     // equi-join + exact filter (never a nested-loop/cartesian plan);
@@ -1072,6 +1096,15 @@ object PipelineQueries {
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY purchase_id, view_id""".stripMargin,
     "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  l.event_id AS signup_id, epoch_us(l.ts) AS signup_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+        |  ON e.user_id = l.user_id AND e.ts >= l.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // deliberately byte-identical to q_asof_join's: the chunked plan is
+    // an execution STRATEGY and must reproduce the canonical result
+    "q_asof_join_chunked" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  l.event_id AS signup_id, epoch_us(l.ts) AS signup_ts_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
