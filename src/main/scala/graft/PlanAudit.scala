@@ -46,6 +46,17 @@ object PlanAudit {
     "q_embed_neardup" -> "near-dup via LSH-band candidates + exact verify: bucket-bounded join keys, NO label-block all-pairs. Exact-duplicate collapse (r14 skew probe, finding 10): the band self-join runs over DISTINCT vectors (one rep per byte-identical group, vecGroups), members expand algebraically into pairs afterwards — m identical embeddings cost their m^2/2 genuine output rows, never bands x that, and adaptive bucket capacity only ever sees distinct vectors",
     "q_ann_ivf" -> "trained IVF: codegen graft_ivf_cells assignment/probing (no UDF node), candidates from probed cells only",
     "q_stream_dedup" -> "first-seen dedup: within-partition sort must survive below the First-based dedup aggregate",
+    "q_stream_dedup_agg" -> ("the SAME first-seen keepers as one min_by aggregate (r16 — the " +
+      "dedup analogue of the chunked strategy rows, closing the last documented-only hot-key " +
+      "residual): the ordered replay repartitions a hot fingerprint WHOLE into one task's " +
+      "sort; here min_by(row, (ts, event_id)) partially aggregates BELOW the exchange — the " +
+      "hot key combines to one row per input partition before a keeper-sized shuffle. The " +
+      "struct buffer plans SortAggregate, so each partition sorts its own balanced slice by " +
+      "fingerprint (a fully sort-free chained-argmin was considered and rejected: two extra " +
+      "corpus-keyed joins to shave balanced per-partition sorts). Exact because (ts, " +
+      "event_id) is unique per key — the same condition the ordered replay's determinism " +
+      "rests on; StreamingSpec pins keeper equality on a hot-key soup plus the " +
+      "partial-below-exchange plan shape, and the row shares q_stream_dedup's oracle"),
     "q_pack_sequences" -> "global prefix sum WITHOUT a single-partition window (range partition + offsets)",
     "q_text_winnow" -> "one-pass codegen winnow kernel: NO explode, NO window shuffle, plain scan + sort",
     "q_decontaminate" -> "benchmark n-gram overlap: bench side broadcast, corpus never shuffles before the agg",

@@ -118,7 +118,8 @@ object ScaleProbe {
     */
   val streamSkewTargets: Seq[String] = Seq(
     "q_stream_window", "q_stream_sessionize", "q_stream_sessionize_chunked",
-    "q_stream_dedup", "q_stream_join", "q_stream_enrich", "q_stream_late",
+    "q_stream_dedup", "q_stream_dedup_agg", "q_stream_join",
+    "q_stream_enrich", "q_stream_late",
     "q_asof_join", "q_asof_join_chunked", "q_range_join")
 
   private def maxPlusOne(df: DataFrame, c: String): Long =

@@ -410,6 +410,26 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // The SAME first-seen keepers as ONE aggregate (r16 — the dedup
+    // analogue of the chunked strategy rows, closing the last
+    // documented-only hot-key residual): the ordered replay above
+    // repartitions a hot fingerprint whole into one task's sort;
+    // min_by(row, (ts, event_id)) partially aggregates below the
+    // exchange, so the hot key combines per input partition — no
+    // single-key chain anywhere. Exact because (ts, event_id) is
+    // unique per key (the same condition the ordered replay's
+    // determinism rests on); shares q_stream_dedup's oracle.
+    "q_stream_dedup_agg" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      EventStreams.dedupFirstSeenAgg(
+          ev, md5(concat_ws("|", col("user_id"), col("event_type"))),
+          Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Stream-static dimension enrichment run in batch mode: the SAME
     // broadcast-join operator a stream uses per micro-batch (stateless,
     // stream never shuffled — EventStreams.enrichStatic; StreamingSpec
@@ -1044,6 +1064,17 @@ object PipelineQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DOUBLE) AS value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_us, value FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    // deliberately byte-identical to q_stream_dedup's: the aggregate
+    // plan is an execution STRATEGY and must reproduce the same keepers
+    "q_stream_dedup_agg" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
         |    CAST(value AS DOUBLE) AS value,

@@ -391,6 +391,40 @@ object EventStreams extends Serializable {
     dedupFirstSeenBy(arranged, col("fpk"), watermark).drop("fpk")
   }
 
+  /** Batch first-seen dedup as ONE aggregate — the hot-key-immune
+    * alternative to [[dedupFirstSeenBatchOrdered]] (r16, the last
+    * "documented-only" entry of SCALE.md's hot-key residual): the
+    * ordered replay repartitions by fingerprint FIRST (a hot
+    * fingerprint's rows all land in one partition) and then sorts that
+    * partition serially; the keeper ("the (orderCols)-minimal row per
+    * fingerprint") is equally a MIN aggregate — `min_by(row, ord)`
+    * partially aggregates BELOW the exchange, so a hot key combines to
+    * one row inside every input partition before a keeper-sized
+    * shuffle. The struct-valued min_by buffer makes Spark plan
+    * SortAggregate, so each input partition sorts ITS OWN slice by the
+    * fingerprint (balanced work everywhere — the opposite of the
+    * replay's single hot-partition sort); a fully sort-free argmin
+    * (chained primitive min aggregates + keeper joins) was considered
+    * and rejected — two extra corpus-keyed joins to shave balanced
+    * per-partition sorts is a bad trade at any scale. Identical output
+    * REQUIRES orderCols to be unique per fingerprint (the same
+    * condition the ordered replay needs for a deterministic,
+    * hash-exact oracle row); ties under a non-unique order are
+    * nondeterministic in both shapes. Batch-only by construction (a
+    * stream wants the stateful [[dedupFirstSeenBy]]).
+    */
+  def dedupFirstSeenAgg(
+      df: DataFrame,
+      fingerprint: org.apache.spark.sql.Column,
+      orderCols: Seq[String]): DataFrame = {
+    val ord = struct(orderCols.map(col): _*)
+    val row = struct(df.columns.map(col): _*)
+    df.withColumn("__fp", fingerprint)
+      .groupBy("__fp")
+      .agg(min_by(row, ord).as("__row"))
+      .select(df.columns.toSeq.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   private def toSession(userId: Long, events: List[Event]): Session = {
     val total = events.map(_.value).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
     Session(userId, events.head.ts_us, events.last.ts_us, events.length.toLong, total.doubleValue())

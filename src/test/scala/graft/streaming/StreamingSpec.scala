@@ -306,6 +306,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("Sort"), s"within-partition sort was optimized away:\n$plan")
   }
 
+  test("aggregate first-seen dedup equals the ordered replay with a sort-free plan") {
+    // r16: the hot-key-immune batch shape. Equality REQUIRES the order
+    // columns to be unique per fingerprint — here (ts, event_id), with
+    // event_id globally unique — the same condition the ordered
+    // replay's determinism rests on. Soup includes a hot key, duplicate
+    // timestamps (tiebreak via event_id), and singleton keys.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(2024)
+    val events = (0 until 800).map { i =>
+      val user = if (rnd.nextInt(3) == 0) 7L else rnd.nextInt(30).toLong
+      val typ = Seq("click", "view", "purchase")(rnd.nextInt(3))
+      (i.toLong, ts(rnd.nextInt(59) + 1), user, typ)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val fp = md5(concat_ws("|", col("user_id"), col("event_type")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").as[Long].collect().toSet
+    val want = rows(EventStreams.dedupFirstSeenBatchOrdered(
+      events, fp, Seq("ts", "event_id")))
+    val agg = EventStreams.dedupFirstSeenAgg(events, fp, Seq("ts", "event_id"))
+    assert(rows(agg) == want)
+    assert(want.nonEmpty)
+    // the point of the shape: PARTIAL aggregation below the exchange —
+    // a hot fingerprint combines to one row per input partition before
+    // any shuffle, instead of landing whole in one repartitioned
+    // task's sort. In the top-down plan string, the subtree under the
+    // LAST Exchange must be the partial aggregate over the scan.
+    val plan = agg.queryExecution.executedPlan.toString
+    val belowLastExchange = plan.split("Exchange").last
+    assert(belowLastExchange.contains("Aggregate"),
+      s"partial aggregate must sit below the exchange:\n$plan")
+  }
+
   test("sessionize batch mode emits every session incl. the trailing one") {
     val spark2 = spark
     import spark2.implicits._
