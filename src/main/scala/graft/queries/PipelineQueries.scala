@@ -420,7 +420,11 @@ object PipelineQueries {
     // unique per key (the same condition the ordered replay's
     // determinism rests on); shares q_stream_dedup's oracle.
     "q_stream_dedup_agg" -> ((s, d) => {
+      // project BEFORE the aggregate: the keeper struct packs every
+      // input column, so Catalyst cannot prune the scan through it —
+      // unlike the ordered replay, where pruning pushes past the dedup
       val ev = Tables.load(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
       EventStreams.dedupFirstSeenAgg(
           ev, md5(concat_ws("|", col("user_id"), col("event_type"))),
           Seq("ts", "event_id"))
