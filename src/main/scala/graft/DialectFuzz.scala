@@ -131,7 +131,18 @@ object DialectFuzz {
     val obj = """('{"l": "' || lang || '", "n": ' || n_chars || '}')"""
     // {"s": <score>} exercises double re-serialization (score nullable)
     val objS = """('{"s": ' || score || '}')"""
-    r.nextInt(13) match {
+    r.nextInt(14) match {
+      case 13 => // r16: PAREN-GROUP RHS for '->'/'->>' (the former loud
+        // refusal) — paren arithmetic and dynamic-concat paths at plain
+        // positions and at whitelisted argument starts, NEXT TO a real
+        // lambda whose body is ALSO a paren group (must stay a lambda:
+        // the LHS guard, not the RHS shape, is what disambiguates)
+        shared(s"""SELECT path, tags -> (${r.nextInt(2)} + 1) AS pa,
+          tags ->> ('$$[' || ${r.nextInt(3)} || ']') AS pc,
+          coalesce(tags -> (1 + ${r.nextInt(2)}), '"none"') AS pw,
+          array_to_string(list_transform(from_json(tags, '["VARCHAR"]'),
+            x -> (upper(x) || '!')), ',') AS lam
+          FROM files WHERE tags IS NOT NULL ORDER BY path LIMIT 40""")
       case 0 =>
         val i = r.nextInt(4)
         shared(s"SELECT path, tags ->> $i AS t0, tags -> '$$[#-1]' AS tl " +

