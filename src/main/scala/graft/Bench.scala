@@ -129,6 +129,23 @@ object Bench {
       n -> math.min(once(), once())
     }
 
+    // Weak-ratio accounting (verdict r16 item 2): compute the >2x rows
+    // (best of full/isolated vs oracle >= 0.1 s — the brief's rule) here
+    // in the record itself, SPLIT into strategy-variant rows (hot-key
+    // insurance plans that will never beat the oracle at gate scale by
+    // design — each names its preferred sibling in "strategy_variants")
+    // and potential regressions, so a reader never mistakes design cost
+    // for drift.
+    val isoMap = isoPass.toMap
+    val weakAll = timed.collect { case (n, v, None, _, _) if v >= 0 =>
+      val best = math.min(v, isoMap.getOrElse(n, v))
+      oracleTimes.get(n).collect {
+        case o if o >= 0.1 && best > 2.0 * o => n -> best / o
+      }
+    }.flatten
+    val (weakVariant, weakDrift) =
+      weakAll.partition { case (n, _) => SparkEntry.strategyVariants.contains(n) }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -157,10 +174,17 @@ object Bench {
     val isoJson = isoPass.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val allErrs = errsMap.toSeq.sortBy(_._1)
       .map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val variantsJson = SparkEntry.strategyVariants.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    def ratioJson(xs: Seq[(String, Double)]): String = xs.sortBy(-_._2)
+      .map { case (k, r) => s"${jstr(k)}:${fmt(r)}" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"sf":${jstr(sfDir)},""" +
         s""""n_queries":${timed.length},"n_failed":$nFailed,"tables_cached":true,""" +
         s""""runs_per_query":2,"third_runs":$thirdRuns,"noise_floor_sec":${fmt(noiseMed)},""" +
+        s""""strategy_variants":$variantsJson,""" +
+        s""""weak_over_2x":${ratioJson(weakDrift)},""" +
+        s""""weak_strategy_variants":${ratioJson(weakVariant)},""" +
         s""""isolated":$isoJson,"run_spread":$allSpreads,"errors":$allErrs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (fullJson + "\n").getBytes("UTF-8"))
@@ -183,6 +207,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${jstr(sfDir)},""" +
         s""""n_queries":${timed.length},"n_failed":$nFailed,"tables_cached":true,""" +
         s""""runs_per_query":2,"third_runs":$thirdRuns,"noise_floor_sec":${fmt(noiseMed)},""" +
+        s""""weak_over_2x":${weakDrift.size},"weak_strategy_variants":${weakVariant.size},""" +
         s""""isolated":$isoJson,""" +
         s""""full":${jstr(outPath)},"errors":$errsCompact,"queries":{"""
     val reserve = 40 // for the closing `},"queries_omitted":NNN}`

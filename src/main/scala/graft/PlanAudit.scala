@@ -159,6 +159,18 @@ object PlanAudit {
     "q_stream_sessionize" -> "sessionization: gap-break flags + one running SUM window partitioned by user_id (the shuffle key), session hash agg on top — no global sort before the final ORDER BY. FLOOR NOTE (r12; band refreshed r15): 0.191-0.228 s current band (full-catalog + bench-isolated) at sf0.1 vs the 0.108 s refreshed oracle — 1.8-2.1x straddling the boundary, the single-window shape already minimal; r10/r11's 0.31-1.3 s full-catalog flags were contention. Scale behavior measured r15: stream-skew wave 0.86/1.40/1.84/4.26 s at 1x/10x/25x/50x with a 20%-hot-user key — linear with the hot key's Amdahl constant (SCALE.md)",
     "q_multimodal_resize" -> "resize tier: batched mapPartitions kernel, fixed output raster per doc, one scan + final sort only",
     "q_stream_sessionize_chunked" -> "the SAME sessions as q_stream_sessionize through the (user, time-chunk) pre-key batch plan, SIMPLIFIED r16 (verdict r15 advice): chunk width == gap makes an intra-chunk break impossible (two events in a width-gap chunk are < gap apart), so the r15 per-event lag/brk/lsid window was dead generality — the per-event work is now ONE HASH AGGREGATE to (user, chunk) summaries (map-side partial rows, no event-level sort or window anywhere; the hot user's events combine inside every input partition before a summary-sized exchange), then a per-user gaps-and-islands pass over the summaries (one row per nonempty chunk) assigns global ids. Chunks come from EXACT floor division — truncating DIV would make chunk 0 span (−gap, +gap) for pre-epoch timestamps and break the one-session-per-chunk invariant (pinned with a pre-epoch case in ChunkedSessionizeSpec alongside exact-gap boundaries, bridging chains, duplicate timestamps, random soup); shares q_stream_sessionize's gaps-and-islands oracle. FLOOR/ADJUDICATION (re-measured r16): still weak by the letter BY DESIGN — 0.59-0.88 s single-query-session at sf0.1 (r15: 0.74-0.95) vs the 0.108 s oracle: the 4-stage pipeline (scan+partial agg / final agg / summary window / output agg+sort) cannot approach a single window pass at 100k-row scale, and the MEASURED-AND-PREFERRED alternative at gate scale IS q_stream_sessionize itself (~0.21 s). The row exists for the scale property — no single-key ceiling anywhere in its plan, where the typed operator serializes a hot user's entire history through one state group — and stays in the catalog so the adversarial wave re-measures it every round; r16 also adds its DUCKDB_BASELINE row (verdict r15 item 1) so the bench accounting carries it explicitly",
+    "q_stream_sessionize_auto" -> ("the strategy SELECTOR over the typed/chunked sessionize " +
+      "pair (r17, verdict r16 item 3): EventStreams.sessionizeAuto runs ONE bounded skew " +
+      "diagnostic (largest single user's row count — Skew.maxGroupRows, a map-side-combining " +
+      "hash aggregate + scalar max, the statistic q_skew_audit reports as its top hitter) " +
+      "and picks the typed state path below the crossover the stream-skew wave measured " +
+      "(default 300k hot-key rows: typed wins at x10/200k, loses from x25/500k on) or the " +
+      "chunked hash-aggregate plan at/above it. Both branches are output-identical " +
+      "(ChunkedSessionizeSpec), so the selection is purely a cost decision and the shared " +
+      "gaps-and-islands oracle is exact for every choice; StrategySelectorSpec pins that " +
+      "each branch fires on its side of the threshold with identical rows. At gate scale " +
+      "the diagnostic picks the typed branch, so this row costs q_stream_sessionize plus " +
+      "one diagnostic aggregate"),
     "q_multimodal_phash" -> "image near-dup: codegen perceptual hash (one small row per image, persisted), 4x15-bit band-bucket self-join candidates only, bounded per-image nearest — no all-pairs. r12 fold (verdict r11 item 4): the whole-row distinct() + struct-min SortAggregate pair collapsed to ONE explicit exchange on ia — hash(ia) satisfies clustering for both the (ia,ib) pair dedup and the nearest pick, and the (hamming,ib) argmin packs into a hash-aggregable BIGINT; remaining cost is the broadcast-build + aggregate two-job floor (~0.38 s isolated at sf0.1)",
     "q_multimodal_phash_incremental" -> "media ingest probe: batch signatures join the corpus band index bucket-to-bucket, never batch x corpus; LEFT join keeps clean images visible (aggregated side broadcast — one row per batch image, bounded by the ingest batch by construction); same one-exchange dedup + packed argmin fold as q_multimodal_phash. FLOOR NOTE (verdict r11 item 4; BAND-VALUED r15 per verdict r14 item 7): the plan is 2 shuffle exchanges (the shared repartition(ia) feeding BOTH groupBys, and the output range sort) + 2 broadcasts (band-join build side and the batch-sized aggregate). Measured BANDS, never single snapshots: single-query isolated bench 0.353/0.367/0.395/0.402 s across four same-day r15 runs (min-of-2 each), matching the r13 isolated band 0.32-0.40 s; full-catalog driver read 0.247 s (r14) with a best-observed 0.184 s on warm shared frames, vs the 0.109 s oracle — a 1.7-3.7x ratio band whose MINIMUM is the compute floor, the row living inside the box's contention band that straddles the 2x line exactly as q_lm_bigram does. Both candidate folds of the last exchange were MEASURED and rejected: a forced SHUFFLE_HASH on the band join is slower (0.54 s, r11), and coalesce(1) before the output sort — single-partition sort of the batch-sized result, no range exchange — is ALSO slower (0.39-0.43 s min-of-2 x3, r13: the coalesce collapses the broadcast-probe stage to one task, serializing the scan+join on a single core). The residual over the oracle is the 4-stage job floor (signature probe -> bucket join -> shared-exchange aggregate -> output sort) at 200k-row scale, where DuckDB's single-process pipeline pays no stage boundaries; every stage is bounded-by-construction (bucket-to-bucket candidates, batch-sized broadcasts), so the ratio SHRINKS with scale rather than growing — adjudicated irreducible at this fixture size, same boundary class as q_lm_bigram",
     "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",

@@ -43,6 +43,22 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.MiningQueries.queries
 
+  /** Catalog rows that exist as HOT-KEY STRATEGY VARIANTS of another row
+    * (r17, verdict r16 item 2): each maps to its preferred gate-scale
+    * sibling. These rows trade gate-scale constants for a plan with no
+    * single-key ceiling — they are re-measured by the adversarial scale
+    * wave every round and will never beat the oracle at sf0.1 BY DESIGN
+    * (the adjudications live in PLANS.md). Bench emits this map into
+    * BENCH_FULL.json so weak-ratio accounting can split design-cost rows
+    * from genuine regressions; the skew-driven selectors
+    * (EventStreams.sessionizeAuto / dedupFirstSeenAuto,
+    * AsOfJoin.leftAsOfAuto) choose between each pair automatically.
+    */
+  def strategyVariants: Map[String, String] = Map(
+    "q_stream_sessionize_chunked" -> "q_stream_sessionize",
+    "q_stream_dedup_agg" -> "q_stream_dedup",
+    "q_asof_join_chunked" -> "q_asof_join")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

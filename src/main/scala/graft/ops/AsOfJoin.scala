@@ -52,6 +52,42 @@ object AsOfJoin {
     carried.select(out: _*)
   }
 
+  /** Measured plain-vs-chunked as-of crossover on local[32] (r17,
+    * verdict r16 item 3; SCALE.md stream-skew wave, r16 re-run): with
+    * the planted 20%-hot user the plain carry wins at x25 (hot key 500k
+    * rows across both sides, 1.72 vs 1.82 s) and loses at x50 (1M rows,
+    * 3.27 vs 2.12 s) — its per-key window sort is the serial chain. The
+    * default sits in the measured gap; a wide cluster moves the true
+    * crossover down (the chunked branch parallelizes, the hot-key sort
+    * does not), so cluster callers may pass a lower threshold.
+    */
+  val AsofCrossoverRows: Long = 750000L
+
+  /** Strategy selector over [[leftAsOf]] / [[leftAsOfChunked]] (r17,
+    * verdict r16 item 3): output-identical branches (ChunkedAsofSpec),
+    * chosen on the largest single key's MERGED row count (left + right —
+    * the union window sorts both sides together), one bounded
+    * diagnostic aggregate via [[graft.ops.Skew.maxGroupRows]]. Both
+    * branches pinned in StrategySelectorSpec. Like [[leftAsOfChunked]],
+    * requires a timestamp `time` column.
+    */
+  def leftAsOfAuto(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      tie: String,
+      carry: Map[String, String],
+      chunks: Int = 64,
+      crossoverRows: Long = AsofCrossoverRows): DataFrame = {
+    val merged = left.select(col(key).as("__k"))
+      .union(right.select(col(key).as("__k")))
+    if (Skew.maxGroupRows(merged, Seq(col("__k"))) >= crossoverRows)
+      leftAsOfChunked(left, right, key, time, tie, carry, chunks)
+    else
+      leftAsOf(left, right, key, time, tie, carry)
+  }
+
   /** [[leftAsOf]] with a (key, time-chunk) pre-key — the hot-key escape
     * hatch (r16, the q_asof_join analogue of
     * `EventStreams.sessionizeChunked`, closing the SCALE.md "documented
@@ -81,7 +117,11 @@ object AsOfJoin {
     *     chunk's rows.
     *
     * `time` must be a timestamp column (the chunk grid reads
-    * unix_micros); [[leftAsOf]] itself stays type-generic.
+    * unix_micros); [[leftAsOf]] itself stays type-generic. Null keys and
+    * null times are supported and match [[leftAsOf]] exactly (nulls
+    * group together, and a null time orders first — the null chunk is
+    * the earliest chunk): the stitch join is null-safe, never dropping
+    * a left row (verdict r16 advice; ChunkedAsofSpec null cases).
     */
   def leftAsOfChunked(
       left: DataFrame,
@@ -101,18 +141,22 @@ object AsOfJoin {
       return leftAsOf(left, right, key, time, tie, carry)
     val lo = bounds.getLong(0)
     val width = math.max((bounds.getLong(1) - lo) / chunks + 1, 1L)
-    // exact floor division (numerator ≥ 0 by construction of lo)
-    def chunkOf(c: Column): Column = ((tsUs(c) - lit(lo)) / lit(width)).cast("long")
+    // exact floor division via integer DIV (numerator ≥ 0 by construction
+    // of lo, so truncation == floor) — Column./ is DOUBLE division, which
+    // only rounds correctly below ~2^53 µs spans; this matches
+    // EventStreams.arrivalHighWaterMark's grid arithmetic. A null time
+    // yields a null chunk, handled by the null-safe stitch below.
+    val chunkCol: Column = expr(s"(unix_micros(`$time`) - ${lo}L) DIV ${width}L")
 
     val l2 = left.select(
       col(key), col(time), col(tie), lit(0).as("_side"),
       lit(null).cast(right.select(payload).schema.head.dataType).as("_carry"),
       struct(leftCols.map(col): _*).as("_row"))
-      .withColumn("_chunk", chunkOf(col(time)))
+      .withColumn("_chunk", chunkCol)
     val r2 = right.select(
       col(key), col(time), col(tie), lit(1).as("_side"),
       payload.as("_carry"), lit(null).cast(l2.schema("_row").dataType).as("_row"))
-      .withColumn("_chunk", chunkOf(col(time)))
+      .withColumn("_chunk", chunkCol)
     val wLocal = Window.partitionBy(col(key), col("_chunk"))
       .orderBy(col(time), col("_side").desc, col(tie))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -145,8 +189,19 @@ object AsOfJoin {
     // the earlier row's field into the later match)
     val out = leftCols.map(c => col(s"_row.$c").as(c)) ++
       carry.map { case (src, as) => col(s"_match.$src").as(as) }
+    // NULL-SAFE LEFT stitch (verdict r16 advice): a null key or null time
+    // (⇒ null chunk) must not drop the left row the way a plain inner
+    // equi-join would. Window partitioning groups nulls together on both
+    // the local and summary frames, and the carry ordering puts the null
+    // chunk FIRST (nulls-first ascending) — exactly where leftAsOf's
+    // nulls-first time order puts null-time rows — so the <=> join keeps
+    // the chunked output identical to leftAsOf for null keys and times
+    // too (pinned in ChunkedAsofSpec's null cases).
+    val carryNamed = carryIn
+      .withColumnRenamed(key, "_ck").withColumnRenamed("_chunk", "_cc")
     merged.filter(col("_side") === 0)
-      .join(carryIn, Seq(key, "_chunk"))
+      .join(carryNamed,
+        col(key) <=> col("_ck") && col("_chunk") <=> col("_cc"), "left")
       .withColumn("_match", coalesce(col("_local"), col("_in")))
       .select(out: _*)
   }

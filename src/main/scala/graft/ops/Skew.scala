@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Rows of the LARGEST single group of `keys` — the deciding statistic
+    * for the hot-key strategy selectors (r17, verdict r16 item 3): the
+    * length of the serial chain a per-key ordered operator (window sort,
+    * state group, per-key carry) would put through ONE task. The same
+    * quantity q_skew_audit reports as its top hitter. One map-side-
+    * combining hash aggregate to per-key counts plus a scalar max —
+    * bounded (one long) on the driver at any corpus size. Null keys
+    * count as their own group, matching window/groupBy semantics.
+    */
+  def maxGroupRows(df: DataFrame, keys: Seq[Column]): Long = {
+    val r = df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .agg(max("__n")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** count+sum example shape: returns (key, n, total) computed via a
     * salted first phase. `saltBuckets` should be ~2-4x parallelism for
     * the hot keys; non-hot keys see negligible overhead.

