@@ -142,7 +142,25 @@ object PlanAudit {
     "q_skew_audit" -> "skew diagnostics: per-key hash agg + bounded graft_top_k hitters + one totals row — NO global sort, state O(k)",
     "q_curriculum" -> "curriculum phasing: cumulative over the ≤1001-row histogram only, threshold row broadcast back, corpus never sorted",
     "q_dpo_pairs" -> "preference pairs: both extremes from ONE (source, band) shuffle — two windows share the partitioning, bounded group count. FLOOR NOTE (r15, band-valued): full-catalog 0.266/0.317 s (r14/r15, run_spread 0.16) and 0.515-0.542 s in a single-query session (cold shared frames) vs the 0.154 s oracle — a 1.7-2.1x band straddling the line. The plan is already one exchange + two same-partitioning windows + the output sort; both extremes genuinely need the full (source, band) ordering, so the single shared shuffle IS the minimal shape and the residual is per-stage scheduling at 5000-row scale — contention-band class like q_lm_bigram",
-    "q_para_dedup" -> "paragraph dedup: keeper doc folds out of the packed chunk key — fp aggregate + doc aggregate only, the chunk frame NEVER joins back",
+    "q_quality_repetition" -> ("Gopher repetition signals: two doc-keyed max aggregates over " +
+      "the SHARED persisted word/bigram count frames + a broadcast join back per doc — no " +
+      "window, no sort before the output ORDER BY. FLOOR NOTE (r17): boundary-churn row — " +
+      "on the two same-day r17 quiet-box passes it read under the 2x line (run 1) and 2.24x " +
+      "(run 2: best 0.244 vs the 0.109 s oracle, its own run_spread 0.161 — i.e. the 0.026 s " +
+      "excess over the line is a fifth of the row's measured jitter). The 0.24-0.26 s " +
+      "absolute is the 3-job scheduling floor (two shared-frame aggregates + join), fixed " +
+      "cost that amortizes at scale; no scale-killer (doc-keyed aggregates, broadcast join)"),
+    "q_para_dedup" -> ("paragraph dedup: keeper doc folds out of the packed chunk key — fp " +
+      "aggregate + doc aggregate only, the chunk frame NEVER joins back. FLOOR NOTE (r17): " +
+      "entered the >2x weak set on the r17 quiet-box pass at 2.4x (best 0.253 vs the " +
+      "refreshed 0.107 s oracle) — but the ORACLE side moved, not the engine: DuckDB's r16 " +
+      "reading was 0.084 s, below the rule's 0.1 s floor, and both Spark readings sit in the " +
+      "same 0.25-0.33 s band as r14-r16. The plan is the 3-job scheduling floor (chunk-frame " +
+      "fp aggregate, per-doc aggregate + doc-keyed broadcast join, output sort) over a " +
+      "corpus-sized chunk explosion; the r12 fold already removed the chunk-frame join-back, " +
+      "and no further exchange can go (the fp and doc aggregates need different keys). " +
+      "Fixed-cost class — amortizes at 100x data; no scale-killer (bounded broadcasts, 2 " +
+      "exchanges)"),
     "q_text_entropy" -> "lexical entropy: explode + two hash aggs, FLOAT-collapsed micro-nat terms — no window, no sort before output",
     "q_stream_late" -> ("watermark audit, SHARDED (r16, verdict r15 item 4): the former single " +
       "window partitioned by event_type alone capped parallelism at the type count (5) at ANY " +

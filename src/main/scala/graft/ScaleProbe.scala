@@ -109,6 +109,18 @@ object ScaleProbe {
     // rarity-sorted prefix filter are the designed guards)
     "q_pagerank", "q_graph_triangles", "q_graph_kcore", "q_jaccard_prefix")
 
+  /** Deep wave (r17, verdict r16 item 5): ONE MORE measured decade.
+    * Every other wave tops out at x100 of sf0.1, so the 100 TB claims
+    * extrapolate two decades; this wave runs the two cheapest families
+    * (text statistics + exact dedup — pure documents scans) to x1000
+    * (~20M documents, ~0.6 GB parquet via [[synthesizeDocs]]), buying a
+    * third measured decade of growth for the families where disk and
+    * wall-clock budgets allow it. Same pins as every wave (linear
+    * envelope on the top step, no codegen fallback, flat driver heap).
+    */
+  val deepTargets: Seq[String] = Seq(
+    "q_text_stats", "q_text_langid", "q_dedup_exact")
+
   /** Stream-skew wave (r15, verdict r14 item 2 — the one remaining
     * 100 TB claim that was prose, not measurement): the events-table
     * operators under a HOT USER KEY and BOUNDED BURSTS. No committed
@@ -188,6 +200,38 @@ object ScaleProbe {
 
     for (t <- Tables.names
          if !Seq("documents", "embeddings", "orders", "customer", "lineitem").contains(t))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    Files.createFile(marker)
+  }
+
+  /** Documents-only k× replication for the deep (x1000) wave: the same
+    * replica remapping as [[synthesize]]'s documents block (token-level
+    * rewrite per replica, so duplicate structure does NOT collapse and
+    * shingle/df statistics stay base-like at every scale), with every
+    * other table copied once unscaled — the deep targets are pure
+    * documents scans, and replicating lineitem/orders ×1000 would burn
+    * ~15 GB of disk and minutes of synth for tables the wave never
+    * reads.
+    */
+  def synthesizeDocs(spark: SparkSession, base: String, k: Int, dest: String): Unit = {
+    val marker = Paths.get(dest, ".complete")
+    if (Files.exists(marker)) return
+    new java.io.File(dest).mkdirs()
+    val reps = explode(sequence(lit(0), lit(k - 1))).as("rep")
+    val par = spark.sparkContext.defaultParallelism
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docStride = maxPlusOne(docs, "doc_id")
+    docs.select(col("*"), reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * docStride)
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("rep").cast("string")))))
+      .drop("rep")
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    for (t <- Tables.names if t != "documents")
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
     Files.createFile(marker)
@@ -510,6 +554,7 @@ object ScaleProbe {
     val wave = args.lift(4).getOrElse("wave1")
     val streamCorpus = wave.startsWith("streamskew")
     val skewCorpus = !streamCorpus && wave.startsWith("skew")
+    val deepCorpus = wave.startsWith("deep")
     // optional comma-separated query list — re-probe a subset of the
     // wave's default targets or probe ANY catalog queries whose inputs
     // the synthesizer scales (documents/embeddings/orders/customer/
@@ -521,6 +566,7 @@ object ScaleProbe {
         case "wave3" => wave3Targets
         case w if w.startsWith("streamskew") => streamSkewTargets
         case w if w.startsWith("skew") => skewTargets
+        case w if w.startsWith("deep") => deepTargets
         case _ => targets
       }
     }
@@ -568,10 +614,12 @@ object ScaleProbe {
           val d =
             if (streamCorpus) s"/tmp/graft_streamskew_x$k"
             else if (skewCorpus) s"/tmp/graft_skew_x$k"
+            else if (deepCorpus) s"/tmp/graft_deep_x$k"
             else s"/tmp/graft_scale_x$k"
           val t0 = System.nanoTime()
           if (streamCorpus) synthesizeStreamSkew(spark, base, k, d)
           else if (skewCorpus) synthesizeSkew(spark, base, k, d)
+          else if (deepCorpus) synthesizeDocs(spark, base, k, d)
           else synthesize(spark, base, k, d)
           System.err.println(f"[scale] x$k synth ${(System.nanoTime() - t0) / 1e9}%.1f s")
           d
@@ -604,7 +652,7 @@ object ScaleProbe {
         // accounting. Uniform waves keep one run (their envelope has
         // 10× headroom and the corpus synth dominates wall time).
         val runs =
-          if (skewCorpus || streamCorpus) {
+          if (skewCorpus || streamCorpus || deepCorpus) {
             val r1 = once()
             spark.catalog.clearCache()
             QueryCaches.clearAll()

@@ -57,7 +57,12 @@ object SparkEntry {
   def strategyVariants: Map[String, String] = Map(
     "q_stream_sessionize_chunked" -> "q_stream_sessionize",
     "q_stream_dedup_agg" -> "q_stream_dedup",
-    "q_asof_join_chunked" -> "q_asof_join")
+    "q_asof_join_chunked" -> "q_asof_join",
+    // the selector row: by construction it costs its chosen branch PLUS
+    // one bounded skew-diagnostic job (~0.15 s of fixed scheduling at
+    // sf0.1 against a 0.1 s oracle — amortizes to noise at scale), so
+    // its weak ratio is design cost exactly like the variants above
+    "q_stream_sessionize_auto" -> "q_stream_sessionize")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
