@@ -119,7 +119,8 @@ object ScaleProbe {
     * envelope on the top step, no codegen fallback, flat driver heap).
     */
   val deepTargets: Seq[String] = Seq(
-    "q_text_stats", "q_text_langid", "q_dedup_exact")
+    "q_text_stats", "q_text_langid", "q_token_count", "q_text_quality",
+    "q_dedup_exact")
 
   /** Stream-skew wave (r15, verdict r14 item 2 — the one remaining
     * 100 TB claim that was prose, not measurement): the events-table
