@@ -315,7 +315,12 @@ object EventStreams extends Serializable {
       events: DataFrame,
       gapMinutes: Int = 30,
       crossoverRows: Long = SessionizeCrossoverRows): DataFrame =
-    if (graft.ops.Skew.maxGroupRows(events, Seq(col("user_id"))) >= crossoverRows)
+    // a STREAM has no batch diagnostic to run (and the chunked plan is a
+    // batch replay anyway): the typed state path in its streaming mode
+    // (only gap-closed sessions emitted) is the one valid branch
+    if (events.isStreaming)
+      sessionize(spark, events, gapMinutes, emitOpenSessions = false).toDF()
+    else if (graft.ops.Skew.maxGroupRows(events, Seq(col("user_id"))) >= crossoverRows)
       sessionizeChunked(events, gapMinutes)
     else
       sessionize(spark, events, gapMinutes).toDF()

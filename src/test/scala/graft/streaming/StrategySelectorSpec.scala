@@ -52,6 +52,21 @@ class StrategySelectorSpec extends AnyFunSuite {
     assert(rows(typed).nonEmpty)
   }
 
+  test("sessionizeAuto on a STREAM skips the diagnostic and stays typed-streaming") {
+    // the skew diagnostic is a batch job — on a streaming frame the
+    // selector must route straight to the typed state path in streaming
+    // mode (gap-closed sessions only) instead of throwing at head()
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val auto = EventStreams.sessionizeAuto(spark, streamDf, 30, crossoverRows = 1L)
+    assert(auto.isStreaming)
+    assert(plan(auto).contains("FlatMapGroupsWithState"))
+  }
+
   test("dedupFirstSeenAuto picks the ordered replay below and the aggregate above") {
     val ev = events
     val fp = md5(concat_ws("|", col("user_id"), col("event_type")))
