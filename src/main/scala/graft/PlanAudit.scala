@@ -194,9 +194,11 @@ object PlanAudit {
       "chunked hash-aggregate plan at/above it. Both branches are output-identical " +
       "(ChunkedSessionizeSpec), so the selection is purely a cost decision and the shared " +
       "gaps-and-islands oracle is exact for every choice; StrategySelectorSpec pins that " +
-      "each branch fires on its side of the threshold with identical rows. At gate scale " +
-      "the diagnostic picks the typed branch, so this row costs q_stream_sessionize plus " +
-      "one diagnostic aggregate"),
+      "each branch fires on its side of the threshold with identical rows. A sub-crossover " +
+      "TOTAL row count bounds every group, so corpora under the threshold short-circuit to " +
+      "the typed branch on one cheap count and never run the group-by diagnostic (r17 " +
+      "follow-up) — at gate scale this row costs q_stream_sessionize plus a count; at " +
+      "scale, where the diagnostic actually runs, its relative cost vanishes instead"),
     "q_multimodal_phash" -> "image near-dup: codegen perceptual hash (one small row per image, persisted), 4x15-bit band-bucket self-join candidates only, bounded per-image nearest — no all-pairs. r12 fold (verdict r11 item 4): the whole-row distinct() + struct-min SortAggregate pair collapsed to ONE explicit exchange on ia — hash(ia) satisfies clustering for both the (ia,ib) pair dedup and the nearest pick, and the (hamming,ib) argmin packs into a hash-aggregable BIGINT; remaining cost is the broadcast-build + aggregate two-job floor (~0.38 s isolated at sf0.1)",
     "q_multimodal_phash_incremental" -> "media ingest probe: batch signatures join the corpus band index bucket-to-bucket, never batch x corpus; LEFT join keeps clean images visible (aggregated side broadcast — one row per batch image, bounded by the ingest batch by construction); same one-exchange dedup + packed argmin fold as q_multimodal_phash. FLOOR NOTE (verdict r11 item 4; BAND-VALUED r15 per verdict r14 item 7): the plan is 2 shuffle exchanges (the shared repartition(ia) feeding BOTH groupBys, and the output range sort) + 2 broadcasts (band-join build side and the batch-sized aggregate). Measured BANDS, never single snapshots: single-query isolated bench 0.353/0.367/0.395/0.402 s across four same-day r15 runs (min-of-2 each), matching the r13 isolated band 0.32-0.40 s; full-catalog driver read 0.247 s (r14) with a best-observed 0.184 s on warm shared frames, vs the 0.109 s oracle — a 1.7-3.7x ratio band whose MINIMUM is the compute floor, the row living inside the box's contention band that straddles the 2x line exactly as q_lm_bigram does. Both candidate folds of the last exchange were MEASURED and rejected: a forced SHUFFLE_HASH on the band join is slower (0.54 s, r11), and coalesce(1) before the output sort — single-partition sort of the batch-sized result, no range exchange — is ALSO slower (0.39-0.43 s min-of-2 x3, r13: the coalesce collapses the broadcast-probe stage to one task, serializing the scan+join on a single core). The residual over the oracle is the 4-stage job floor (signature probe -> bucket join -> shared-exchange aggregate -> output sort) at 200k-row scale, where DuckDB's single-process pipeline pays no stage boundaries; every stage is bounded-by-construction (bucket-to-bucket candidates, batch-sized broadcasts), so the ratio SHRINKS with scale rather than growing — adjudicated irreducible at this fixture size, same boundary class as q_lm_bigram",
     "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",

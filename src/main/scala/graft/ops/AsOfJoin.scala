@@ -82,7 +82,10 @@ object AsOfJoin {
       crossoverRows: Long = AsofCrossoverRows): DataFrame = {
     val merged = left.select(col(key).as("__k"))
       .union(right.select(col(key).as("__k")))
-    if (Skew.maxGroupRows(merged, Seq(col("__k"))) >= crossoverRows)
+    // total rows bound any merged key group — see sessionizeAuto
+    if (merged.count() < crossoverRows)
+      leftAsOf(left, right, key, time, tie, carry)
+    else if (Skew.maxGroupRows(merged, Seq(col("__k"))) >= crossoverRows)
       leftAsOfChunked(left, right, key, time, tie, carry, chunks)
     else
       leftAsOf(left, right, key, time, tie, carry)

@@ -320,6 +320,13 @@ object EventStreams extends Serializable {
     // (only gap-closed sessions emitted) is the one valid branch
     if (events.isStreaming)
       sessionize(spark, events, gapMinutes, emitOpenSessions = false).toDF()
+    // total rows bound any group: a frame smaller than the crossover
+    // cannot contain a hot key, so the sub-crossover corpus pays one
+    // cheap count (metadata-served on parquet/cached tables), never the
+    // group-by diagnostic — at scale the diagnostic's relative cost is
+    // what vanishes instead
+    else if (events.count() < crossoverRows)
+      sessionize(spark, events, gapMinutes).toDF()
     else if (graft.ops.Skew.maxGroupRows(events, Seq(col("user_id"))) >= crossoverRows)
       sessionizeChunked(events, gapMinutes)
     else
@@ -336,7 +343,10 @@ object EventStreams extends Serializable {
       fingerprint: org.apache.spark.sql.Column,
       orderCols: Seq[String],
       crossoverRows: Long = DedupCrossoverRows): DataFrame =
-    if (graft.ops.Skew.maxGroupRows(
+    // total rows bound any fingerprint group — see sessionizeAuto
+    if (df.count() < crossoverRows)
+      dedupFirstSeenBatchOrdered(df, fingerprint, orderCols)
+    else if (graft.ops.Skew.maxGroupRows(
         df.select(fingerprint.as("__fp")), Seq(col("__fp"))) >= crossoverRows)
       dedupFirstSeenAgg(df, fingerprint, orderCols)
     else
