@@ -44,7 +44,7 @@ object PlanAudit {
     "q_ann_quantized" -> "int8 tier: quantize once, broadcast queries, integer dot products in codegen",
     "q_ann_lsh" -> "banded hyperplane LSH: native codegen signature expression (no UDF node), one persisted signature scan, slim candidate distinct",
     "q_embed_neardup" -> "near-dup via LSH-band candidates + exact verify: bucket-bounded join keys, NO label-block all-pairs. Exact-duplicate collapse (r14 skew probe, finding 10): the band self-join runs over DISTINCT vectors (one rep per byte-identical group, vecGroups), members expand algebraically into pairs afterwards — m identical embeddings cost their m^2/2 genuine output rows, never bands x that, and adaptive bucket capacity only ever sees distinct vectors",
-    "q_ann_ivf" -> "trained IVF: codegen graft_ivf_cells assignment/probing (no UDF node), candidates from probed cells only",
+    "q_ann_ivf" -> "trained IVF: codegen graft_ivf_cells assignment/probing (no UDF node), candidates from probed cells only. r17: cell assignment comes from the shared persisted index frame (assignedEmbeddings/assignedReps — index-built ONCE per session+corpus and reused family-wide; the skew-deep probe root-caused the family's superlinear step to the O(n*cells) build, see SCALE.md)",
     "q_stream_dedup" -> "first-seen dedup: within-partition sort must survive below the First-based dedup aggregate",
     "q_stream_dedup_agg" -> ("the SAME first-seen keepers as one min_by aggregate (r16 — the " +
       "dedup analogue of the chunked strategy rows, closing the last documented-only hot-key " +
@@ -133,8 +133,8 @@ object PlanAudit {
       "with scale since both the fold and the broadcast are vocabulary-bounded"),
     "q_domain_cap" -> "domain cap: ONE source-partitioned window (partition key = shuffle key), per-source agg, no global sort",
     "q_pipeline_curate" -> "composed funnel: cap window + broadcast bench grams + anti-join, per-source frames all broadcast",
-    "q_semdedup" -> "salted within-cell self-join: join key (cell, salt) spreads each quadratic block, codegen assignment, no all-pairs. Exact-duplicate collapse (r14 skew probe, finding 10): pairwise + connected components run over DISTINCT vectors with rep->member star edges — identical-vector clusters always co-cell and defeat the adaptive cell count (which bounds only the AVERAGE population), so the within-cell block is rep-level; components and the min-id keeper are exactly the member-level graph's because each rep IS its group's min vec_id",
-    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product. Corpus side collapsed to one rep per distinct vector (r14 finding 10): exact for top-1 because the (sim DESC, id ASC) tie-break prefers each duplicate group's min id, which IS the rep; dense identical cells no longer multiply every batch row's candidate scan",
+    "q_semdedup" -> "salted within-cell self-join: join key (cell, salt) spreads each quadratic block, codegen assignment, no all-pairs. Exact-duplicate collapse (r14 skew probe, finding 10): pairwise + connected components run over DISTINCT vectors with rep->member star edges — identical-vector clusters always co-cell and defeat the adaptive cell count (which bounds only the AVERAGE population), so the within-cell block is rep-level; components and the min-id keeper are exactly the member-level graph's because each rep IS its group's min vec_id. r17: rep cell assignment comes from the shared persisted index frame (assignedReps — index-built once per session+corpus, reused by q_knn_graph; see SCALE.md skew-deep root cause)",
+    "q_semdedup_incremental" -> "ingest semdedup: batch vs corpus within trained cells only, bounded top-1 agg, never a batch x corpus product. Corpus side collapsed to one rep per distinct vector (r14 finding 10): exact for top-1 because the (sim DESC, id ASC) tie-break prefers each duplicate group's min id, which IS the rep; dense identical cells no longer multiply every batch row's candidate scan. r17: both join sides read the shared persisted index frame (assignedEmbeddings) instead of re-assigning twice; the skew-deep probe root-caused the family's superlinear step to the O(n*cells) index build (SCALE.md)",
     "q_zorder_layout" -> "z-order layout audit: unrolled integer bit-interleave in codegen, one scan + fixed-size bucket hash agg, no UDF, no window",
     "q_cdc_merge" -> "CDC merge: change log compacted by key-partitioned window, then ONE full-outer shuffle join on the merge key (no broadcast possible, both sides keyed)",
     "q_weighted_sample" -> "A-ES weighted sample: keys in one codegen scan, per-source top-k window only (vocabulary-sized groups), no global sort",
@@ -201,11 +201,11 @@ object PlanAudit {
       "scale, where the diagnostic actually runs, its relative cost vanishes instead"),
     "q_multimodal_phash" -> "image near-dup: codegen perceptual hash (one small row per image, persisted), 4x15-bit band-bucket self-join candidates only, bounded per-image nearest — no all-pairs. r12 fold (verdict r11 item 4): the whole-row distinct() + struct-min SortAggregate pair collapsed to ONE explicit exchange on ia — hash(ia) satisfies clustering for both the (ia,ib) pair dedup and the nearest pick, and the (hamming,ib) argmin packs into a hash-aggregable BIGINT; remaining cost is the broadcast-build + aggregate two-job floor (~0.38 s isolated at sf0.1)",
     "q_multimodal_phash_incremental" -> "media ingest probe: batch signatures join the corpus band index bucket-to-bucket, never batch x corpus; LEFT join keeps clean images visible (aggregated side broadcast — one row per batch image, bounded by the ingest batch by construction); same one-exchange dedup + packed argmin fold as q_multimodal_phash. FLOOR NOTE (verdict r11 item 4; BAND-VALUED r15 per verdict r14 item 7): the plan is 2 shuffle exchanges (the shared repartition(ia) feeding BOTH groupBys, and the output range sort) + 2 broadcasts (band-join build side and the batch-sized aggregate). Measured BANDS, never single snapshots: single-query isolated bench 0.353/0.367/0.395/0.402 s across four same-day r15 runs (min-of-2 each), matching the r13 isolated band 0.32-0.40 s; full-catalog driver read 0.247 s (r14) with a best-observed 0.184 s on warm shared frames, vs the 0.109 s oracle — a 1.7-3.7x ratio band whose MINIMUM is the compute floor, the row living inside the box's contention band that straddles the 2x line exactly as q_lm_bigram does. Both candidate folds of the last exchange were MEASURED and rejected: a forced SHUFFLE_HASH on the band join is slower (0.54 s, r11), and coalesce(1) before the output sort — single-partition sort of the batch-sized result, no range exchange — is ALSO slower (0.39-0.43 s min-of-2 x3, r13: the coalesce collapses the broadcast-probe stage to one task, serializing the scan+join on a single core). The residual over the oracle is the 4-stage job floor (signature probe -> bucket join -> shared-exchange aggregate -> output sort) at 200k-row scale, where DuckDB's single-process pipeline pays no stage boundaries; every stage is bounded-by-construction (bucket-to-bucket candidates, batch-sized broadcasts), so the ratio SHRINKS with scale rather than growing — adjudicated irreducible at this fixture size, same boundary class as q_lm_bigram",
-    "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window",
+    "q_embed_outliers" -> "outlier tier: codegen cell assignment + 16-row centroid broadcast + bounded graft_top_k bottom-k — one corpus scan, no window. r17: cell assignment comes from the shared persisted index frame (assignedEmbeddings/assignedReps — index-built ONCE per session+corpus and reused family-wide; the skew-deep probe root-caused the family's superlinear step to the O(n*cells) build, see SCALE.md)",
     "q_dedup_sources" -> "source matrix: shared Jaccard pair frame + two doc-key equi-joins + sources^2-bounded hash agg — no corpus rescan",
     "q_source_kl" -> "mix drift: one (source,lang) hash agg + three broadcast stat frames — corpus scanned once, no window, no sort",
     "q_substr_dedup" -> "substring-dedup cleanup: linear gram-keyed stats agg + equi-join back + K-bounded position explode — NO pair join anywhere",
-    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs. Top-k exact-duplicate collapse (r14, finding 10 closed for top-k>1): top-k results legitimately contain multiple members of one duplicate group and equal-sim groups interleave members by vec_id, so the rep-level join ranks (sim, member_id) pairs over each group's CLUB — its min(KnnK+1, m) smallest member ids, the only members that can appear in any top-KnnK; per member the sorted group list drops self and keeps KnnK. Candidate volume <= the uncollapsed join always, << it on dup-heavy corpora; exactness oracle-verified on the adversarial skew corpus (13/13 strict)",
+    "q_knn_graph" -> "all-document kNN: salted within-cell self-join (cell,salt) + bounded graft_top_k per vector, codegen cell assignment, no all-pairs. Top-k exact-duplicate collapse (r14, finding 10 closed for top-k>1): top-k results legitimately contain multiple members of one duplicate group and equal-sim groups interleave members by vec_id, so the rep-level join ranks (sim, member_id) pairs over each group's CLUB — its min(KnnK+1, m) smallest member ids, the only members that can appear in any top-KnnK; per member the sorted group list drops self and keeps KnnK. Candidate volume <= the uncollapsed join always, << it on dup-heavy corpora; exactness oracle-verified on the adversarial skew corpus (13/13 strict). r17: rep cell assignment from the shared persisted index frame (assignedReps, shared with q_semdedup)",
     "q_bucket_join" -> "bucketed co-located join: shuffle-free join sides (broadcast wins at audit sf; with broadcast off the SortMergeJoin consumes the bucket layout with ZERO side exchanges — pinned in ScaleTechniquesSpec)",
     "q_theta_setops" -> "theta set-ops: one distinct + one hash agg over the data; θ from TakeOrderedAndProject top-k (k rows to one reducer, never a global sort), broadcast back as a 1-row side",
     "q_train_shuffle" -> "seeded epoch shuffle: exact global positions via range-partitioned prefix sum + broadcast offsets — NO single-partition window over the data",

@@ -112,6 +112,46 @@ object SimilarityQueries {
       (reps, vmemb)
     })
 
+  private val assignedCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), DataFrame])
+  private val assignedRepCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), DataFrame])
+
+  /** The corpus with its IVF cell id attached — the INDEX-BUILD pass
+    * (nearest-of-`cells` assignment), computed once per (session,
+    * corpus, iters) and shared across the IVF family (q_ann_ivf,
+    * q_semdedup_incremental, q_embed_outliers), the way a deployment
+    * persists the cell id as an index column with the table instead of
+    * re-assigning per query. The build is the family's dominant
+    * superlinear term (r17 skew-deep probe: cells grow ~n/128 below
+    * [[IvfCellCap]], so assignment is O(n·cells) ≈ O(n²/128) in that
+    * window — q_embed_outliers, which is nothing but this pass plus a
+    * bounded aggregate, stepped 3.1× on a 2× data leg); search-side
+    * work stays linear by construction (~[[IvfCellTarget]] rows per
+    * probed cell). Sharing the pass amortizes the build exactly like
+    * production IVF systems: index once, probe many.
+    */
+  private[queries] def assignedEmbeddings(s: SparkSession, d: String, iters: Int): DataFrame =
+    Tables.memo(assignedCache, (Tables.sessionKey(s), d, iters))({
+      graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, iters))
+      Tables.load(s, d, "embeddings")
+        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+        .persist()
+    })
+
+  /** [[assignedEmbeddings]] over the collapsed representative frame
+    * ([[vecGroups]]): the shared index for the rep-pairing queries
+    * (q_semdedup, q_knn_graph). Cell ids are a pure function of the
+    * vector, so members inherit their rep's cell by construction.
+    */
+  private[queries] def assignedReps(s: SparkSession, d: String, iters: Int): DataFrame =
+    Tables.memo(assignedRepCache, (Tables.sessionKey(s), d, iters))({
+      graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, iters))
+      vecGroups(s, d)._1
+        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+        .persist()
+    })
+
   /** Band expansion of the signature frame via explode (one scan of the
     * persisted frame, not a per-band union): `(vec_id, band, bucket)`.
     * Bucket population is bounded by construction (2^bandBits buckets per
@@ -379,12 +419,11 @@ object SimilarityQueries {
     // constructed: Dataset analysis is eager, so a later registration
     // would leave the expr unresolved on a fresh session.
     CosineFunctions.register(s)
-    val e = Tables.load(s, d, "embeddings")
     val centroids = ivfCentroids(s, d, iters)
     // Assignment + probing via the codegen graft_ivf_cells expression
     // (centroids as a plan constant) — no per-row UDF on the hot path.
     graft.ops.IvfFunctions.register(s, centroids)
-    val assigned = e.withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+    val assigned = assignedEmbeddings(s, d, iters)
     val q = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         explode(expr(s"graft_ivf_cells(embedding, $IvfProbes)")).as("cell"))
@@ -714,8 +753,7 @@ object SimilarityQueries {
       // the keeper (min id in component) is preserved because each rep
       // IS its group's min vec_id.
       val (vreps, vmemb) = vecGroups(s, d)
-      val assigned = vreps
-        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val assigned = assignedReps(s, d, IvfIters)
       // Salted self-join: the join key is (cell, salt), not bare cell —
       // with only ivfCellCount distinct cells, a cell-keyed shuffle would cap
       // the pairwise stage at cell-count-way parallelism on a 1000-executor
@@ -796,8 +834,7 @@ object SimilarityQueries {
       // volume is ≤ the uncollapsed join always (club ≤ members) and
       // ≪ it on dup-heavy corpora.
       val (vreps, vmemb) = vecGroups(s, d)
-      val assigned = vreps
-        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val assigned = assignedReps(s, d, IvfIters)
       val club = vmemb
         .groupBy("rid")
         .agg(expr(s"graft_top_k(struct(vec_id AS s, vec_id AS v), ${KnnK + 1})").as("cl"))
@@ -836,8 +873,7 @@ object SimilarityQueries {
       CosineFunctions.register(s)
       graft.ops.GraftAggregates.register(s)
       graft.ops.IvfFunctions.register(s, ivfCentroids(s, d, IvfIters))
-      val e = Tables.load(s, d, "embeddings")
-        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      val e = assignedEmbeddings(s, d, IvfIters)
       val batch = e.filter(col("vec_id") % AnnIncrMod === AnnIncrRem)
         .select(col("cell"), col("vec_id").as("bid"), col("embedding").as("bv"))
       // corpus side collapsed to one rep per distinct vector (r14 skew
@@ -882,8 +918,7 @@ object SimilarityQueries {
       graft.ops.IvfFunctions.register(s, cents)
       import s.implicits._
       val centDF = broadcast(cents.toSeq.toDF("cell", "cv"))
-      Tables.load(s, d, "embeddings")
-        .withColumn("cell", expr("graft_ivf_cells(embedding, 1)[0]"))
+      assignedEmbeddings(s, d, IvfIters)
         .join(centDF, Seq("cell"))
         .select(col("cell"), col("vec_id"),
           microCos(col("embedding"), col("cv")).as("own_cos_micro"))
