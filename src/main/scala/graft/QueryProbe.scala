@@ -18,6 +18,10 @@ object QueryProbe {
       .config("spark.sql.shuffle.partitions", "9")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror Bench's AQE setting (r17): probing with AQE on measured
+      // its per-stage materialization barriers, not the query
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .appName("graft-probe").getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_PROBE_LOG", "WARN"))

@@ -75,6 +75,20 @@ object Corpus {
       val m = pf.fields.iterator.map(f => f.key -> f.value).toMap
       Row.fromSeq(ordered.map(m.getOrElse(_, null)))
     }
+    // r17: compact the serving frame before it is cached. Parsing runs at
+    // file-read parallelism upstream (Corpus.parse, ≥1 task per ~32
+    // files), but that is the wrong LAYOUT to cache: a 5000-row corpus
+    // cached as 32 slivers makes every downstream exchange schedule 32
+    // map tasks and write 32×N shuffle block files for kilobytes of data
+    // — thread dumps of the fm window queries at sf0.1 showed the exec
+    // time dominated by DiskBlockObjectWriter.open, i.e. pure shuffle-
+    // file creation. Coalesce (narrow, no shuffle — the parse stays
+    // parallel because `parsed` is already persisted by the keys pass
+    // above) to ~200k rows per cached partition, capped so very large
+    // corpora still spread over the cluster.
+    val nGood = good.count()
+    val serveParts = math.max(1, math.min(
+      10 * spark.sparkContext.defaultParallelism, (nGood / 200000L).toInt + 1))
     // Warning list bounded at the driver (Settings.maxListed): the full
     // list is reference parity and kept verbatim below the cap, but a
     // corpus with 10⁹ unparseable files must not OOM the driver building
@@ -91,7 +105,7 @@ object Corpus {
           ParseWarning("(truncated)",
             s"... ${total - cap} more parse warnings not listed (listing capped at $cap; set FRONTMATTER_MAX_LIST to raise)")
       }
-    (spark.createDataFrame(rows, schema), warnings)
+    (spark.createDataFrame(rows.coalesce(serveParts), schema), warnings)
   }
 
   /** Corpus fingerprint over (relPath, mtime): the Spark-shaped analogue of

@@ -3370,23 +3370,38 @@ object Dialect {
                   case (true, true) =>
                     lazy val wb = w(fnName, aTxt, "1 PRECEDING")
                     lazy val wa = w(fnName, "1 FOLLOWING", bTxt)
+                    // COUNT suffixes over an UNBOUNDED FOLLOWING end as
+                    // total − cumulative (two O(rows) frames) instead of
+                    // the per-row-recomputed (1 FOLLOWING, UF) window
+                    // (quadratic, r17); exact for counts. SUM/MIN/MAX
+                    // keep the direct window (float parity / no
+                    // subtraction inverse for extremes).
+                    def cntAfter(cf: String) =
+                      if (bk == "UF")
+                        s"(${w(cf, "UNBOUNDED PRECEDING", "UNBOUNDED FOLLOWING")} - " +
+                          s"${w(cf, "UNBOUNDED PRECEDING", "CURRENT ROW")})"
+                      else w(cf, "1 FOLLOWING", bTxt)
                     fu match {
                       case "SUM" =>
                         s"CASE WHEN $wb IS NULL AND $wa IS NULL THEN NULL " +
                           s"ELSE coalesce($wb, 0) + coalesce($wa, 0) END"
-                      case "COUNT" => s"($wb + $wa)"
+                      case "COUNT" => s"($wb + ${cntAfter(fnName)})"
                       case "MIN" => s"least($wb, $wa)"
                       case "MAX" => s"greatest($wb, $wa)"
                       case "AVG" =>
                         val sb2 = w("sum", aTxt, "1 PRECEDING")
                         val sa2 = w("sum", "1 FOLLOWING", bTxt)
                         val cb2 = w("count", aTxt, "1 PRECEDING")
-                        val ca2 = w("count", "1 FOLLOWING", bTxt)
+                        val ca2 = cntAfter("count")
                         s"CASE WHEN $cb2 + $ca2 = 0 THEN NULL " +
                           s"ELSE (coalesce($sb2, 0) + coalesce($sa2, 0)) / ($cb2 + $ca2) END"
                     }
                   case (true, false) => w(fnName, aTxt, "1 PRECEDING")
-                  case (false, true) => w(fnName, "1 FOLLOWING", bTxt)
+                  case (false, true) =>
+                    if (fu == "COUNT" && bk == "UF")
+                      s"(${w(fnName, "UNBOUNDED PRECEDING", "UNBOUNDED FOLLOWING")} - " +
+                        s"${w(fnName, "UNBOUNDED PRECEDING", "CURRENT ROW")})"
+                    else w(fnName, "1 FOLLOWING", bTxt)
                   case (false, false) =>
                     // only the current row was in the frame — DuckDB's
                     // empty-frame result, typed via a never-taken branch
@@ -3427,9 +3442,12 @@ object Dialect {
     *     the group via max(CASE …) OVER (RANGE CURRENT..CURRENT). The
     *     picked value covers [partition start .. group start − 1] and
     *     is tie-order-invariant even though row_number isn't.
-    *   - after-group piece (frame end UNBOUNDED FOLLOWING): mirrored
-    *     with the suffix window picked at the group's last row
-    *     (row_number = cumulative peer count).
+    *   - after-group piece (frame end UNBOUNDED FOLLOWING): the same
+    *     running-extreme machinery over the INVERTED order (r17): under
+    *     `ORDER BY … DESC NULLS LAST` the strictly-later groups are the
+    *     running prefix, picked at the group's reverse-first row. The
+    *     former (1 FOLLOWING, UNBOUNDED FOLLOWING) spelling made Spark
+    *     recompute the frame per row — quadratic per partition.
     *   - peers-minus-current piece (CURRENT ROW mode only): the group
     *     extreme `gm` is group-constant, so the OUTER layer can count
     *     how many peers attain it and take the second-distinct extreme
@@ -3447,6 +3465,68 @@ object Dialect {
     * valid). All shapes differentially fuzzed against DuckDB v1.0.0
     * (win_exclude family min/max members).
     */
+  /** `PARTITION BY … ORDER BY …` window-spec text with every ORDER BY
+    * item's direction AND null ordering inverted — the exact reversed
+    * traversal, so a suffix aggregate over the original order becomes a
+    * running prefix aggregate over the inverted one (used by
+    * [[restructureMinMaxExclude]] to avoid Spark's per-row-recomputed
+    * UNBOUNDED FOLLOWING frames). Items split on top-level commas;
+    * defaults made explicit (ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST in
+    * both engines' window sorts).
+    */
+  private[fm] def invertOrderBy(prefix: String): String = {
+    val u2 = prefix.toUpperCase
+    // top-level ORDER keyword (outside parens/quotes)
+    var obAt = -1
+    var d = 0
+    var inStr = false
+    var i = 0
+    while (i < prefix.length && obAt < 0) {
+      val c = prefix.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && u2.regionMatches(i, "ORDER", 0, 5) &&
+        isKeywordAt(u2, i + 4, "ORDER")) obAt = i
+      i += 1
+    }
+    require(obAt >= 0, s"invertOrderBy: no ORDER BY in window spec: $prefix")
+    val byAt = u2.indexOf("BY", obAt + 5)
+    val head = prefix.substring(0, byAt + 2)
+    val itemsTxt = prefix.substring(byAt + 2)
+    // split on top-level commas
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    d = 0; inStr = false
+    var j = 0
+    while (j < itemsTxt.length) {
+      val c = itemsTxt.charAt(j)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && c == ',') { items += itemsTxt.substring(start, j); start = j + 1 }
+      j += 1
+    }
+    items += itemsTxt.substring(start)
+    val inv = items.map { raw =>
+      var t = raw.trim
+      val nullsRe = "(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$".r
+      val dirRe = "(?is)\\s+(ASC|DESC)\\s*$".r
+      val nulls = nullsRe.findFirstMatchIn(t).map(_.group(1).toUpperCase)
+      t = nullsRe.replaceFirstIn(t, "")
+      val dir = dirRe.findFirstMatchIn(t).map(_.group(1).toUpperCase)
+      t = dirRe.replaceFirstIn(t, "").trim
+      val effDir = dir.getOrElse("ASC")
+      val effNulls = nulls.getOrElse(if (effDir == "ASC") "FIRST" else "LAST")
+      val newDir = if (effDir == "ASC") "DESC" else "ASC"
+      val newNulls = if (effNulls == "FIRST") "LAST" else "FIRST"
+      s"$t $newDir NULLS $newNulls"
+    }
+    head + " " + inv.mkString(", ")
+  }
+
   private def restructureMinMaxExclude(
       out: String, msk: String, u: String, lit: Array[Boolean],
       exprStart: Int, exprEnd: Int,
@@ -3576,13 +3656,23 @@ object Dialect {
       pieces += s"max(CASE WHEN ${h}rn = ${h}rk THEN ${h}bg END) $grpW"
     }
     if (bk == "UF") {
-      if (!helpers.exists(_._1 == s"${h}rn"))
-        helpers += (s"${h}rn" -> s"row_number() OVER ($prefix)")
-      helpers += (s"${h}cc" ->
-        s"count(*) OVER ($prefix RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+      // r17: the suffix extreme used to be picked at the group's last
+      // row from a (1 FOLLOWING, UNBOUNDED FOLLOWING) window — a frame
+      // Spark's window executor recomputes FROM SCRATCH per row
+      // (UnboundedFollowingWindowFunctionFrame), i.e. O(rows²) per
+      // partition: thread dumps of q_fm_win_exclude_minmax showed the
+      // whole exec pinned there. Mirror the before-group piece instead:
+      // under the INVERTED order, the strictly-later groups are exactly
+      // the running prefix, so the same O(rows) running-extreme +
+      // pick-at-first-group-row machinery applies (min/max are order-
+      // insensitive, and peer groups are identical under both orders).
+      // Costs one extra in-partition sort; removes the quadratic frame.
+      val rev = invertOrderBy(prefix)
+      helpers += (s"${h}rn2" -> s"row_number() OVER ($rev)")
+      helpers += (s"${h}rk2" -> s"rank() OVER ($rev)")
       helpers += (s"${h}ag" ->
-        s"$fu($args) OVER ($prefix ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
-      pieces += s"max(CASE WHEN ${h}rn = ${h}cc THEN ${h}ag END) $grpW"
+        s"$fu($args) OVER ($rev ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+      pieces += s"max(CASE WHEN ${h}rn2 = ${h}rk2 THEN ${h}ag END) $grpW"
     }
     if (mode == "TIES" || mode == "CURRENT")
       helpers += (s"${h}x" -> s"($args)")
@@ -3686,7 +3776,18 @@ object Dialect {
       val gall = z(ra(g, CR, CR))   // [gs..ge]: exactly the peer group
       val rsCur = z(ro(g, aTxt, CR))                 // [rs..cur]
       val gsCur = s"($cum - ($gcum - $gall))"        // [gs..cur]
-      val cur1Re = if (bk == "CR") "0" else z(ro(g, "1 FOLLOWING", bTxt)) // [cur+1..re]
+      // [cur+1..re]. For COUNT with an UNBOUNDED FOLLOWING end, derive
+      // the suffix as whole-partition total minus cumulative — both
+      // O(rows) frames — instead of the (1 FOLLOWING, UNBOUNDED
+      // FOLLOWING) window Spark recomputes per row (quadratic, r17);
+      // exact for counts. SUMs keep the direct window: recombining a
+      // DOUBLE sum by subtraction can move the last ulp, and this
+      // piece's direct spelling is what the fuzz family pinned.
+      val cur1Re =
+        if (bk == "CR") "0"
+        else if (bk == "UF" && g.toUpperCase.startsWith("COUNT"))
+          s"(${z(ro(g, UPB, "UNBOUNDED FOLLOWING"))} - $cum)"
+        else z(ro(g, "1 FOLLOWING", bTxt)) // [cur+1..re]
       val cur1Ge = s"($gcum - $cum)"                 // [cur+1..ge]
       (rsCur, gsCur, cur1Re, cur1Ge)
     }
@@ -5193,15 +5294,37 @@ object Dialect {
     val table = sql.substring(t0, t1)
     require(schema.nonEmpty, s"SUMMARIZE $table: no columns resolved")
     def tick(c: String) = "`" + c.replace("`", "``") + "`"
+    // r17 plan restructure (same results, proved by the oracle row): N
+    // COUNT(DISTINCT col) in one aggregate made Spark plan an Expand
+    // (N+1 rows per input row, full width) into a SortAggregate chain
+    // whose grouping sort compared all N string columns and whose
+    // distinct-set buffers shuffled every distinct value twice. Instead,
+    // pivot each row ONCE into narrow (idx, val, isnull) triples, hash-
+    // aggregate them to distinct groups with row counts (all the
+    // information every SUMMARIZE stat needs), and fold the per-column
+    // stats out of that group frame with one keyless aggregate:
+    //   min/max(col)       = min/max over the distinct values
+    //   count distinct     = COUNT(val) — each distinct value is 1 row
+    //   count / nulls      = SUM(cnt) split by the isnull flag
+    // Zero Sort operators, and the exchanges carry (idx, val, isn, cnt)
+    // instead of N-column group keys plus distinct-set buffers. Non-
+    // string columns profile count/null%-only (val = NULL), as before;
+    // the keyless fold keeps the empty-table shape (one stats row → N
+    // output rows with count 0, exactly DuckDB's).
+    val stackIn = schema.zipWithIndex.map { case ((c, tpe), i) =>
+      val v = if (tpe.equalsIgnoreCase("string")) tick(c)
+        else "CAST(NULL AS STRING)"
+      s"$i, $v, CASE WHEN ${tick(c)} IS NULL THEN 1 ELSE 0 END"
+    }
     val aggs = schema.zipWithIndex.flatMap { case ((c, tpe), i) =>
       val base = Seq(
-        s"COUNT(${tick(c)}) AS __cnt_$i",
-        s"COUNT(*) - COUNT(${tick(c)}) AS __nul_$i")
+        s"COALESCE(SUM(CASE WHEN __idx = $i AND __isn = 0 THEN __cnt END), 0) AS __cnt_$i",
+        s"COALESCE(SUM(CASE WHEN __idx = $i AND __isn = 1 THEN __cnt END), 0) AS __nul_$i")
       if (tpe.equalsIgnoreCase("string"))
         base ++ Seq(
-          s"MIN(${tick(c)}) AS __min_$i",
-          s"MAX(${tick(c)}) AS __max_$i",
-          s"COUNT(DISTINCT ${tick(c)}) AS __unq_$i")
+          s"MIN(CASE WHEN __idx = $i THEN __val END) AS __min_$i",
+          s"MAX(CASE WHEN __idx = $i THEN __val END) AS __max_$i",
+          s"COUNT(CASE WHEN __idx = $i THEN __val END) AS __unq_$i")
       else base
     }
     val duckType = Map("string" -> "VARCHAR", "bigint" -> "BIGINT",
@@ -5224,7 +5347,13 @@ object Dialect {
        |  CAST(ROUND(CAST(__nulls * 10000 AS DOUBLE)
        |             / (__filled + __nulls)) AS BIGINT)
        |    / CAST(100 AS DOUBLE) AS null_percentage
-       |FROM (SELECT ${aggs.mkString(", ")} FROM $table)
+       |FROM (SELECT ${aggs.mkString(", ")}
+       |      FROM (SELECT __idx, __val, __isn, COUNT(*) AS __cnt
+       |            FROM $table
+       |            LATERAL VIEW stack(${schema.length},
+       |              ${stackIn.mkString(",\n              ")}) g
+       |              AS __idx, __val, __isn
+       |            GROUP BY __idx, __val, __isn))
        |LATERAL VIEW stack(${schema.length},
        |  ${stackArgs.mkString(",\n  ")}) s
        |  AS column_name, column_type, min, max, approx_unique, __filled, __nulls

@@ -627,21 +627,35 @@ object DedupQueries {
       // frame is built for those docs only — IDF stays a global corpus
       // statistic inside pairTfidfWtsDF, but the join + persist + norm
       // aggregate shrink from corpus size to the near-dup population,
-      // orders of magnitude smaller at any realistic dup rate. The
-      // filter is stats-planned (never a forced broadcast), so a
-      // pathological all-docs-duplicated corpus degrades to the old
-      // full-frame plan instead of a broken broadcast.
+      // orders of magnitude smaller at any realistic dup rate.
+      //
+      // Join strategy (r17): stats plan every join here as SMJ — the
+      // pair/norm frames are Filter/Aggregate outputs whose size
+      // estimates inherit the cached child's, never under the broadcast
+      // threshold — yet none of these equi-joins needs an ordering, so
+      // the SMJ plan paid 8 sorts. The pair and norm frames are bounded
+      // by the near-dup population (the same bound jaccardPairsCached
+      // itself relies on), so they follow the family's size-gated
+      // discipline: broadcast under the bigCorpus gate, SHUFFLE_HASH
+      // past it. The (ib, word)-keyed weight side is corpus-vocabulary-
+      // shaped and is never broadcast — its hint is SHUFFLE_HASH at any
+      // scale (hash build instead of two sorts; hints beat auto-
+      // broadcast, which never fired for it anyway).
+      val big = bigCorpus(s, d)
+      def pick(df: DataFrame): DataFrame =
+        if (big) df.hint("shuffle_hash") else broadcast(df)
       val wts = pairTfidfWtsDF(s, d)
       val norms = wts.groupBy("doc_id")
         .agg(sum(expr("CAST(wt AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))")).as("n2"))
-      val dots = pairs
+      val dots = pick(pairs)
         .join(wts.select(col("doc_id").as("ia"), col("word"), col("wt").as("wa")), Seq("ia"))
-        .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb")), Seq("ib", "word"))
+        .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb"))
+          .hint("shuffle_hash"), Seq("ib", "word"))
         .groupBy("ia", "ib")
         .agg(sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))")).as("dot"))
       dots
-        .join(norms.select(col("doc_id").as("ia"), col("n2").as("na")), Seq("ia"))
-        .join(norms.select(col("doc_id").as("ib"), col("n2").as("nb")), Seq("ib"))
+        .join(pick(norms.select(col("doc_id").as("ia"), col("n2").as("na"))), Seq("ia"))
+        .join(pick(norms.select(col("doc_id").as("ib"), col("n2").as("nb"))), Seq("ib"))
         .select(col("ia"), col("ib"),
           expr("CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))")
             .as("cos_tfidf"))
@@ -766,8 +780,13 @@ object DedupQueries {
           explode(array((0 until 4).map(bi =>
             struct(lit(bi).as("band"), col(s"b$bi").as("bsig"))): _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      // shuffle_hash (r17): the exploded band frame's stats never qualify
+      // for a broadcast at any sf, so this self-join planned as SMJ and
+      // paid two sorts of the band frame — a pure equi-join on
+      // (band, bsig) that needs no ordering at any scale.
       val repCand = bands.select(col("doc_id").as("ia"), col("band"), col("bsig"))
-        .join(bands.select(col("doc_id").as("ib"), col("band"), col("bsig")), Seq("band", "bsig"))
+        .join(bands.select(col("doc_id").as("ib"), col("band"), col("bsig"))
+          .hint("shuffle_hash"), Seq("band", "bsig"))
         .filter(col("ia") < col("ib"))
         .select("ia", "ib").distinct()
       val repJac = verifyJaccard(repShingleDF(s, d), repCand)

@@ -515,10 +515,14 @@ object SimilarityQueries {
       // bit-identical: members inherit their rep's signature and
       // cosine is evaluated on the same vector bytes.
       val (reps, memb) = neardupCollapsed(s, d)
+      // shuffle_hash on both joins below (r17): neither the exploded
+      // band frame nor the rep-embedding projection ever qualifies for
+      // auto-broadcast, so both planned as SMJ — two sorts per join for
+      // pure equi-joins that need no ordering at any scale.
       val rb = lshBands(reps.select(col("rid").as("vec_id"), col("sig")),
           lshBandBits(s, d))
-        .join(reps.select(col("rid").as("vec_id"), col("embedding")),
-          Seq("vec_id"))
+        .join(reps.select(col("rid").as("vec_id"), col("embedding"))
+          .hint("shuffle_hash"), Seq("vec_id"))
       // cosine INSIDE the band join, filter BEFORE the pair dedup
       // (r13 scale probe: the former distinct-then-rejoin shape carried
       // the 64-float embeddings onto every candidate pair row through
@@ -529,7 +533,7 @@ object SimilarityQueries {
       val crossRep = rb.select(col("vec_id").as("ra"), col("band"),
           col("bucket"), col("embedding").as("va"))
         .join(rb.select(col("vec_id").as("rb"), col("band"), col("bucket"),
-          col("embedding").as("vb")), Seq("band", "bucket"))
+          col("embedding").as("vb")).hint("shuffle_hash"), Seq("band", "bucket"))
         .filter(col("ra") < col("rb"))
         .select(col("ra"), col("rb"),
           expr("array_cosine_similarity(va, vb)").as("sim_d"))
@@ -580,12 +584,17 @@ object SimilarityQueries {
     "q_ann_lsh_recall" -> ((s, d) => {
       CosineFunctions.register(s)
       val k = 5
+      // Both top-k frames are ≤ 8 queries × k rows BY CONSTRUCTION, but
+      // their aggregate-output stats never qualify for auto-broadcast,
+      // so these joins planned as SMJ (4 sorts for ~40-row inputs).
+      // Broadcast is unconditionally safe here — bounded by the fixed
+      // query set at any corpus size (r17).
       val exact = exactTopK(s, d, k).select("qid", "vec_id")
       val approx = lshTopK(s, d, k).select("qid", "vec_id")
-      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      val hits = exact.join(broadcast(approx), Seq("qid", "vec_id"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("hits"))
       exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("qid"), "left")
+        .join(broadcast(hits), Seq("qid"), "left")
         .na.fill(0L, Seq("hits"))
         .select(col("qid"), lit(k).as("k"), col("hits"),
           (col("hits").cast("double") / col("n_exact").cast("double")).as("recall"))
@@ -851,8 +860,12 @@ object SimilarityQueries {
         .select(col("qrid"), col("nid"), microCos(col("va"), col("vb")).as("sim"))
         .groupBy("qrid")
         .agg(expr(s"graft_top_k(struct(-sim AS s, nid AS v, sim AS sim), ${KnnK + 1})").as("top"))
+      // shuffle_hash (r17): grpTop's aggregate stats never broadcast and
+      // the join planned as SMJ, sorting both corpus-sized sides for an
+      // equi-join that needs no ordering; hash-build the rep-sized
+      // top-k side instead.
       vmemb.select(col("rid").as("qrid"), col("vec_id").as("qid"))
-        .join(grpTop, Seq("qrid"))
+        .join(grpTop.hint("shuffle_hash"), Seq("qrid"))
         .select(col("qid"),
           expr(s"slice(filter(top, t -> t.v != qid), 1, $KnnK)").as("top"))
         .select(col("qid"), explode(col("top")).as("t"))

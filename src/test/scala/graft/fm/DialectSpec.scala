@@ -344,9 +344,15 @@ class DialectSpec extends AnyFunSuite {
     // one scan: a single aggregate subquery + stack lateral view
     assert(out.contains("LATERAL VIEW stack(2,"))
     assert("FROM files".r.findAllIn(out).size == 1)
-    // string column gets min/max/distinct; the array column only counts
-    assert(out.contains("MIN(`a`)") && out.contains("COUNT(DISTINCT `a`)"))
-    assert(!out.contains("MIN(`emb`)"))
+    // string column gets min/max/distinct via the narrow (idx, val,
+    // isnull) group frame (r17: no COUNT(DISTINCT) — that shape planned
+    // an Expand + SortAggregate chain); the array column only counts
+    assert(out.contains("MIN(CASE WHEN __idx = 0 THEN __val END)"))
+    assert(out.contains("COUNT(CASE WHEN __idx = 0 THEN __val END)"))
+    assert(!out.contains("__unq_1") && !out.contains("__min_1"))
+    // the array column stacks a NULL val (count/null% only), and its
+    // null flag still reads the real column
+    assert(out.contains("1, CAST(NULL AS STRING), CASE WHEN `emb` IS NULL"))
     assert(out.contains("'ARRAY<FLOAT>'"))
     // non-SUMMARIZE statements and identifier uses pass through
     val q = "SELECT summarize_count FROM files"
@@ -679,12 +685,31 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("WHERE n > 0 ) files"))
     assert(out.contains("row_number() OVER (PARTITION BY c ORDER BY k)"))
     assert(out.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"))
-    assert(out.contains("ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"))
+    // r17: the after-group piece is a running extreme over the INVERTED
+    // order (picked at the group's reverse-first row), not a
+    // (1 FOLLOWING, UNBOUNDED FOLLOWING) window — Spark recomputes that
+    // frame per row, quadratic in the partition size
+    assert(out.contains("OVER (PARTITION BY c ORDER BY k DESC NULLS LAST)"))
+    assert(out.contains("ORDER BY k DESC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"))
+    assert(!out.contains("1 FOLLOWING AND UNBOUNDED FOLLOWING"))
     // outer layer: group-frame picks combined with least (min aggregate)
     assert(out.contains("least("))
     assert(out.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"))
     // trailing ORDER BY stays at the outer level
     assert(out.trim.endsWith("ORDER BY path"))
+  }
+
+  test("invertOrderBy flips direction and null ordering per item") {
+    assert(Dialect.invertOrderBy("PARTITION BY c ORDER BY k")
+      == "PARTITION BY c ORDER BY k DESC NULLS LAST")
+    assert(Dialect.invertOrderBy("ORDER BY a DESC, b ASC NULLS LAST")
+      == "ORDER BY a ASC NULLS FIRST, b DESC NULLS FIRST")
+    assert(Dialect.invertOrderBy("ORDER BY x NULLS LAST")
+      == "ORDER BY x DESC NULLS FIRST")
+    // function args with commas stay one item; DESC default nulls flip
+    assert(Dialect.invertOrderBy(
+      "PARTITION BY p ORDER BY coalesce(a, b) DESC")
+      == "PARTITION BY p ORDER BY coalesce(a, b) ASC NULLS FIRST")
   }
 
   test("min/max EXCLUDE envelope refusals are loud and precise") {

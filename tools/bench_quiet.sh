@@ -25,6 +25,11 @@ sf="${3:-/root/testdata/sf0.1}"
 
 for i in $(seq 1 "$attempts"); do
   echo "[bench_quiet] attempt $i/$attempts ($(uptime | sed 's/.*load/load/'))"
+  # Pin the core count to the driver's primary configuration (r17: an
+  # unset SPARK_GRAFT_CPUS silently benched local[4], which flatters the
+  # scheduling-floor tail and slows the compute-heavy rows — numbers not
+  # comparable to the driver's 32-core record).
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_OUT=/tmp/bench_try.json SPARK_GRAFT_SF_DIR="$sf" \
     sbt 'runMain graft.Bench' 2>&1 | grep '"metric"' | tail -1 > /tmp/bench_try_line.json || true
   python3 - <<'PY'
