@@ -721,10 +721,13 @@ object DedupQueries {
         .agg(count(lit(1)).as("nc"), min("doc_id").as("minc"))
       val bands = simhashBands(simhashDF(s, d))
       // directional rep matches INCLUDING self — no ra < rb filter
+      // shuffle_hash (r17): the band frame's stats never qualify for
+      // broadcast, so this equi-join planned as SMJ — two sorts for a
+      // join needing no ordering at any scale.
       val rp = bands
         .select(col("doc_id").as("ra"), col("simhash").as("ha"), col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("rb"), col("simhash").as("hb"),
-          col("band"), col("bsig")), Seq("band", "bsig"))
+          col("band"), col("bsig")).hint("shuffle_hash"), Seq("band", "bsig"))
         .select(col("ra"), col("rb"), expr("bit_count(ha ^ hb)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
@@ -734,7 +737,9 @@ object DedupQueries {
         .agg(sum("nc").as("n_matches"), min("minc").as("keeper"))
       memb.filter(col("doc_id") % IncrMod === 0)
         .select(col("rep").as("ra"), col("doc_id").as("ia"))
-        .join(g, Seq("ra"), "left")
+        // shuffle_hash: g is the batch-rep aggregate (stats-blind, never
+        // broadcast-planned); the left join needs no ordering (r17)
+        .join(g.hint("shuffle_hash"), Seq("ra"), "left")
         .select(col("ia").as("doc_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
           col("keeper"),

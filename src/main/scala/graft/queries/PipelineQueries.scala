@@ -279,13 +279,17 @@ object PipelineQueries {
           explode(array((0 until 4).map(lit): _*)).as("band"))
         .withColumn("bsig",
           expr(s"(phash >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1}"))
-      // No join hint: the planner broadcasts the (distinct-hash-sized)
-      // bands side while it fits and flips to a shuffled join on the
-      // band buckets when it doesn't — candidate volume is now pairs of
-      // DISTINCT hashes, invariant to duplicate growth.
+      // Size-gated join strategy (r17, was un-hinted): past the
+      // big-corpus gate the hint forces a hash build — at scale the
+      // stats-planned fallback is SMJ, which would sort the band frames
+      // for a bucket equi-join needing no ordering. Under the gate the
+      // planner keeps its choice (broadcast when stats permit; the
+      // sf0.1 SMJ over ~15k distinct-hash rows costs microseconds).
       val rcand = rbands.select(col("phash").as("ha"), col("band"), col("bsig"))
-        .join(rbands.select(col("phash").as("hb"), col("cnt").as("cntb"),
-          col("m1").as("m1b"), col("band"), col("bsig")), Seq("band", "bsig"))
+        .join(graft.queries.DedupQueries.hb(
+          rbands.select(col("phash").as("hb"), col("cnt").as("cntb"),
+            col("m1").as("m1b"), col("band"), col("bsig")),
+          graft.queries.DedupQueries.bigCorpus(s, d)), Seq("band", "bsig"))
         .filter(col("ha") =!= col("hb"))
         .select(col("ha"), col("hb"), col("cntb"), col("m1b"),
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))

@@ -780,7 +780,12 @@ object SimilarityQueries {
       val b = assigned
         .select(col("cell"), col("rid").as("ib"), col("embedding").as("vb"))
         .withColumn("salt", explode(expr(s"sequence(0, ${SemDedupSalt - 1})")))
-      val repPairs = a.join(b, Seq("cell", "salt"))
+      // shuffle_hash (r17): neither salted side's stats ever qualify
+      // for broadcast, so the block join planned as SMJ — two sorts of
+      // embedding-carrying frames for an equi-join needing no ordering.
+      // The hint goes on side A (build side): B is salt-replicated,
+      // SemDedupSalt× larger per partition.
+      val repPairs = a.hint("shuffle_hash").join(b, Seq("cell", "salt"))
         .filter(col("ia") < col("ib"))
         .filter(expr("array_cosine_similarity(va, vb)") >= SemDedupSim)
         .select("ia", "ib")
@@ -800,9 +805,10 @@ object SimilarityQueries {
       graft.ops.ConnectedComponents.labelPropagate(s, pairs)
         .filter(col("label") < col("node"))
         .select(col("node").as("vec_id"), col("label").as("keeper"))
-        // members inherit their rep's cell (byte-equal vectors)
+        // members inherit their rep's cell (byte-equal vectors);
+        // shuffle_hash: both sides corpus-sized, no ordering needed (r17)
         .join(vmemb.join(assigned.select(col("rid"), col("cell")), Seq("rid"))
-          .select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .select(col("vec_id"), col("cell")).hint("shuffle_hash"), Seq("vec_id"))
         .select("vec_id", "keeper", "cell")
         .orderBy("vec_id")
     }),
