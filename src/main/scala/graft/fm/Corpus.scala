@@ -75,20 +75,17 @@ object Corpus {
       val m = pf.fields.iterator.map(f => f.key -> f.value).toMap
       Row.fromSeq(ordered.map(m.getOrElse(_, null)))
     }
-    // r17: compact the serving frame before it is cached. Parsing runs at
-    // file-read parallelism upstream (Corpus.parse, ≥1 task per ~32
-    // files), but that is the wrong LAYOUT to cache: a 5000-row corpus
-    // cached as 32 slivers makes every downstream exchange schedule 32
-    // map tasks and write 32×N shuffle block files for kilobytes of data
-    // — thread dumps of the fm window queries at sf0.1 showed the exec
-    // time dominated by DiskBlockObjectWriter.open, i.e. pure shuffle-
-    // file creation. Coalesce (narrow, no shuffle — the parse stays
-    // parallel because `parsed` is already persisted by the keys pass
-    // above) to ~200k rows per cached partition, capped so very large
-    // corpora still spread over the cluster.
-    val nGood = good.count()
-    val serveParts = math.max(1, math.min(
-      10 * spark.sparkContext.defaultParallelism, (nGood / 200000L).toInt + 1))
+    // r17, measured and REVERTED: an experiment coalesced the cached
+    // serving frame to ~200k rows per partition on the theory that the
+    // parse layout (32 slivers at sf0.1) taxed every downstream
+    // exchange with 32×N shuffle block files. The quiet-box record
+    // falsified it: the shuffle-file cost is negligible at this width,
+    // while expression-heavy rows lost their scan parallelism — the 66
+    // fm rows without their own r17 fixes regressed +2.4 s in
+    // aggregate, led by q_fm_json_ops 0.20→0.48 s and q_fm_listfns
+    // 0.16→0.36 s (run spreads ≤ 0.03, i.e. real). The parse layout
+    // (Corpus.parse: ≥32 files per task, capped at defaultParallelism)
+    // is already the right serving layout at every scale probed.
     // Warning list bounded at the driver (Settings.maxListed): the full
     // list is reference parity and kept verbatim below the cap, but a
     // corpus with 10⁹ unparseable files must not OOM the driver building
@@ -105,7 +102,7 @@ object Corpus {
           ParseWarning("(truncated)",
             s"... ${total - cap} more parse warnings not listed (listing capped at $cap; set FRONTMATTER_MAX_LIST to raise)")
       }
-    (spark.createDataFrame(rows.coalesce(serveParts), schema), warnings)
+    (spark.createDataFrame(rows, schema), warnings)
   }
 
   /** Corpus fingerprint over (relPath, mtime): the Spark-shaped analogue of

