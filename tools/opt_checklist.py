@@ -10,7 +10,7 @@ import json
 import sys
 
 bench = json.load(open("BENCH_FULL.json"))
-oracle = json.load(open("DUCKDB_BASELINE.json"))
+oracle = json.load(open("DUCKDB_BASELINE.json")).get("queries", {})
 iso = bench.get("isolated", {})
 
 # Rows changed this round, with the change (commits 2a82386 / 86ac45a).
