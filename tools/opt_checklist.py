@@ -59,7 +59,7 @@ STRATEGY = {
 }
 
 FAMS = [
-    ("q_fm_", "fm dialect row over the cached serving frame; r17 cache-layout coalesce removed the 32-sliver shuffle-file tax shared by the whole family; engine path re-audited, no SMJ"),
+    ("q_fm_", "fm dialect row over the cached serving frame (parse layout kept: the r17 coalesce experiment was measured as a regression and reverted); engine path re-audited, no SMJ"),
     ("q_ann_", "ANN family: bounded collects (seeds/codebooks/8 query rows), recall floors pinned, r17-pre family-wide shared IVF index"),
     ("q_embed_", "embedding family: codegen kernels, posexplode aggregates; plan audited"),
     ("q_dedup_", "dedup family: collapse-first, cutoff-bounded candidates, hb-gated joins"),
@@ -100,6 +100,15 @@ for name in sorted(bench["queries"]):
     o = oracle.get(name)
     i = iso.get(name)
     best = min(v, i) if i else v
-    ratio = f"{best / o:.2f}" if o and o > 0 else "-"
+    # the weak rule applies only where the oracle is >= 0.1 s: below
+    # that, both engines sit on their per-query floors (DuckDB's
+    # single-process ms vs Spark's ~0.1-0.3 s job floor) and the ratio
+    # measures scheduling constants, not the query
+    if not o or o <= 0:
+        ratio = "-"
+    elif o < 0.1:
+        ratio = "(sub-floor oracle)"
+    else:
+        ratio = f"{best / o:.2f}"
     print(f"| {name} | {v:.3f} | {f'{i:.3f}' if i else ''} | "
           f"{f'{o:.3f}' if o else '-'} | {ratio} | {note(name)} |")
