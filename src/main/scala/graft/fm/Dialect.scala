@@ -3476,15 +3476,18 @@ object Dialect {
     */
   private[fm] def invertOrderBy(prefix: String): String = {
     val u2 = prefix.toUpperCase
-    // top-level ORDER keyword (outside parens/quotes)
+    // top-level ORDER keyword (outside parens and quotes — backtick
+    // regions too: a backtick-quoted identifier like `order` passes
+    // isKeywordAt's boundary checks and would be misdetected as the
+    // keyword, mis-splitting the spec; ADVICE r17)
     var obAt = -1
     var d = 0
-    var inStr = false
+    var q: Char = 0
     var i = 0
     while (i < prefix.length && obAt < 0) {
       val c = prefix.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (c == '\'') inStr = true
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '`') q = c
       else if (c == '(') d += 1
       else if (c == ')') d -= 1
       else if (d == 0 && u2.regionMatches(i, "ORDER", 0, 5) &&
@@ -3495,15 +3498,15 @@ object Dialect {
     val byAt = u2.indexOf("BY", obAt + 5)
     val head = prefix.substring(0, byAt + 2)
     val itemsTxt = prefix.substring(byAt + 2)
-    // split on top-level commas
+    // split on top-level commas (same quote tracking as the scan above)
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
-    d = 0; inStr = false
+    d = 0; q = 0
     var j = 0
     while (j < itemsTxt.length) {
       val c = itemsTxt.charAt(j)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (c == '\'') inStr = true
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '`') q = c
       else if (c == '(') d += 1
       else if (c == ')') d -= 1
       else if (d == 0 && c == ',') { items += itemsTxt.substring(start, j); start = j + 1 }
@@ -3713,7 +3716,13 @@ object Dialect {
             var ne = ns
             while (ne < body.length && (body.charAt(ne).isLetterOrDigit ||
                 body.charAt(ne) == '_')) ne += 1
-            merged = merged.replace(n, body.substring(ns, ne))
+            // identifier-boundary replace: this pass's helper names are
+            // not prefix-free (`…rn` prefixes `…rn2`), so a plain
+            // substring replace of `…rn` would also corrupt every
+            // `…rn2` reference into an undefined column (ADVICE r17)
+            merged = merged.replaceAll(
+              java.util.regex.Pattern.quote(n) + "(?![A-Za-z0-9_])",
+              java.util.regex.Matcher.quoteReplacement(body.substring(ns, ne)))
             false
           }
         }

@@ -67,6 +67,7 @@ object DedupQueries {
   private val simhashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
   private val minhashCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
   private val jacCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Boolean), DataFrame])
+  private val jacCntCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Boolean), Long])
   private val substrGramCache = graft.QueryCaches.register(scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame])
 
   private[queries] def shingleDF(s: SparkSession, d: String): DataFrame =
@@ -368,6 +369,21 @@ object DedupQueries {
     })
   }
 
+  /** Row count of the shared Jaccard pair frame — the quantity
+    * q_tfidf_sim's broadcast decision actually depends on (ADVICE r17:
+    * the near-dup pair set is O(dups²) INDEPENDENT of doc count, so a
+    * dup-heavy corpus under the 100k-doc gate can still blow past the
+    * broadcast limit where a stats-planned join would have degraded
+    * gracefully). One cached-scan aggregate over the already-persisted
+    * frame, memoized under the frame's own key.
+    */
+  private def jaccardPairCount(s: SparkSession, d: String): Long = {
+    val cutoff = maxShingleDocFreq(s, d)
+    val retain = sys.env.get("SPARK_GRAFT_RETAIN_RAREST").contains("1")
+    jacCntCache.getOrElseUpdate((Tables.sessionKey(s), d, cutoff, retain),
+      jaccardPairsCached(s, d).count())
+  }
+
   /** Exact Jaccard for the given candidate (ia, ib) pairs: count common
     * shingles by joining the shingle lists restricted to candidates.
     * Used where candidates come from a structure other than the shingle
@@ -642,8 +658,17 @@ object DedupQueries {
       // scale (hash build instead of two sorts; hints beat auto-
       // broadcast, which never fired for it anyway).
       val big = bigCorpus(s, d)
+      // r18 (ADVICE r17): the broadcast is additionally gated on the
+      // ACTUAL pair population, not just the doc count — near-dup pairs
+      // are O(dups²) regardless of corpus size, so a dup-heavy sub-gate
+      // corpus falls back to the sort-free hash join instead of a
+      // driver-breaking broadcast. 4M pairs of two longs ≈ tens of MB
+      // built; the persisted pair frame makes the count one cached
+      // aggregate. The norm frame is bounded by the pair-doc population
+      // (≤ 2× pairs), so one gate covers both broadcast sides.
+      val smallPairs = !big && jaccardPairCount(s, d) <= 4000000L
       def pick(df: DataFrame): DataFrame =
-        if (big) df.hint("shuffle_hash") else broadcast(df)
+        if (smallPairs) broadcast(df) else df.hint("shuffle_hash")
       val wts = pairTfidfWtsDF(s, d)
       val norms = wts.groupBy("doc_id")
         .agg(sum(expr("CAST(wt AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))")).as("n2"))

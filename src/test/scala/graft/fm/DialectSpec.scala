@@ -699,6 +699,28 @@ class DialectSpec extends AnyFunSuite {
     assert(out.trim.endsWith("ORDER BY path"))
   }
 
+  test("mixed-frame min/max EXCLUDE pair splices only defined helper names") {
+    // ADVICE r18: the second expression reuses the first layer's
+    // rn/rk/bg helpers but adds fresh inverted-order helpers whose
+    // names the reused ones PREFIX (…rn prefixes …rn2) — a plain
+    // substring replace during the reuse splice corrupted every rn2/rk2
+    // reference into an undefined column (AnalysisException at run).
+    val in = "SELECT min(n) OVER (PARTITION BY c ORDER BY k " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS m1, " +
+      "max(n) OVER (PARTITION BY c ORDER BY k " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS m2 " +
+      "FROM files"
+    val out = Dialect.rewriteWindowExclude(in)
+    assert(!out.toUpperCase.contains("EXCLUDE"))
+    // every referenced helper token must have a defining `AS <name>`
+    val refs = "__graft_mm\\w+".r.findAllIn(out).toSet
+    val defs = "AS (__graft_mm\\w+)".r.findAllMatchIn(out).map(_.group(1)).toSet
+    val undefined = refs -- defs
+    assert(undefined.isEmpty, s"undefined helper references: $undefined\nin: $out")
+    // the inverted-order helpers of the second expression survive intact
+    assert(out.contains("ORDER BY k DESC NULLS LAST"))
+  }
+
   test("invertOrderBy flips direction and null ordering per item") {
     assert(Dialect.invertOrderBy("PARTITION BY c ORDER BY k")
       == "PARTITION BY c ORDER BY k DESC NULLS LAST")
@@ -710,6 +732,13 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.invertOrderBy(
       "PARTITION BY p ORDER BY coalesce(a, b) DESC")
       == "PARTITION BY p ORDER BY coalesce(a, b) ASC NULLS FIRST")
+    // backtick-quoted identifiers are opaque: a column named `order`
+    // in the PARTITION BY must not be misdetected as the ORDER keyword
+    // (ADVICE r18), and commas inside backticks don't split items
+    assert(Dialect.invertOrderBy("PARTITION BY `order by z, w` ORDER BY k")
+      == "PARTITION BY `order by z, w` ORDER BY k DESC NULLS LAST")
+    assert(Dialect.invertOrderBy("ORDER BY `a, order b` DESC")
+      == "ORDER BY `a, order b` ASC NULLS FIRST")
   }
 
   test("min/max EXCLUDE envelope refusals are loud and precise") {
