@@ -237,7 +237,8 @@ object PlanAudit {
       "r17: the after-group helper's (1 FOLLOWING, UNBOUNDED FOLLOWING) frame\n" +
       "— which Spark recomputes per row, O(rows²) per partition — became a\n" +
       "running prefix extreme over the INVERTED order (one extra in-partition\n" +
-      "sort, all frames O(rows)); quiet-record 0.687 → 0.341 s."))
+      "sort, all frames O(rows)); quiet-record 0.687 → 0.384 s (the\n" +
+      "adopted 44.17 s r17 pass — one record per round, cited everywhere)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -29,21 +29,45 @@ for i in $(seq 1 "$attempts"); do
   # unset SPARK_GRAFT_CPUS silently benched local[4], which flatters the
   # scheduling-floor tail and slows the compute-heavy rows — numbers not
   # comparable to the driver's 32-core record).
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  cpus="${SPARK_GRAFT_CPUS:-32}"
+  SPARK_GRAFT_CPUS="$cpus" \
   SPARK_GRAFT_BENCH_OUT=/tmp/bench_try.json SPARK_GRAFT_SF_DIR="$sf" \
     sbt 'runMain graft.Bench' 2>&1 | grep '"metric"' | tail -1 > /tmp/bench_try_line.json || true
-  python3 - <<'PY'
-import json, shutil, sys, os
+  # Config-aware monotone rule (r18, verdict r17 item 5): the candidate
+  # only competes against a record taken under the SAME (cpus, sf) —
+  # a config change starts a fresh baseline instead of requiring a
+  # documented bypass (r17 had to bypass once when retiring a local[4]
+  # record). The adopted record's config tuple + code rev live in
+  # BENCH_FULL.meta.json.
+  GRAFT_BENCH_CPUS="$cpus" python3 - <<'PY'
+import json, shutil, subprocess, sys, os
 try:
     new = json.load(open('/tmp/bench_try.json'))
 except Exception as e:
     print(f"[bench_quiet] no result ({e})"); sys.exit(0)
+cfg = {"cpus": int(os.environ["GRAFT_BENCH_CPUS"]), "sf": new.get("sf")}
+try:
+    cfg["rev"] = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True).stdout.strip()
+except Exception:
+    cfg["rev"] = ""
 cur = json.load(open('BENCH_FULL.json')) if os.path.exists('BENCH_FULL.json') else None
+meta = json.load(open('BENCH_FULL.meta.json')) if os.path.exists('BENCH_FULL.meta.json') else None
+same_cfg = (cur is not None and meta is not None
+            and meta.get("cpus") == cfg["cpus"] and meta.get("sf") == cfg["sf"])
 print(f"[bench_quiet] try: total {new['value']} floor {new['noise_floor_sec']} "
-      f"weak {len(new.get('weak_over_2x', {}))}")
-if cur is None or (new['value'] < cur['value']
-                   and new['noise_floor_sec'] <= cur['noise_floor_sec'] + 0.01):
+      f"weak {len(new.get('weak_over_2x', {}))} cfg {cfg}")
+if not same_cfg:
+    reason = ("no current record" if cur is None
+              else "no/old meta" if meta is None else
+              f"config changed (record {meta.get('cpus')} cpus, {meta.get('sf')})")
     shutil.copy('/tmp/bench_try.json', 'BENCH_FULL.json')
+    json.dump(cfg, open('BENCH_FULL.meta.json', 'w'), indent=0)
+    print(f"[bench_quiet] ADOPTED ({reason} — fresh baseline for this config)")
+elif (new['value'] < cur['value']
+      and new['noise_floor_sec'] <= cur['noise_floor_sec'] + 0.01):
+    shutil.copy('/tmp/bench_try.json', 'BENCH_FULL.json')
+    json.dump(cfg, open('BENCH_FULL.meta.json', 'w'), indent=0)
     print("[bench_quiet] ADOPTED")
 else:
     print(f"[bench_quiet] kept current (total {cur['value']} floor {cur['noise_floor_sec']})")
