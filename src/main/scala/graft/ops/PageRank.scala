@@ -53,12 +53,16 @@ object PageRank {
         e.groupBy("src").agg(count(lit(1)).as("outdeg")).hint("shuffle_hash"),
         Seq("src"))
       .persist()
-    val nc = broadcast(
-      e.select(col("src").as("node")).distinct().agg(count(lit(1)).as("n")))
-    val baseExpr = s"CAST($Scale AS BIGINT) DIV n"
-    var ranks = e.select(col("src").as("node")).distinct()
-      .crossJoin(nc)
-      .select(col("node"), expr(baseExpr).as("pr"))
+    // Node count as a driver scalar, not a 1-row broadcast (r18): the
+    // old `crossJoin(broadcast(count))` spliced a BroadcastNestedLoop
+    // node + the distinct-count subtree into EVERY iteration of the
+    // chained plan; one count job here costs the same distinct once and
+    // removes them all. `Scale / n` on positive longs is bit-identical
+    // to the SQL `DIV` the oracle replays.
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count()
+    val base = Scale / n
+    var ranks = nodes.select(col("node"), lit(base).as("pr"))
     var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     (1 to iterations).foreach { i =>
       // Build the hash table on the node-sized rank frame: a sort-merge
@@ -68,10 +72,15 @@ object PageRank {
         .join(ranks.hint("shuffle_hash"), withDeg("src") === ranks("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
-        .crossJoin(nc)
         .select(col("dst").as("node"),
-          expr(s"(15 * ($baseExpr) + 85 * contrib) DIV 100").as("pr"))
+          expr(s"(15 * ${base}L + 85 * contrib) DIV 100").as("pr"))
       if (i % CheckpointInterval == 0 || i == iterations) {
+        // Debug hook: the iteration chain materializes HERE, so the
+        // catalog-level Explain only ever shows the checkpointed scan —
+        // this prints the real per-cut physical plan (plan audits).
+        if (sys.env.contains("SPARK_GRAFT_PR_EXPLAIN"))
+          System.err.println(ranks.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         val rdd = ranks.rdd
         rdd.localCheckpoint()
         rdd.count() // materialize the cut eagerly
@@ -84,6 +93,7 @@ object PageRank {
     // longer referenced — free its blocks instead of leaking one cached
     // copy per invocation (ADVICE r7).
     withDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks
   }
 }
