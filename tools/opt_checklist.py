@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""Emit the OPTIMIZATION_r17 per-query checklist table (markdown).
+"""Emit the OPTIMIZATION_r18 per-query checklist table (markdown).
 
 Merges BENCH_FULL.json (final quiet-box record), DUCKDB_BASELINE.json,
 and the per-row adjudications below into one table: every catalog row
 with its measured time, oracle ratio, and what this optimization round
-did with it. Usage: python3 tools/opt_checklist.py >> OPTIMIZATION_r17.md
+did with it. Usage: python3 tools/opt_checklist.py >> OPTIMIZATION_r18.md
 """
 import json
 import sys
@@ -13,29 +13,35 @@ bench = json.load(open("BENCH_FULL.json"))
 oracle = json.load(open("DUCKDB_BASELINE.json")).get("queries", {})
 iso = bench.get("isolated", {})
 
-# Rows changed this round, with the change (commits 2a82386 / 86ac45a).
+# Rows changed this round (r18), with the change and evidence.
 CHANGED = {
-    "q_tfidf_sim": "4 SMJ -> 0 (broadcast pair/norm frames under bigCorpus gate, SHUFFLE_HASH weight side); iso 1.70->0.98 s",
-    "q_fm_summarize": "multi-distinct Expand + 4 SortAggregate -> stacked hash aggregates, 0 sorts; iso 0.71->0.28 s",
-    "q_fm_win_exclude": "COUNT suffix frames total-minus-cumulative (was quadratic UF frame)",
-    "q_fm_win_exclude_minmax": "after-group min/max via inverted-order running extreme (was O(rows^2) UF frame); probe exec 0.55->0.33 s",
-    "q_dedup_minhash": "band self-join SMJ -> SHUFFLE_HASH",
-    "q_dedup_incremental": "band join + batch-rep lookup SMJ -> SHUFFLE_HASH (smj=0)",
-    "q_semdedup": "salted block join + member-cell join hinted SHUFFLE_HASH (smj=0, sorts 4->1)",
-    "q_knn_graph": "top-k join SMJ -> SHUFFLE_HASH; iso 0.56->0.34 s",
-    "q_ann_lsh_recall": "2 SMJ over ~40-row frames -> unconditional broadcast (bounded by 8 queries x k)",
-    "q_embed_neardup": "band + embedding joins SMJ -> SHUFFLE_HASH (smj 2->0)",
-    "q_multimodal_phash": "bucket join SHUFFLE_HASH past the bigCorpus gate (planner keeps broadcast under it)",
+    "q_pagerank": "per-iteration 1-row crossJoin(broadcast(count)) -> driver-scalar literal (BNLJ 10->0 in the cut plan, plans/r18); warm probe 1.15->0.89 s; AQE leg A/B-rejected (1.25-1.29 vs 0.99-1.14 s)",
+    "q_tfidf_sim": "broadcast additionally gated on ACTUAL pair count (ADVICE r17 medium); plan at bench sf unchanged; skew_shj_r18 wave x1-x100: gate flips bhj 3->0 / shj 1->4 at x10, ~linear per decade; probe 0.88-0.94 s settles the driver's 1.47 s reading as contention",
 }
 
-# Rows examined in depth this round and deliberately left, with why.
+# r17 rewrites re-validated (not re-touched) this round: the six
+# SHUFFLE_HASH families got a fresh adversarial x50/x100 wave
+# (skew_shj_r18; SCALE.md) — zero spill/OOM, growth in the envelope.
+R17_STANDS = {
+    "q_fm_summarize": "r17 stack-pivot rewrite stands (0 Expand, 0 data sorts)",
+    "q_fm_win_exclude": "r17 total-minus-cumulative COUNT suffixes stand",
+    "q_fm_win_exclude_minmax": "r17 inverted-order running extreme stands",
+    "q_dedup_minhash": "r17 band-join SHUFFLE_HASH stands; re-validated x50/x100 adversarial (top step 2.8x, gated broadcasts degrade to SMJ by design)",
+    "q_dedup_incremental": "r17 hash-builds stand; re-validated x50/x100 (top step 1.5x, shj stable)",
+    "q_semdedup": "r17 salted-block hash-builds stand; re-validated x50/x100 (top step 2.4x)",
+    "q_knn_graph": "r17 top-k hash-build stands; re-validated x50/x100 (top step 2.1x, gated broadcast degrades to SMJ)",
+    "q_ann_lsh_recall": "r17 bounded broadcast stands (8 queries x k rows by construction)",
+    "q_embed_neardup": "r17 band/embedding hash-builds stand; re-validated x50/x100 (top step 1.5x)",
+    "q_multimodal_phash": "r17 gated bucket-join hint stands (broadcast under gate at bench sf)",
+}
+
+# Rows examined in depth and deliberately left, with why.
 LEFT = {
-    "q_jaccard_prefix": "collapse-first prefix-filter plan, 0 SMJ; probes 0.78 s fresh-session vs ~1.4 s in-catalog = cache-residency GC, not plan cost; GC alternatives A/B-rejected",
-    "q_pagerank": "bulk-iteration floor: shuffle_hash per iteration, localCheckpoint every 8; 2 exchanges/iteration is the PR minimum; 57x the oracle",
+    "q_jaccard_prefix": "collapse-first prefix-filter plan, 0 SMJ; r18: residency tax EXONERATED on a quiet box (0.862 catalog vs 0.896 isolated; whole-run GC 4.65 s STW / zero Full GCs) — the r17 1.8 s driver reading was box contention",
     "q_winnow_crossdup": "collapse-first, df-pruned, hb-gated; cost = codegen winnow kernel + bounded joins; high run-spread is GC noise",
     "q_fm_mutations": "driver file rewrite + mtime invalidation IS the reference contract",
     "q_fm_mutations_dist": "distributed rewrite path; same contract",
-    "q_fm_win_exclude_range": "a_cur's DECLARED frame (RANGE CR..UF) is the quadratic one; decomposing double sums moves last-ulp parity the fuzz family pinned",
+    "q_fm_win_exclude_range": "a_cur's DECLARED frame (RANGE CR..UF) is the quadratic one; r18 WindowFrameProbe: O(rows) alternatives are up to 1200x faster AND move the last ulp on ~98% of rows — the parity the fuzz pins; floor, now with numbers",
     "q_session_funnel": "4 sequential stage gates are the funnel definition; co-partitioned on user_id throughout",
     "q_cohort_retention": "distinct + join + count-distinct, co-partitioned on user_id; floor",
     "q_range_join": "bucketed grid equi-join; SMJ kept for spill robustness under skewed time buckets (generic operator)",
@@ -78,6 +84,8 @@ DEFAULT = "tail row at the per-job scheduling floor (<~0.4 s); plan audited (PLA
 def note(name):
     if name in CHANGED:
         return "CHANGED: " + CHANGED[name]
+    if name in R17_STANDS:
+        return "left: " + R17_STANDS[name]
     if name in STRATEGY:
         return "left: " + STRATEGY[name]
     if name in LEFT:
