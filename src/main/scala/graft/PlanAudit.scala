@@ -95,7 +95,7 @@ object PlanAudit {
     "q_multimodal_batchplan" -> "byte-budget batch packing: distributed prefix sum, NO single-partition global window",
     "q_sketch_cms" -> "CMS sketch: fixed 1024-cell hash aggregate from persisted-frame integer ops, cells broadcast to probes",
     "q_quality_threshold" -> "corpus-relative filter: percentile as one broadcast row back over the scored scan",
-    "q_tfidf_sim" -> "tf-idf re-scorer: broadcast idf table, shared weight frame, exact-integer dot/norm sums. r17 join discipline: the pair/norm frames (near-dup-population-bounded) broadcast under the bigCorpus gate and SHUFFLE_HASH past it; the (doc, word)-keyed weight side is always SHUFFLE_HASH — the former stats-planned SMJs paid 8 sorts for equi-joins needing no ordering",
+    "q_tfidf_sim" -> "tf-idf re-scorer: broadcast idf table, shared weight frame, exact-integer dot/norm sums. r17 join discipline: the pair/norm frames (near-dup-population-bounded) broadcast under the bigCorpus gate AND an actual-pair-count gate (r18, ADVICE r17: pairs are O(dups²) regardless of doc count) and SHUFFLE_HASH past either; the (doc, word)-keyed weight side is always SHUFFLE_HASH — the former stats-planned SMJs paid 8 sorts for equi-joins needing no ordering",
     "q_sketch_hll" -> "HLL sketch: fixed 64-register hash aggregate per group, exact BIGINT harmonic sum, no state growth",
     "q_quantile_hist" -> "histogram quantiles: one scan + bucket hash aggregate; window runs over the HISTOGRAM, never sorts the data",
     "q_bloom_decontam" -> "bloom decontamination: <=4096-row bit-position relation broadcast to the gram scan, corpus never shuffles before the agg",
