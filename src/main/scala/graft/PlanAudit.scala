@@ -238,7 +238,17 @@ object PlanAudit {
       "— which Spark recomputes per row, O(rows²) per partition — became a\n" +
       "running prefix extreme over the INVERTED order (one extra in-partition\n" +
       "sort, all frames O(rows)); quiet-record 0.687 → 0.384 s (the\n" +
-      "adopted 44.17 s r17 pass — one record per round, cited everywhere)."))
+      "adopted 44.17 s r17 pass — one record per round, cited everywhere).\n" +
+      "r18 measured bound for the shapes DELIBERATELY kept quadratic\n" +
+      "(SUM/MIN/MAX-over-DOUBLE EXCLUDE suffixes with an UNBOUNDED FOLLOWING\n" +
+      "end, incl. q_fm_win_exclude_range's declared a_cur frame):\n" +
+      "graft.WindowFrameProbe times the direct frame at 1.14/11.9/201.8 s for\n" +
+      "partition widths 5k/20k/80k (O(width²) confirmed) against 0.1–0.2 s for\n" +
+      "both O(rows) alternatives — which diverge from the direct frame's bit\n" +
+      "pattern on ~98% of rows, the parity the 4440-case fuzz pins. No exact\n" +
+      "O(rows) recombination exists for left-fold suffix semantics; cost is\n" +
+      "bounded by window partition width, not corpus size — a floor with\n" +
+      "numbers, not prose."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
